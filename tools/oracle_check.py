@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers the
+testdata parquet tables as DuckDB views, runs each oracle query, and compares
+against the Spark parquet result at <verifyOutDir>/<name>/ — columns sorted by
+name, rows sorted, exact value compare (with a float report on mismatch).
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(out, key=lambda t: tuple(repr(x) for x in t)), [cols[i] for i in order]
+
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    if hasattr(a, "timestamp") and hasattr(b, "timestamp"):
+        return a.timestamp() == b.timestamp()
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not parts:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            orc = con.execute(sql)
+            o_cols = [d[0] for d in orc.description]
+            o_rows = orc.fetchall()
+            src = con.execute(
+                "SELECT * FROM read_parquet(?)", [parts])
+            s_cols = [d[0] for d in src.description]
+            s_rows = src.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        o_rows, o_cols_s = canon(o_rows, o_cols)
+        s_rows, s_cols_s = canon(s_rows, s_cols)
+        if o_cols_s != s_cols_s:
+            print(f"FAIL {name}: columns oracle={o_cols_s} spark={s_cols_s}")
+            n_fail += 1
+            continue
+        if len(o_rows) != len(s_rows):
+            print(f"FAIL {name}: rows oracle={len(o_rows)} spark={len(s_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (orow, srow) in enumerate(zip(o_rows, s_rows)):
+            for j, (a, b) in enumerate(zip(orow, srow)):
+                if not eq(a, b):
+                    bad = (i, o_cols_s[j], a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, a, b = bad
+            print(f"FAIL {name}: row {i} col {c}: oracle={a!r} spark={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(o_rows)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
