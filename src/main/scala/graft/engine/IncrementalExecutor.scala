@@ -1,0 +1,285 @@
+package graft.engine
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.TransformEngine.LoadedInput
+import graft.operators.AsOfJoin
+import graft.protocol.{DatasetVocabulary, Op}
+
+/** Executes one incremental micro-batch over (buffered state ∪ new slices).
+  *
+  * Watermark algebra (SURVEY.md §7.4): with an interval join of upper bound
+  * U and/or a tumbling window of duration D in the step chain,
+  *
+  *   reported output watermark = min(input watermarks) − U
+  *   emission threshold        = reported − D
+  *
+  * A result row is emitted when its event time is in
+  * (previous threshold, new threshold] — so closed windows / expired join
+  * horizons emit exactly once across runs, late rows into still-open windows
+  * are aggregated, and late rows into closed windows are dropped, matching
+  * the reference's observable behavior (EngineAggregationTest,
+  * EngineJoinStreamToStreamTest golden chains).
+  *
+  * Stateless (pure map/filter) chains skip buffering and gating entirely:
+  * every result row of the new slice is emitted immediately.
+  */
+final class IncrementalExecutor(
+    spark: SparkSession,
+    store: StateStore,
+    ledger: Ledger,
+    inputs: Seq[LoadedInput],
+    steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+    vocab: DatasetVocabulary
+) {
+
+  import IncrementalExecutor._
+
+  final case class ExecResult(
+      emitted: DataFrame,
+      newWatermark: Option[Instant],
+      emitThreshold: Option[Instant],
+      emissionOrder: Option[Seq[Column]]
+  )
+
+  private val allSql = steps.map(_._2.sql).mkString("\n")
+  private val tumble = steps.flatMap(_._2.tumble).headOption
+  private val asOf = steps.flatMap(_._2.asOf).headOption
+  private val interval = findIntervalJoin(allSql)
+  private val isTopN =
+    tumble.isEmpty && asOf.isEmpty && interval.isEmpty &&
+      rowNumberRe.findFirstIn(allSql).isDefined
+  private val stateless =
+    tumble.isEmpty && asOf.isEmpty && interval.isEmpty && !isTopN
+
+  private def byAlias(a: String): Option[LoadedInput] =
+    inputs.find(_.spec.queryAlias == a)
+
+  def run(): ExecResult = {
+    if (stateless) {
+      inputs.foreach(i => i.df.createOrReplaceTempView(i.spec.queryAlias))
+      val result = runSteps(steps)
+      return ExecResult(result, minWm(inputs), None, None)
+    }
+
+    if (asOf.isDefined) return runAsOf()
+
+    // ── Buffered modes: tumbling agg / interval join / Top-N ────────────
+    val fulls = inputs.map { i =>
+      val buffer = store.read(bufferName(i.spec.queryAlias), i.df.schema)
+      val full = buffer.unionByName(i.df)
+      full.createOrReplaceTempView(i.spec.queryAlias)
+      i -> full
+    }
+
+    val resultAll = runSteps(steps)
+
+    if (isTopN) return runTopN(fulls, resultAll)
+
+    // Watermark algebra.
+    val upperMs = interval.map(_.upperMillis).getOrElse(0L)
+    val durMs = tumble.map(t => durationMillis(t.duration)).getOrElse(0L)
+    val reported = minWm(inputs).map(_.minusMillis(upperMs))
+    val newThreshold = reported.map(_.minusMillis(durMs))
+    val prevThreshold = ledger.emitThreshold
+
+    val eventCol = col(vocab.eventTimeColumn)
+    val emitted = newThreshold match {
+      case None => resultAll.limit(0)
+      case Some(t) =>
+        val upperGate = eventCol <= lit(SqlRewriter.tsLiteral(t)).cast("timestamp")
+        prevThreshold match {
+          case Some(p) =>
+            resultAll.where(upperGate &&
+              eventCol > lit(SqlRewriter.tsLiteral(p)).cast("timestamp"))
+          case None => resultAll.where(upperGate)
+        }
+    }
+
+    // Prune + persist buffers: keep rows that may still contribute.
+    fulls.foreach { case (i, full) =>
+      val evt = col(i.spec.vocab.eventTimeColumn)
+      val keep = newThreshold match {
+        case Some(t) => full.where(evt > lit(SqlRewriter.tsLiteral(t)).cast("timestamp"))
+        case None    => full
+      }
+      store.write(bufferName(i.spec.queryAlias), keep)
+    }
+
+    ExecResult(emitted, reported, newThreshold, None)
+  }
+
+  // ── AS-OF / temporal join (SURVEY.md §2.2 joins) ─────────────────────
+  private def runAsOf(): ExecResult = {
+    val spec = asOf.get
+    val probe = byAlias(spec.probeTable).getOrElse(
+      throw new IllegalArgumentException(s"unknown probe input ${spec.probeTable}"))
+    val build = byAlias(spec.buildTable).getOrElse(
+      throw new IllegalArgumentException(s"unknown build input ${spec.buildTable}"))
+
+    val probeBuffer = store.read(bufferName(spec.probeTable), probe.df.schema)
+    val probeFull = probeBuffer.unionByName(probe.df)
+    val buildStore = store.read(versionStoreName(spec.buildTable), build.df.schema)
+    val buildFull = buildStore.unionByName(build.df)
+
+    // Probe hold-back: rows beyond the build watermark wait in state
+    // (reference EngineJoinStreamToTemporalTableTest.scala:126-148).
+    val buildWm = build.watermark
+    val probeTime = col(spec.probeTimeCol)
+    val (eligible, holdback) = buildWm match {
+      case Some(w) =>
+        val wLit = lit(SqlRewriter.tsLiteral(w)).cast("timestamp")
+        (probeFull.where(probeTime <= wLit), probeFull.where(probeTime > wLit))
+      case None => (probeFull.limit(0), probeFull)
+    }
+
+    // Join keys from `probeAlias.k = buildAlias.k2` in the final step.
+    val (probeKey, buildKey) = findAsOfKeys(allSql, spec).getOrElse(
+      throw new IllegalArgumentException("as-of join: no key equality found"))
+
+    val buildEventCol = build.spec.vocab.eventTimeColumn
+    val buildRenamed = buildFull
+      .withColumnRenamed(buildKey, probeKey)
+      .withColumn("__bk", col(probeKey))
+    val joined = AsOfJoin.leftAsOf(
+      eligible,
+      buildRenamed,
+      keys = Seq(probeKey),
+      probeTime = spec.probeTimeCol,
+      buildTime = buildEventCol,
+      buildCols = (buildRenamed.columns
+        .filter(c => c != probeKey && c != "__bk").toSeq
+        .map(c => c -> s"__build_$c")) :+ ("__bk" -> s"__build_$buildKey")
+    )
+    // Inner semantics: both reference syntaxes drop probes with no version.
+    val inner = joined.where(col(s"__build_$buildKey").isNotNull)
+    inner.createOrReplaceTempView("__asof_joined")
+
+    val rewrittenFinal = rewriteAsOfSql(steps.last._2.sql, spec)
+    steps.dropRight(1).foreach { case (alias, rwStep) =>
+      spark.sql(rwStep.sql).createOrReplaceTempView(alias.getOrElse("__step__"))
+    }
+    val result = spark.sql(rewrittenFinal)
+
+    store.write(bufferName(spec.probeTable), holdback)
+    store.write(versionStoreName(spec.buildTable), buildFull)
+
+    val wm = minWm(Seq(probe, build))
+    ExecResult(result, wm, None, None)
+  }
+
+  // ── Top-N changelog via snapshot diff (SURVEY.md §7.4) ───────────────
+  private def runTopN(
+      fulls: Seq[(LoadedInput, DataFrame)],
+      snapshot: DataFrame
+  ): ExecResult = {
+    val rankCol = findRankAlias(allSql).getOrElse("place")
+    val prev = store.read(topNSnapshotName, snapshot.schema)
+
+    val cols = snapshot.columns.toSeq
+    val nStruct = struct(cols.map(c => col(s"n.$c")): _*)
+    val pStruct = struct(cols.map(c => col(s"p.$c")): _*)
+    val j = snapshot.alias("n")
+      .join(prev.alias("p"), col(s"n.$rankCol") === col(s"p.$rankCol"), "full_outer")
+      .select(
+        when(col(s"p.$rankCol").isNull, lit(null)).otherwise(pStruct).as("old"),
+        when(col(s"n.$rankCol").isNull, lit(null)).otherwise(nStruct).as("new"))
+      .where(!(col("old") <=> col("new")))
+
+    val inserts = j.where(col("old").isNull && col("new").isNotNull)
+      .select(cols.map(c => col(s"new.$c")) :+ lit(Op.Append).as(vocab.operationTypeColumn): _*)
+    val deletes = j.where(col("new").isNull && col("old").isNotNull)
+      .select(cols.map(c => col(s"old.$c")) :+ lit(Op.Retract).as(vocab.operationTypeColumn): _*)
+    val changed = j.where(col("old").isNotNull && col("new").isNotNull)
+    val correctFrom = changed
+      .select(cols.map(c => col(s"old.$c")) :+ lit(Op.CorrectFrom).as(vocab.operationTypeColumn): _*)
+    val correctTo = changed
+      .select(cols.map(c => col(s"new.$c")) :+ lit(Op.CorrectTo).as(vocab.operationTypeColumn): _*)
+
+    val emitted = inserts.unionByName(deletes).unionByName(correctFrom).unionByName(correctTo)
+
+    fulls.foreach { case (i, full) => store.write(bufferName(i.spec.queryAlias), full) }
+    store.write(topNSnapshotName, snapshot)
+
+    ExecResult(
+      emitted,
+      minWm(inputs),
+      None,
+      emissionOrder = Some(Seq(col(rankCol).asc, col(vocab.operationTypeColumn).asc)))
+  }
+
+  private def runSteps(ss: Seq[(Option[String], SqlRewriter.Rewritten)]): DataFrame = {
+    ss.dropRight(1).foreach { case (alias, rwStep) =>
+      spark.sql(rwStep.sql).createOrReplaceTempView(alias.getOrElse("__step__"))
+    }
+    spark.sql(ss.last._2.sql)
+  }
+
+  private def minWm(ins: Seq[LoadedInput]): Option[Instant] =
+    if (ins.nonEmpty && ins.forall(_.watermark.isDefined))
+      Some(ins.flatMap(_.watermark).min)
+    else None
+}
+
+object IncrementalExecutor {
+
+  final case class IntervalJoinSpec(upperMillis: Long)
+
+  def bufferName(alias: String): String = s"buffer_$alias"
+  def versionStoreName(alias: String): String = s"versions_$alias"
+  val topNSnapshotName: String = "topn_snapshot"
+
+  private val betweenRe =
+    """(?is)(\w+)\.([\w`]+)\s+BETWEEN\s+(\w+)\.([\w`]+)\s+AND\s+\3\.\4\s*\+\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
+  private[engine] val rowNumberRe = """(?i)row_number\s*\(\s*\)\s+over""".r
+  private val rankAliasRe =
+    """(?is)row_number\s*\(\s*\)\s+over\s*\([^)]*\)\s+as\s+(\w+)""".r
+  private val keyEqRe = """(\w+)\.([\w`]+)\s*=\s*(\w+)\.([\w`]+)""".r
+  private val fromJoinRe =
+    """(?is)FROM\s+\w+(?:\s+AS)?\s+\w+\s*(?:,\s*LATERAL\s+TABLE\s*\([^)]*\)\s*\)?(?:\s+(?:AS\s+)?\w+)?|(?:\s*(?:LEFT\s+)?JOIN\s+\w+\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.`]+(?:\s+(?:AS\s+)?\w+)?\s+ON\s+[^\n]*?))(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT)\b|\s*$)""".r
+
+  def unitMillis(unit: String): Long = unit.toLowerCase match {
+    case "second" | "seconds" => 1000L
+    case "minute" | "minutes" => 60L * 1000
+    case "hour" | "hours"     => 3600L * 1000
+    case "day" | "days"       => 86400L * 1000
+    case u => throw new IllegalArgumentException(s"unsupported interval unit $u")
+  }
+
+  def durationMillis(sparkInterval: String): Long = {
+    val parts = sparkInterval.trim.split("\\s+")
+    require(parts.length == 2, s"bad interval '$sparkInterval'")
+    parts(0).toLong * unitMillis(parts(1))
+  }
+
+  def findIntervalJoin(sql: String): Option[IntervalJoinSpec] =
+    betweenRe.findFirstMatchIn(sql).map { m =>
+      IntervalJoinSpec(m.group(5).toLong * unitMillis(m.group(6)))
+    }
+
+  def findRankAlias(sql: String): Option[String] =
+    rankAliasRe.findFirstMatchIn(sql).map(_.group(1))
+
+  /** Find `probeAlias.k = buildAlias.k2` (either order) → (probeKey, buildKey). */
+  def findAsOfKeys(
+      sql: String,
+      spec: SqlRewriter.AsOfSpec
+  ): Option[(String, String)] =
+    keyEqRe.findAllMatchIn(sql).collectFirst {
+      case m if m.group(1) == spec.probeAlias && m.group(3) == spec.buildAlias =>
+        (m.group(2), m.group(4))
+      case m if m.group(1) == spec.buildAlias && m.group(3) == spec.probeAlias =>
+        (m.group(4), m.group(2))
+    }
+
+  /** Rewrite the as-of step to select from the materialized joined view. */
+  def rewriteAsOfSql(sql: String, spec: SqlRewriter.AsOfSpec): String = {
+    var out = fromJoinRe.replaceFirstIn(sql, "FROM __asof_joined ")
+    out = s"""(?i)\\b${spec.buildAlias}\\.""".r.replaceAllIn(out, "__build_")
+    out = s"""(?i)\\b${spec.probeAlias}\\.(\\w+)""".r.replaceAllIn(out, m => m.group(1))
+    out
+  }
+}

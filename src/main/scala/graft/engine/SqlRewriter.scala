@@ -1,0 +1,117 @@
+package graft.engine
+
+import java.time.Instant
+import scala.util.matching.Regex
+
+/** Pre-execution rewriter for the reference's Flink-SQL dialect deltas
+  * (SURVEY.md §7.1). Translates the streaming constructs the reference's
+  * users write into Spark SQL + structured markers our engine executes:
+  *
+  *   - `TUMBLE(col, INTERVAL 'n' UNIT)` (GROUP BY)  → `window(col, 'n unit')`
+  *   - `TUMBLE_START(col, …)` / `TUMBLE_END(col, …)` → `window.start` / `window.end`
+  *   - `now()`                                       → pinned systemTime literal
+  *   - `current_watermark(col)`                      → watermark literal from the ledger
+  *   - `… FOR SYSTEM_TIME AS OF p.t ON …`            → extracted [[AsOfSpec]]
+  *   - `LATERAL TABLE (fn(p.t)) …`                   → extracted [[AsOfSpec]]
+  *
+  * Regex-scoped by design: the reference's documented surface (README + test
+  * corpus) is covered; anything outside it passes through to Spark's parser,
+  * which reports its own errors (mapped to InvalidQuery by the engine).
+  */
+object SqlRewriter {
+
+  /** Detected tumbling window: column + duration as a Spark interval string. */
+  final case class TumbleSpec(timeCol: String, duration: String)
+
+  /** Detected as-of join: probe/build aliases + key equality + probe time. */
+  final case class AsOfSpec(
+      probeTable: String,
+      probeAlias: String,
+      buildTable: String,
+      buildAlias: String,
+      probeTimeCol: String
+  )
+
+  final case class Rewritten(
+      sql: String,
+      tumble: Option[TumbleSpec],
+      asOf: Option[AsOfSpec]
+  )
+
+  private val tumbleRe: Regex =
+    """(?i)TUMBLE\s*\(\s*([\w.`]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)""".r
+  private val tumbleStartRe: Regex =
+    """(?i)TUMBLE_START\s*\(\s*([\w.`]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)""".r
+  private val tumbleEndRe: Regex =
+    """(?i)TUMBLE_END\s*\(\s*([\w.`]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)""".r
+  private val nowRe: Regex = """(?i)\bnow\s*\(\s*\)""".r
+  private val currentWatermarkRe: Regex =
+    """(?i)\bcurrent_watermark\s*\(\s*[\w.`]+\s*\)""".r
+  // FROM probe p JOIN build FOR SYSTEM_TIME AS OF p.t AS b ON ... | alternate order
+  private val forSystemTimeRe: Regex =
+    """(?is)FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s*,?\s*(?:LEFT\s+)?JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.([\w`]+)(?:\s+(?:AS\s+)?(\w+))?""".r
+  // FROM probe p, LATERAL TABLE (fn(p.t)) AS b | LATERAL TABLE (fn(p.t)) b
+  private val lateralRe: Regex =
+    """(?is)FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s*,\s*LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(\s*(\w+)\.([\w`]+)\s*\)\s*\)(?:\s+(?:AS\s+)?(\w+))?""".r
+
+  private def sparkInterval(n: String, unit: String): String =
+    s"$n ${unit.toLowerCase}"
+
+  def rewrite(
+      sql: String,
+      systemTime: Instant,
+      watermark: Option[Instant]
+  ): Rewritten = {
+    var out = sql
+    var tumble: Option[TumbleSpec] = None
+    var asOf: Option[AsOfSpec] = None
+
+    tumbleStartRe.findFirstMatchIn(out).foreach { _ =>
+      out = tumbleStartRe.replaceAllIn(out, _ => "window.start")
+    }
+    tumbleEndRe.findFirstMatchIn(out).foreach { _ =>
+      out = tumbleEndRe.replaceAllIn(out, _ => "window.end")
+    }
+    tumbleRe.findFirstMatchIn(out).foreach { m =>
+      tumble = Some(TumbleSpec(m.group(1), sparkInterval(m.group(2), m.group(3))))
+      out = tumbleRe.replaceAllIn(
+        out,
+        m => s"window(${m.group(1)}, '${sparkInterval(m.group(2), m.group(3))}')"
+      )
+    }
+
+    out = nowRe.replaceAllIn(out, _ => s"TIMESTAMP '${tsLiteral(systemTime)}'")
+    out = currentWatermarkRe.replaceAllIn(
+      out,
+      _ =>
+        watermark
+          .map(w => s"TIMESTAMP '${tsLiteral(w)}'")
+          .getOrElse("CAST(NULL AS TIMESTAMP)")
+    )
+
+    forSystemTimeRe.findFirstMatchIn(out).foreach { m =>
+      val buildAlias = Option(m.group(6)).getOrElse(m.group(3))
+      asOf = Some(AsOfSpec(
+        probeTable = m.group(1), probeAlias = m.group(2),
+        buildTable = m.group(3), buildAlias = buildAlias,
+        probeTimeCol = m.group(5)))
+    }
+    if (asOf.isEmpty) {
+      lateralRe.findFirstMatchIn(out).foreach { m =>
+        val buildAlias = Option(m.group(6)).getOrElse(m.group(3))
+        asOf = Some(AsOfSpec(
+          probeTable = m.group(1), probeAlias = m.group(2),
+          buildTable = m.group(3), buildAlias = buildAlias,
+          probeTimeCol = m.group(5)))
+      }
+    }
+
+    Rewritten(out, tumble, asOf)
+  }
+
+  private[engine] def tsLiteral(i: Instant): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(i)
+}

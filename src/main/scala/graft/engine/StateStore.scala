@@ -1,0 +1,101 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Per-input event-time watermarks + output watermark + the emission
+  * threshold already covered (so closed windows / expired join horizons are
+  * never re-emitted across runs).
+  */
+final case class Ledger(
+    inputWatermarks: Map[String, Instant],
+    outputWatermark: Option[Instant],
+    emitThreshold: Option[Instant]
+)
+
+/** Cross-run operator state as plain Parquet + a JSON watermark/offset ledger
+  * under the request's checkpoint directory — the Spark-native replacement for
+  * the reference's opaque Flink savepoint tars (SURVEY.md §7.1/§7.4;
+  * reference: adapter/src/adapter.rs:233-258, StatsOperator.scala:13-61).
+  *
+  * Transparent and debuggable: each stateful operator persists a named
+  * DataFrame; the ledger carries per-input watermarks (which Flink savepoints
+  * cannot — the reference works around that with `.stats` side-files,
+  * README.md:74-75).
+  */
+final class StateStore(
+    spark: SparkSession,
+    prevDir: Option[String],
+    newDir: String
+) {
+
+  /** Read a named state DataFrame from the previous checkpoint (empty with
+    * the given schema on first run).
+    */
+  def read(name: String, schema: StructType): DataFrame =
+    prevDir.map(d => s"$d/$name") match {
+      case Some(p) if Files.exists(Paths.get(p)) =>
+        spark.read.schema(schema).parquet(p)
+      case _ =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Persist a named state DataFrame into the new checkpoint. State stays
+    * partitioned — no coalesce — so multi-GB buffers scale out.
+    */
+  def write(name: String, df: DataFrame): Unit = {
+    Files.createDirectories(Paths.get(newDir))
+    df.write.mode("overwrite").parquet(s"$newDir/$name")
+  }
+
+  def readLedger(): Ledger =
+    prevDir.map(d => Paths.get(d, "ledger.json")) match {
+      case Some(p) if Files.exists(p) =>
+        val node = Codec.json.readTree(Files.readString(p))
+        val in = Option(node.get("inputWatermarks")).map { m =>
+          val it = m.properties().iterator()
+          val b = Map.newBuilder[String, Instant]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> Instant.parse(e.getValue.asText())
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, Instant])
+        def optTs(field: String): Option[Instant] =
+          Option(node.get(field)).filter(!_.isNull).map(n => Instant.parse(n.asText()))
+        Ledger(in, optTs("outputWatermark"), optTs("emitThreshold"))
+      case _ => Ledger(Map.empty, None, None)
+    }
+
+  def writeLedger(ledger: Ledger): Unit = {
+    Files.createDirectories(Paths.get(newDir))
+    val in = ledger.inputWatermarks
+      .map { case (k, v) => s"${Codec.jstr(k)}: ${Codec.jstr(v.toString)}" }
+      .mkString("{", ",", "}")
+    def opt(o: Option[Instant]) = o.map(w => Codec.jstr(w.toString)).getOrElse("null")
+    Files.writeString(
+      Paths.get(newDir, "ledger.json"),
+      s"""{"inputWatermarks": $in, "outputWatermark": ${opt(ledger.outputWatermark)}, "emitThreshold": ${opt(ledger.emitThreshold)}}"""
+    )
+  }
+}
+
+/** Minimal JSON helpers on Spark's bundled Jackson. */
+object Codec {
+  val json = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+}

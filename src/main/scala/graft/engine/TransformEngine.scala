@@ -1,0 +1,134 @@
+package graft.engine
+
+import java.time.Instant
+
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.protocol._
+
+/** The `executeTransform` engine: deterministic incremental batch over
+  * (new input slice ∪ restored parquet state), with an explicit watermark
+  * ledger — the Spark-native realization of the reference's
+  * stop-with-savepoint micro-batch model (SURVEY.md §7.2; reference
+  * TransformEngine.scala:64-154).
+  *
+  * All relational work is plain `spark.sql` over temp views so Catalyst owns
+  * pushdown/pruning/join strategy; the engine adds input buffering, emission
+  * gating by a composable watermark algebra (SURVEY.md §7.4), as-of joins,
+  * and Top-N changelog diffing via [[IncrementalExecutor]].
+  */
+final class TransformEngine(spark: SparkSession) {
+
+  import TransformEngine._
+
+  def executeTransform(req: TransformRequest): TransformResponse =
+    try {
+      val store = new StateStore(spark, req.prevCheckpointPath, req.newCheckpointPath)
+      val ledger = store.readLedger()
+
+      // ── Load inputs ──────────────────────────────────────────────────
+      val inputs = req.queryInputs.map { in =>
+        val schema = spark.read.parquet(in.schemaFile).schema
+        val raw =
+          if (in.dataPaths.nonEmpty)
+            spark.read.schema(schema).parquet(in.dataPaths: _*)
+          else emptyDf(spark, schema)
+        val sliced = in.offsetInterval match {
+          case Some(OffsetInterval(s, e)) =>
+            raw.where(col(in.vocab.offsetColumn).between(s, e))
+          case None => raw.limit(0)
+        }
+        // offset + system_time are engine-owned; op + event_time stay visible.
+        val visible = sliced.drop(in.vocab.offsetColumn, in.vocab.systemTimeColumn)
+        val prevWm = ledger.inputWatermarks.get(in.queryAlias)
+        val explicitWm = in.explicitWatermarks.map(_.eventTime) ++ prevWm
+        val wm = if (explicitWm.nonEmpty) Some(explicitWm.max) else None
+        LoadedInput(in, visible, wm)
+      }
+
+      val minInputWm: Option[Instant] =
+        if (inputs.nonEmpty && inputs.forall(_.watermark.isDefined))
+          Some(inputs.flatMap(_.watermark).min)
+        else None
+
+      if (req.transform.queries.isEmpty)
+        return TransformResponse.InvalidQuery("transform has no queries")
+      val steps = req.transform.queries.map { s =>
+        s.alias -> SqlRewriter.rewrite(s.query, req.systemTime, minInputWm)
+      }
+
+      val exec = new IncrementalExecutor(spark, store, ledger, inputs, steps, req.vocab)
+      val out = exec.run()
+
+      // ── Validate output columns (reference TransformEngine.scala:269-308)
+      val vocab = req.vocab
+      val cols = out.emitted.columns.toSet
+      if (!cols.contains(vocab.eventTimeColumn))
+        return TransformResponse.InvalidQuery(
+          s"output must contain event time column '${vocab.eventTimeColumn}'")
+      if (cols.contains(vocab.offsetColumn) || cols.contains(vocab.systemTimeColumn))
+        return TransformResponse.InvalidQuery(
+          s"output must not contain engine-owned columns " +
+            s"'${vocab.offsetColumn}'/'${vocab.systemTimeColumn}'")
+
+      // ── Attach op / system_time / offset, write the slice ─────────────
+      val withOp =
+        if (cols.contains(vocab.operationTypeColumn)) out.emitted
+        else out.emitted.withColumn(vocab.operationTypeColumn, lit(Op.Append))
+      val withSys = withOp.withColumn(
+        vocab.systemTimeColumn,
+        lit(SqlRewriter.tsLiteral(req.systemTime)).cast(TimestampType))
+
+      val userCols = out.emitted.columns.filter(_ != vocab.operationTypeColumn)
+      val orderCols: Seq[Column] = out.emissionOrder.getOrElse(
+        col(vocab.eventTimeColumn) +:
+          userCols.filter(_ != vocab.eventTimeColumn).map(col).toSeq)
+      val withOffset = withSys.withColumn(
+        vocab.offsetColumn,
+        (row_number().over(Window.orderBy(orderCols: _*)) - 1 + req.nextOffset)
+          .cast(LongType))
+
+      val ordered = withOffset.select(
+        (Seq(vocab.offsetColumn, vocab.operationTypeColumn, vocab.systemTimeColumn)
+          ++ userCols).map(col): _*)
+
+      val n = ParquetSliceSink.writeSingleFile(ordered, req.newDataPath)
+
+      val newWm = out.newWatermark.orElse(ledger.outputWatermark)
+      store.writeLedger(Ledger(
+        inputWatermarks =
+          inputs.flatMap(i => i.watermark.map(i.spec.queryAlias -> _)).toMap,
+        outputWatermark = newWm,
+        emitThreshold = out.emitThreshold.orElse(ledger.emitThreshold)))
+
+      TransformResponse.Success(
+        newOffsetInterval =
+          if (n > 0) Some(OffsetInterval(req.nextOffset, req.nextOffset + n - 1))
+          else None,
+        newWatermark = newWm
+      )
+    } catch {
+      case e: AnalysisException =>
+        TransformResponse.InvalidQuery(e.getMessage)
+      case e: Throwable =>
+        TransformResponse.InternalError(
+          String.valueOf(e.getMessage),
+          Some(e.getStackTrace.take(20).mkString("\n")))
+    }
+}
+
+object TransformEngine {
+
+  final case class LoadedInput(
+      spec: TransformRequestInput,
+      df: DataFrame,
+      watermark: Option[Instant]
+  )
+
+  def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+}

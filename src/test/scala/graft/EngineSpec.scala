@@ -1,0 +1,364 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{RawQueryEngine, TransformEngine}
+import graft.protocol._
+
+/** Golden behavioral tests for the transform/raw-query engines, mirroring the
+  * reference's observable multi-run semantics (SURVEY.md §5, FIXTURES.md):
+  * offsets, watermark algebra, window emission gating, late data, as-of
+  * hold-back, Top-N changelog ops. Inputs are written programmatically with
+  * the reference's ts(day,hour,min) convention anchored at 2000-01-01 UTC
+  * (reference TimeHelpers.scala:14-18 — convention only, no code reuse).
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def ts(day: Int, hour: Int = 0, min: Int = 0): Instant =
+    Instant.parse(f"2000-01-${day}%02dT${hour}%02d:${min}%02d:00Z")
+  def t(i: Instant): Timestamp = Timestamp.from(i)
+
+  import EngineFixtures._
+
+  def tmp(): Path = Files.createTempDirectory("graft-test")
+
+  def writeSlice[T <: Product : org.apache.spark.sql.Encoder](
+      rows: Seq[T], path: String): Unit = {
+    import graft.engine.ParquetSliceSink
+    ParquetSliceSink.writeSingleFile(spark.createDataset(rows).toDF(), path)
+  }
+
+  def mkInput(alias: String, dataPath: String, schemaFile: String,
+      rows: Long, startOffset: Long = 0,
+      wms: Seq[Instant] = Nil,
+      vocab: DatasetVocabulary = DatasetVocabulary()): TransformRequestInput =
+    TransformRequestInput(
+      datasetId = s"did:$alias", datasetAlias = alias, queryAlias = alias,
+      vocab = vocab,
+      offsetInterval =
+        if (rows > 0) Some(OffsetInterval(startOffset, startOffset + rows - 1)) else None,
+      dataPaths = if (dataPath == null) Vector.empty else Vector(dataPath),
+      schemaFile = schemaFile,
+      explicitWatermarks = wms.map(w => RequestWatermark(w, w)).toVector)
+
+  def transform(queries: (Option[String], String)*): Transform =
+    Transform(queries = queries.map { case (a, q) => SqlQueryStep(a, q) }.toVector)
+
+  def runT(req: TransformRequest): TransformResponse.Success =
+    new TransformEngine(spark).executeTransform(req) match {
+      case s: TransformResponse.Success => s
+      case other => fail(s"transform failed: $other")
+    }
+
+  def readOut(path: String): DataFrame = spark.read.parquet(path)
+
+  // ──────────────────────────────────────────────────────────────────────
+  test("map: projection with op passthrough, offsets, watermark") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(2)), "B", 20)), in)
+
+    val req = TransformRequest(
+      datasetId = "did:out", datasetAlias = "out", systemTime = ts(5),
+      vocab = DatasetVocabulary(),
+      transform = transform(None ->
+        "SELECT op, event_time, symbol, price * 10 as price FROM tickers"),
+      queryInputs = Vector(mkInput("tickers", in, in, 2, wms = Seq(ts(2)))),
+      nextOffset = 10,
+      prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1",
+      newDataPath = s"$dir/out1.parquet")
+
+    val resp = runT(req)
+    assert(resp.newOffsetInterval.contains(OffsetInterval(10, 11)))
+    assert(resp.newWatermark.contains(ts(2)))
+    val out = readOut(s"$dir/out1.parquet")
+    assert(out.columns.toSeq ==
+      Seq("offset", "op", "system_time", "event_time", "symbol", "price"))
+    val rows = out.orderBy("offset").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 11L))
+    assert(rows.map(_.getInt(5)).toSeq == Seq(100, 200))
+    assert(rows.map(_.getTimestamp(2)).distinct.toSeq == Seq(t(ts(5))))
+  }
+
+  test("map: changelog ops pass through unchanged") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    writeSlice(Seq(
+      Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, Op.CorrectFrom, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(2, Op.CorrectTo, t(ts(1)), t(ts(1)), "A", 11),
+      Ticker(3, Op.Retract, t(ts(1)), t(ts(1)), "A", 11)), in)
+    val req = TransformRequest(
+      "did:out", "out", ts(5), DatasetVocabulary(),
+      transform(None -> "SELECT op, event_time, symbol, price FROM tickers"),
+      Vector(mkInput("tickers", in, in, 4, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet")
+    runT(req)
+    val ops = readOut(s"$dir/out1.parquet").orderBy("offset")
+      .select("op").collect().map(_.getInt(0)).toSeq
+    assert(ops == Seq(0, 2, 3, 1))
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
+  test("tumbling agg: window emission gated by watermark across runs; late data") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = """SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+              |  symbol, min(price) as `min`, max(price) as `max`
+              |FROM tickers
+              |GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol""".stripMargin
+
+    // run 1: data on days 1-2, watermark day 2 → only day-1 window closes.
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1, 1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(1, 2)), "A", 12),
+      Ticker(2, 0, t(ts(1)), t(ts(2, 1)), "A", 20)), in1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 3, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 0)))
+    assert(r1.newWatermark.contains(ts(2)))
+    val o1 = readOut(s"$dir/out1.parquet").collect()
+    assert(o1.length == 1)
+    assert(o1(0).getAs[Timestamp]("event_time") == t(ts(1)))
+    assert(o1(0).getAs[Int]("min") == 10 && o1(0).getAs[Int]("max") == 12)
+
+    // run 2: no new data, watermark advances to day 4 → day-2 window closes.
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", null, in1, 0, wms = Seq(ts(4)))),
+      nextOffset = 1, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(1, 1)))
+    assert(r2.newWatermark.contains(ts(4)))
+    val o2 = readOut(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1)
+    assert(o2(0).getAs[Timestamp]("event_time") == t(ts(2)))
+    assert(o2(0).getAs[Int]("min") == 20)
+
+    // run 3: late row for closed day-2 window → silently dropped; a row in
+    // the open day-4 window buffers; watermark day 5 closes day 4.
+    val in3 = s"$dir/in3.parquet"
+    writeSlice(Seq(
+      Ticker(3, 0, t(ts(12)), t(ts(2, 5)), "A", 99), // 2 days late, dropped
+      Ticker(4, 0, t(ts(12)), t(ts(4, 1)), "A", 40)), in3)
+    val r3 = runT(TransformRequest(
+      "did:out", "out", ts(12), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in3, in3, 2, startOffset = 3, wms = Seq(ts(5)))),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp2"),
+      newCheckpointPath = s"$dir/cp3", newDataPath = s"$dir/out3.parquet"))
+    val o3 = readOut(s"$dir/out3.parquet").collect()
+    assert(o3.length == 1)
+    assert(o3(0).getAs[Timestamp]("event_time") == t(ts(4)))
+    assert(o3(0).getAs[Int]("min") == 40 && o3(0).getAs[Int]("max") == 40)
+    assert(r3.newWatermark.contains(ts(5)))
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
+  test("interval join: matches within window, watermark = min(l,r) - upper") {
+    import spark.implicits._
+    val dir = tmp()
+    val ordersIn = s"$dir/orders.parquet"
+    val shipIn = s"$dir/ship.parquet"
+    writeSlice(Seq(
+      OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10),
+      OrderRow(1, 0, t(ts(1)), t(ts(2)), 2, 20),
+      OrderRow(2, 0, t(ts(1)), t(ts(3)), 3, 30)), ordersIn)
+    writeSlice(Seq(
+      Shipment(0, 0, t(ts(1)), t(ts(1, 4)), 1, 10),   // within 2 days of order 1
+      Shipment(1, 0, t(ts(1)), t(ts(6)), 2, 20)), shipIn) // too late for order 2
+
+    val q = """SELECT o.event_time, o.order_id, o.quantity,
+              |  s.event_time as shipped_time, s.num_shipped
+              |FROM orders o
+              |LEFT JOIN shipments s
+              |  ON o.order_id = s.order_id
+              | AND s.event_time BETWEEN o.event_time
+              |   AND o.event_time + INTERVAL '2' DAY""".stripMargin
+
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(20), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", ordersIn, ordersIn, 3, wms = Seq(ts(10))),
+        mkInput("shipments", shipIn, shipIn, 2, wms = Seq(ts(11)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    // golden watermark algebra: min(10, 11) - 2 = day 8
+    assert(r1.newWatermark.contains(ts(8)))
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    // all three orders closed (event_time + 2d <= day 8): order1 matched,
+    // orders 2,3 emit NULL rows (no shipment within window)
+    assert(o1.length == 3)
+    val byId = o1.map(r => r.getAs[Long]("order_id") -> r).toMap
+    assert(byId(1).getAs[Long]("num_shipped") == 10)
+    assert(byId(2).getAs[Any]("shipped_time") == null)
+    assert(byId(3).getAs[Any]("shipped_time") == null)
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
+  test("as-of join: probe held back until build watermark covers it") {
+    import spark.implicits._
+    val dir = tmp()
+    val tickIn = s"$dir/tick.parquet"
+    val stockIn = s"$dir/stock.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 100),
+      Ticker(1, 0, t(ts(1)), t(ts(2)), "A", 110),
+      Ticker(2, 0, t(ts(1)), t(ts(4)), "A", 140)), tickIn)
+    // build side: stocks_owned versions (symbol PK), watermark day 3
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Stock(0, 0, t(ts(1)), t(ts(1)), "A", 5),
+        Stock(1, 0, t(ts(1)), t(ts(2)), "A", 7))).toDF(), stockIn)
+
+    val q = """SELECT t.event_time, t.symbol, owned.volume as volume,
+              |  t.price as current_price, owned.volume * t.price as current_value
+              |FROM tickers as t
+              |JOIN stocks_owned FOR SYSTEM_TIME AS OF t.event_time AS owned
+              |  ON t.symbol = owned.symbol""".stripMargin
+
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(20), DatasetVocabulary(),
+      Transform(queries = Vector(SqlQueryStep(None, q)),
+        temporalTables = Vector(TemporalTable("stocks_owned", Vector("symbol")))),
+      Vector(
+        mkInput("tickers", tickIn, tickIn, 3, wms = Seq(ts(5))),
+        mkInput("stocks_owned", stockIn, stockIn, 2, wms = Seq(ts(3)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newWatermark.contains(ts(3))) // min(probe 5, build 3)
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    // ticker at day 4 held back (build wm = day 3); day1→vol5, day2→vol7
+    assert(o1.length == 2)
+    assert(o1.map(_.getAs[Int]("volume")).toSeq == Seq(5, 7))
+    assert(o1.map(_.getAs[Int]("current_value")).toSeq == Seq(500, 770))
+
+    // run 2: build watermark advances past day 4 → held-back probe emits.
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(21), DatasetVocabulary(),
+      Transform(queries = Vector(SqlQueryStep(None, q)),
+        temporalTables = Vector(TemporalTable("stocks_owned", Vector("symbol")))),
+      Vector(
+        mkInput("tickers", null, tickIn, 0, wms = Seq(ts(5))),
+        mkInput("stocks_owned", null, stockIn, 0, wms = Seq(ts(5)))),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    val o2 = readOut(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1)
+    assert(o2(0).getAs[Int]("current_price") == 140)
+    assert(o2(0).getAs[Int]("volume") == 7)
+    assert(r2.newWatermark.contains(ts(5)))
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
+  test("top-n: changelog diff emits +I then -U/+U corrections across runs") {
+    import spark.implicits._
+    val dir = tmp()
+    val vocab = DatasetVocabulary(eventTimeColumn = "placed_at")
+    val inVocab = DatasetVocabulary(eventTimeColumn = "match_time")
+    val q = """SELECT placed_at, place, match_time, player_name, score FROM (
+              |  SELECT match_time as placed_at, match_time, player_name, score,
+              |    row_number() OVER (ORDER BY score desc) AS place
+              |  FROM match_scores)
+              |WHERE place <= 2""".stripMargin
+
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      MatchScore(0, 0, t(ts(1)), t(ts(1)), "Alice", 100),
+      MatchScore(1, 0, t(ts(1)), t(ts(1)), "Bob", 80)), in1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), vocab,
+      transform(None -> q),
+      Vector(mkInput("match_scores", in1, in1, 2, wms = Seq(ts(1)), vocab = inVocab)),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 1)))
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(o1.map(_.getAs[Int]("op")).toSeq == Seq(0, 0))
+    assert(o1.map(_.getAs[String]("player_name")).toSeq == Seq("Alice", "Bob"))
+
+    // run 2: Charlie overtakes → place1 correct Alice→Charlie, place2 Bob→Alice
+    val in2 = s"$dir/in2.parquet"
+    writeSlice(Seq(
+      MatchScore(2, 0, t(ts(2)), t(ts(2)), "Charlie", 120)), in2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), vocab,
+      transform(None -> q),
+      Vector(mkInput("match_scores", in2, in2, 1, startOffset = 2,
+        wms = Seq(ts(2)), vocab = inVocab)),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(2, 5)))
+    val o2 = readOut(s"$dir/out2.parquet").orderBy("offset").collect()
+    assert(o2.map(_.getAs[Int]("op")).toSeq == Seq(2, 3, 2, 3))
+    assert(o2.map(_.getAs[String]("player_name")).toSeq ==
+      Seq("Alice", "Charlie", "Bob", "Alice"))
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
+  test("raw query: stateless SQL over parquet with TRY_CAST") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    spark.createDataset(Seq("123.45", "oops", "67.8")).toDF("value")
+      .write.parquet(in)
+    val resp = new RawQueryEngine(spark).executeRawQuery(RawQueryRequest(
+      inputDataPaths = Vector(in),
+      transform = transform(None ->
+        "SELECT TRY_CAST(value AS DECIMAL(10,2)) as value FROM input"),
+      outputDataPath = s"$dir/out.parquet"))
+    assert(resp == RawQueryResponse.Success(3))
+    val vals = readOut(s"$dir/out.parquet").collect().map(_.get(0))
+    assert(vals.count(_ == null) == 1)
+  }
+
+  test("invalid query → InvalidQuery response, not an exception") {
+    val dir = tmp()
+    val resp = new RawQueryEngine(spark).executeRawQuery(RawQueryRequest(
+      inputDataPaths = Vector.empty,
+      transform = transform(None -> "SELECT FROM nonsense !!"),
+      outputDataPath = s"$dir/out.parquet"))
+    assert(resp.isInstanceOf[RawQueryResponse.InvalidQuery] ||
+      resp.isInstanceOf[RawQueryResponse.InternalError])
+  }
+}
+
+/** Top-level fixture row types (Spark encoders require non-inner classes). */
+object EngineFixtures {
+  import java.sql.Timestamp
+  case class Ticker(offset: Long, op: Int, system_time: Timestamp,
+      event_time: Timestamp, symbol: String, price: Int)
+  case class OrderRow(offset: Long, op: Int, system_time: Timestamp,
+      event_time: Timestamp, order_id: Long, quantity: Long)
+  case class Shipment(offset: Long, op: Int, system_time: Timestamp,
+      event_time: Timestamp, order_id: Long, num_shipped: Long)
+  case class MatchScore(offset: Long, op: Int, system_time: Timestamp,
+      match_time: Timestamp, player_name: String, score: Int)
+  case class Stock(offset: Long, op: Int, system_time: Timestamp,
+      event_time: Timestamp, symbol: String, volume: Int)
+}
