@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.{t, cents, tenK}
-import graft.operators.AsOfJoin
+import graft.functions.Text
+import graft.operators.{AsOfJoin, Dedup, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -164,6 +165,90 @@ object SparkEntry {
           col("last_view_event_id")
         )
         .orderBy(col("event_id"))
+    }),
+
+    // ── Near-dup detection: MinHash+LSH candidates + exact Jaccard verify.
+    // Matches the exact O(n²) oracle because band/row sizing makes the LSH
+    // miss probability negligible at threshold 0.8 (see operators.Dedup).
+    "q9_ngram_neardup" -> ((s, dir) => {
+      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── Similarity search: brute-force cosine top-5 for probe vectors.
+    "q10_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── Language identification (stopword-marker heuristic).
+    "q11_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Document quality scoring (length/punctuation/stopword ratios).
+    "q12_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.punctCount(col("text")).as("n_punct"),
+          Text.stopwordCount(Text.tokens(col("text"))).as("n_stopwords"),
+          Text.qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Token counting: whitespace + BPE-ish subword proxy.
+    "q13_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+            .cast("long").as("n_ws_tokens"),
+          Text.tokenCount(col("text")).as("n_word_tokens"),
+          Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Content fingerprint (bag-of-words md5) + duplicate grouping.
+    "q14_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── SimHash (no SQL oracle: xxhash64 is Spark-specific; rows-only gate,
+    // cross-checked against planted near-dups in DedupSpec).
+    "q15_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LSH-bucketed approximate ANN (scale path; rows-only gate, recall
+    // vs brute force asserted in SimilaritySpec).
+    "q16_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+          k = 5, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── Embedding near-dup pairs above a cosine threshold.
+    "q17_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+        .where(col("cosine") >= 0.45)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -249,6 +334,108 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
         |  ON p.user_id = b.user_id AND p.ts >= b.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q9_ngram_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |                        for i in generate_series(1, len(toks)-2)])
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q10_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.v, c.v)
+        |      / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cosine
+        |  FROM q JOIN e c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q11_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('el','los','de','que','y','las'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','les','et','des','une','est'))) AS s_fr,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ein','mit'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','有','我'))) AS s_zh
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN s_zh > greatest(s_en, s_es, s_fr, s_de) THEN 'zh'
+        |       WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+        |       WHEN s_es > s_en THEN 'es'
+        |       ELSE 'en' END AS lang_pred
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q12_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','at','by','from'))) AS BIGINT) AS n_stopwords,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM d)
+        |SELECT doc_id, n_tokens, n_punct, n_stopwords,
+        |  least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) * 0.5
+        |    + coalesce(n_stopwords / nullif(n_tokens, 0), 0.0) * 0.25
+        |    + (1.0 - least(1.0, coalesce(n_punct / nullif(n_chars, 0), 0.0) * 5.0)) * 0.25
+        |    AS quality_score
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    "q13_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS BIGINT) AS n_word_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q14_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))), ' ')) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q17_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45
+        |ORDER BY 1, 2""".stripMargin
   )
 }

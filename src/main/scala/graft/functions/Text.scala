@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, token counting (whitespace + BPE-ish), quality scoring,
+  * language identification (stopword-marker heuristic), and document
+  * fingerprinting. All built from `org.apache.spark.sql.functions` higher-order
+  * array functions, so everything stays inside whole-stage codegen — no UDFs,
+  * no shuffles; these scale linearly over any document count.
+  *
+  * Numeric design: every ratio is an exact integer count divided once at the
+  * end — deterministic, and replicable verbatim in the DuckDB oracle.
+  */
+object Text {
+
+  /** Lowercase word tokens (letters/digits/apostrophes). */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9']+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish subword proxy: letter runs, single digits, single punctuation. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0))).cast("long")
+
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "at", "by", "from")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+
+  /** Composite quality score in [0,1]: length, stopword density, punctuation
+    * noise. Mirrors the shape of C4/Gopher-style heuristic filters.
+    */
+  def qualityScore(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = size(toks).cast("double")
+    val stopRatio = stopwordCount(toks) / nullifZero(size(toks).cast("long"))
+    val punctRatio = punctCount(c) / nullifZero(length(c).cast("long"))
+    least(lit(1.0), nTok / 200.0) * 0.5 +
+      coalesce(stopRatio, lit(0.0)) * 0.25 +
+      (lit(1.0) - least(lit(1.0), coalesce(punctRatio, lit(0.0)) * 5.0)) * 0.25
+  }
+
+  private def nullifZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
+
+  /** Per-language marker words for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "los", "de", "que", "y", "las"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "mit"),
+    "zh" -> Seq("的", "是", "了", "在", "有", "我"))
+
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*))).cast("long")
+
+  /** Deterministic language-ID: argmax of marker-word counts with a fixed
+    * tie-break cascade (en < es < fr < de < zh requires strictly greater).
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val s = LangMarkers.toMap.map { case (l, m) => l -> langScore(toks, m) }
+    when(s("zh") > greatest(s("en"), s("es"), s("fr"), s("de")), "zh")
+      .when(s("de") > greatest(s("en"), s("es"), s("fr")), "de")
+      .when(s("fr") > greatest(s("en"), s("es")), "fr")
+      .when(s("es") > s("en"), "es")
+      .otherwise("en")
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct token set.
+    * Word-order-insensitive (bag-of-words identity), cheap to group on.
+    */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(c))), " "))
+
+  /** Token n-gram shingles as strings; documents shorter than n tokens
+    * collapse to a single whole-text shingle.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Winnowing-style rolling-hash fingerprint: hash each shingle, keep the
+    * min hash of each sliding window of `window` shingles, distinct. Robust
+    * to local edits; the standard document-fingerprint scheme at scale.
+    */
+  def winnowFingerprint(c: Column, n: Int = 3, window: Int = 4): Column = {
+    val sh = shingles(tokens(c), n)
+    val hashes = transform(sh, s => xxhash64(s))
+    when(size(hashes) >= window,
+      array_distinct(transform(sequence(lit(1), size(hashes) - window + 1),
+        i => array_min(slice(hashes, i, lit(window))))))
+      .otherwise(array_distinct(hashes))
+  }
+}

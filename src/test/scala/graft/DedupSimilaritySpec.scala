@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+
+  test("nearDupPairs finds planted near-duplicates, not unrelated docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " tonight"),                       // near-dup of 0
+      (2L, "completely different content about spark sql engines and catalyst"),
+      (3L, base.replace("quick", "swift")),          // near-dup of 0
+      (4L, "another unrelated document mentioning parquet files and shuffles")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L || a == 4L || b == 4L })
+  }
+
+  test("nearDupPairs on testdata matches the exact 25 planted pairs") {
+    val docs = graft.core.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val n = Dedup.nearDupPairs(docs, "doc_id", "text", 0.8).count()
+    assert(n == 25)
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " tonight"),
+      (2L, "completely different content about spark sql engines and catalyst")
+    ).toDF("doc_id", "text")
+    val h = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(1L)) < 12)
+    assert(ham(h(0L), h(2L)) > 16)
+  }
+
+  test("lshTopK recall vs brute force on testdata embeddings") {
+    val e = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding", 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall") // approximate by design
+  }
+
+  test("winnowing fingerprint overlaps heavily for near-dups") {
+    import spark.implicits._
+    val docs = Seq((0L, base), (1L, base + " tonight")).toDF("doc_id", "text")
+    val fps = docs.select(Text.winnowFingerprint(col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val overlap = (fps(0) & fps(1)).size.toDouble / (fps(0) | fps(1)).size
+    assert(overlap > 0.5)
+  }
+
+  test("exact dedup groups identical content") {
+    import spark.implicits._
+    val docs = Seq((0L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs, col("text"))
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(groups == Seq(1L, 2L))
+  }
+}
