@@ -224,8 +224,7 @@ object SparkEntry {
     // ── SimHash (no SQL oracle: xxhash64 is Spark-specific; rows-only gate,
     // cross-checked against planted near-dups in DedupSpec).
     "q15_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      Dedup.simhashDf(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -241,13 +240,7 @@ object SparkEntry {
 
     // ── Embedding near-dup pairs above a cosine threshold.
     "q17_embedding_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
-        .where(col("cosine") >= 0.45)
-        .select(col("id_a"), col("id_b"), col("cosine"))
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy(col("id_a"), col("id_b"))
     })
   )

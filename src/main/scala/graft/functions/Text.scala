@@ -94,13 +94,29 @@ object Text {
   /** Winnowing-style rolling-hash fingerprint: hash each shingle, keep the
     * min hash of each sliding window of `window` shingles, distinct. Robust
     * to local edits; the standard document-fingerprint scheme at scale.
+    *
+    * Staged as a DataFrame op (tokens → shuffle → shingle hashes → windows)
+    * so each pipeline step evaluates once per row: higher-order lambdas that
+    * reference derived expressions re-evaluate them per array element in
+    * interpreted eval.
+    *
+    * @return (idCol, fingerprints ARRAY<BIGINT>)
     */
-  def winnowFingerprint(c: Column, n: Int = 3, window: Int = 4): Column = {
-    val sh = shingles(tokens(c), n)
-    val hashes = transform(sh, s => xxhash64(s))
-    when(size(hashes) >= window,
-      array_distinct(transform(sequence(lit(1), size(hashes) - window + 1),
-        i => array_min(slice(hashes, i, lit(window))))))
-      .otherwise(array_distinct(hashes))
-  }
+  def winnowFingerprintDf(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      window: Int = 4
+  ): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .repartition(col(idCol))
+      .select(col(idCol), shingles(col("__toks"), n).as("__sh"))
+      .select(col(idCol),
+        transform(col("__sh"), s => xxhash64(s)).as("__h"))
+      .select(col(idCol),
+        when(size(col("__h")) >= window,
+          array_distinct(transform(sequence(lit(1), size(col("__h")) - window + 1),
+            i => array_min(slice(col("__h"), i, lit(window))))))
+          .otherwise(array_distinct(col("__h"))).as("fingerprints"))
 }

@@ -59,13 +59,27 @@ object Dedup {
       rowsPerBand: Int = 3
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // Staged evaluation, deliberately: a higher-order lambda that references
+    // a *derived expression* (e.g. slice(tokens(text),…) inside transform)
+    // re-evaluates that expression per array element in interpreted eval —
+    // O(tokens²) per doc. Materialize tokens first (cheap, one split per
+    // doc), shuffle-repartition (spreads single-file inputs AND stops
+    // projection collapsing), then build shingles/signatures from attribute
+    // references only.
+    // Persisted: this frame is referenced four times downstream (both sides
+    // of the bucket self-join and both sides of the verify join); without
+    // materialization the tokenize→shingle→minhash pipeline would re-run
+    // per reference.
     val docs = df
+      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+      .repartition(col("__id"))
       .select(
-        col(idCol).as("__id"),
-        array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleLen))
+        col("__id"),
+        array_sort(array_distinct(Text.shingles(col("__toks"), shingleLen)))
           .as("__sh"))
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), bands, rowsPerBand))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val buckets = docs
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__band", "__bucket")))
@@ -79,32 +93,71 @@ object Dedup {
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
 
+    // Exact verify with a compiled merge-intersect over the sorted distinct
+    // shingle sets (interpreted array_intersect was the dominant cost at
+    // scale). Same set semantics as the oracle's list_intersect/union.
     val shA = docs.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val shB = docs.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
     candidates
       .join(shA, "id_a")
       .join(shB, "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .withColumn("jaccard", jaccardSortedF(col("__sh_a"), col("__sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over token shingles: per bit, sum +1/−1 weighted by
-    * whether the shingle's xxhash64 has that bit set; bit i of the result is
-    * the sign. Computed per-row with higher-order functions — no shuffle.
+  /** Exact Jaccard of two sorted distinct string arrays (compiled merge). */
+  private val jaccardSortedF = udf { (a: Array[String], b: Array[String]) =>
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** 64-bit SimHash over token shingles, as a DataFrame operator:
+    * explode shingle hashes, then one hash-aggregate with 64 codegen'd
+    * conditional sums (per bit: count-set − count-unset; the bit is the
+    * sign). One shuffle on the id with map-side partial aggregation —
+    * this is the scalable formulation; a per-row higher-order-function
+    * fold would be interpreted (not codegen'd) and re-evaluate the
+    * tokenize→shingle→hash pipeline once per bit after projection
+    * collapsing.
+    *
+    * @return (idCol, simhash LONG)
     */
-  def simhash64(textCol: Column, shingleLen: Int = 3): Column = {
-    val hashes = transform(
-      array_distinct(Text.shingles(Text.tokens(textCol), shingleLen)),
-      s => xxhash64(s))
-    // per bit position: (count of set) − (count of unset); bit is sign
-    (0 until 64).map { b =>
-      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
+  def simhashDf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    val hashes = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .repartition(col(idCol))
+      .select(
+        col(idCol),
+        explode(transform(
+          array_distinct(Text.shingles(col("__toks"), shingleLen)),
+          s => xxhash64(s))).as("__h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"__b$b")
+    }
+    hashes
+      .groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col(idCol),
+        (0 until 64).map { b =>
+          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -7,22 +7,42 @@ import org.apache.spark.sql.functions._
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set,
-  * score the corpus in one codegen'd pass, per-query top-k via window.
-  * Scale path: random-hyperplane LSH bucketing — corpus is bucketed once
-  * (one shuffle), probes join only their bucket; at 100 TB the bucket join
-  * replaces the full scan per query batch. All math in double precision with
-  * a fixed left-to-right fold so results are bitwise-reproducible.
+  * score the corpus in one pass, per-query top-k via window. Scale path:
+  * random-hyperplane LSH bucketing — corpus is bucketed once (one shuffle),
+  * probes join only their bucket; at 100 TB the bucket join replaces the
+  * full scan per query batch.
+  *
+  * Kernel design: the dot product is a compiled UDF while-loop rather than
+  * `aggregate(zip_with(...))` — Spark's higher-order array functions are
+  * interpreted (not codegen'd) and were measured 10×+ slower on all-pairs
+  * workloads. The UDF folds left in double precision, so results are
+  * bitwise-identical to the naive sequential formula (and to the DuckDB
+  * oracle's list_inner_product). Norms are computed once per vector, never
+  * per pair.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, folded left in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private val dotF = udf { (a: Array[Float], b: Array[Float]) =>
+    var i = 0
+    var s = 0.0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Dot product of two float-array columns, folded left in double. */
+  def dot(a: Column, b: Column): Column = dotF(a, b)
+
+  def norm(a: Column): Column = sqrt(dotF(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** id + vector + precomputed norm, spread across partitions. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      idOut: String, vecOut: String, normOut: String): DataFrame =
+    df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+      .repartition(col(idOut))
+      .withColumn(normOut, sqrt(dotF(col(vecOut), col(vecOut))))
 
   /** Brute-force cosine top-k: for each row of `queries`, the `k` nearest
     * rows of `corpus` (excluding self-matches by id).
@@ -37,16 +57,40 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__qn", sqrt(dotF(col("__qv"), col("__qv"))))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
     val scored = broadcast(q)
       .join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** All corpus pairs (id_a < id_b) with cosine ≥ threshold — embedding
+    * near-duplicate detection. The O(n²) scoring is spread across
+    * partitions; at scale, swap the pair generator for the LSH bucket join
+    * below and keep this scorer.
+    *
+    * @return (id_a, id_b, cosine)
+    */
+  def nearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = withNorm(corpus, idCol, vecCol, "id_a", "__va", "__na")
+    val b = withNorm(corpus, idCol, vecCol, "id_b", "__vb", "__nb")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dotF(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Random-hyperplane signature (`nBits` sign bits packed in a long).
@@ -56,7 +100,6 @@ object Similarity {
   def rhpSignature(vec: Column, dim: Int, nBits: Int): Column =
     (0 until nBits).map { b =>
       val proj = (0 until dim).map { j =>
-        // deterministic pseudo-random weight in [-1,1)
         val w = ((scala.util.hashing.MurmurHash3.productHash((b, j)) & 0xffffff)
           / 8388608.0) - 1.0
         element_at(vec, j + 1).cast("double") * w
@@ -80,12 +123,15 @@ object Similarity {
     require(nBits % bandBits == 0, "nBits must be divisible by bandBits")
     val bands = nBits / bandBits
     def withBands(df: DataFrame, id: String): DataFrame = {
-      val sig = rhpSignature(col(vecCol), dim, nBits)
+      val base = df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"))
+        .repartition(col(id))
+        .withColumn("__sig", rhpSignature(col(s"__v_$id"), dim, nBits))
+        .withColumn(s"__n_$id", sqrt(dotF(col(s"__v_$id"), col(s"__v_$id"))))
       val bandCols = array((0 until bands).map { b =>
-        shiftright(sig, b * bandBits).bitwiseAND((1L << bandBits) - 1)
+        shiftright(col("__sig"), b * bandBits).bitwiseAND((1L << bandBits) - 1)
           .bitwiseOR(lit(b.toLong << 32)) // tag band index into the bucket id
       }: _*)
-      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+      base.select(col(id), col(s"__v_$id"), col(s"__n_$id"),
         explode(bandCols).as("__bucket"))
     }
     val qb = withBands(queries, "query_id")
@@ -93,9 +139,11 @@ object Similarity {
     val scored = qb.join(cb, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        col("__v_query_id").as("__qv"), col("__v_neighbor_id").as("__cv"))
+        col("__v_query_id").as("__qv"), col("__v_neighbor_id").as("__cv"),
+        col("__n_query_id").as("__qn"), col("__n_neighbor_id").as("__cn"))
       .distinct()
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored

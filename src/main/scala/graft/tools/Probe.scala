@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc performance probe for operator stages (not part of the contract). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+    val pairs = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text", 0.8)
+    time("q9 nearDupPairs count")(println("pairs = " + pairs.count()))
+    spark.stop()
+  }
+}

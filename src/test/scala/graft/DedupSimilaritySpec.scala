@@ -47,7 +47,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (1L, base + " tonight"),
       (2L, "completely different content about spark sql engines and catalyst")
     ).toDF("doc_id", "text")
-    val h = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+    val h = Dedup.simhashDf(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(h(0L), h(1L)) < 12)
@@ -68,8 +68,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("winnowing fingerprint overlaps heavily for near-dups") {
     import spark.implicits._
     val docs = Seq((0L, base), (1L, base + " tonight")).toDF("doc_id", "text")
-    val fps = docs.select(Text.winnowFingerprint(col("text")).as("fp"))
-      .collect().map(_.getSeq[Long](0).toSet)
+    val fps = Text.winnowFingerprintDf(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(_.getSeq[Long](1).toSet)
     val overlap = (fps(0) & fps(1)).size.toDouble / (fps(0) | fps(1)).size
     assert(overlap > 0.5)
   }
