@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.streaming.StreamingWindowAgg
+
+class MultimodalStreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("multimodal: decode+featurize plumbing is deterministic and typed") {
+    val media = Multimodal.synthetic(spark, 30)
+    val out = Multimodal.decodeAndFeaturize(media, featureDim = 16)
+    assert(out.schema.fieldNames.toSeq.takeRight(4) ==
+      Seq("dec_width", "dec_height", "dec_mean_luma", "features"))
+    val rows = out.orderBy("media_id").collect()
+    assert(rows.length == 30)
+    val feats = rows.head.getSeq[Float](rows.head.fieldIndex("features"))
+    assert(feats.length == 16)
+    // deterministic: same input → same decode
+    val again = Multimodal.decodeAndFeaturize(media, featureDim = 16)
+      .orderBy("media_id").collect()
+    assert(again.head.getSeq[Float](again.head.fieldIndex("features")) == feats)
+    // decoded dims are bounded as documented
+    rows.foreach { r =>
+      val w = r.getInt(r.fieldIndex("dec_width"))
+      assert(w >= 64 && w < 1024)
+    }
+  }
+
+  test("multimodal: frame sampling explodes bounded frame indices") {
+    val media = Multimodal.synthetic(spark, 30)
+    val sampled = Multimodal.sampleFrameIndices(media, maxFrames = 8)
+    val counts = sampled.groupBy("media_id").count().collect()
+    assert(counts.nonEmpty)
+    counts.foreach(r => assert(r.getLong(1) <= 8))
+    assert(sampled.columns.contains("frame_idx"))
+  }
+
+  test("streaming: windowed agg over events matches batch computation") {
+    val events = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val dir = Files.createTempDirectory("graft-stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val stream = StreamingWindowAgg.windowedCounts(
+      spark, dir, schema, "ts", "event_type", "value", "1 day", "1 day")
+    StreamingWindowAgg.runAvailableNow(stream, "ev_counts")
+
+    val got = spark.sql("select * from ev_counts")
+    val batch = events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+    // append mode emits only windows closed w.r.t. the final watermark
+    // (max event − 1 day); every emitted row must match the batch result.
+    val gotSet = got.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batchSet = batch.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotSet.nonEmpty)
+    assert(gotSet.subsetOf(batchSet))
+  }
+}
