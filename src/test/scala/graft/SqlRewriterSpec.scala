@@ -1,0 +1,73 @@
+package graft
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{IncrementalExecutor, SqlRewriter}
+
+class SqlRewriterSpec extends AnyFunSuite {
+
+  val st: Instant = Instant.parse("2000-01-10T00:00:00Z")
+  val wm: Option[Instant] = Some(Instant.parse("2000-01-05T00:00:00Z"))
+
+  test("TUMBLE family rewrites to window()") {
+    val r = SqlRewriter.rewrite(
+      """SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+        |  symbol, min(price) as `min`
+        |FROM t GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol""".stripMargin,
+      st, wm)
+    assert(r.sql.contains("window.start"))
+    assert(r.sql.contains("window(event_time, '1 day')"))
+    assert(!r.sql.toUpperCase.contains("TUMBLE"))
+    assert(r.tumble.contains(SqlRewriter.TumbleSpec("event_time", "1 day")))
+  }
+
+  test("now() and current_watermark() become pinned literals") {
+    val r = SqlRewriter.rewrite(
+      "SELECT now() as t, current_watermark(event_time) as w FROM t", st, wm)
+    assert(r.sql.contains("TIMESTAMP '2000-01-10 00:00:00.000'"))
+    assert(r.sql.contains("TIMESTAMP '2000-01-05 00:00:00.000'"))
+  }
+
+  test("current_watermark() without a watermark becomes NULL") {
+    val r = SqlRewriter.rewrite(
+      "SELECT current_watermark(event_time) as w FROM t", st, None)
+    assert(r.sql.contains("CAST(NULL AS TIMESTAMP)"))
+  }
+
+  test("FOR SYSTEM_TIME AS OF produces an AsOfSpec") {
+    val r = SqlRewriter.rewrite(
+      """SELECT t.event_time, owned.volume FROM tickers as t
+        |JOIN stocks_owned FOR SYSTEM_TIME AS OF t.event_time AS owned
+        |  ON t.symbol = owned.symbol""".stripMargin, st, wm)
+    assert(r.asOf.contains(SqlRewriter.AsOfSpec(
+      "tickers", "t", "stocks_owned", "owned", "event_time")))
+  }
+
+  test("LATERAL TABLE produces an AsOfSpec") {
+    val r = SqlRewriter.rewrite(
+      """SELECT t.event_time, p.volume
+        |FROM tickers t, LATERAL TABLE (portfolio(t.event_time)) p
+        |WHERE t.symbol = p.symbol""".stripMargin, st, wm)
+    assert(r.asOf.isDefined)
+    assert(r.asOf.get.probeAlias == "t")
+    assert(r.asOf.get.buildTable == "portfolio")
+  }
+
+  test("interval join upper bound is extracted") {
+    val spec = IncrementalExecutor.findIntervalJoin(
+      """SELECT * FROM o LEFT JOIN s ON o.id = s.id
+        |AND s.event_time BETWEEN o.event_time
+        |  AND o.event_time + INTERVAL '2' DAY""".stripMargin)
+    assert(spec.map(_.upperMillis).contains(2L * 86400 * 1000))
+  }
+
+  test("as-of key equality extraction handles both orders") {
+    val spec = SqlRewriter.AsOfSpec("tick", "t", "stocks", "s", "event_time")
+    assert(IncrementalExecutor.findAsOfKeys("... ON t.symbol = s.sym ...", spec)
+      .contains(("symbol", "sym")))
+    assert(IncrementalExecutor.findAsOfKeys("... ON s.sym = t.symbol ...", spec)
+      .contains(("symbol", "sym")))
+  }
+}
