@@ -60,7 +60,8 @@ final class IncrementalExecutor(
 
   def run(): ExecResult = {
     if (stateless) {
-      inputs.foreach(i => i.df.createOrReplaceTempView(i.spec.queryAlias))
+      inputs.foreach(i =>
+        i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias))
       val result = runSteps(steps)
       return ExecResult(result, minWm(inputs), None, None)
     }
@@ -71,7 +72,7 @@ final class IncrementalExecutor(
     val fulls = inputs.map { i =>
       val buffer = store.read(bufferName(i.spec.queryAlias), i.df.schema)
       val full = buffer.unionByName(i.df)
-      full.createOrReplaceTempView(i.spec.queryAlias)
+      full.drop("__seq").createOrReplaceTempView(i.spec.queryAlias)
       i -> full
     }
 
@@ -141,21 +142,30 @@ final class IncrementalExecutor(
       throw new IllegalArgumentException("as-of join: no key equality found"))
 
     val buildEventCol = build.spec.vocab.eventTimeColumn
+    val buildOpCol = build.spec.vocab.operationTypeColumn
     val buildRenamed = buildFull
       .withColumnRenamed(buildKey, probeKey)
       .withColumn("__bk", col(probeKey))
     val joined = AsOfJoin.leftAsOf(
-      eligible,
+      eligible.drop("__seq"),
       buildRenamed,
       keys = Seq(probeKey),
       probeTime = spec.probeTimeCol,
       buildTime = buildEventCol,
       buildCols = (buildRenamed.columns
-        .filter(c => c != probeKey && c != "__bk").toSeq
-        .map(c => c -> s"__build_$c")) :+ ("__bk" -> s"__build_$buildKey")
+        .filter(c => c != probeKey && c != "__bk" && c != "__seq").toSeq
+        .map(c => c -> s"__build_$c")) :+ ("__bk" -> s"__build_$buildKey"),
+      buildSeq = Some("__seq")
     )
     // Inner semantics: both reference syntaxes drop probes with no version.
-    val inner = joined.where(col(s"__build_$buildKey").isNotNull)
+    // A changelog build side treats Retract / CorrectFrom as tombstones:
+    // if the latest version at probe time is one, the key has no value.
+    val matched = joined.where(col(s"__build_$buildKey").isNotNull)
+    val inner =
+      if (buildFull.columns.contains(buildOpCol))
+        matched.where(!col(s"__build_$buildOpCol")
+          .isin(graft.protocol.Op.Retract, graft.protocol.Op.CorrectFrom))
+      else matched
     inner.createOrReplaceTempView("__asof_joined")
 
     val rewrittenFinal = rewriteAsOfSql(steps.last._2.sql, spec)

@@ -41,8 +41,13 @@ final class TransformEngine(spark: SparkSession) {
             raw.where(col(in.vocab.offsetColumn).between(s, e))
           case None => raw.limit(0)
         }
-        // offset + system_time are engine-owned; op + event_time stay visible.
-        val visible = sliced.drop(in.vocab.offsetColumn, in.vocab.systemTimeColumn)
+        // offset + system_time are engine-owned; op + event_time stay
+        // visible. The offset survives as hidden `__seq` (dropped from user
+        // views) — the as-of version store needs it to order changelog rows
+        // within one event time (correct-to supersedes correct-from).
+        val visible = sliced
+          .withColumn("__seq", col(in.vocab.offsetColumn))
+          .drop(in.vocab.offsetColumn, in.vocab.systemTimeColumn)
         val prevWm = ledger.inputWatermarks.get(in.queryAlias)
         val explicitWm = in.explicitWatermarks.map(_.eventTime) ++ prevWm
         val wm = if (explicitWm.nonEmpty) Some(explicitWm.max) else None

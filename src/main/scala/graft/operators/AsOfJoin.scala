@@ -35,6 +35,9 @@ object AsOfJoin {
     * @param probeTime  event-time column name on the probe side
     * @param buildTime  event-time column name on the build side
     * @param buildCols  build columns to attach, as (buildName -> outName)
+    * @param buildSeq   optional build column ordering versions within one
+    *                   event time (e.g. the changelog offset, so a
+    *                   correct-to row supersedes its correct-from twin)
     */
   def leftAsOf(
       probe: DataFrame,
@@ -42,42 +45,62 @@ object AsOfJoin {
       keys: Seq[String],
       probeTime: String,
       buildTime: String,
-      buildCols: Seq[(String, String)]
+      buildCols: Seq[(String, String)],
+      buildSeq: Option[String] = None
   ): DataFrame = {
     val side = "__asof_side"
     val time = "__asof_time"
+    val seq = "__asof_seq"
     val probeCols = probe.columns.toSeq
 
+    val bundle = "__asof_bundle"
+
+    // Versions are carried as ONE struct so a probe always sees a single
+    // consistent build row — per-column last(ignoreNulls) could mix values
+    // from different versions when a newer version holds nulls.
     val p = probe
       .withColumn(side, lit(1))
       .withColumn(time, col(probeTime))
-      .select((probeCols.map(col) ++ buildCols.map { case (_, out) =>
-        lit(null).as(s"__b_$out")
-      } :+ col(side) :+ col(time)): _*)
+      .withColumn(seq, lit(Long.MaxValue))
+      .select((probeCols.map(col)
+        :+ lit(null).cast(structType(build, buildCols)).as(bundle)
+        :+ col(side) :+ col(time) :+ col(seq)): _*)
 
     val b = build
       .withColumn(side, lit(0))
       .withColumn(time, col(buildTime))
+      .withColumn(seq,
+        buildSeq.map(c => col(c).cast("long")).getOrElse(lit(0L)))
       .select((probeCols.map {
         case k if keys.contains(k) => col(k)
         case other                 => lit(null).cast(probe.schema(other).dataType).as(other)
-      } ++ buildCols.map { case (in, out) => col(in).as(s"__b_$out") }
-        :+ col(side) :+ col(time)): _*)
+      } :+ struct(buildCols.map { case (in, out) => col(in).as(out) }: _*).as(bundle)
+        :+ col(side) :+ col(time) :+ col(seq)): _*)
 
-    // Build rows sort before probe rows at equal (key, time) → inclusive as-of.
+    // Build rows sort before probe rows at equal (key, time) → inclusive
+    // as-of; within one build event time the seq column orders versions.
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(time).asc, col(side).asc)
+      .orderBy(col(time).asc, col(side).asc, col(seq).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = p.unionByName(b).select(
-      (probeCols.map(col) ++ buildCols.map { case (_, out) =>
-        last(col(s"__b_$out"), ignoreNulls = true).over(w).as(out)
-      } :+ col(side)): _*
-    )
+    val carried = p.unionByName(b)
+      .withColumn(bundle, last(col(bundle), ignoreNulls = true).over(w))
 
-    carried.where(col(side) === 1).drop(side)
+    carried
+      .where(col(side) === 1)
+      .select((probeCols.map(col) ++ buildCols.map { case (_, out) =>
+        col(s"$bundle.$out").as(out)
+      }): _*)
   }
+
+  private def structType(
+      build: DataFrame,
+      buildCols: Seq[(String, String)]
+  ): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(buildCols.map { case (in, out) =>
+      org.apache.spark.sql.types.StructField(out, build.schema(in).dataType)
+    })
 
   /** Inner as-of join: drop probe rows with no matching build version. */
   def innerAsOf(

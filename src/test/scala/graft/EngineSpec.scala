@@ -276,6 +276,40 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ──────────────────────────────────────────────────────────────────────
+  test("as-of join: changelog build side (correct-to supersedes, retract tombstones)") {
+    import spark.implicits._
+    val dir = tmp()
+    val tickIn = s"$dir/tick.parquet"
+    val stockIn = s"$dir/stock.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1, 12)), "A", 100), // after v1 → vol 5
+      Ticker(1, 0, t(ts(1)), t(ts(2, 12)), "A", 110), // after correction → vol 7
+      Ticker(2, 0, t(ts(1)), t(ts(3, 12)), "A", 120)), tickIn) // after retract → dropped
+    writeSlice(Seq(
+      Stock(0, Op.Append, t(ts(1)), t(ts(1)), "A", 5),
+      Stock(1, Op.CorrectFrom, t(ts(1)), t(ts(2)), "A", 5),
+      Stock(2, Op.CorrectTo, t(ts(1)), t(ts(2)), "A", 7),
+      Stock(3, Op.Retract, t(ts(1)), t(ts(3)), "A", 7)), stockIn)
+
+    val q = """SELECT t.event_time, t.symbol, owned.volume as volume
+              |FROM tickers as t
+              |JOIN stocks_owned FOR SYSTEM_TIME AS OF t.event_time AS owned
+              |  ON t.symbol = owned.symbol""".stripMargin
+    runT(TransformRequest(
+      "did:out", "out", ts(20), DatasetVocabulary(),
+      Transform(queries = Vector(SqlQueryStep(None, q)),
+        temporalTables = Vector(TemporalTable("stocks_owned", Vector("symbol")))),
+      Vector(
+        mkInput("tickers", tickIn, tickIn, 3, wms = Seq(ts(10))),
+        mkInput("stocks_owned", stockIn, stockIn, 4, wms = Seq(ts(10)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    val out = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(out.length == 2) // probe after retract is dropped
+    assert(out.map(_.getAs[Int]("volume")).toSeq == Seq(5, 7))
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
   test("top-n: changelog diff emits +I then -U/+U corrections across runs") {
     import spark.implicits._
     val dir = tmp()
