@@ -204,7 +204,10 @@ object SparkEntry {
 
     // ── Token counting: whitespace + BPE-ish subword proxy.
     "q13_token_stats" -> ((s, dir) => {
+      // repartition: single-file doc tables otherwise run the three regex
+      // passes serially in one task
       t(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(
           col("doc_id"),
           size(filter(split(col("text"), "\\s+"), x => x =!= ""))
@@ -235,6 +238,16 @@ object SparkEntry {
       Similarity.lshTopK(
           e.where(col("vec_id") < 10), e, "vec_id", "embedding",
           k = 5, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── IVF (k-means cells) approximate ANN — second scale path (rows-only
+    // gate; recall vs brute force asserted in DedupSimilaritySpec).
+    "q18_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
 

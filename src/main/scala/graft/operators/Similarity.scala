@@ -93,6 +93,67 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means partitions the corpus
+    * into `nCells` cells (one distributed fit + one assignment pass); each
+    * query probes only its `nProbe` nearest cells. The classic
+    * billion-scale ANN layout: corpus is clustered once and the per-query
+    * scan cost drops by ~nCells/nProbe; cells are joined by id so the probe
+    * scan is a partitioned hash join, not a full pass.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .withColumn("__feat", array_to_vector(col("__cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans()
+      .setK(nCells).setSeed(42).setMaxIter(10).setFeaturesCol("__feat")
+      .fit(c)
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    val nearestCells = udf { (v: Array[Float], n: Int) =>
+      centers.indices
+        .map { ci =>
+          val ctr = centers(ci)
+          var d = 0.0
+          var i = 0
+          while (i < ctr.length && i < v.length) {
+            val diff = v(i) - ctr(i); d += diff * diff; i += 1
+          }
+          (d, ci)
+        }
+        .sortBy(identity)
+        .take(n)
+        .map(_._2)
+    }
+
+    val cells = c.withColumn("__cell",
+      element_at(nearestCells(col("__cv"), lit(1)), 1))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(dotF(col("__qv"), col("__qv"))))
+      .withColumn("__cell", explode(nearestCells(col("__qv"), lit(nProbe))))
+
+    val scored = q.join(cells, Seq("__cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Random-hyperplane signature (`nBits` sign bits packed in a long).
     * Hyperplanes are pseudo-random but deterministic: component j of plane b
     * is a hash-derived value in [-1, 1).

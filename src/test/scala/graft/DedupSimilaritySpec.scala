@@ -65,6 +65,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall too low: $recall") // approximate by design
   }
 
+  test("ivfTopK recall vs brute force on testdata embeddings") {
+    val e = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+        nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("winnowing fingerprint overlaps heavily for near-dups") {
     import spark.implicits._
     val docs = Seq((0L, base), (1L, base + " tonight")).toDF("doc_id", "text")

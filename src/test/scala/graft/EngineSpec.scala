@@ -355,6 +355,33 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ──────────────────────────────────────────────────────────────────────
+  test("map: multiple input files in one run are read in offset order") {
+    import spark.implicits._
+    val dir = tmp()
+    val in1 = s"$dir/a.parquet"
+    val in2 = s"$dir/b.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 1),
+      Ticker(1, 0, t(ts(1)), t(ts(2)), "B", 2)), in1)
+    writeSlice(Seq(
+      Ticker(2, 0, t(ts(2)), t(ts(3)), "C", 3)), in2)
+    val req = TransformRequest(
+      "did:out", "out", ts(5), DatasetVocabulary(),
+      transform(None -> "SELECT op, event_time, symbol, price FROM tickers"),
+      Vector(TransformRequestInput(
+        "did:t", "t", "tickers", DatasetVocabulary(),
+        Some(OffsetInterval(0, 2)), Vector(in1, in2), in1,
+        Vector(RequestWatermark(ts(3), ts(3))))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet")
+    val resp = runT(req)
+    assert(resp.newOffsetInterval.contains(OffsetInterval(0, 2)))
+    val syms = readOut(s"$dir/out1.parquet").orderBy("offset")
+      .select("symbol").collect().map(_.getString(0)).toSeq
+    assert(syms == Seq("A", "B", "C"))
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
   test("raw query: stateless SQL over parquet with TRY_CAST") {
     import spark.implicits._
     val dir = tmp()
