@@ -221,6 +221,47 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ──────────────────────────────────────────────────────────────────────
+  test("multi-step: interval join then tumbling agg composes watermark algebra") {
+    import spark.implicits._
+    val dir = tmp()
+    val ordersIn = s"$dir/orders.parquet"
+    val shipIn = s"$dir/ship.parquet"
+    writeSlice(Seq(
+      OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10),
+      OrderRow(1, 0, t(ts(1)), t(ts(2)), 2, 20),
+      OrderRow(2, 0, t(ts(1)), t(ts(3)), 3, 30)), ordersIn)
+    writeSlice(Seq(
+      Shipment(0, 0, t(ts(1)), t(ts(1, 4)), 1, 10)), shipIn)
+
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(20), DatasetVocabulary(),
+      transform(
+        Some("shipped") ->
+          """SELECT o.event_time as event_time, o.order_id, s.num_shipped
+            |FROM orders o
+            |LEFT JOIN shipments s
+            |  ON o.order_id = s.order_id
+            | AND s.event_time BETWEEN o.event_time
+            |   AND o.event_time + INTERVAL '2' DAY""".stripMargin,
+        None ->
+          """SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+            |  count(num_shipped) as n_shipped, count(*) as n_orders
+            |FROM shipped
+            |GROUP BY TUMBLE(event_time, INTERVAL '1' DAY)""".stripMargin),
+      Vector(
+        mkInput("orders", ordersIn, ordersIn, 3, wms = Seq(ts(10))),
+        mkInput("shipments", shipIn, shipIn, 1, wms = Seq(ts(11)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    // reported watermark = min(10,11) − 2d = day 8; all windows ≤ day 7 close
+    assert(r1.newWatermark.contains(ts(8)))
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("event_time").collect()
+    assert(o1.length == 3)
+    assert(o1.map(_.getAs[Long]("n_orders")).toSeq == Seq(1L, 1L, 1L))
+    assert(o1.map(_.getAs[Long]("n_shipped")).toSeq == Seq(1L, 0L, 0L))
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
   test("as-of join: probe held back until build watermark covers it") {
     import spark.implicits._
     val dir = tmp()
