@@ -43,9 +43,11 @@ object SparkEntry {
     // Reference surface: GROUP BY TUMBLE(event_time, INTERVAL '1' DAY)
     // (README.md:8-18, EngineAggregationTest) — batch-incremental form.
     "q2_daily_events" -> ((s, dir) => {
+      // timestamp_ntz: DuckDB's date_trunc yields a naive timestamp; writing
+      // a UTC-adjusted one would hash-mismatch on tz-awareness alone.
       t(s, dir, "events")
         .groupBy(
-          date_trunc("day", col("ts")).as("day"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
           col("event_type")
         )
         .agg(
@@ -185,20 +187,27 @@ object SparkEntry {
 
     // ── Language identification (stopword-marker heuristic).
     "q11_langid" -> ((s, dir) => {
+      // tokens materialized once behind a shuffle barrier: the score cascade
+      // references them ~20×, which interpreted eval would recompute
       t(s, dir, "documents")
-        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          Text.langIdFromTokens(col("__toks")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
     // ── Document quality scoring (length/punctuation/stopword ratios).
     "q12_quality" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
+        .repartition(col("doc_id"))
+        .select(
           col("doc_id"),
-          Text.tokenCount(col("text")).as("n_tokens"),
+          size(col("__toks")).cast("long").as("n_tokens"),
           Text.punctCount(col("text")).as("n_punct"),
-          Text.stopwordCount(Text.tokens(col("text"))).as("n_stopwords"),
-          Text.qualityScore(col("text")).as("quality_score"))
+          Text.stopwordCount(col("__toks")).as("n_stopwords"),
+          Text.qualityScoreFrom(col("__toks"), col("text")).as("quality_score"))
         .orderBy(col("doc_id"))
     }),
 

@@ -40,8 +40,10 @@ object Text {
   /** Composite quality score in [0,1]: length, stopword density, punctuation
     * noise. Mirrors the shape of C4/Gopher-style heuristic filters.
     */
-  def qualityScore(c: Column): Column = {
-    val toks = tokens(c)
+  def qualityScore(c: Column): Column = qualityScoreFrom(tokens(c), c)
+
+  /** Quality score over an (ideally materialized) token column + raw text. */
+  def qualityScoreFrom(toks: Column, c: Column): Column = {
     val nTok = size(toks).cast("double")
     val stopRatio = stopwordCount(toks) / nullifZero(size(toks).cast("long"))
     val punctRatio = punctCount(c) / nullifZero(length(c).cast("long"))
@@ -65,9 +67,15 @@ object Text {
 
   /** Deterministic language-ID: argmax of marker-word counts with a fixed
     * tie-break cascade (en < es < fr < de < zh requires strictly greater).
+    *
+    * Prefer [[langIdFromTokens]] over a materialized token column in hot
+    * paths — this convenience form references the tokenizer expression once
+    * per score term, which interpreted eval recomputes.
     */
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
+  def langId(c: Column): Column = langIdFromTokens(tokens(c))
+
+  /** Language-ID over an (ideally materialized) token-array column. */
+  def langIdFromTokens(toks: Column): Column = {
     val s = LangMarkers.toMap.map { case (l, m) => l -> langScore(toks, m) }
     when(s("zh") > greatest(s("en"), s("es"), s("fr"), s("de")), "zh")
       .when(s("de") > greatest(s("en"), s("es"), s("fr")), "de")

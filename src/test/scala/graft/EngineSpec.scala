@@ -439,6 +439,37 @@ class EngineSpec extends AnyFunSuite {
     assert(vals.count(_ == null) == 1)
   }
 
+  test("transform: output without event_time column → InvalidQuery") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    writeSlice(Seq(Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10)), in)
+    val resp = new TransformEngine(spark).executeTransform(TransformRequest(
+      "did:out", "out", ts(5), DatasetVocabulary(),
+      transform(None -> "SELECT symbol, price FROM tickers"),
+      Vector(mkInput("tickers", in, in, 1, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    resp match {
+      case TransformResponse.InvalidQuery(m) => assert(m.contains("event_time"))
+      case other => fail(s"expected InvalidQuery, got $other")
+    }
+  }
+
+  test("transform: unparseable SQL → InvalidQuery") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    writeSlice(Seq(Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10)), in)
+    val resp = new TransformEngine(spark).executeTransform(TransformRequest(
+      "did:out", "out", ts(5), DatasetVocabulary(),
+      transform(None -> "SELECT FROM WHERE !!"),
+      Vector(mkInput("tickers", in, in, 1, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(resp.isInstanceOf[TransformResponse.InvalidQuery])
+  }
+
   test("invalid query → InvalidQuery response, not an exception") {
     val dir = tmp()
     val resp = new RawQueryEngine(spark).executeRawQuery(RawQueryRequest(
