@@ -219,8 +219,7 @@ object SparkEntry {
         .repartition(col("doc_id"))
         .select(
           col("doc_id"),
-          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
-            .cast("long").as("n_ws_tokens"),
+          Text.wsTokenCount(col("text")).as("n_ws_tokens"),
           Text.tokenCount(col("text")).as("n_word_tokens"),
           Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))

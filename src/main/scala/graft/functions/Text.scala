@@ -19,16 +19,23 @@ object Text {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9']+"), t => t =!= "")
 
-  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+  /** Counts use regexp_count (codegen'd, no array materialization) — same
+    * result as sizing the extracted arrays, measurably cheaper.
+    */
+  def tokenCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z0-9']+")).cast("long")
 
   /** BPE-ish subword proxy: letter runs, single digits, single punctuation. */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
   def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(BpePattern), lit(0))).cast("long")
+    regexp_count(c, lit(BpePattern)).cast("long")
 
   def punctCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long")
+
+  def wsTokenCount(c: Column): Column =
+    regexp_count(c, lit("\\S+")).cast("long")
 
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

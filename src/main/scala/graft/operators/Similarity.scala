@@ -71,10 +71,22 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
+    var i = 0
+    var s = 0.0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
   /** All corpus pairs (id_a < id_b) with cosine ≥ threshold — embedding
-    * near-duplicate detection. The O(n²) scoring is spread across
-    * partitions; at scale, swap the pair generator for the LSH bucket join
-    * below and keep this scorer.
+    * near-duplicate detection. The corpus is broadcast once as primitive
+    * arrays (the build side of a broadcast join, collected deliberately);
+    * each partition then scores its rows against the block in a compiled
+    * loop — no per-pair array conversion, no join-condition skew. Exact by
+    * construction; at corpus sizes where the broadcast no longer fits,
+    * generate candidates with [[lshTopK]]'s bucket join and keep this
+    * scorer on the candidate pairs.
     *
     * @return (id_a, id_b, cosine)
     */
@@ -84,13 +96,32 @@ object Similarity {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    val a = withNorm(corpus, idCol, vecCol, "id_a", "__va", "__na")
-    val b = withNorm(corpus, idCol, vecCol, "id_b", "__vb", "__nb")
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        dotF(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val data = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val local = data.collect()
+    val ids = local.map(_._1)
+    val vecs = local.map(_._2)
+    val norms = vecs.map(v => math.sqrt(dotLocal(v, v)))
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    data
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .mapPartitions { it =>
+        val (ids, vecs, norms) = bc.value
+        it.flatMap { case (ida, va) =>
+          val na = math.sqrt(dotLocal(va, va))
+          Iterator.range(0, ids.length).flatMap { j =>
+            if (ids(j) <= ida) Iterator.empty
+            else {
+              val c = dotLocal(va, vecs(j)) / (na * norms(j))
+              if (c >= threshold) Iterator.single((ida, ids(j), c))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
   }
 
   /** IVF (inverted-file) approximate top-k: k-means partitions the corpus
@@ -156,17 +187,31 @@ object Similarity {
 
   /** Random-hyperplane signature (`nBits` sign bits packed in a long).
     * Hyperplanes are pseudo-random but deterministic: component j of plane b
-    * is a hash-derived value in [-1, 1).
+    * is a hash-derived value in [-1, 1). Compiled UDF over a precomputed
+    * plane matrix — the equivalent nBits×dim expression tree exceeds
+    * codegen limits and falls back to interpreted eval.
     */
-  def rhpSignature(vec: Column, dim: Int, nBits: Int): Column =
-    (0 until nBits).map { b =>
-      val proj = (0 until dim).map { j =>
-        val w = ((scala.util.hashing.MurmurHash3.productHash((b, j)) & 0xffffff)
-          / 8388608.0) - 1.0
-        element_at(vec, j + 1).cast("double") * w
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
+  def rhpSignature(vec: Column, dim: Int, nBits: Int): Column = {
+    val planes: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, j) =>
+      ((scala.util.hashing.MurmurHash3.productHash((b, j)) & 0xffffff)
+        / 8388608.0) - 1.0
+    }
+    val sigUdf = udf { (v: Array[Float]) =>
+      var sig = 0L
+      var b = 0
+      while (b < planes.length) {
+        val p = planes(b)
+        var proj = 0.0
+        var j = 0
+        val n = math.min(p.length, v.length)
+        while (j < n) { proj += v(j).toDouble * p(j); j += 1 }
+        if (proj > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    sigUdf(vec)
+  }
 
   /** LSH-bucketed approximate top-k: probes only score corpus vectors whose
     * hyperplane signature matches on at least one band of `bandBits` bits.

@@ -22,9 +22,16 @@ object Probe {
       r
     }
 
-    val docs = graft.core.Tables.t(spark, sfDir, "documents")
-    val pairs = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text", 0.8)
-    time("q9 nearDupPairs count")(println("pairs = " + pairs.count()))
+    import graft.functions.Text
+    val d = graft.core.Tables.t(spark, sfDir, "documents").repartition(col("doc_id"))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    time("warmup count")(d.count())
+    time("ws only")(noop(d.select(Text.wsTokenCount(col("text")))))
+    time("word only")(noop(d.select(Text.tokenCount(col("text")))))
+    time("bpe only")(noop(d.select(Text.bpeTokenCount(col("text")))))
+    time("all three")(noop(d.select(Text.wsTokenCount(col("text")),
+      Text.tokenCount(col("text")), Text.bpeTokenCount(col("text")))))
     spark.stop()
   }
 }
