@@ -249,6 +249,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── Sliding (HOP) window over the event stream — superset of the
+    // reference's TUMBLE-only surface.
+    "q19_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          window(col("ts"), "7 days", "1 day").getField("start")
+            .cast("timestamp_ntz").as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (sum(tenK(col("value"))) / lit(1e4)).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ── Session windows (30-minute gap) per user — superset feature.
+    "q20_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ── IVF (k-means cells) approximate ANN — second scale path (rows-only
     // gate; recall vs brute force asserted in DedupSimilaritySpec).
     "q18_ivf_topk" -> ((s, dir) => {
@@ -441,6 +467,35 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))), ' ')) AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q19_sliding_window" ->
+      """SELECT CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY AS TIMESTAMP) AS window_start,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value*10000) AS BIGINT)) AS BIGINT) / 1e4 AS sum_value
+        |FROM events, unnest(generate_series(0, 6)) AS t(k)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q20_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q17_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -221,6 +221,56 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ──────────────────────────────────────────────────────────────────────
+  test("interval join: run 2 emits newly-closed orders once, no re-emission") {
+    import spark.implicits._
+    val dir = tmp()
+    val ordersIn = s"$dir/orders.parquet"
+    val shipIn = s"$dir/ship.parquet"
+    writeSlice(Seq(
+      OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10),
+      OrderRow(1, 0, t(ts(1)), t(ts(8)), 2, 20)), ordersIn)
+    writeSlice(Seq(
+      Shipment(0, 0, t(ts(1)), t(ts(1, 4)), 1, 10)), shipIn)
+    val q = """SELECT o.event_time, o.order_id, s.num_shipped
+              |FROM orders o
+              |LEFT JOIN shipments s
+              |  ON o.order_id = s.order_id
+              | AND s.event_time BETWEEN o.event_time
+              |   AND o.event_time + INTERVAL '2' DAY""".stripMargin
+    // run 1: WMs (5,5) → threshold day 3: only order 1 closes.
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(20), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", ordersIn, ordersIn, 2, wms = Seq(ts(5))),
+        mkInput("shipments", shipIn, shipIn, 1, wms = Seq(ts(5)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newWatermark.contains(ts(3)))
+    val o1 = readOut(s"$dir/out1.parquet").collect()
+    assert(o1.map(_.getAs[Long]("order_id")).toSeq == Seq(1L))
+
+    // run 2: a late shipment for order 2 arrives; WMs advance to (12,12)
+    // → order 2 closes now, matched; order 1 NOT re-emitted.
+    val ship2 = s"$dir/ship2.parquet"
+    writeSlice(Seq(
+      Shipment(1, 0, t(ts(9)), t(ts(9)), 2, 99)), ship2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(21), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", null, ordersIn, 0, wms = Seq(ts(12))),
+        mkInput("shipments", ship2, ship2, 1, startOffset = 1, wms = Seq(ts(12)))),
+      nextOffset = 1, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newWatermark.contains(ts(10)))
+    val o2 = readOut(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1)
+    assert(o2(0).getAs[Long]("order_id") == 2L)
+    assert(o2(0).getAs[Long]("num_shipped") == 99L)
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
   test("multi-step: interval join then tumbling agg composes watermark algebra") {
     import spark.implicits._
     val dir = tmp()
