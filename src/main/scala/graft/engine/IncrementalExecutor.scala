@@ -80,37 +80,62 @@ final class IncrementalExecutor(
 
     if (isTopN) return runTopN(fulls, resultAll)
 
-    // Watermark algebra.
+    // Watermark algebra. The emission cursor persisted in the ledger is the
+    // reported watermark; rows are gated on their WINDOW END, which handles
+    // fixed-duration and calendar (month/quarter/year) windows uniformly.
     val upperMs = interval.map(_.upperMillis).getOrElse(0L)
-    val durMs = tumble.map(t => durationMillis(t.duration)).getOrElse(0L)
     val reported = minWm(inputs).map(_.minusMillis(upperMs))
-    val newThreshold = reported.map(_.minusMillis(durMs))
-    val prevThreshold = ledger.emitThreshold
+    val prevGate = ledger.emitThreshold
+
+    def truncUnit(months: Int): String = months match {
+      case 3  => "QUARTER"
+      case 12 => "YEAR"
+      case _  => "MONTH"
+    }
+    // window end of an emitted row (event_time = window start)
+    def windowEnd(c: Column): Column = tumble match {
+      case Some(t) if t.calendarMonths > 0 =>
+        add_months(c, t.calendarMonths).cast("timestamp")
+      case Some(t) =>
+        val durUs = durationMillis(t.duration) * 1000
+        timestamp_micros(expr(s"(unix_micros(${vocab.eventTimeColumn}) div $durUs) * $durUs")
+          .plus(durUs))
+      case None => c
+    }
+    // window end of a RAW input row (arbitrary event time within a window)
+    def rowWindowEnd(c: Column, name: String): Column = tumble match {
+      case Some(t) if t.calendarMonths > 0 =>
+        add_months(date_trunc(truncUnit(t.calendarMonths), c), t.calendarMonths)
+          .cast("timestamp")
+      case Some(t) =>
+        val durUs = durationMillis(t.duration) * 1000
+        timestamp_micros(expr(s"(unix_micros($name) div $durUs) * $durUs").plus(durUs))
+      case None => c
+    }
 
     val eventCol = col(vocab.eventTimeColumn)
-    val emitted = newThreshold match {
+    def tsLit(i: Instant): Column = lit(SqlRewriter.tsLiteral(i)).cast("timestamp")
+    val emitted = reported match {
       case None => resultAll.limit(0)
-      case Some(t) =>
-        val upperGate = eventCol <= lit(SqlRewriter.tsLiteral(t)).cast("timestamp")
-        prevThreshold match {
-          case Some(p) =>
-            resultAll.where(upperGate &&
-              eventCol > lit(SqlRewriter.tsLiteral(p)).cast("timestamp"))
-          case None => resultAll.where(upperGate)
+      case Some(r) =>
+        val upperGate = windowEnd(eventCol) <= tsLit(r)
+        prevGate match {
+          case Some(p) => resultAll.where(upperGate && windowEnd(eventCol) > tsLit(p))
+          case None    => resultAll.where(upperGate)
         }
     }
 
-    // Prune + persist buffers: keep rows that may still contribute.
+    // Prune + persist buffers: keep rows whose window is still open.
     fulls.foreach { case (i, full) =>
-      val evt = col(i.spec.vocab.eventTimeColumn)
-      val keep = newThreshold match {
-        case Some(t) => full.where(evt > lit(SqlRewriter.tsLiteral(t)).cast("timestamp"))
+      val evtName = i.spec.vocab.eventTimeColumn
+      val keep = reported match {
+        case Some(r) => full.where(rowWindowEnd(col(evtName), evtName) > tsLit(r))
         case None    => full
       }
       store.write(bufferName(i.spec.queryAlias), keep)
     }
 
-    ExecResult(emitted, reported, newThreshold, None)
+    ExecResult(emitted, reported, reported, None)
   }
 
   // ── AS-OF / temporal join (SURVEY.md §2.2 joins) ─────────────────────

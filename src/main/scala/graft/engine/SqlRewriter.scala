@@ -20,8 +20,16 @@ import scala.util.matching.Regex
   */
 object SqlRewriter {
 
-  /** Detected tumbling window: column + duration as a Spark interval string. */
-  final case class TumbleSpec(timeCol: String, duration: String)
+  /** Detected tumbling window: column + duration as a Spark interval string.
+    * `calendarMonths` > 0 marks a calendar window (month=1, quarter=3,
+    * year=12) — grouped via date_trunc, gated via add_months; `duration`
+    * is unused then. (The reference cannot do calendar windows at all —
+    * /root/reference README.md:76.)
+    */
+  final case class TumbleSpec(
+      timeCol: String,
+      duration: String,
+      calendarMonths: Int = 0)
 
   /** Detected as-of join: probe/build aliases + key equality + probe time. */
   final case class AsOfSpec(
@@ -66,18 +74,46 @@ object SqlRewriter {
     var tumble: Option[TumbleSpec] = None
     var asOf: Option[AsOfSpec] = None
 
-    tumbleStartRe.findFirstMatchIn(out).foreach { _ =>
-      out = tumbleStartRe.replaceAllIn(out, _ => "window.start")
+    def calendarMonths(n: String, unit: String): Int = unit.toUpperCase match {
+      case "MONTH" | "MONTHS"     => n.toInt
+      case "QUARTER" | "QUARTERS" => n.toInt * 3
+      case "YEAR" | "YEARS"       => n.toInt * 12
+      case _                      => 0
+    }
+    def truncUnit(months: Int): String = months match {
+      case 1  => "MONTH"
+      case 3  => "QUARTER"
+      case 12 => "YEAR"
+      case _  => "MONTH" // multi-month: trunc to month boundary of window start
+    }
+
+    tumbleStartRe.findFirstMatchIn(out).foreach { m =>
+      val cm = calendarMonths(m.group(2), m.group(3))
+      out = tumbleStartRe.replaceAllIn(out, m =>
+        if (calendarMonths(m.group(2), m.group(3)) > 0)
+          s"date_trunc('${truncUnit(calendarMonths(m.group(2), m.group(3)))}', ${m.group(1)})"
+        else "window.start")
+      val _ = cm
     }
     tumbleEndRe.findFirstMatchIn(out).foreach { _ =>
-      out = tumbleEndRe.replaceAllIn(out, _ => "window.end")
+      out = tumbleEndRe.replaceAllIn(out, m =>
+        if (calendarMonths(m.group(2), m.group(3)) > 0)
+          s"cast(add_months(date_trunc('${truncUnit(calendarMonths(m.group(2), m.group(3)))}', ${m.group(1)}), ${calendarMonths(m.group(2), m.group(3))}) as timestamp)"
+        else "window.end")
     }
     tumbleRe.findFirstMatchIn(out).foreach { m =>
-      tumble = Some(TumbleSpec(m.group(1), sparkInterval(m.group(2), m.group(3))))
-      out = tumbleRe.replaceAllIn(
-        out,
-        m => s"window(${m.group(1)}, '${sparkInterval(m.group(2), m.group(3))}')"
-      )
+      val cm = calendarMonths(m.group(2), m.group(3))
+      if (cm > 0) {
+        tumble = Some(TumbleSpec(m.group(1), "", cm))
+        out = tumbleRe.replaceAllIn(out, m =>
+          s"date_trunc('${truncUnit(calendarMonths(m.group(2), m.group(3)))}', ${m.group(1)})")
+      } else {
+        tumble = Some(TumbleSpec(m.group(1), sparkInterval(m.group(2), m.group(3))))
+        out = tumbleRe.replaceAllIn(
+          out,
+          m => s"window(${m.group(1)}, '${sparkInterval(m.group(2), m.group(3))}')"
+        )
+      }
     }
 
     out = nowRe.replaceAllIn(out, _ => s"TIMESTAMP '${tsLiteral(systemTime)}'")

@@ -221,6 +221,48 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ──────────────────────────────────────────────────────────────────────
+  test("calendar tumbling: MONTH windows close on watermark (reference can't)") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = """SELECT TUMBLE_START(event_time, INTERVAL '1' MONTH) as event_time,
+              |  symbol, count(*) as n, max(price) as max_price
+              |FROM tickers
+              |GROUP BY TUMBLE(event_time, INTERVAL '1' MONTH), symbol""".stripMargin
+    def mts(month: Int, day: Int): Instant =
+      Instant.parse(f"2000-$month%02d-$day%02dT00:00:00Z")
+
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(Timestamp.from(mts(1, 5)).toInstant), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(Timestamp.from(mts(1, 20)).toInstant), "A", 30),
+      Ticker(2, 0, t(ts(1)), t(Timestamp.from(mts(2, 3)).toInstant), "A", 50)), in1)
+    // watermark mid-February → January window closes, February stays open
+    val r1 = runT(TransformRequest(
+      "did:out", "out", mts(3, 1), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 3, wms = Seq(mts(2, 15)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    val o1 = readOut(s"$dir/out1.parquet").collect()
+    assert(o1.length == 1)
+    assert(o1(0).getAs[Timestamp]("event_time") == t(mts(1, 1)))
+    assert(o1(0).getAs[Long]("n") == 2 && o1(0).getAs[Int]("max_price") == 30)
+
+    // run 2: watermark into March → February window closes exactly once
+    val r2 = runT(TransformRequest(
+      "did:out", "out", mts(4, 1), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", null, in1, 0, wms = Seq(mts(3, 2)))),
+      nextOffset = 1, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(1, 1)))
+    val o2 = readOut(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1)
+    assert(o2(0).getAs[Timestamp]("event_time") == t(mts(2, 1)))
+    assert(o2(0).getAs[Long]("n") == 1 && o2(0).getAs[Int]("max_price") == 50)
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
   test("interval join: run 2 emits newly-closed orders once, no re-emission") {
     import spark.implicits._
     val dir = tmp()
