@@ -249,6 +249,53 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── ROLLUP subtotals (grouping-sets surface; absent in the reference).
+    "q21_rollup_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            / lit(1e6)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // ── Set operations (INTERSECT/EXCEPT surface; absent in the reference).
+    "q22_set_ops" -> ((s, dir) => {
+      val supplierNations = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")).distinct()
+      val customerNations = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey")).distinct()
+      val both = supplierNations.intersect(customerNations)
+        .withColumn("membership", lit("both"))
+      val customerOnly = customerNations.except(supplierNations)
+        .withColumn("membership", lit("customer_only"))
+      both.unionByName(customerOnly)
+        .select(col("nationkey").cast("long").as("nationkey"), col("membership"))
+        .orderBy(col("membership"), col("nationkey"))
+    }),
+
+    // ── Exact order statistics via integer cents (median interpolation is
+    // deterministic on exact halves).
+    "q23_price_stats" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          (min(cents(col("o_totalprice"))) / lit(100.0)).as("min_price"),
+          (max(cents(col("o_totalprice"))) / lit(100.0)).as("max_price"),
+          (expr("percentile(cast(round(o_totalprice*100) as bigint), 0.5)")
+            / lit(100.0)).as("median_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── Sliding (HOP) window over the event stream — superset of the
     // reference's TUMBLE-only surface.
     "q19_sliding_window" -> ((s, dir) => {
@@ -467,6 +514,35 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))), ' ')) AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q21_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 1e6 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q22_set_ops" ->
+      """WITH s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier),
+        |c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer)
+        |SELECT nationkey, 'both' AS membership FROM (SELECT nationkey FROM s INTERSECT SELECT nationkey FROM c)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS membership FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        |ORDER BY membership, nationkey""".stripMargin,
+
+    "q23_price_stats" ->
+      """SELECT o_orderpriority,
+        |  CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS min_price,
+        |  CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS max_price,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) / 100.0 AS median_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q19_sliding_window" ->
       """SELECT CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY AS TIMESTAMP) AS window_start,
