@@ -56,6 +56,38 @@ object StreamingWindowAgg {
         col("n_events"),
         col("sum_value"))
 
+  /** Stream-to-stream interval join: right rows join left rows with the
+    * same key whose event time falls in [leftTime, leftTime + upper] —
+    * the Structured Streaming counterpart of the protocol engine's
+    * interval-join mode. Watermarks on both sides bound the join state
+    * Spark keeps (left buffer expires once the right watermark passes
+    * leftTime + upper, symmetric for the right).
+    */
+  def streamStreamIntervalJoin(
+      spark: SparkSession,
+      leftDir: String,
+      leftSchema: StructType,
+      rightDir: String,
+      rightSchema: StructType,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      upper: String,
+      lateness: String
+  ): DataFrame = {
+    val left = spark.readStream.schema(leftSchema).parquet(leftDir)
+      .withWatermark(leftTime, lateness)
+    val right = spark.readStream.schema(rightSchema).parquet(rightDir)
+      .withWatermark(rightTime, lateness)
+      .withColumnRenamed(key, s"__r_$key")
+    left.join(
+      right,
+      col(key) === col(s"__r_$key") &&
+        col(rightTime) >= col(leftTime) &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $upper"),
+      "inner")
+  }
+
   /** Run a bounded micro-batch over everything currently available and
     * write to an in-memory table; returns the finished query.
     */

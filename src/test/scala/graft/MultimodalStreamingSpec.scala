@@ -47,6 +47,41 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(sampled.columns.contains("frame_idx"))
   }
 
+  test("streaming: stream-stream interval join matches batch join") {
+    import spark.implicits._
+    val events = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val ldir = Files.createTempDirectory("graft-sj-l").toString
+    val rdir = Files.createTempDirectory("graft-sj-r").toString
+    events.where(col("event_type") === "view")
+      .select("user_id", "ts", "event_id")
+      .write.mode("overwrite").parquet(ldir)
+    events.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+      .withColumnRenamed("ts", "p_ts")
+      .withColumnRenamed("event_id", "p_event_id")
+      .write.mode("overwrite").parquet(rdir)
+    val ls = spark.read.parquet(ldir).schema
+    val rs = spark.read.parquet(rdir).schema
+
+    val joined = StreamingWindowAgg.streamStreamIntervalJoin(
+      spark, ldir, ls, rdir, rs, "user_id", "ts", "p_ts",
+      upper = "1 DAY", lateness = "1 hour")
+    StreamingWindowAgg.runAvailableNow(
+      joined.select("event_id", "p_event_id"), "sj_out")
+
+    val got = spark.sql("select * from sj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = spark.read.parquet(ldir).alias("l")
+      .join(spark.read.parquet(rdir).alias("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("p_ts") >= col("ts") &&
+          col("p_ts") <= col("ts") + expr("INTERVAL 1 DAY"))
+      .select("event_id", "p_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("streaming: windowed agg over events matches batch computation") {
     val events = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "events")
     val dir = Files.createTempDirectory("graft-stream").toString
