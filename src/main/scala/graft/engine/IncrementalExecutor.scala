@@ -200,7 +200,27 @@ final class IncrementalExecutor(
     val result = spark.sql(rewrittenFinal)
 
     store.write(bufferName(spec.probeTable), holdback)
-    store.write(versionStoreName(spec.buildTable), buildFull)
+
+    // Version-store compaction: any probe that still needs history (held
+    // back or future) has time > probe watermark, so for each key only the
+    // newest version at-or-before that bound plus all newer versions can
+    // ever be read again. Bounds state to O(keys + recent churn) instead
+    // of the full changelog history.
+    val compacted = probe.watermark match {
+      case Some(pw) =>
+        val pwLit = lit(SqlRewriter.tsLiteral(pw)).cast("timestamp")
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(buildKey))
+          .orderBy(col(buildEventCol).desc, col("__seq").desc)
+        buildFull
+          .withColumn("__stale", col(buildEventCol) <= pwLit)
+          .withColumn("__rn",
+            row_number().over(wv.partitionBy(col(buildKey), col("__stale"))))
+          .where(!col("__stale") || col("__rn") === 1)
+          .drop("__stale", "__rn")
+      case None => buildFull
+    }
+    store.write(versionStoreName(spec.buildTable), compacted)
 
     val wm = minWm(Seq(probe, build))
     ExecResult(result, wm, None, None)
