@@ -72,7 +72,8 @@ final class IncrementalExecutor(
     val fulls = inputs.map { i =>
       val buffer = store.read(bufferName(i.spec.queryAlias), i.df.schema)
       val full = buffer.unionByName(i.df)
-      full.drop("__seq").createOrReplaceTempView(i.spec.queryAlias)
+      applyChangelog(full.drop("__seq"), i.spec.vocab.operationTypeColumn)
+        .createOrReplaceTempView(i.spec.queryAlias)
       i -> full
     }
 
@@ -264,6 +265,29 @@ final class IncrementalExecutor(
       minWm(inputs),
       None,
       emissionOrder = Some(Seq(col(rankCol).asc, col(vocab.operationTypeColumn).asc)))
+  }
+
+  /** Reduce a changelog input to its surviving multiset before stateful
+    * recomputation: append/correct-to rows weigh +1, retract/correct-from
+    * −1; identical rows (op excluded) net out and survivors are
+    * re-expanded. Full recomputation over the surviving multiset yields
+    * exactly what Flink's accumulator retraction produces for any
+    * aggregate. Skipped (no shuffle) when the slice is append-only.
+    */
+  private def applyChangelog(df: DataFrame, opCol: String): DataFrame = {
+    if (!df.columns.contains(opCol)) return df
+    val hasRetractions =
+      !df.where(col(opCol).isin(Op.Retract, Op.CorrectFrom)).isEmpty
+    if (!hasRetractions) return df
+    val userCols = df.columns.filter(_ != opCol).toSeq
+    df.groupBy(userCols.map(col): _*)
+      .agg(sum(when(col(opCol).isin(Op.Append, Op.CorrectTo), 1L)
+        .otherwise(-1L)).as("__net"))
+      .where(col("__net") > 0)
+      .withColumn(opCol, explode(transform(
+        sequence(lit(1), col("__net")), _ => lit(Op.Append))))
+      .drop("__net")
+      .select(df.columns.map(col): _*)
   }
 
   private def runSteps(ss: Seq[(Option[String], SqlRewriter.Rewritten)]): DataFrame = {

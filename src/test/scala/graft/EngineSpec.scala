@@ -221,6 +221,37 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ──────────────────────────────────────────────────────────────────────
+  test("tumbling agg: corrections and retractions in the input are applied") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = """SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+              |  symbol, min(price) as `min`, max(price) as `max`, count(*) as n
+              |FROM tickers
+              |GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol""".stripMargin
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, Op.Append, t(ts(1)), t(ts(1, 1)), "A", 10),
+      Ticker(1, Op.Append, t(ts(1)), t(ts(1, 2)), "A", 99),
+      // correct 99 → 12
+      Ticker(2, Op.CorrectFrom, t(ts(1)), t(ts(1, 2)), "A", 99),
+      Ticker(3, Op.CorrectTo, t(ts(1)), t(ts(1, 2)), "A", 12),
+      // append then fully retract a third reading
+      Ticker(4, Op.Append, t(ts(1)), t(ts(1, 3)), "A", 55),
+      Ticker(5, Op.Retract, t(ts(1)), t(ts(1, 3)), "A", 55)), in1)
+    runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 6, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    val o = readOut(s"$dir/out1.parquet").collect()
+    assert(o.length == 1)
+    assert(o(0).getAs[Int]("min") == 10)
+    assert(o(0).getAs[Int]("max") == 12)   // 99 corrected away, 55 retracted
+    assert(o(0).getAs[Long]("n") == 2)
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
   test("calendar tumbling: MONTH windows close on watermark (reference can't)") {
     import spark.implicits._
     val dir = tmp()
