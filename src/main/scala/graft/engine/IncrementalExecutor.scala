@@ -12,17 +12,17 @@ import graft.protocol.{DatasetVocabulary, Op}
 /** Executes one incremental micro-batch over (buffered state ∪ new slices).
   *
   * Watermark algebra (SURVEY.md §7.4): with an interval join of upper bound
-  * U and/or a tumbling window of duration D in the step chain,
+  * U in the step chain,
   *
   *   reported output watermark = min(input watermarks) − U
-  *   emission threshold        = reported − D
   *
-  * A result row is emitted when its event time is in
-  * (previous threshold, new threshold] — so closed windows / expired join
-  * horizons emit exactly once across runs, late rows into still-open windows
-  * are aggregated, and late rows into closed windows are dropped, matching
-  * the reference's observable behavior (EngineAggregationTest,
-  * EngineJoinStreamToStreamTest golden chains).
+  * and a result row is emitted when its WINDOW END (event time + window
+  * duration for fixed windows, add_months for calendar windows, the event
+  * time itself when no window) lies in (previous reported, new reported] —
+  * so closed windows / expired join horizons emit exactly once across runs,
+  * late rows into still-open windows are aggregated, and late rows into
+  * closed windows are dropped, matching the reference's observable behavior
+  * (EngineAggregationTest, EngineJoinStreamToStreamTest golden chains).
   *
   * Stateless (pure map/filter) chains skip buffering and gating entirely:
   * every result row of the new slice is emitted immediately.

@@ -22,16 +22,10 @@ object Probe {
       r
     }
 
-    import graft.functions.Text
-    val d = graft.core.Tables.t(spark, sfDir, "documents").repartition(col("doc_id"))
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    val d = graft.core.Tables.t(spark, sfDir, "documents")
     time("warmup count")(d.count())
-    time("ws only")(noop(d.select(Text.wsTokenCount(col("text")))))
-    time("word only")(noop(d.select(Text.tokenCount(col("text")))))
-    time("bpe only")(noop(d.select(Text.bpeTokenCount(col("text")))))
-    time("all three")(noop(d.select(Text.wsTokenCount(col("text")),
-      Text.tokenCount(col("text")), Text.bpeTokenCount(col("text")))))
+    time("q9 full")(println("pairs=" +
+      graft.operators.Dedup.nearDupPairs(d, "doc_id", "text", 0.8).count()))
     spark.stop()
   }
 }
