@@ -82,6 +82,31 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming: stateful dedup keeps first event per key") {
+    import graft.streaming.StreamingDedup
+    val events = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    // duplicate the stream so every user_id appears at least twice
+    events.select("user_id", "ts", "event_id")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val deduped = StreamingDedup.firstPerKey(spark, stream, "user_id", "ts")
+    StreamingWindowAgg.runAvailableNow(deduped, "dedup_out")
+    val got = spark.sql("select * from dedup_out")
+    val nKeys = events.select("user_id").distinct().count()
+    assert(got.count() == nKeys)
+    // each emitted row is that user's earliest event
+    val firsts = events.groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.collect().foreach { r =>
+      assert(firsts(r.getAs[Long]("user_id")) == r.getAs[Long]("event_id"))
+    }
+  }
+
   test("streaming: windowed agg over events matches batch computation") {
     val events = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "events")
     val dir = Files.createTempDirectory("graft-stream").toString
