@@ -249,6 +249,48 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── JSON column extraction over the event props payload.
+    "q24_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(get_json_object(col("props"), "$.missing")).as("n_missing"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── Window functions: running per-user aggregates + lag.
+    "q25_window_functions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          (sum(tenK(col("value"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            / lit(1e4)).as("running_value"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          row_number().over(w).cast("long").as("event_seq"))
+        .orderBy(col("user_id"), col("event_seq"))
+    }),
+
+    // ── Semi/anti joins: customer order-activity per nation.
+    "q26_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val active = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_active"))
+      val inactive = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_inactive"))
+      active.join(inactive, Seq("c_nationkey"), "full_outer")
+        .select(
+          col("c_nationkey").cast("long").as("nationkey"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+        .orderBy(col("nationkey"))
+    }),
+
     // ── ROLLUP subtotals (grouping-sets surface; absent in the reference).
     "q21_rollup_revenue" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -514,6 +556,39 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))), ' ')) AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q24_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(props->>'$.missing') AS n_missing
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q25_window_functions" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(round(value*10000) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) / 1e4 AS running_value,
+        |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_seq
+        |FROM events
+        |ORDER BY user_id, event_seq""".stripMargin,
+
+    "q26_semi_anti" ->
+      """WITH active AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_active FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_nationkey),
+        |inactive AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_inactive FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_nationkey)
+        |SELECT CAST(COALESCE(a.c_nationkey, i.c_nationkey) AS BIGINT) AS nationkey,
+        |  COALESCE(a.n_active, 0) AS n_active,
+        |  COALESCE(i.n_inactive, 0) AS n_inactive
+        |FROM active a FULL OUTER JOIN inactive i ON a.c_nationkey = i.c_nationkey
+        |ORDER BY nationkey""".stripMargin,
 
     "q21_rollup_revenue" ->
       """SELECT r_name, n_name,

@@ -194,11 +194,14 @@ final class IncrementalExecutor(
       else matched
     inner.createOrReplaceTempView("__asof_joined")
 
-    val rewrittenFinal = rewriteAsOfSql(steps.last._2.sql, spec)
-    steps.dropRight(1).foreach { case (alias, rwStep) =>
-      spark.sql(rwStep.sql).createOrReplaceTempView(alias.getOrElse("__step__"))
+    var result: DataFrame = null
+    steps.zipWithIndex.foreach { case ((alias, rwStep), i) =>
+      val sql =
+        if (rwStep.asOf.isDefined) rewriteAsOfSql(rwStep.sql, spec) else rwStep.sql
+      val df = spark.sql(sql)
+      alias.foreach(df.createOrReplaceTempView)
+      if (i == outputIdx) result = df
     }
-    val result = spark.sql(rewrittenFinal)
 
     store.write(bufferName(spec.probeTable), holdback)
 
@@ -290,11 +293,24 @@ final class IncrementalExecutor(
       .select(df.columns.map(col): _*)
   }
 
-  private def runSteps(ss: Seq[(Option[String], SqlRewriter.Rewritten)]): DataFrame = {
-    ss.dropRight(1).foreach { case (alias, rwStep) =>
-      spark.sql(rwStep.sql).createOrReplaceTempView(alias.getOrElse("__step__"))
+  /** The output step is the unaliased one (reference TransformEngine.scala
+    * :252-262); all aliased steps become named views. Falls back to the
+    * last step when every step is aliased.
+    */
+  private val outputIdx: Int =
+    steps.lastIndexWhere(_._1.isEmpty) match {
+      case -1 => steps.length - 1
+      case i  => i
     }
-    spark.sql(ss.last._2.sql)
+
+  private def runSteps(ss: Seq[(Option[String], SqlRewriter.Rewritten)]): DataFrame = {
+    var out: DataFrame = null
+    ss.zipWithIndex.foreach { case ((alias, rwStep), i) =>
+      val df = spark.sql(rwStep.sql)
+      alias.foreach(df.createOrReplaceTempView)
+      if (i == outputIdx) out = df
+    }
+    out
   }
 
   private def minWm(ins: Seq[LoadedInput]): Option[Instant] =
