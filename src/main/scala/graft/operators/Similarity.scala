@@ -147,7 +147,7 @@ object Similarity {
       .withColumn("__feat", array_to_vector(col("__cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans()
-      .setK(nCells).setSeed(42).setMaxIter(10).setFeaturesCol("__feat")
+      .setK(nCells).setSeed(42).setMaxIter(5).setFeaturesCol("__feat")
       .fit(c)
     val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 

@@ -546,6 +546,48 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ──────────────────────────────────────────────────────────────────────
+  test("top-n: current_watermark() filter excludes rows beyond the watermark") {
+    import spark.implicits._
+    val dir = tmp()
+    val vocab = DatasetVocabulary(eventTimeColumn = "placed_at")
+    val inVocab = DatasetVocabulary(eventTimeColumn = "match_time")
+    val q = """SELECT placed_at, place, match_time, player_name, score FROM (
+              |  SELECT match_time as placed_at, match_time, player_name, score,
+              |    row_number() OVER (ORDER BY score desc) AS place
+              |  FROM match_scores
+              |  WHERE match_time <= current_watermark(match_time))
+              |WHERE place <= 2""".stripMargin
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      MatchScore(0, 0, t(ts(1)), t(ts(1)), "Alice", 100),
+      MatchScore(1, 0, t(ts(1)), t(ts(2)), "Zoe", 999)), in1) // beyond WM
+    runT(TransformRequest(
+      "did:out", "out", ts(10), vocab,
+      transform(None -> q),
+      Vector(mkInput("match_scores", in1, in1, 2, wms = Seq(ts(1)), vocab = inVocab)),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    val names = readOut(s"$dir/out1.parquet")
+      .select("player_name").collect().map(_.getString(0)).toSeq
+    assert(names == Seq("Alice")) // Zoe held out by the watermark literal
+  }
+
+  test("raw query: multi-step with aliased intermediate view") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    spark.createDataset(Seq(1, 2, 3, 4, 5)).toDF("x").write.parquet(in)
+    val resp = new RawQueryEngine(spark).executeRawQuery(RawQueryRequest(
+      Vector(in),
+      Transform(queries = Vector(
+        SqlQueryStep(Some("evens"), "SELECT x FROM input WHERE x % 2 = 0"),
+        SqlQueryStep(None, "SELECT CAST(SUM(x) AS BIGINT) AS total FROM evens"))),
+      s"$dir/out.parquet"))
+    assert(resp == RawQueryResponse.Success(1))
+    assert(readOut(s"$dir/out.parquet").collect()(0).getLong(0) == 6L)
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
   test("raw query: stateless SQL over parquet with TRY_CAST") {
     import spark.implicits._
     val dir = tmp()
