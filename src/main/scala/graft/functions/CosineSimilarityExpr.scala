@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity of two float-array columns,
+  * computed in one fused pass (dot, |a|², |b|²) with whole-stage codegen —
+  * no UDF boxing, no per-call array conversion. Fold order is
+  * left-to-right in double, identical to [[graft.operators.Similarity]]'s
+  * kernels and the DuckDB oracle formula, so results stay bitwise equal.
+  *
+  * This is the preferred extension tier for scalar functions (custom
+  * Expression with doGenCode) per the project's Spark-first design rules;
+  * the interpreted `eval` path mirrors the generated code exactly.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity expects two array<float> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarityExpr {
+
+  /** Register as the SQL function `cosine_similarity(a, b)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
+      "built-in")
+
+  /** Column API (the session must have called [[register]] first). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("cosine_similarity", a, b)
+}
