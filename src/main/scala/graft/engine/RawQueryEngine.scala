@@ -11,6 +11,8 @@ import graft.protocol._
   */
 final class RawQueryEngine(spark: SparkSession) {
 
+  graft.functions.CosineSimilarityExpr.register(spark)
+
   def executeRawQuery(req: RawQueryRequest): RawQueryResponse =
     try {
       if (req.transform.queries.isEmpty)

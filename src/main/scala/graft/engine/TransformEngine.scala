@@ -24,6 +24,8 @@ final class TransformEngine(spark: SparkSession) {
 
   import TransformEngine._
 
+  graft.functions.CosineSimilarityExpr.register(spark)
+
   def executeTransform(req: TransformRequest): TransformResponse =
     try {
       val store = new StateStore(spark, req.prevCheckpointPath, req.newCheckpointPath)
