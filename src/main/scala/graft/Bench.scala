@@ -19,6 +19,12 @@ object Bench {
       try graft.core.Tables.t(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // also exercise a shuffle + the noop sink once, untimed — otherwise the
+    // first measured query absorbs first-shuffle + sink init + codegen infra
+    try graft.core.Tables.t(spark, sfDir, "nation")
+      .groupBy(org.apache.spark.sql.functions.col("n_regionkey")).count()
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces every output column to be computed (count() would

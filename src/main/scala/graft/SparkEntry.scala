@@ -249,13 +249,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ── JSON column extraction over the event props payload.
+    // ── JSON column extraction over the event props payload: one from_json
+    // parse per row with an explicit schema (two get_json_object calls would
+    // parse the payload twice).
     "q24_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
+        .select(col("event_type"), from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k BIGINT, missing STRING")).as("__j"))
         .groupBy(col("event_type"))
         .agg(
-          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
-          count(get_json_object(col("props"), "$.missing")).as("n_missing"))
+          sum(col("__j.k")).as("sum_k"),
+          count(col("__j.missing")).as("n_missing"))
         .orderBy(col("event_type"))
     }),
 

@@ -21,6 +21,12 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Zero-norm inputs yield null (division by zero), matching
+  // Similarity.cosine's try_divide and the DuckDB oracle formula (DuckDB
+  // returns NULL for x/0 even on doubles), so the three cosine surfaces
+  // agree on every input.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true
@@ -49,7 +55,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -71,7 +77,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
+         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
 

@@ -66,7 +66,11 @@ object AsOfJoin {
         :+ lit(null).cast(structType(build, buildCols)).as(bundle)
         :+ col(side) :+ col(time) :+ col(seq)): _*)
 
+    // SQL equi-join semantics: NULL keys never match, so a NULL-key build
+    // row must not become the carried version of a NULL-key probe (Spark's
+    // window partitioning groups NULLs together, unlike join equality).
     val b = build
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn(side, lit(0))
       .withColumn(time, col(buildTime))
       .withColumn(seq,

@@ -35,7 +35,10 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dotF(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  // try_divide: zero-norm inputs yield null, matching CosineSimilarityExpr
+  // and DuckDB's x/0 = NULL (Spark ANSI `/` would throw instead).
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** id + vector + precomputed norm, spread across partitions. */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,

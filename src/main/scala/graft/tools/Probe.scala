@@ -8,8 +8,8 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -22,10 +22,22 @@ object Probe {
       r
     }
 
-    val d = graft.core.Tables.t(spark, sfDir, "documents")
-    time("warmup count")(d.count())
-    time("q9 full")(println("pairs=" +
-      graft.operators.Dedup.nearDupPairs(d, "doc_id", "text", 0.8).count()))
+    val e = graft.core.Tables.t(spark, sfDir, "events")
+    time("warmup count")(e.count())
+    time("q24 current")(
+      graft.SparkEntry.queries("q24_json_extract")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    time("q24 current again")(
+      graft.SparkEntry.queries("q24_json_extract")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    time("q24 from_json")(
+      e.select(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, missing STRING")).as("j"),
+          col("event_type"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("j.k")).as("sum_k"), count(col("j.missing")).as("n_missing"))
+        .orderBy(col("event_type"))
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -54,6 +54,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Seq((null, "y2")))
   }
 
+  test("leftAsOf: NULL keys never match, mirroring SQL equi-join semantics") {
+    import spark.implicits._
+    val probe = Seq((null.asInstanceOf[String], 5L), ("k1", 5L))
+      .toDF("key", "pt")
+    val build = Seq((null.asInstanceOf[String], 3L, "nullv"), ("k1", 3L, "a"))
+      .toDF("key", "bt", "v")
+    val out = AsOfJoin.leftAsOf(probe, build, Seq("key"), "pt", "bt",
+        Seq("v" -> "v"))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(out == Set((null, null), ("k1", "a")))
+  }
+
   test("innerAsOf drops unmatched probes") {
     import spark.implicits._
     val probe = Seq(("k1", 5L), ("k2", 5L)).toDF("key", "pt")

@@ -46,6 +46,21 @@ class CosineExprSpec extends AnyFunSuite {
     self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
 
+  test("zero-norm vectors yield null in expr, UDF kernel, and codegen alike") {
+    CosineSimilarityExpr.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
+      (Array(0f, 0f, 0f), Array(0f, 0f, 0f))
+    ).toDF("va", "vb")
+    val viaExpr = df.select(
+      CosineSimilarityExpr.cosineSimilarity(col("va"), col("vb")).as("c"))
+      .collect().map(r => r.isNullAt(0))
+    val viaUdf = df.select(Similarity.cosine(col("va"), col("vb")).as("c"))
+      .collect().map(r => r.isNullAt(0))
+    assert(viaExpr.forall(identity) && viaUdf.forall(identity))
+  }
+
   test("type mismatch is rejected at analysis") {
     CosineSimilarityExpr.register(spark)
     graft.core.Tables.t(spark, "/root/testdata/sf0.001", "documents")
