@@ -6,10 +6,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.TransformEngine.LoadedInput
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Changelog}
 import graft.protocol.{DatasetVocabulary, Op}
 
 /** Executes one incremental micro-batch over (buffered state ∪ new slices).
+  *
+  * The execution mode comes from [[PlanClassifier]] over the parsed step
+  * plans (not SQL regexes):
+  *
+  *   - Stateless: register slices, run, emit everything.
+  *   - Windowed (tumbling agg / interval join): buffer full inputs, run over
+  *     history, gate emission by the watermark algebra below, prune buffers
+  *     to open windows.
+  *   - AsOf: temporal join with probe hold-back and version-store state.
+  *   - SnapshotDiff: recompute the query over full buffered history and diff
+  *     against the previous output snapshot, emitting +I/-D/-U/+U — the
+  *     generic incremental path for non-windowed GROUP BY, Top-N / dedup
+  *     rankings, DISTINCT and regular joins (what Flink's retract mode does
+  *     operator-by-operator, realized here as recompute + diff, which Spark
+  *     executes as two scans and one join — scale-bounded by snapshot size,
+  *     not history size, for keyed diffs).
   *
   * Watermark algebra (SURVEY.md §7.4): with an interval join of upper bound
   * U in the step chain,
@@ -18,14 +34,12 @@ import graft.protocol.{DatasetVocabulary, Op}
   *
   * and a result row is emitted when its WINDOW END (event time + window
   * duration for fixed windows, add_months for calendar windows, the event
-  * time itself when no window) lies in (previous reported, new reported] —
-  * so closed windows / expired join horizons emit exactly once across runs,
-  * late rows into still-open windows are aggregated, and late rows into
-  * closed windows are dropped, matching the reference's observable behavior
+  * time itself when no window or when the query projects TUMBLE_END as its
+  * event time) lies in (previous reported, new reported] — so closed
+  * windows / expired join horizons emit exactly once across runs, late rows
+  * into still-open windows are aggregated, and late rows into closed windows
+  * are dropped, matching the reference's observable behavior
   * (EngineAggregationTest, EngineJoinStreamToStreamTest golden chains).
-  *
-  * Stateless (pure map/filter) chains skip buffering and gating entirely:
-  * every result row of the new slice is emitted immediately.
   */
 final class IncrementalExecutor(
     spark: SparkSession,
@@ -33,7 +47,8 @@ final class IncrementalExecutor(
     ledger: Ledger,
     inputs: Seq[LoadedInput],
     steps: Seq[(Option[String], SqlRewriter.Rewritten)],
-    vocab: DatasetVocabulary
+    vocab: DatasetVocabulary,
+    temporalTables: Map[String, Vector[String]] = Map.empty
 ) {
 
   import IncrementalExecutor._
@@ -42,49 +57,71 @@ final class IncrementalExecutor(
       emitted: DataFrame,
       newWatermark: Option[Instant],
       emitThreshold: Option[Instant],
-      emissionOrder: Option[Seq[Column]]
+      emissionOrder: Option[Seq[Column]],
+      retractiveInputs: Set[String] = Set.empty
   )
 
   private val allSql = steps.map(_._2.sql).mkString("\n")
   private val tumble = steps.flatMap(_._2.tumble).headOption
   private val asOf = steps.flatMap(_._2.asOf).headOption
-  private val interval = findIntervalJoin(allSql)
-  private val isTopN =
-    tumble.isEmpty && asOf.isEmpty && interval.isEmpty &&
-      rowNumberRe.findFirstIn(allSql).isDefined
-  private val stateless =
-    tumble.isEmpty && asOf.isEmpty && interval.isEmpty && !isTopN
+  private val mode = PlanClassifier.classify(spark, steps)
+
+  /** The emitted event-time column is a window END (aliased from
+    * TUMBLE_END), so gating uses its value directly instead of adding one
+    * window duration — conflating the two would prune buffers one full
+    * window before the emission gate opens (silent data loss).
+    */
+  private val eventTimeIsWindowEnd: Boolean =
+    steps.exists(_._2.endAliases.contains(vocab.eventTimeColumn)) &&
+      !steps.exists(_._2.startAliases.contains(vocab.eventTimeColumn))
 
   private def byAlias(a: String): Option[LoadedInput] =
     inputs.find(_.spec.queryAlias == a)
 
-  def run(): ExecResult = {
-    if (stateless) {
+  def run(): ExecResult = mode match {
+    case PlanClassifier.Mode.Stateless =>
       inputs.foreach(i =>
         i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias))
       val result = runSteps(steps)
-      return ExecResult(result, minWm(inputs), None, None)
-    }
+      ExecResult(result, minWm(inputs), None, None, ledger.retractiveInputs)
+    case PlanClassifier.Mode.AsOfJoin       => runAsOf()
+    case w: PlanClassifier.Mode.Windowed    => runWindowed(w.upperMillis)
+    case d: PlanClassifier.Mode.SnapshotDiff => runSnapshotDiff(d.keys)
+  }
 
-    if (asOf.isDefined) return runAsOf()
-
-    // ── Buffered modes: tumbling agg / interval join / Top-N ────────────
+  // ── Buffered-input preparation (windowed + snapshot-diff modes) ───────
+  /** Union each input's buffer with its new slice and register the user
+    * view. Changelog inputs are netted to their surviving multiset first —
+    * but only when a retraction has ever been seen on that input (tracked in
+    * the ledger so the check scans just the new slice, never full history).
+    */
+  private def bufferedFulls(): (Seq[(LoadedInput, DataFrame)], Set[String]) = {
+    val retractive = inputs.flatMap { i =>
+      val alias = i.spec.queryAlias
+      val opCol = i.spec.vocab.operationTypeColumn
+      val seen = ledger.retractiveInputs.contains(alias) ||
+        (i.df.columns.contains(opCol) &&
+          !i.df.where(col(opCol).isin(Op.Retract, Op.CorrectFrom)).isEmpty)
+      if (seen) Some(alias) else None
+    }.toSet
     val fulls = inputs.map { i =>
       val buffer = store.read(bufferName(i.spec.queryAlias), i.df.schema)
       val full = buffer.unionByName(i.df)
-      applyChangelog(full.drop("__seq"), i.spec.vocab.operationTypeColumn)
-        .createOrReplaceTempView(i.spec.queryAlias)
+      val view =
+        if (retractive.contains(i.spec.queryAlias))
+          netChangelog(full.drop("__seq"), i.spec.vocab)
+        else full.drop("__seq")
+      view.createOrReplaceTempView(i.spec.queryAlias)
       i -> full
     }
+    (fulls, retractive)
+  }
 
+  // ── Windowed: tumbling agg / interval join with watermark gating ──────
+  private def runWindowed(upperMs: Long): ExecResult = {
+    val (fulls, retractive) = bufferedFulls()
     val resultAll = runSteps(steps)
 
-    if (isTopN) return runTopN(fulls, resultAll)
-
-    // Watermark algebra. The emission cursor persisted in the ledger is the
-    // reported watermark; rows are gated on their WINDOW END, which handles
-    // fixed-duration and calendar (month/quarter/year) windows uniformly.
-    val upperMs = interval.map(_.upperMillis).getOrElse(0L)
     val reported = minWm(inputs).map(_.minusMillis(upperMs))
     val prevGate = ledger.emitThreshold
 
@@ -93,8 +130,10 @@ final class IncrementalExecutor(
       case 12 => "YEAR"
       case _  => "MONTH"
     }
-    // window end of an emitted row (event_time = window start)
+    // window end of an emitted row (event_time = window start, unless the
+    // query already projected TUMBLE_END as its event time)
     def windowEnd(c: Column): Column = tumble match {
+      case _ if eventTimeIsWindowEnd => c
       case Some(t) if t.calendarMonths > 0 =>
         add_months(c, t.calendarMonths).cast("timestamp")
       case Some(t) =>
@@ -136,16 +175,16 @@ final class IncrementalExecutor(
       store.write(bufferName(i.spec.queryAlias), keep)
     }
 
-    ExecResult(emitted, reported, reported, None)
+    ExecResult(emitted, reported, reported, None, retractive)
   }
 
   // ── AS-OF / temporal join (SURVEY.md §2.2 joins) ─────────────────────
   private def runAsOf(): ExecResult = {
     val spec = asOf.get
     val probe = byAlias(spec.probeTable).getOrElse(
-      throw new IllegalArgumentException(s"unknown probe input ${spec.probeTable}"))
+      throw new InvalidQueryException(s"unknown probe input ${spec.probeTable}"))
     val build = byAlias(spec.buildTable).getOrElse(
-      throw new IllegalArgumentException(s"unknown build input ${spec.buildTable}"))
+      throw new InvalidQueryException(s"unknown build input ${spec.buildTable}"))
 
     val probeBuffer = store.read(bufferName(spec.probeTable), probe.df.schema)
     val probeFull = probeBuffer.unionByName(probe.df)
@@ -163,9 +202,36 @@ final class IncrementalExecutor(
       case None => (probeFull.limit(0), probeFull)
     }
 
-    // Join keys from `probeAlias.k = buildAlias.k2` in the final step.
-    val (probeKey, buildKey) = findAsOfKeys(allSql, spec).getOrElse(
-      throw new IllegalArgumentException("as-of join: no key equality found"))
+    // Version-store key: the DECLARED primary key of the temporal table
+    // wins (reference TransformEngine.scala:170-200 — keyed temporal table
+    // function, composite PKs rejected); the key equality written in the
+    // join/WHERE clause is used as a cross-check and as the probe-side
+    // column name, and remains a fallback when no PK is declared.
+    val sqlKeys = findAsOfKeys(allSql, spec)
+    val (probeKey, buildKey) = temporalTables.get(spec.buildTable) match {
+      case Some(pks) =>
+        val pk = pks match {
+          case Vector() =>
+            throw new InvalidQueryException(
+              s"temporal table '${spec.buildTable}' does not define a primary key")
+          case Vector(k) => k
+          case _ =>
+            throw new InvalidQueryException(
+              s"temporal table '${spec.buildTable}' declares a composite primary " +
+                "key; composite primary keys are not supported")
+        }
+        sqlKeys match {
+          case Some((p, b)) if b == pk => (p, pk)
+          case Some((_, b)) =>
+            throw new InvalidQueryException(
+              s"as-of join equality uses build column '$b' but the declared " +
+                s"primary key of '${spec.buildTable}' is '$pk'")
+          case None => (pk, pk) // same-named key equality implied by the PK
+        }
+      case None =>
+        sqlKeys.getOrElse(throw new InvalidQueryException(
+          "as-of join: no declared primary key and no key equality found in the query"))
+    }
 
     val buildEventCol = build.spec.vocab.eventTimeColumn
     val buildOpCol = build.spec.vocab.operationTypeColumn
@@ -227,65 +293,71 @@ final class IncrementalExecutor(
     store.write(versionStoreName(spec.buildTable), compacted)
 
     val wm = minWm(Seq(probe, build))
-    ExecResult(result, wm, None, None)
+    ExecResult(result, wm, None, None, ledger.retractiveInputs)
   }
 
-  // ── Top-N changelog via snapshot diff (SURVEY.md §7.4) ───────────────
-  private def runTopN(
-      fulls: Seq[(LoadedInput, DataFrame)],
-      snapshot: DataFrame
-  ): ExecResult = {
-    val rankCol = findRankAlias(allSql).getOrElse("place")
-    val prev = store.read(topNSnapshotName, snapshot.schema)
+  // ── Snapshot diff: generic updating queries (SURVEY.md §7.4) ──────────
+  /** Recompute over full history, diff against the previous snapshot.
+    * `keys` pairs old/new rows (-U/+U per changed key); None falls back to
+    * full-row multiset diff (+I/-D only). Keys are validated against the
+    * actual output columns — a key that does not survive the final
+    * projection falls back to the multiset diff rather than failing.
+    */
+  private def runSnapshotDiff(keys: Option[Seq[String]]): ExecResult = {
+    val (fulls, retractive) = bufferedFulls()
+    val snapshot = runSteps(steps)
 
-    val cols = snapshot.columns.toSeq
-    val nStruct = struct(cols.map(c => col(s"n.$c")): _*)
-    val pStruct = struct(cols.map(c => col(s"p.$c")): _*)
-    val j = snapshot.alias("n")
-      .join(prev.alias("p"), col(s"n.$rankCol") === col(s"p.$rankCol"), "full_outer")
-      .select(
-        when(col(s"p.$rankCol").isNull, lit(null)).otherwise(pStruct).as("old"),
-        when(col(s"n.$rankCol").isNull, lit(null)).otherwise(nStruct).as("new"))
-      .where(!(col("old") <=> col("new")))
+    if (snapshot.columns.contains(vocab.operationTypeColumn))
+      throw new InvalidQueryException(
+        s"an updating query must not project the operation column " +
+          s"'${vocab.operationTypeColumn}' — ops are generated by the " +
+          "engine from the snapshot diff")
 
-    val inserts = j.where(col("old").isNull && col("new").isNotNull)
-      .select(cols.map(c => col(s"new.$c")) :+ lit(Op.Append).as(vocab.operationTypeColumn): _*)
-    val deletes = j.where(col("new").isNull && col("old").isNotNull)
-      .select(cols.map(c => col(s"old.$c")) :+ lit(Op.Retract).as(vocab.operationTypeColumn): _*)
-    val changed = j.where(col("old").isNotNull && col("new").isNotNull)
-    val correctFrom = changed
-      .select(cols.map(c => col(s"old.$c")) :+ lit(Op.CorrectFrom).as(vocab.operationTypeColumn): _*)
-    val correctTo = changed
-      .select(cols.map(c => col(s"new.$c")) :+ lit(Op.CorrectTo).as(vocab.operationTypeColumn): _*)
-
-    val emitted = inserts.unionByName(deletes).unionByName(correctFrom).unionByName(correctTo)
+    val prev = store.read(snapshotName, snapshot.schema)
+    val effKeys = keys.filter(_.forall(snapshot.columns.contains))
+    val emitted = effKeys match {
+      case Some(ks) =>
+        Changelog.diffSnapshots(prev, snapshot, ks, vocab.operationTypeColumn)
+      case None =>
+        Changelog.diffMultiset(prev, snapshot, vocab.operationTypeColumn)
+    }
 
     fulls.foreach { case (i, full) => store.write(bufferName(i.spec.queryAlias), full) }
-    store.write(topNSnapshotName, snapshot)
+    store.write(snapshotName, snapshot)
 
+    val orderCols = effKeys.getOrElse(
+      snapshot.schema.fields.filter(fd =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(fd.dataType)).map(_.name).toSeq)
     ExecResult(
       emitted,
       minWm(inputs),
       None,
-      emissionOrder = Some(Seq(col(rankCol).asc, col(vocab.operationTypeColumn).asc)))
+      emissionOrder = Some(orderCols.map(col(_).asc) :+
+        col(vocab.operationTypeColumn).asc),
+      retractiveInputs = retractive)
   }
 
   /** Reduce a changelog input to its surviving multiset before stateful
     * recomputation: append/correct-to rows weigh +1, retract/correct-from
-    * −1; identical rows (op excluded) net out and survivors are
+    * −1; identical rows (system columns excluded) net out and survivors are
     * re-expanded. Full recomputation over the surviving multiset yields
     * exactly what Flink's accumulator retraction produces for any
-    * aggregate. Skipped (no shuffle) when the slice is append-only.
+    * aggregate. Offset/system-time metadata columns are carried as min()
+    * representatives — they are excluded from the netting identity because
+    * a retraction always arrives at a different offset than the row it
+    * cancels.
     */
-  private def applyChangelog(df: DataFrame, opCol: String): DataFrame = {
+  private def netChangelog(df: DataFrame, v: DatasetVocabulary): DataFrame = {
+    val opCol = v.operationTypeColumn
     if (!df.columns.contains(opCol)) return df
-    val hasRetractions =
-      !df.where(col(opCol).isin(Op.Retract, Op.CorrectFrom)).isEmpty
-    if (!hasRetractions) return df
-    val userCols = df.columns.filter(_ != opCol).toSeq
+    val meta = Seq(v.offsetColumn, v.systemTimeColumn).filter(df.columns.contains)
+    val userCols = df.columns.filterNot(c => c == opCol || meta.contains(c)).toSeq
+    val aggExprs =
+      sum(when(col(opCol).isin(Op.Append, Op.CorrectTo), 1L)
+        .otherwise(-1L)).as("__net") +: meta.map(c => min(col(c)).as(c))
     df.groupBy(userCols.map(col): _*)
-      .agg(sum(when(col(opCol).isin(Op.Append, Op.CorrectTo), 1L)
-        .otherwise(-1L)).as("__net"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
       .where(col("__net") > 0)
       .withColumn(opCol, explode(transform(
         sequence(lit(1), col("__net")), _ => lit(Op.Append))))
@@ -321,17 +393,10 @@ final class IncrementalExecutor(
 
 object IncrementalExecutor {
 
-  final case class IntervalJoinSpec(upperMillis: Long)
-
   def bufferName(alias: String): String = s"buffer_$alias"
   def versionStoreName(alias: String): String = s"versions_$alias"
-  val topNSnapshotName: String = "topn_snapshot"
+  val snapshotName: String = "snapshot"
 
-  private val betweenRe =
-    """(?is)(\w+)\.([\w`]+)\s+BETWEEN\s+(\w+)\.([\w`]+)\s+AND\s+\3\.\4\s*\+\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
-  private[engine] val rowNumberRe = """(?i)row_number\s*\(\s*\)\s+over""".r
-  private val rankAliasRe =
-    """(?is)row_number\s*\(\s*\)\s+over\s*\([^)]*\)\s+as\s+(\w+)""".r
   private val keyEqRe = """(\w+)\.([\w`]+)\s*=\s*(\w+)\.([\w`]+)""".r
   private val fromJoinRe =
     """(?is)FROM\s+\w+(?:\s+AS)?\s+\w+\s*(?:,\s*LATERAL\s+TABLE\s*\([^)]*\)\s*\)?(?:\s+(?:AS\s+)?\w+)?|(?:\s*(?:LEFT\s+)?JOIN\s+\w+\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.`]+(?:\s+(?:AS\s+)?\w+)?\s+ON\s+[^\n]*?))(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT)\b|\s*$)""".r
@@ -349,14 +414,6 @@ object IncrementalExecutor {
     require(parts.length == 2, s"bad interval '$sparkInterval'")
     parts(0).toLong * unitMillis(parts(1))
   }
-
-  def findIntervalJoin(sql: String): Option[IntervalJoinSpec] =
-    betweenRe.findFirstMatchIn(sql).map { m =>
-      IntervalJoinSpec(m.group(5).toLong * unitMillis(m.group(6)))
-    }
-
-  def findRankAlias(sql: String): Option[String] =
-    rankAliasRe.findFirstMatchIn(sql).map(_.group(1))
 
   /** Find `probeAlias.k = buildAlias.k2` (either order) → (probeKey, buildKey). */
   def findAsOfKeys(

@@ -1,0 +1,308 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, YearMonthIntervalType}
+import org.apache.spark.unsafe.types.CalendarInterval
+
+/** A query shape the engine cannot execute with correct incremental
+  * semantics. Mapped to `TransformResponse.InvalidQuery` — the engine
+  * refuses rather than guessing (reference behavior: Flink's planner
+  * rejects unsupported streaming plans at submission).
+  */
+final class InvalidQueryException(msg: String) extends RuntimeException(msg)
+
+/** Classifies a transform step chain into an execution mode from the PARSED
+  * (unresolved) Catalyst plans of its steps — not from regexes over SQL text.
+  *
+  * Why plan-based: an interval join written `s.t >= o.t AND s.t <= o.t +
+  * INTERVAL '2' DAY` and one written with `BETWEEN` are the same plan shape;
+  * a `row_number()` used for per-key dedup and one used for global Top-N
+  * differ only in their OVER clause, which the plan exposes structurally.
+  * Text regexes (the round-1 design) silently misrouted both.
+  *
+  * Modes:
+  *   - [[Mode.Stateless]]     — pure map/filter/union: emit per slice.
+  *   - [[Mode.Windowed]]      — tumbling agg and/or interval join: buffer
+  *                              inputs, gate emission on the watermark.
+  *   - [[Mode.AsOfJoin]]      — temporal/as-of join with probe hold-back.
+  *   - [[Mode.SnapshotDiff]]  — any other deterministic updating query
+  *                              (non-windowed GROUP BY, Top-N / dedup via
+  *                              ranking functions, DISTINCT, regular joins):
+  *                              recompute over full buffered history and
+  *                              diff against the previous snapshot, emitting
+  *                              +I/-D/-U/+U changelog rows. `keys` is the
+  *                              row identity to pair old/new rows on; None
+  *                              means full-row multiset diff (append/retract
+  *                              only).
+  *
+  * Incompatible compositions (e.g. as-of + tumble, two different window
+  * durations) raise [[InvalidQueryException]] instead of guessing.
+  */
+object PlanClassifier {
+
+  sealed trait Mode
+  object Mode {
+    case object Stateless extends Mode
+    /** upperMillis: largest interval-join upper bound in the chain (0 when
+      * the chain is tumble-only); subtracted from the reported watermark. */
+    final case class Windowed(upperMillis: Long) extends Mode
+    case object AsOfJoin extends Mode
+    final case class SnapshotDiff(keys: Option[Seq[String]]) extends Mode
+  }
+
+  /** Facts accumulated over every parsed step of the chain.
+    * @param calendarTumble chain has a calendar (month/quarter/year) tumble
+    *   spec from the rewriter — those windows group by `date_trunc`, not
+    *   `window()`, so date_trunc-grouped aggregates must count as tumbles.
+    */
+  private final class Facts(val calendarTumble: Boolean) {
+    var intervalUppers: List[Long] = Nil
+    var regularJoins: Int = 0
+    /** (rank alias if directly aliased, partition key names if all simple). */
+    var rankSpecs: List[(Option[String], Option[Seq[String]])] = Nil
+    var otherWindowFns: Boolean = false
+    var tumbleAggs: Int = 0
+    /** Group keys as output column names; None when not mappable. */
+    var plainAggs: List[Option[Seq[String]]] = Nil
+    var distinctOrLimit: Boolean = false
+    var filterAttrs: Set[String] = Set.empty
+
+    def snapshotFacts: Boolean =
+      rankSpecs.nonEmpty || plainAggs.nonEmpty || regularJoins > 0 ||
+        otherWindowFns || distinctOrLimit
+  }
+
+  private def invalid(msg: String): Nothing = throw new InvalidQueryException(msg)
+
+  private val rankFns = Set("row_number", "rank", "dense_rank")
+
+  private def isAggregateFn(name: String): Boolean =
+    FunctionRegistry.builtin
+      .lookupFunction(FunctionIdentifier(name.toLowerCase))
+      .exists(info => info.getGroup == "agg_funcs")
+
+  /** Millis of a day-time interval literal; calendar units are rejected
+    * (a month-sized join bound has no fixed duration to subtract from the
+    * watermark).
+    */
+  private def intervalMillis(l: Literal): Option[Long] = l.dataType match {
+    case _: DayTimeIntervalType =>
+      Some(math.abs(l.value.asInstanceOf[Long]) / 1000L)
+    case _: YearMonthIntervalType =>
+      invalid("calendar (month/year) intervals are not supported in join time bounds")
+    case CalendarIntervalType =>
+      val ci = l.value.asInstanceOf[CalendarInterval]
+      if (ci.months != 0)
+        invalid("calendar (month/year) intervals are not supported in join time bounds")
+      Some(math.abs(ci.days * 86400000L + ci.microseconds / 1000L))
+    case _ => None
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** A join conjunct bounds time iff it is a comparison (or BETWEEN) that
+    * carries a day-time interval literal — `s.t <= o.t + INTERVAL '2' DAY`
+    * in any spelling or operand order.
+    */
+  private def timeBoundUpper(conjunct: Expression): Option[Long] = {
+    val isComparison = conjunct match {
+      case _: BinaryComparison => true
+      case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("between") => true
+      case _ => false
+    }
+    if (!isComparison) None
+    else {
+      val ms = conjunct.collect { case l: Literal => intervalMillis(l) }.flatten
+      if (ms.isEmpty) None else Some(ms.max)
+    }
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last)
+    case _                      => None
+  }
+
+  private def collectFacts(plan: LogicalPlan, f: Facts): Unit = {
+    plan.foreach {
+      case j: Join =>
+        val uppers = j.condition.toSeq
+          .flatMap(splitConjuncts(_).flatMap(timeBoundUpper))
+        if (uppers.nonEmpty) f.intervalUppers ::= uppers.max
+        else f.regularJoins += 1
+
+      case a: Aggregate =>
+        val hasWindowGrouping = a.groupingExpressions.exists(_.exists {
+          case fn: UnresolvedFunction =>
+            fn.nameParts.last.equalsIgnoreCase("window") ||
+              (f.calendarTumble &&
+                fn.nameParts.last.equalsIgnoreCase("date_trunc"))
+          case _ => false
+        })
+        if (hasWindowGrouping) f.tumbleAggs += 1
+        else f.plainAggs ::= mapGroupKeys(a)
+        scanForWindowFns(a.aggregateExpressions, f)
+
+      case p: Project =>
+        if (p.projectList.exists(containsAggFn)) f.plainAggs ::= Some(Nil)
+        scanForWindowFns(p.projectList, f)
+
+      case flt: Filter =>
+        f.filterAttrs ++= flt.condition.collect {
+          case a: UnresolvedAttribute => a.nameParts.last
+        }
+        if (containsAggFn(flt.condition)) f.plainAggs ::= Some(Nil)
+
+      case h: UnresolvedHaving =>
+        f.filterAttrs ++= h.havingCondition.collect {
+          case a: UnresolvedAttribute => a.nameParts.last
+        }
+
+      case _: Distinct                    => f.distinctOrLimit = true
+      case _: GlobalLimit | _: LocalLimit => f.distinctOrLimit = true
+      case _                              => ()
+    }
+    // Subqueries (IN / EXISTS / scalar) carry their own plans.
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case s: SubqueryExpression => collectFacts(s.plan, f)
+        case _                     => ()
+      })
+    }
+  }
+
+  /** Windowed (OVER) functions in a select list: ranking functions become
+    * rank specs (alias + partition keys); anything else marks the chain as
+    * a general updating query.
+    */
+  private def scanForWindowFns(exprs: Seq[Expression], f: Facts): Unit =
+    exprs.foreach { ne =>
+      val wins = ne.collect { case w: WindowExpression => w }
+      wins.foreach { w =>
+        val fnName = w.windowFunction match {
+          case fn: UnresolvedFunction => fn.nameParts.last.toLowerCase
+          case _                      => ""
+        }
+        if (rankFns.contains(fnName)) {
+          val alias = ne match {
+            case Alias(c, n) if c eq w => Some(n)
+            case _                     => None
+          }
+          val partKeys = {
+            val names = w.windowSpec.partitionSpec.map(attrName)
+            if (names.forall(_.isDefined)) Some(names.flatten) else None
+          }
+          f.rankSpecs ::= (alias, partKeys)
+        } else f.otherWindowFns = true
+      }
+    }
+
+  /** True when the expression calls an aggregate function outside any OVER
+    * clause — i.e. `SELECT count(*) FROM t` parses as a bare Project, not an
+    * Aggregate, so global aggregates must be spotted in the select list.
+    */
+  private def containsAggFn(e: Expression): Boolean = e match {
+    case _: WindowExpression => false
+    case fn: UnresolvedFunction if isAggregateFn(fn.nameParts.last) => true
+    case other => other.children.exists(containsAggFn)
+  }
+
+  /** Map GROUP BY expressions to output column names so the snapshot diff
+    * can pair rows per group. None when any grouping expression has no
+    * identifiable output column (diff falls back to full-row multiset).
+    */
+  private def mapGroupKeys(a: Aggregate): Option[Seq[String]] = {
+    def outputNameOf(g: Expression): Option[String] = g match {
+      case attr: UnresolvedAttribute =>
+        val last = attr.nameParts.last
+        a.aggregateExpressions.collectFirst {
+          case out: UnresolvedAttribute if out.nameParts.last == last => last
+          case Alias(child: UnresolvedAttribute, n) if child.nameParts.last == last => n
+        }
+      case Literal(i: Int, _) if i >= 1 && i <= a.aggregateExpressions.length =>
+        a.aggregateExpressions(i - 1) match {
+          case Alias(_, n)               => Some(n)
+          case out: UnresolvedAttribute  => Some(out.nameParts.last)
+          case _                         => None
+        }
+      case other =>
+        a.aggregateExpressions.collectFirst {
+          case al @ Alias(child, n) if child.sql == other.sql => n
+        }
+    }
+    val names = a.groupingExpressions.map(outputNameOf)
+    if (names.forall(_.isDefined)) Some(names.flatten) else None
+  }
+
+  /** Classify a rewritten step chain. As-of steps are detected by the
+    * rewriter (their SQL is Flink dialect Spark cannot parse) and excluded
+    * from plan parsing.
+    */
+  def classify(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)]
+  ): Mode = {
+    val tumbles = steps.flatMap(_._2.tumble).distinct
+    val asOfs = steps.flatMap(_._2.asOf)
+
+    val f = new Facts(tumbles.exists(_.calendarMonths > 0))
+    steps.filter(_._2.asOf.isEmpty).foreach { case (_, rw) =>
+      collectFacts(spark.sessionState.sqlParser.parsePlan(rw.sql), f)
+    }
+
+    if (asOfs.nonEmpty) {
+      if (asOfs.size > 1)
+        invalid("multiple as-of joins in one transform are not supported")
+      if (tumbles.nonEmpty || f.intervalUppers.nonEmpty || f.snapshotFacts)
+        invalid("an as-of join cannot be composed with other stateful operators " +
+          "(windows, aggregations, ranking, regular joins) in one transform")
+      Mode.AsOfJoin
+    } else if (tumbles.nonEmpty) {
+      if (tumbles.size > 1)
+        invalid("multiple distinct tumbling windows in one transform are not supported")
+      if (f.snapshotFacts)
+        invalid("a tumbling-window aggregation cannot be composed with " +
+          "non-windowed aggregations, ranking functions, DISTINCT, LIMIT, or " +
+          "time-unbounded joins in one transform")
+      Mode.Windowed(f.intervalUppers.maxOption.getOrElse(0L))
+    } else if (f.intervalUppers.nonEmpty) {
+      if (f.snapshotFacts)
+        invalid("an interval join cannot be composed with aggregations, " +
+          "ranking functions, DISTINCT, LIMIT, or time-unbounded joins " +
+          "in one transform")
+      Mode.Windowed(f.intervalUppers.max)
+    } else if (f.snapshotFacts) {
+      Mode.SnapshotDiff(snapshotKeys(f))
+    } else Mode.Stateless
+  }
+
+  /** Diff identity for SnapshotDiff mode: partition keys + rank alias for a
+    * single filtered ranking query (Top-N / dedup-latest), group keys for a
+    * single non-windowed aggregation. Anything more complex pairs by
+    * full-row multiset.
+    */
+  private def snapshotKeys(f: Facts): Option[Seq[String]] = {
+    val onlyRank = f.rankSpecs.size == 1 && f.plainAggs.isEmpty &&
+      f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit
+    val onlyAgg = f.plainAggs.size == 1 && f.rankSpecs.isEmpty &&
+      f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit
+
+    if (onlyRank) {
+      val (alias, partKeys) = f.rankSpecs.head
+      (alias, partKeys) match {
+        // Top-N / dedup: the rank must actually be filtered on, else ranks
+        // shift arbitrarily and the multiset diff is the honest answer.
+        case (Some(a), Some(pk)) if f.filterAttrs.contains(a) => Some(pk :+ a)
+        case _                                                => None
+      }
+    } else if (onlyAgg) {
+      f.plainAggs.head // may be Some(Nil): global aggregate, single group
+    } else None
+  }
+}

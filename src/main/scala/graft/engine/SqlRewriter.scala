@@ -40,10 +40,19 @@ object SqlRewriter {
       probeTimeCol: String
   )
 
+  /** @param startAliases output names aliased from `TUMBLE_START(...)`
+    * @param endAliases   output names aliased from `TUMBLE_END(...)` — the
+    *   executor needs to know whether the emitted event-time column is a
+    *   window START (gate on time + duration) or already the window END
+    *   (gate on the value itself); conflating them shifts emission a full
+    *   window and silently loses rows at the buffer prune.
+    */
   final case class Rewritten(
       sql: String,
       tumble: Option[TumbleSpec],
-      asOf: Option[AsOfSpec]
+      asOf: Option[AsOfSpec],
+      startAliases: Set[String] = Set.empty,
+      endAliases: Set[String] = Set.empty
   )
 
   private val tumbleRe: Regex =
@@ -52,6 +61,10 @@ object SqlRewriter {
     """(?i)TUMBLE_START\s*\(\s*([\w.`]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)""".r
   private val tumbleEndRe: Regex =
     """(?i)TUMBLE_END\s*\(\s*([\w.`]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)""".r
+  private val tumbleStartAliasRe: Regex =
+    """(?i)TUMBLE_START\s*\([^)]*\)\s+AS\s+`?(\w+)`?""".r
+  private val tumbleEndAliasRe: Regex =
+    """(?i)TUMBLE_END\s*\([^)]*\)\s+AS\s+`?(\w+)`?""".r
   private val nowRe: Regex = """(?i)\bnow\s*\(\s*\)""".r
   private val currentWatermarkRe: Regex =
     """(?i)\bcurrent_watermark\s*\(\s*[\w.`]+\s*\)""".r
@@ -73,6 +86,10 @@ object SqlRewriter {
     var out = sql
     var tumble: Option[TumbleSpec] = None
     var asOf: Option[AsOfSpec] = None
+    val startAliases =
+      tumbleStartAliasRe.findAllMatchIn(out).map(_.group(1)).toSet
+    val endAliases =
+      tumbleEndAliasRe.findAllMatchIn(out).map(_.group(1)).toSet
 
     def calendarMonths(n: String, unit: String): Int = unit.toUpperCase match {
       case "MONTH" | "MONTHS"     => n.toInt
@@ -142,7 +159,7 @@ object SqlRewriter {
       }
     }
 
-    Rewritten(out, tumble, asOf)
+    Rewritten(out, tumble, asOf, startAliases, endAliases)
   }
 
   private[engine] def tsLiteral(i: Instant): String =

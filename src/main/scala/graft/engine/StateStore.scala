@@ -13,7 +13,11 @@ import org.apache.spark.sql.types.StructType
 final case class Ledger(
     inputWatermarks: Map[String, Instant],
     outputWatermark: Option[Instant],
-    emitThreshold: Option[Instant]
+    emitThreshold: Option[Instant],
+    /** Inputs on which a retraction/correction op has ever been observed —
+      * lets the executor skip the changelog-netting shuffle (and its
+      * retraction-presence scan of full history) on append-only inputs. */
+    retractiveInputs: Set[String] = Set.empty
 )
 
 /** Cross-run operator state as plain Parquet + a JSON watermark/offset ledger
@@ -67,7 +71,13 @@ final class StateStore(
         }.getOrElse(Map.empty[String, Instant])
         def optTs(field: String): Option[Instant] =
           Option(node.get(field)).filter(!_.isNull).map(n => Instant.parse(n.asText()))
-        Ledger(in, optTs("outputWatermark"), optTs("emitThreshold"))
+        val retractive = Option(node.get("retractiveInputs")).map { a =>
+          val it = a.elements()
+          val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }.getOrElse(Set.empty[String])
+        Ledger(in, optTs("outputWatermark"), optTs("emitThreshold"), retractive)
       case _ => Ledger(Map.empty, None, None)
     }
 
@@ -77,9 +87,11 @@ final class StateStore(
       .map { case (k, v) => s"${Codec.jstr(k)}: ${Codec.jstr(v.toString)}" }
       .mkString("{", ",", "}")
     def opt(o: Option[Instant]) = o.map(w => Codec.jstr(w.toString)).getOrElse("null")
+    val retr = ledger.retractiveInputs.toSeq.sorted
+      .map(Codec.jstr).mkString("[", ",", "]")
     Files.writeString(
       Paths.get(newDir, "ledger.json"),
-      s"""{"inputWatermarks": $in, "outputWatermark": ${opt(ledger.outputWatermark)}, "emitThreshold": ${opt(ledger.emitThreshold)}}"""
+      s"""{"inputWatermarks": $in, "outputWatermark": ${opt(ledger.outputWatermark)}, "emitThreshold": ${opt(ledger.emitThreshold)}, "retractiveInputs": $retr}"""
     )
   }
 }

@@ -43,13 +43,16 @@ final class TransformEngine(spark: SparkSession) {
             raw.where(col(in.vocab.offsetColumn).between(s, e))
           case None => raw.limit(0)
         }
-        // offset + system_time are engine-owned; op + event_time stay
-        // visible. The offset survives as hidden `__seq` (dropped from user
-        // views) — the as-of version store needs it to order changelog rows
-        // within one event time (correct-to supersedes correct-from).
+        // ALL columns stay visible in the user view — offset, op,
+        // system_time, event_time, data — matching the reference, which
+        // registers the full table (reference TransformEngine.scala:232) and
+        // relies on output validation to reject offset/system_time in
+        // results. A duplicate of the offset survives as hidden `__seq`
+        // (dropped from user views) — the as-of version store needs it to
+        // order changelog rows within one event time (correct-to supersedes
+        // correct-from) regardless of per-input vocabulary names.
         val visible = sliced
           .withColumn("__seq", col(in.vocab.offsetColumn))
-          .drop(in.vocab.offsetColumn, in.vocab.systemTimeColumn)
         val prevWm = ledger.inputWatermarks.get(in.queryAlias)
         val explicitWm = in.explicitWatermarks.map(_.eventTime) ++ prevWm
         val wm = if (explicitWm.nonEmpty) Some(explicitWm.max) else None
@@ -67,7 +70,9 @@ final class TransformEngine(spark: SparkSession) {
         s.alias -> SqlRewriter.rewrite(s.query, req.systemTime, minInputWm)
       }
 
-      val exec = new IncrementalExecutor(spark, store, ledger, inputs, steps, req.vocab)
+      val exec = new IncrementalExecutor(
+        spark, store, ledger, inputs, steps, req.vocab,
+        req.transform.temporalTables.map(t => t.name -> t.primaryKey).toMap)
       val out = exec.run()
 
       // ── Validate output columns (reference TransformEngine.scala:269-308)
@@ -109,7 +114,8 @@ final class TransformEngine(spark: SparkSession) {
         inputWatermarks =
           inputs.flatMap(i => i.watermark.map(i.spec.queryAlias -> _)).toMap,
         outputWatermark = newWm,
-        emitThreshold = out.emitThreshold.orElse(ledger.emitThreshold)))
+        emitThreshold = out.emitThreshold.orElse(ledger.emitThreshold),
+        retractiveInputs = ledger.retractiveInputs ++ out.retractiveInputs))
 
       TransformResponse.Success(
         newOffsetInterval =
@@ -118,6 +124,8 @@ final class TransformEngine(spark: SparkSession) {
         newWatermark = newWm
       )
     } catch {
+      case e: InvalidQueryException =>
+        TransformResponse.InvalidQuery(e.getMessage)
       case e: AnalysisException =>
         TransformResponse.InvalidQuery(e.getMessage)
       case e: Throwable =>

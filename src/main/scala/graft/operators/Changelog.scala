@@ -65,14 +65,22 @@ object Changelog {
       opCol: String = "op"
   ): DataFrame = {
     val cols = current.columns.toSeq
-    val keyEq = keys.map(k => col(s"n.$k") <=> col(s"p.$k")).reduce(_ && _)
+    // Presence markers, not key-null checks: a NULL group key is a
+    // legitimate row identity (GROUP BY over nullable columns), so side
+    // presence must be tracked explicitly through the full outer join.
+    val pm = "__present"
+    val cur = current.withColumn(pm, lit(true)).alias("n")
+    val prev = previous.withColumn(pm, lit(true)).alias("p")
+    val keyEq =
+      if (keys.isEmpty) lit(true)
+      else keys.map(k => col(s"n.$k") <=> col(s"p.$k")).reduce(_ && _)
     val pStruct = struct(cols.map(c => col(s"p.$c")): _*)
     val nStruct = struct(cols.map(c => col(s"n.$c")): _*)
-    val j = current.alias("n")
-      .join(previous.alias("p"), keyEq, "full_outer")
+    val j = cur
+      .join(prev, keyEq, "full_outer")
       .select(
-        when(col(s"p.${keys.head}").isNull, lit(null)).otherwise(pStruct).as("old"),
-        when(col(s"n.${keys.head}").isNull, lit(null)).otherwise(nStruct).as("new"))
+        when(col(s"p.$pm").isNull, lit(null)).otherwise(pStruct).as("old"),
+        when(col(s"n.$pm").isNull, lit(null)).otherwise(nStruct).as("new"))
       .where(!(col("old") <=> col("new")))
     def unpack(side: String, op: Int, cond: Column): DataFrame =
       j.where(cond).select(
@@ -81,5 +89,36 @@ object Changelog {
       .unionByName(unpack("old", Op.Retract, col("new").isNull && col("old").isNotNull))
       .unionByName(unpack("old", Op.CorrectFrom, col("old").isNotNull && col("new").isNotNull))
       .unionByName(unpack("new", Op.CorrectTo, col("old").isNotNull && col("new").isNotNull))
+  }
+
+  /** Multiset diff of two snapshots with no row identity: rows are paired by
+    * full value equality with multiplicity. Emits (newCount − oldCount)
+    * appends or (oldCount − newCount) retracts per distinct row — the
+    * correct changelog for updating queries whose rows have no stable key
+    * (regular joins, DISTINCT, unfiltered rankings). One shuffle per side
+    * plus the diff join; both sides are pre-aggregated to distinct rows so
+    * the join input is bounded by distinct-row counts, not raw history.
+    */
+  def diffMultiset(
+      previous: DataFrame,
+      current: DataFrame,
+      opCol: String = "op"
+  ): DataFrame = {
+    val cols = current.columns.toSeq
+    def counted(df: DataFrame) =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val keyEq = cols.map(c => col(s"n.$c") <=> col(s"p.$c")).reduce(_ && _)
+    val j = counted(current).alias("n")
+      .join(counted(previous).alias("p"), keyEq, "full_outer")
+      .select(
+        cols.map(c => coalesce(col(s"n.$c"), col(s"p.$c")).as(c)) :+
+          (coalesce(col("n.__n"), lit(0L)) - coalesce(col("p.__n"), lit(0L))).as("__d"): _*)
+      .where(col("__d") =!= 0)
+    j.withColumn(opCol,
+        explode(transform(
+          sequence(lit(1), abs(col("__d"))),
+          _ => when(col("__d") > 0, lit(Op.Append)).otherwise(lit(Op.Retract)))))
+      .drop("__d")
+      .select(cols.map(col) :+ col(opCol): _*)
   }
 }

@@ -572,6 +572,238 @@ class EngineSpec extends AnyFunSuite {
     assert(names == Seq("Alice")) // Zoe held out by the watermark literal
   }
 
+  // ──────────────────────────────────────────────────────────────────────
+  // Plan-based classification goldens (round-2): the same semantics must
+  // hold regardless of SQL spelling, and unsupported stateful compositions
+  // must be refused, not guessed at.
+  // ──────────────────────────────────────────────────────────────────────
+  test("interval join spelled >=/<= classifies and gates like BETWEEN") {
+    import spark.implicits._
+    val dir = tmp()
+    val ordersIn = s"$dir/orders.parquet"
+    val shipIn = s"$dir/ship.parquet"
+    writeSlice(Seq(
+      OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10),
+      OrderRow(1, 0, t(ts(1)), t(ts(8)), 2, 20)), ordersIn)
+    writeSlice(Seq(
+      Shipment(0, 0, t(ts(1)), t(ts(1, 4)), 1, 10)), shipIn)
+    // reference EngineJoinStreamToStreamTest semantics, non-BETWEEN spelling
+    val q = """SELECT o.event_time, o.order_id, s.num_shipped
+              |FROM orders o
+              |LEFT JOIN shipments s
+              |  ON o.order_id = s.order_id
+              | AND s.event_time >= o.event_time
+              | AND s.event_time <= o.event_time + INTERVAL '2' DAY""".stripMargin
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(20), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", ordersIn, ordersIn, 2, wms = Seq(ts(5))),
+        mkInput("shipments", shipIn, shipIn, 1, wms = Seq(ts(5)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newWatermark.contains(ts(3))) // min(5,5) − 2d: gating IS active
+    val o1 = readOut(s"$dir/out1.parquet").collect()
+    assert(o1.map(_.getAs[Long]("order_id")).toSeq == Seq(1L))
+
+    // run 2: late shipment for order 2; order 1 must NOT re-emit.
+    val ship2 = s"$dir/ship2.parquet"
+    writeSlice(Seq(
+      Shipment(1, 0, t(ts(9)), t(ts(9)), 2, 99)), ship2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(21), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", null, ordersIn, 0, wms = Seq(ts(12))),
+        mkInput("shipments", ship2, ship2, 1, startOffset = 1, wms = Seq(ts(12)))),
+      nextOffset = 1, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newWatermark.contains(ts(10)))
+    val o2 = readOut(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1)
+    assert(o2(0).getAs[Long]("order_id") == 2L)
+    assert(o2(0).getAs[Long]("num_shipped") == 99L)
+  }
+
+  test("partitioned dedup-latest via row_number diffs per key, not per rank") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = """SELECT event_time, symbol, price, rn FROM (
+              |  SELECT event_time, symbol, price,
+              |    row_number() OVER (PARTITION BY symbol ORDER BY event_time DESC) AS rn
+              |  FROM tickers)
+              |WHERE rn = 1""".stripMargin
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(1)), "B", 20)), in1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 2, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 1)))
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(o1.map(_.getAs[Int]("op")).toSeq == Seq(0, 0))
+
+    // run 2: A gets a newer price; B unchanged; C appears. A partitioned
+    // diff must emit exactly (-U,+U) for A and +I for C — a rank-only diff
+    // would cross-match rows between partitions and multiply the changelog.
+    val in2 = s"$dir/in2.parquet"
+    writeSlice(Seq(
+      Ticker(2, 0, t(ts(2)), t(ts(2)), "A", 11),
+      Ticker(3, 0, t(ts(2)), t(ts(2)), "C", 30)), in2)
+    runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in2, in2, 2, startOffset = 2, wms = Seq(ts(2)))),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    val o2 = readOut(s"$dir/out2.parquet").orderBy("offset").collect()
+    val byOp = o2.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"),
+      r.getAs[Int]("price"))).toSeq
+    assert(byOp == Seq(("A", Op.CorrectFrom, 10), ("A", Op.CorrectTo, 11),
+      ("C", Op.Append, 30)))
+  }
+
+  test("non-windowed GROUP BY becomes an updating changelog, not per-slice rows") {
+    import spark.implicits._
+    val dir = tmp()
+    // ADVICE round-1: this used to be misclassified as stateless and emitted
+    // per-slice partial aggregates with no retractions.
+    val q = """SELECT max(event_time) as event_time, symbol,
+              |  count(*) as n, sum(price) as total
+              |FROM tickers GROUP BY symbol""".stripMargin
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(1)), "B", 20)), in1)
+    runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 2, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(o1.map(_.getAs[Int]("op")).toSeq == Seq(0, 0))
+
+    // run 2: another A row → A's aggregate corrects (-U/+U with the FULL
+    // history total, not a per-slice partial); B silent; C appends.
+    val in2 = s"$dir/in2.parquet"
+    writeSlice(Seq(
+      Ticker(2, 0, t(ts(2)), t(ts(2)), "A", 5),
+      Ticker(3, 0, t(ts(2)), t(ts(2)), "C", 7)), in2)
+    runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in2, in2, 2, startOffset = 2, wms = Seq(ts(2)))),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    val o2 = readOut(s"$dir/out2.parquet").orderBy("offset").collect()
+    val rows = o2.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"),
+      r.getAs[Long]("n"), r.getAs[Long]("total"))).toSeq
+    assert(rows == Seq(
+      ("A", Op.CorrectFrom, 1L, 10L), ("A", Op.CorrectTo, 2L, 15L),
+      ("C", Op.Append, 1L, 7L)))
+  }
+
+  test("unsupported stateful composition → InvalidQuery, not a guess") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    writeSlice(Seq(Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10)), in)
+    // tumbling window + non-windowed aggregation in one chain
+    val resp = new TransformEngine(spark).executeTransform(TransformRequest(
+      "did:out", "out", ts(5), DatasetVocabulary(),
+      transform(
+        Some("daily") ->
+          """SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+            |  symbol, max(price) as mx
+            |FROM tickers GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol""".stripMargin,
+        None -> "SELECT max(event_time) as event_time, count(*) as n FROM daily"),
+      Vector(mkInput("tickers", in, in, 1, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    resp match {
+      case TransformResponse.InvalidQuery(m) =>
+        assert(m.toLowerCase.contains("tumbling"))
+      case other => fail(s"expected InvalidQuery, got $other")
+    }
+  }
+
+  test("TUMBLE_END as the event-time column gates on the end value itself") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = """SELECT TUMBLE_END(event_time, INTERVAL '1' DAY) as event_time,
+              |  symbol, max(price) as mx
+              |FROM tickers
+              |GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol""".stripMargin
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1, 6)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(2, 6)), "A", 20)), in1)
+    // watermark day 2 → day-1 window (end = day 2) closes; day-2 stays open.
+    // Round-1 bug: window-end was re-added on top of the END alias, so the
+    // gate tested day 3 while the prune dropped the day-2 buffer → loss.
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 2, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    val o1 = readOut(s"$dir/out1.parquet").collect()
+    assert(o1.length == 1)
+    assert(o1(0).getAs[Timestamp]("event_time") == t(ts(2))) // the window END
+    assert(o1(0).getAs[Int]("mx") == 10)
+
+    // run 2: watermark day 3 → day-2 window (end day 3) emits exactly once.
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", null, in1, 0, wms = Seq(ts(3)))),
+      nextOffset = 1, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    val o2 = readOut(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1)
+    assert(o2(0).getAs[Timestamp]("event_time") == t(ts(3)))
+    assert(o2(0).getAs[Int]("mx") == 20)
+    assert(r2.newOffsetInterval.contains(OffsetInterval(1, 1)))
+  }
+
+  test("offset/system_time are selectable when renamed; SELECT * conflicts") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(2)), "B", 20)), in)
+    // reference registers the full table (TransformEngine.scala:232), so
+    // system columns are visible under their own names…
+    runT(TransformRequest(
+      "did:out", "out", ts(5), DatasetVocabulary(),
+      transform(None ->
+        "SELECT event_time, symbol, offset as src_offset FROM tickers"),
+      Vector(mkInput("tickers", in, in, 2, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    val o = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(o.map(_.getAs[Long]("src_offset")).toSeq == Seq(0L, 1L))
+
+    // …and an output carrying them unrenamed is rejected, same as the
+    // reference's conflict validation (TransformEngine.scala:269-280).
+    val resp = new TransformEngine(spark).executeTransform(TransformRequest(
+      "did:out", "out", ts(6), DatasetVocabulary(),
+      transform(None -> "SELECT * FROM tickers"),
+      Vector(mkInput("tickers", in, in, 2, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    resp match {
+      case TransformResponse.InvalidQuery(m) => assert(m.contains("offset"))
+      case other => fail(s"expected InvalidQuery, got $other")
+    }
+  }
+
   test("raw query: multi-step with aliased intermediate view") {
     import spark.implicits._
     val dir = tmp()

@@ -55,12 +55,15 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(r.asOf.get.buildTable == "portfolio")
   }
 
-  test("interval join upper bound is extracted") {
-    val spec = IncrementalExecutor.findIntervalJoin(
-      """SELECT * FROM o LEFT JOIN s ON o.id = s.id
-        |AND s.event_time BETWEEN o.event_time
-        |  AND o.event_time + INTERVAL '2' DAY""".stripMargin)
-    assert(spec.map(_.upperMillis).contains(2L * 86400 * 1000))
+  test("TUMBLE_START/TUMBLE_END aliases are recorded for gate alignment") {
+    val r = SqlRewriter.rewrite(
+      """SELECT TUMBLE_END(event_time, INTERVAL '1' DAY) as event_time,
+        |  TUMBLE_START(event_time, INTERVAL '1' DAY) as window_open,
+        |  count(*) as n
+        |FROM t GROUP BY TUMBLE(event_time, INTERVAL '1' DAY)""".stripMargin,
+      st, wm)
+    assert(r.endAliases == Set("event_time"))
+    assert(r.startAliases == Set("window_open"))
   }
 
   test("as-of key equality extraction handles both orders") {
