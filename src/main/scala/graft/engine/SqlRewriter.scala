@@ -72,8 +72,11 @@ object SqlRewriter {
   private val forSystemTimeRe: Regex =
     """(?is)FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s*,?\s*(?:LEFT\s+)?JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.([\w`]+)(?:\s+(?:AS\s+)?(\w+))?""".r
   // FROM probe p, LATERAL TABLE (fn(p.t)) AS b | LATERAL TABLE (fn(p.t)) b
+  // The temporal-table name may be a backticked dotted dataset alias, e.g.
+  // LATERAL TABLE (`stocks.owned`(t.event_time)) — the reference's own test
+  // corpus uses that form (EngineJoinStreamToTemporalTableTest.scala:75-85).
   private val lateralRe: Regex =
-    """(?is)FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s*,\s*LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(\s*(\w+)\.([\w`]+)\s*\)\s*\)(?:\s+(?:AS\s+)?(\w+))?""".r
+    """(?is)FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s*,\s*LATERAL\s+TABLE\s*\(\s*(`[^`]+`|\w+)\s*\(\s*(\w+)\.([\w`]+)\s*\)\s*\)(?:\s+(?:AS\s+)?(\w+))?""".r
 
   private def sparkInterval(n: String, unit: String): String =
     s"$n ${unit.toLowerCase}"
@@ -151,10 +154,11 @@ object SqlRewriter {
     }
     if (asOf.isEmpty) {
       lateralRe.findFirstMatchIn(out).foreach { m =>
-        val buildAlias = Option(m.group(6)).getOrElse(m.group(3))
+        val buildTable = m.group(3).stripPrefix("`").stripSuffix("`")
+        val buildAlias = Option(m.group(6)).getOrElse(buildTable)
         asOf = Some(AsOfSpec(
           probeTable = m.group(1), probeAlias = m.group(2),
-          buildTable = m.group(3), buildAlias = buildAlias,
+          buildTable = buildTable, buildAlias = buildAlias,
           probeTimeCol = m.group(5)))
       }
     }

@@ -474,6 +474,83 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ──────────────────────────────────────────────────────────────────────
+  test("as-of join: LATERAL TABLE form with dotted name and key equality in WHERE") {
+    import spark.implicits._
+    val dir = tmp()
+    val tickIn = s"$dir/tick.parquet"
+    val stockIn = s"$dir/stock.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 100),
+      Ticker(1, 0, t(ts(1)), t(ts(2)), "A", 110)), tickIn)
+    writeSlice(Seq(
+      Stock(0, 0, t(ts(1)), t(ts(1)), "A", 5),
+      Stock(1, 0, t(ts(1)), t(ts(2)), "A", 7)), stockIn)
+    // reference EngineJoinStreamToTemporalTableTest.scala:75-85 query shape:
+    // dotted temporal-table name, key equality only in the WHERE clause.
+    val q = """SELECT
+              |  t.event_time,
+              |  t.symbol,
+              |  owned.volume as volume,
+              |  t.price as current_price,
+              |  owned.volume * t.price as current_value
+              |FROM
+              |  tickers as t,
+              |  LATERAL TABLE (`stocks.owned`(t.event_time)) AS owned
+              |WHERE t.symbol = owned.symbol""".stripMargin
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(20), DatasetVocabulary(),
+      Transform(queries = Vector(SqlQueryStep(None, q)),
+        temporalTables = Vector(TemporalTable("stocks.owned", Vector("symbol")))),
+      Vector(
+        mkInput("tickers", tickIn, tickIn, 2, wms = Seq(ts(5)))
+          .copy(queryAlias = "tickers"),
+        mkInput("stocks_owned", stockIn, stockIn, 2, wms = Seq(ts(5)))
+          .copy(queryAlias = "stocks.owned")),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 1)))
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(o1.map(_.getAs[Int]("volume")).toSeq == Seq(5, 7))
+    assert(o1.map(_.getAs[Int]("current_value")).toSeq == Seq(500, 770))
+  }
+
+  test("as-of join: empty or composite primary key → InvalidQuery") {
+    import spark.implicits._
+    val dir = tmp()
+    val tickIn = s"$dir/tick.parquet"
+    val stockIn = s"$dir/stock.parquet"
+    writeSlice(Seq(Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 100)), tickIn)
+    writeSlice(Seq(Stock(0, 0, t(ts(1)), t(ts(1)), "A", 5)), stockIn)
+    val q = """SELECT t.event_time, t.symbol, owned.volume as volume
+              |FROM tickers as t
+              |JOIN stocks_owned FOR SYSTEM_TIME AS OF t.event_time AS owned
+              |  ON t.symbol = owned.symbol""".stripMargin
+    def run(pk: Vector[String]): TransformResponse =
+      new TransformEngine(spark).executeTransform(TransformRequest(
+        "did:out", "out", ts(20), DatasetVocabulary(),
+        Transform(queries = Vector(SqlQueryStep(None, q)),
+          temporalTables = Vector(TemporalTable("stocks_owned", pk))),
+        Vector(
+          mkInput("tickers", tickIn, tickIn, 1, wms = Seq(ts(5))),
+          mkInput("stocks_owned", stockIn, stockIn, 1, wms = Seq(ts(5)))),
+        nextOffset = 0, prevCheckpointPath = None,
+        newCheckpointPath = s"$dir/cp_${pk.length}",
+        newDataPath = s"$dir/out_${pk.length}.parquet"))
+    // mirrors reference TransformEngine.scala:180-198: no PK and composite
+    // PK are both hard errors, not guesses.
+    run(Vector.empty) match {
+      case TransformResponse.InvalidQuery(m) =>
+        assert(m.contains("primary key"))
+      case other => fail(s"expected InvalidQuery, got $other")
+    }
+    run(Vector("symbol", "event_time")) match {
+      case TransformResponse.InvalidQuery(m) =>
+        assert(m.toLowerCase.contains("composite"))
+      case other => fail(s"expected InvalidQuery, got $other")
+    }
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
   test("top-n: changelog diff emits +I then -U/+U corrections across runs") {
     import spark.implicits._
     val dir = tmp()
