@@ -79,14 +79,75 @@ final class IncrementalExecutor(
     inputs.find(_.spec.queryAlias == a)
 
   def run(): ExecResult = mode match {
-    case PlanClassifier.Mode.Stateless =>
-      inputs.foreach(i =>
-        i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias))
-      val result = runSteps(steps)
-      ExecResult(result, minWm(inputs), None, None, ledger.retractiveInputs)
-    case PlanClassifier.Mode.AsOfJoin       => runAsOf()
-    case w: PlanClassifier.Mode.Windowed    => runWindowed(w.upperMillis)
+    case PlanClassifier.Mode.Stateless       => runStateless()
+    case PlanClassifier.Mode.AsOfJoin        => runAsOf()
+    case w: PlanClassifier.Mode.Windowed     => runWindowed(w.upperMillis)
     case d: PlanClassifier.Mode.SnapshotDiff => runSnapshotDiff(d.keys)
+  }
+
+  // ── Stateless map/filter/union: emit per slice, in arrival order ──────
+  /** The reference emits map results in stream order (its offsets follow
+    * input arrival, EngineMapTest goldens). To reproduce that, the hidden
+    * `__seq` provenance column is injected into every projection of the
+    * parsed step plans, so emission can be ordered by input offset — value
+    * ordering would diverge from the reference and break ties between rows
+    * that differ only in `op`. Falls back to value-ordered emission when
+    * injection cannot resolve (e.g. a FROM-less step).
+    */
+  private def runStateless(): ExecResult =
+    try {
+      inputs.foreach(i => i.df.createOrReplaceTempView(i.spec.queryAlias))
+      var out: DataFrame = null
+      steps.zipWithIndex.foreach { case ((alias, rw), i) =>
+        val injected = injectSeq(spark.sessionState.sqlParser.parsePlan(rw.sql))
+        val df = org.apache.spark.sql.GraftPlanExec.ofRows(spark, injected)
+        alias.foreach(df.createOrReplaceTempView)
+        if (i == outputIdx) out = df
+      }
+      require(out.columns.contains("__seq"), "__seq did not survive projection")
+      out.queryExecution.assertAnalyzed()
+      val tiebreak = out.schema.fields
+        .filter(fd => fd.name != "__seq" &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(fd.dataType))
+        .map(fd => col(fd.name).asc).toSeq
+      ExecResult(out, minWm(inputs), None,
+        Some(col("__seq").asc +: tiebreak), ledger.retractiveInputs)
+    } catch {
+      // A genuinely bad query fails again in the fallback and surfaces its
+      // own AnalysisException; only injection-specific failures are masked.
+      case scala.util.control.NonFatal(_) =>
+        inputs.foreach(i =>
+          i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias))
+        val result = runSteps(steps)
+        ExecResult(result, minWm(inputs), None, None, ledger.retractiveInputs)
+    }
+
+  /** Append `__seq` to each projection of a stateless plan (skipping ones
+    * that already carry it via `*` expansion). Only structural nodes a
+    * stateless chain can contain are recursed into; expression subqueries
+    * resolve in their own scope and are left untouched.
+    */
+  private def injectSeq(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case p: Project =>
+        val hasStar = p.projectList.exists(_.isInstanceOf[UnresolvedStar])
+        val hasSeq = p.projectList.exists {
+          case a: UnresolvedAttribute => a.nameParts.last == "__seq"
+          case _                      => false
+        }
+        val list =
+          if (hasStar || hasSeq) p.projectList
+          else p.projectList :+ UnresolvedAttribute("__seq")
+        p.copy(projectList = list, child = injectSeq(p.child))
+      case u: Union         => u.copy(children = u.children.map(injectSeq))
+      case s: Sort          => s.copy(child = injectSeq(s.child))
+      case sa: SubqueryAlias => sa.copy(child = injectSeq(sa.child))
+      case f: Filter        => f.copy(child = injectSeq(f.child))
+      case other            => other
+    }
   }
 
   // ── Buffered-input preparation (windowed + snapshot-diff modes) ───────

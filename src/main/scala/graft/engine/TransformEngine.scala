@@ -94,7 +94,9 @@ final class TransformEngine(spark: SparkSession) {
         vocab.systemTimeColumn,
         lit(SqlRewriter.tsLiteral(req.systemTime)).cast(TimestampType))
 
-      val userCols = out.emitted.columns.filter(_ != vocab.operationTypeColumn)
+      // __seq is internal provenance (input-order emission); never emitted.
+      val userCols = out.emitted.columns
+        .filter(c => c != vocab.operationTypeColumn && c != "__seq")
       val orderCols: Seq[Column] = out.emissionOrder.getOrElse(
         col(vocab.eventTimeColumn) +:
           userCols.filter(_ != vocab.eventTimeColumn).map(col).toSeq)

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `Dataset.ofRows` (private[sql]) so the engine can execute a
+  * parsed LogicalPlan it has transformed — used to thread the hidden
+  * `__seq` provenance column through stateless query chains, preserving
+  * input arrival order in emitted offsets (the reference engine emits map
+  * results in stream order; sorting by value columns would not match and
+  * breaks ties nondeterministically).
+  */
+object GraftPlanExec {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -96,25 +96,41 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.map(_.getTimestamp(2)).distinct.toSeq == Seq(t(ts(5))))
   }
 
-  test("map: changelog ops pass through unchanged") {
+  test("map: changelog ops pass through unchanged (reference EngineMapTest mirror)") {
     import spark.implicits._
+    // Exact mirror of reference EngineMapTest.scala:149-231 ("Map - with
+    // corrections and retractions"): `op` is selected EXPLICITLY — that is
+    // how the reference preserves ops through map queries (its inputs are
+    // fromDataStream with RowKind always INSERT; RowKind-derived ops apply
+    // only when `op` is not selected, TransformEngine.scala:294-302,329-332).
     val dir = tmp()
     val in = s"$dir/in.parquet"
     writeSlice(Seq(
-      Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 10),
-      Ticker(1, Op.CorrectFrom, t(ts(1)), t(ts(1)), "A", 10),
-      Ticker(2, Op.CorrectTo, t(ts(1)), t(ts(1)), "A", 11),
-      Ticker(3, Op.Retract, t(ts(1)), t(ts(1)), "A", 11)), in)
+      Ticker(0, Op.Append, t(ts(5)), t(ts(1)), "A", 10),
+      Ticker(1, Op.CorrectFrom, t(ts(5)), t(ts(1)), "A", 10),
+      Ticker(2, Op.CorrectTo, t(ts(5)), t(ts(1)), "A", 11),
+      Ticker(3, Op.Retract, t(ts(5)), t(ts(1)), "A", 11)), in)
     val req = TransformRequest(
-      "did:out", "out", ts(5), DatasetVocabulary(),
-      transform(None -> "SELECT op, event_time, symbol, price FROM tickers"),
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None ->
+        "select op, event_time, symbol, price * 10 as price from tickers"),
       Vector(mkInput("tickers", in, in, 4, wms = Seq(ts(1)))),
       nextOffset = 0, prevCheckpointPath = None,
       newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet")
-    runT(req)
-    val ops = readOut(s"$dir/out1.parquet").orderBy("offset")
-      .select("op").collect().map(_.getInt(0)).toSeq
-    assert(ops == Seq(0, 2, 3, 1))
+    val resp = runT(req)
+    assert(resp.newOffsetInterval.contains(OffsetInterval(0, 3)))
+    assert(resp.newWatermark.contains(ts(1)))
+    val out = readOut(s"$dir/out1.parquet").orderBy("offset")
+    // same column order as the reference's output schema golden
+    assert(out.columns.toSeq ==
+      Seq("offset", "op", "system_time", "event_time", "symbol", "price"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getTimestamp(2), r.getTimestamp(3), r.getString(4), r.getInt(5))).toSeq
+    assert(rows == Seq(
+      (0L, Op.Append, t(ts(10)), t(ts(1)), "A", 100),
+      (1L, Op.CorrectFrom, t(ts(10)), t(ts(1)), "A", 100),
+      (2L, Op.CorrectTo, t(ts(10)), t(ts(1)), "A", 110),
+      (3L, Op.Retract, t(ts(10)), t(ts(1)), "A", 110)))
   }
 
   // ──────────────────────────────────────────────────────────────────────
