@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.protocol._
+
+/** Process-level in-out contract test: drives `graft.TransformRunner` as a
+  * separate JVM with request/response YAML files — the reference engine's
+  * actual invocation contract (its adapter execs the engine with request
+  * files and collects response files, adapter/src/adapter.rs:103-165) —
+  * including prevCheckpoint restore across two independent process
+  * invocations.
+  *
+  * Transport decision (SURVEY.md §2.3): the reference's gRPC/FlatBuffers
+  * endpoint is a thin shell over exactly this request/response round trip;
+  * the engine API stays transport-agnostic and this file pins the contract
+  * a transport must drive.
+  */
+class ProtocolRoundTripSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def ts(day: Int, hour: Int = 0): Instant =
+    Instant.parse(f"2000-01-${day}%02dT${hour}%02d:00:00Z")
+  def t(i: Instant): Timestamp = Timestamp.from(i)
+
+  private def runProcess(mode: String, reqYaml: String, dir: Path, tag: String): String = {
+    val reqPath = dir.resolve(s"request_$tag.yaml")
+    val respPath = dir.resolve(s"response_$tag.yaml")
+    Files.writeString(reqPath, reqYaml)
+    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+    val cmd = Seq(java, "-cp", cp, "-Xmx2g",
+      "--add-exports=java.base/sun.nio.ch=ALL-UNNAMED",
+      "graft.TransformRunner", mode, reqPath.toString, respPath.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val log = new String(proc.getInputStream.readAllBytes())
+    val code = proc.waitFor()
+    assert(code == 0, s"TransformRunner exited $code:\n${log.takeRight(4000)}")
+    assert(Files.exists(respPath), "no response file written")
+    Files.readString(respPath)
+  }
+
+  test("transform request/response round-trips across two engine processes") {
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto")
+    val in1 = s"$dir/in1.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1, 1)), "A", 10),
+        Ticker(1, 0, t(ts(1)), t(ts(1, 2)), "A", 12),
+        Ticker(2, 0, t(ts(1)), t(ts(2, 1)), "A", 20))).toDF(), in1)
+
+    def request(num: Int, dataRows: Option[(String, Int, Int)], wm: String,
+        prevCp: Option[String]): String = {
+      val slice = dataRows.map { case (path, s, e) =>
+        s"""|  offsetInterval:
+            |    start: $s
+            |    end: $e
+            |  dataPaths:
+            |  - "$path"""".stripMargin
+      }.getOrElse("  dataPaths: []")
+      s"""|datasetId: "did:odf:out"
+          |datasetAlias: out
+          |systemTime: "2000-01-1${num}T00:00:00Z"
+          |nextOffset: ${num - 1}
+          |transform:
+          |  kind: Sql
+          |  engine: spark
+          |  query: |
+          |    SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+          |      symbol, min(price) as `min`, max(price) as `max`
+          |    FROM tickers
+          |    GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol
+          |queryInputs:
+          |- datasetId: "did:odf:in"
+          |  queryAlias: tickers
+          |$slice
+          |  schemaFile: "$in1"
+          |  explicitWatermarks:
+          |  - systemTime: "$wm"
+          |    eventTime: "$wm"
+          |${prevCp.map(p => s"prevCheckpointPath: \"$p\"").getOrElse("")}
+          |newCheckpointPath: "$dir/cp$num"
+          |newDataPath: "$dir/out$num.parquet"
+          |""".stripMargin
+    }
+
+    // Process 1: data days 1-2, watermark day 2 → day-1 window closes.
+    val resp1 = runProcess("transform",
+      request(1, Some((in1, 0, 2)), "2000-01-02T00:00:00Z", None), dir, "1")
+    assert(resp1.contains("kind: Success"), resp1)
+    assert(resp1.contains("start: 0") && resp1.contains("end: 0"), resp1)
+    assert(resp1.contains("newWatermark: 2000-01-02T00:00:00Z"), resp1)
+    val o1 = spark.read.parquet(s"$dir/out1.parquet").collect()
+    assert(o1.length == 1 && o1(0).getAs[Int]("min") == 10
+      && o1(0).getAs[Int]("max") == 12)
+
+    // Process 2 (fresh JVM, restored checkpoint): watermark-only advance to
+    // day 4 → the buffered day-2 window closes exactly once.
+    val resp2 = runProcess("transform",
+      request(2, None, "2000-01-04T00:00:00Z", Some(s"$dir/cp1")), dir, "2")
+    assert(resp2.contains("kind: Success"), resp2)
+    assert(resp2.contains("start: 1") && resp2.contains("end: 1"), resp2)
+    assert(resp2.contains("newWatermark: 2000-01-04T00:00:00Z"), resp2)
+    val o2 = spark.read.parquet(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1 && o2(0).getAs[Int]("min") == 20)
+    assert(o2(0).getAs[Timestamp]("event_time") == t(ts(2)))
+  }
+
+  test("raw query round-trips through a process with YAML response") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-proto-raw")
+    val in = s"$dir/in.parquet"
+    spark.createDataset(Seq(1, 2, 3, 4, 5)).toDF("x").write.parquet(in)
+    val req =
+      s"""|inputDataPaths:
+          |- "$in"
+          |transform:
+          |  kind: Sql
+          |  engine: spark
+          |  query: "SELECT x * 2 AS y FROM input WHERE x > 2"
+          |outputDataPath: "$dir/out.parquet"
+          |""".stripMargin
+    val resp = runProcess("rawquery", req, dir, "raw")
+    assert(resp.contains("kind: Success"), resp)
+    assert(resp.contains("numRecords: 3"), resp)
+    val ys = spark.read.parquet(s"$dir/out.parquet")
+      .collect().map(_.getAs[Int]("y")).sorted.toSeq
+    assert(ys == Seq(6, 8, 10))
+  }
+}
