@@ -74,22 +74,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
-    var i = 0
-    var s = 0.0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
-
   /** All corpus pairs (id_a < id_b) with cosine ≥ threshold — embedding
-    * near-duplicate detection. The corpus is broadcast once as primitive
-    * arrays (the build side of a broadcast join, collected deliberately);
-    * each partition then scores its rows against the block in a compiled
-    * loop — no per-pair array conversion, no join-condition skew. Exact by
-    * construction; at corpus sizes where the broadcast no longer fits,
-    * generate candidates with [[lshTopK]]'s bucket join and keep this
-    * scorer on the candidate pairs.
+    * near-duplicate detection, exact by construction.
+    *
+    * Pure-plan formulation: a broadcast nested-loop self-join whose scorer
+    * is the native [[graft.functions.CosineSimilarityExpr]] — the whole
+    * filter runs inside whole-stage codegen with zero per-pair array
+    * conversion and NO driver-side collect (the executor-side broadcast is
+    * Spark's own machinery). Exact all-pairs is inherently O(n²); at corpus
+    * sizes where that stops being meaningful, [[nearDupPairsLSH]] is the
+    * scale path (banded candidates, same scorer).
     *
     * @return (id_a, id_b, cosine)
     */
@@ -99,32 +93,54 @@ object Similarity {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val data = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-    val local = data.collect()
-    val ids = local.map(_._1)
-    val vecs = local.map(_._2)
-    val norms = vecs.map(v => math.sqrt(dotLocal(v, v)))
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    data
-      .repartition(spark.sparkContext.defaultParallelism * 2)
-      .mapPartitions { it =>
-        val (ids, vecs, norms) = bc.value
-        it.flatMap { case (ida, va) =>
-          val na = math.sqrt(dotLocal(va, va))
-          Iterator.range(0, ids.length).flatMap { j =>
-            if (ids(j) <= ida) Iterator.empty
-            else {
-              val c = dotLocal(va, vecs(j)) / (na * norms(j))
-              if (c >= threshold) Iterator.single((ida, ids(j), c))
-              else Iterator.empty
-            }
-          }
-        }
-      }
-      .toDF("id_a", "id_b", "cosine")
+    graft.functions.CosineSimilarityExpr.register(corpus.sparkSession)
+    import graft.functions.CosineSimilarityExpr.{cosineSimilarity => cosine_similarity}
+    val a = corpus.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("__vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine_similarity(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Near-dup pairs with LSH-banded candidate generation — the 100 TB path:
+    * one shuffle buckets the corpus by (band, signature-band) key; only
+    * pairs sharing at least one band are scored (same codegen'd scorer as
+    * [[nearDupPairs]]). Approximate: recall follows the banding
+    * probability; size nBits/bandBits to the threshold being hunted.
+    */
+  def nearDupPairsLSH(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      nBits: Int = 64,
+      bandBits: Int = 4
+  ): DataFrame = {
+    graft.functions.CosineSimilarityExpr.register(corpus.sparkSession)
+    import graft.functions.CosineSimilarityExpr.{cosineSimilarity => cosine_similarity}
+    require(nBits % bandBits == 0, "nBits must be divisible by bandBits")
+    val bands = nBits / bandBits
+    val sigs = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__sig", rhpSignature(col("__v"), dim, nBits))
+      .select(col("__id"), col("__v"),
+        explode(array((0 until bands).map { bandIdx =>
+          shiftright(col("__sig"), bandIdx * bandBits)
+            .bitwiseAND((1L << bandBits) - 1)
+            .bitwiseOR(lit(bandIdx.toLong << 32))
+        }: _*)).as("__bucket"))
+    val cand = sigs.alias("a")
+      .join(sigs.alias("b"),
+        col("a.__bucket") === col("b.__bucket") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+      .distinct()
+    cand
+      .withColumn("cosine", cosine_similarity(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** IVF (inverted-file) approximate top-k: k-means partitions the corpus

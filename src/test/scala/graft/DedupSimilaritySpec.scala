@@ -77,6 +77,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("embedding nearDupPairs: broadcast-join plan, no driver collect, exact result") {
+    val e = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.45)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected BNLJ plan:\n$plan")
+    // exact reference computed with the independent per-column kernels
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 200)
+      .where(col("cosine") >= 0.45).where(col("query_id") < col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+  }
+
+  test("embedding nearDupPairsLSH finds high-similarity pairs via banded candidates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = Array.fill(20)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    // plant 5 genuinely-near duplicates (cosine ≈ 0.99)
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 5).map { i =>
+        (100L + i, bases(i).map(x => x + rnd.nextFloat() * 0.05f))
+      }
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairsLSH(df, "vec_id", "embedding",
+        threshold = 0.9, dim = 64, nBits = 64, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(got == expected, s"got $got")
+  }
+
   test("winnowing fingerprint overlaps heavily for near-dups") {
     import spark.implicits._
     val docs = Seq((0L, base), (1L, base + " tonight")).toDF("doc_id", "text")
