@@ -232,15 +232,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ── SimHash (no SQL oracle: xxhash64 is Spark-specific; rows-only gate,
-    // cross-checked against planted near-dups in DedupSpec).
+    // ── SimHash: 60-bit md5-derived signature, oracle-checked bit for bit
+    // (the hash family is md5 hex→int so DuckDB computes it identically).
     "q15_simhash" -> ((s, dir) => {
       Dedup.simhashDf(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
-    // ── LSH-bucketed approximate ANN (scale path; rows-only gate, recall
-    // vs brute force asserted in SimilaritySpec).
+    // ── LSH-bucketed approximate ANN (scale path). Oracle-exact: the
+    // md5-derived Rademacher hyperplanes and ordered-double projections are
+    // recomputed identically by the DuckDB oracle, so the banded candidate
+    // set — not just the re-ranked scores — is verified.
     "q16_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(
@@ -369,13 +371,18 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
-    // ── IVF (k-means cells) approximate ANN — second scale path (rows-only
-    // gate; recall vs brute force asserted in DedupSimilaritySpec).
+    // ── IVF approximate ANN — second scale path, as an explicit
+    // build-once/probe-many index. The deterministic sampled-centroid build
+    // (ids ≡ 0 mod 29) is exactly reproducible by the DuckDB oracle, which
+    // verifies cell assignment, probing, and re-ranking end to end; the
+    // k-means build shares the same assign/probe code (recall + no-refit
+    // reuse asserted in DedupSimilaritySpec).
     "q18_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(
-          e.where(col("vec_id") < 10), e, "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 4)
+      val index = Similarity.ivfBuildSampled(e, "vec_id", "embedding", stride = 29)
+      Similarity.ivfProbe(
+          e.where(col("vec_id") < 10), index, "vec_id", "embedding",
+          k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -661,6 +668,117 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v)
         |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q15_simhash" -> {
+      // 60 per-bit conditional sums over the md5-derived shingle hashes —
+      // the exact computation simhashDf runs, expressed in DuckDB.
+      val bitSums = (0 until graft.operators.Dedup.SimhashBits)
+        .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val assemble = (0 until graft.operators.Dedup.SimhashBits)
+        .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3
+         |    THEN list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+         |                        for i in generate_series(1, len(toks)-2)])
+         |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+         |  FROM d),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h
+         |  FROM s),
+         |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q16_lsh_topk" -> {
+      // Recompute the RHP signatures exactly as Similarity.rhpSignature:
+      // sign(b,j) = parity of the first md5 hex digit of "rhp:b:j";
+      // projection folds the DOUBLE products in index order (list_sum is a
+      // sequential fold — bitwise-identical to the Spark UDF's loop).
+      val nBits = 16
+      val bandBits = 4
+      val dim = 64
+      def signCase(b: Int) =
+        s"(CASE WHEN CAST(concat('0x', substr(md5(concat('rhp:$b:', j-1)), 1, 1)) " +
+          s"AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val projs = (0 until nBits).map(b =>
+        s"list_sum([v[j] * ${signCase(b)} for j in generate_series(1, $dim)]) AS p$b")
+        .mkString(",\n        ")
+      val sigExpr = (0 until nBits)
+        .map(b => s"(CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      val bandExprs = (0 until nBits / bandBits)
+        .map(t => s"((sig >> ${t * bandBits}) & ${(1L << bandBits) - 1}) + ${t.toLong << 32}")
+        .mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id, v,
+         |        $projs
+         |      FROM e),
+         |sg AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS sig FROM p),
+         |bd AS (SELECT vec_id, v, unnest([$bandExprs]) AS bucket FROM sg),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         q.v AS qv, c.v AS cv
+         |  FROM bd q JOIN bd c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_inner_product(qv, cv)
+         |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cosine
+         |  FROM cand)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q18_ivf_topk" ->
+      // Mirrors ivfBuildSampled(stride=29) + ivfProbe(nProbe=4, k=5):
+      // cell = argmax cosine(v, centroid) with ties to the smallest cell id,
+      // probe the 4 most-similar cells, exact re-rank on the candidates.
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ctr AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 29 = 0),
+        |asg AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT e.vec_id, e.v, ctr.cell_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_inner_product(e.v, ctr.cv)
+        |          / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(ctr.cv, ctr.cv))) DESC,
+        |        ctr.cell_id) AS rn
+        |    FROM e CROSS JOIN ctr)
+        |  WHERE rn = 1),
+        |pq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |pcells AS (
+        |  SELECT query_id, qv, cell_id FROM (
+        |    SELECT pq.query_id, pq.qv, ctr.cell_id,
+        |      row_number() OVER (PARTITION BY pq.query_id ORDER BY
+        |        list_inner_product(pq.qv, ctr.cv)
+        |          / (sqrt(list_inner_product(pq.qv, pq.qv)) * sqrt(list_inner_product(ctr.cv, ctr.cv))) DESC,
+        |        ctr.cell_id) AS rn
+        |    FROM pq CROSS JOIN ctr)
+        |  WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_inner_product(p.qv, a.v)
+        |      / (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(a.v, a.v))) AS cosine
+        |  FROM pcells p JOIN asg a ON p.cell_id = a.cell_id AND a.vec_id <> p.query_id)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -162,8 +162,21 @@ object Dedup {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
-  /** 64-bit SimHash over token shingles, as a DataFrame operator:
-    * explode shingle hashes, then one hash-aggregate with 64 codegen'd
+  /** SimHash bit width: 60 bits = 15 hex chars of md5, so the per-shingle
+    * hash is computable identically in any engine with md5 and hex→int
+    * casting (DuckDB oracle included) and always fits a signed 64-bit int.
+    */
+  val SimhashBits = 60
+
+  /** Portable per-shingle hash: the first 15 hex chars of md5 as a 60-bit
+    * integer. md5 is engine-agnostic where xxhash64 is Spark-specific —
+    * this is what makes the simhash oracle-checkable bit for bit.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash over token shingles, as a DataFrame operator:
+    * explode shingle hashes, then one hash-aggregate with 60 codegen'd
     * conditional sums (per bit: count-set − count-unset; the bit is the
     * sign). One shuffle on the id with map-side partial aggregation —
     * this is the scalable formulation; a per-row higher-order-function
@@ -186,8 +199,8 @@ object Dedup {
         col(idCol),
         explode(transform(
           array_distinct(Text.shingles(col("__toks"), shingleLen)),
-          s => xxhash64(s))).as("__h"))
-    val bitSums = (0 until 64).map { b =>
+          s => md5Hash60(s))).as("__h"))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         .as(s"__b$b")
     }
@@ -196,7 +209,7 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(
         col(idCol),
-        (0 until 64).map { b =>
+        (0 until SimhashBits).map { b =>
           when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
         }.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }

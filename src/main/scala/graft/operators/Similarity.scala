@@ -143,56 +143,151 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** IVF (inverted-file) approximate top-k: k-means partitions the corpus
-    * into `nCells` cells (one distributed fit + one assignment pass); each
-    * query probes only its `nProbe` nearest cells. The classic
-    * billion-scale ANN layout: corpus is clustered once and the per-query
-    * scan cost drops by ~nCells/nProbe; cells are joined by id so the probe
-    * scan is a partitioned hash join, not a full pass.
+  private def dotLocal(a: Array[Float], b: Array[Double]): Double = {
+    var i = 0
+    var s = 0.0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** A built IVF (inverted-file) index.
+    *
+    * `centroids`: the cell parameters — (cell id, centroid vector as
+    * doubles). Bounded by nCells, i.e. model-parameter-sized; it is
+    * collected/broadcast by design, exactly like a k-means model.
+    * `assignments`: one row per corpus vector — (neighbor_id, __cv, __cn,
+    * __cell) — produced WITHOUT any shuffle (a broadcast argmax per row)
+    * and persisted, so probes reuse it and never re-fit or re-assign.
     */
-  def ivfTopK(
-      queries: DataFrame,
+  final case class IvfIndex(
+      centroids: Array[(Long, Array[Double])],
+      assignments: DataFrame
+  ) {
+    def unpersist(): Unit = { assignments.unpersist(); () }
+  }
+
+  /** Cosine similarity of a float vector to a double centroid, with the
+    * same fold order and division shape as the DuckDB oracle formula
+    * (`list_inner_product(v,c)/(sqrt(...)·sqrt(...))`).
+    */
+  private def centroidSim(v: Array[Float], vn: Double, c: Array[Double], cn: Double): Double =
+    dotLocal(v, c) / (vn * cn)
+
+  private def assign(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      nCells: Int = 16,
-      nProbe: Int = 4
+      centroids: Array[(Long, Array[Double])]
   ): DataFrame = {
+    val withNorms = centroids.map { case (cid, cv) => (cid, cv, math.sqrt(dotD(cv))) }
+    val bestCell = udf { (v: Array[Float]) =>
+      val vn = math.sqrt(dotF2(v))
+      var bestId = -1L
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < withNorms.length) {
+        val (cid, cv, cn) = withNorms(i)
+        val s = centroidSim(v, vn, cv, cn)
+        // strict > with cells scanned in ascending id order = ties go to
+        // the smallest cell id, mirroring the oracle's (sim DESC, cell_id)
+        if (s > bestSim) { bestSim = s; bestId = cid }
+        i += 1
+      }
+      bestId
+    }
+    corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(dotF(col("__cv"), col("__cv"))))
+      .withColumn("__cell", bestCell(col("__cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def dotF2(v: Array[Float]): Double = {
+    var i = 0; var s = 0.0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    s
+  }
+  private def dotD(v: Array[Double]): Double = {
+    var i = 0; var s = 0.0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s
+  }
+
+  /** Deterministic IVF build: centroids are the corpus vectors whose id is
+    * divisible by `stride` (a fixed sample — the degenerate-but-valid IVF
+    * build that needs no iterative fit and is exactly reproducible by the
+    * SQL oracle). Use [[ivfBuildKMeans]] for data-adaptive cells.
+    */
+  def ivfBuildSampled(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      stride: Long
+  ): IvfIndex = {
+    val centroids = corpus
+      .where(pmod(col(idCol).cast("long"), lit(stride)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    IvfIndex(centroids, assign(corpus, idCol, vecCol, centroids))
+  }
+
+  /** K-means IVF build: one distributed fit, then the shuffle-free
+    * assignment pass. The fit happens HERE, once — probes against the
+    * returned index never re-fit (the round-1 design re-fit per query
+    * invocation, which is the wrong lifecycle at any scale).
+    */
+  def ivfBuildKMeans(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      seed: Long = 42,
+      maxIter: Int = 5
+  ): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
-    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val feat = corpus.select(col(vecCol).as("__cv"))
       .withColumn("__feat", array_to_vector(col("__cv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans()
-      .setK(nCells).setSeed(42).setMaxIter(5).setFeaturesCol("__feat")
-      .fit(c)
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+      .setK(nCells).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("__feat")
+      .fit(feat)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (ctr, i) => (i.toLong, ctr.toArray) }
+    IvfIndex(centroids, assign(corpus, idCol, vecCol, centroids))
+  }
 
-    val nearestCells = udf { (v: Array[Float], n: Int) =>
-      centers.indices
-        .map { ci =>
-          val ctr = centers(ci)
-          var d = 0.0
-          var i = 0
-          while (i < ctr.length && i < v.length) {
-            val diff = v(i) - ctr(i); d += diff * diff; i += 1
-          }
-          (d, ci)
-        }
+  /** Probe a built IVF index: each query scores only the corpus vectors
+    * assigned to its `nProbe` most-similar cells — a hash join on the cell
+    * id against the persisted assignments (partitioned probe, no corpus
+    * scan), then an exact re-rank.
+    */
+  def ivfProbe(
+      queries: DataFrame,
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val withNorms = index.centroids.map { case (cid, cv) =>
+      (cid, cv, math.sqrt(dotD(cv)))
+    }
+    val topCells = udf { (v: Array[Float]) =>
+      val vn = math.sqrt(dotF2(v))
+      withNorms
+        .map { case (cid, cv, cn) => (-centroidSim(v, vn, cv, cn), cid) }
         .sortBy(identity)
-        .take(n)
+        .take(nProbe)
         .map(_._2)
     }
-
-    val cells = c.withColumn("__cell",
-      element_at(nearestCells(col("__cv"), lit(1)), 1))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(dotF(col("__qv"), col("__qv"))))
-      .withColumn("__cell", explode(nearestCells(col("__qv"), lit(nProbe))))
-
-    val scored = q.join(cells, Seq("__cell"))
+      .withColumn("__cell", explode(topCells(col("__qv"))))
+    val scored = q.join(index.assignments, Seq("__cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
@@ -204,17 +299,44 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Convenience one-shot form (build + probe); kept for exploratory use —
+    * anything called repeatedly should hold the [[IvfIndex]] and call
+    * [[ivfProbe]].
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame =
+    ivfProbe(queries, ivfBuildKMeans(corpus, idCol, vecCol, nCells),
+      idCol, vecCol, k, nProbe)
+
+  /** Rademacher hyperplane sign for (plane b, dimension j): +1 when the
+    * first hex digit of md5("rhp:b:j") is even. md5-derived so any engine
+    * with md5 regenerates the identical matrix (the DuckDB oracle does).
+    */
+  def rhpSign(b: Int, j: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rhp:$b:$j".getBytes("UTF-8"))
+    if ((((digest(0) >> 4) & 0xf) & 1) == 0) 1.0 else -1.0
+  }
+
   /** Random-hyperplane signature (`nBits` sign bits packed in a long).
-    * Hyperplanes are pseudo-random but deterministic: component j of plane b
-    * is a hash-derived value in [-1, 1). Compiled UDF over a precomputed
-    * plane matrix — the equivalent nBits×dim expression tree exceeds
-    * codegen limits and falls back to interpreted eval.
+    * Hyperplanes are ±1 Rademacher vectors from [[rhpSign]]; the projection
+    * folds left in double (index ascending), so the signature — and
+    * therefore every LSH bucket — is bit-reproducible by the DuckDB oracle
+    * (DuckDB's list_sum folds sequentially; verified empirically).
+    * Compiled UDF over the precomputed sign matrix — the equivalent
+    * nBits×dim expression tree exceeds codegen limits and falls back to
+    * interpreted eval.
     */
   def rhpSignature(vec: Column, dim: Int, nBits: Int): Column = {
-    val planes: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, j) =>
-      ((scala.util.hashing.MurmurHash3.productHash((b, j)) & 0xffffff)
-        / 8388608.0) - 1.0
-    }
+    val planes: Array[Array[Double]] =
+      Array.tabulate(nBits, dim)((b, j) => rhpSign(b, j))
     val sigUdf = udf { (v: Array[Float]) =>
       var sig = 0L
       var b = 0

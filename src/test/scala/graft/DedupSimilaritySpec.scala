@@ -65,16 +65,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall too low: $recall") // approximate by design
   }
 
-  test("ivfTopK recall vs brute force on testdata embeddings") {
+  test("ivf k-means index: build once, probe many, recall vs brute force") {
     val e = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
-        nCells = 8, nProbe = 4)
+    // the fit happens exactly here — probes below never re-fit
+    val index = Similarity.ivfBuildKMeans(e, "vec_id", "embedding", nCells = 8)
+    val ivf = Similarity.ivfProbe(q, index, "vec_id", "embedding", 5, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // second probe against the SAME index: no KMeans in its plan, and the
+    // persisted assignments answer both probes identically
+    val again = Similarity.ivfProbe(q, index, "vec_id", "embedding", 5, nProbe = 4)
+    assert(!again.queryExecution.executedPlan.toString.contains("KMeans"))
+    val ivf2 = again.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf2 == ivf)
+    index.unpersist()
+  }
+
+  test("ivf sampled index assigns every corpus vector to a cell") {
+    val e = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val index = Similarity.ivfBuildSampled(e, "vec_id", "embedding", stride = 29)
+    assert(index.centroids.nonEmpty)
+    assert(index.assignments.count() == e.count())
+    val cells = index.assignments.select("__cell").distinct().count()
+    assert(cells > 1 && cells <= index.centroids.length)
+    index.unpersist()
   }
 
   test("embedding nearDupPairs: broadcast-join plan, no driver collect, exact result") {
