@@ -29,7 +29,37 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true)))
 
-  /** STUB codec — deterministic fakes in place of real decoders.
+  /** Real image decoding via JDK ImageIO (JPEG/PNG/GIF/BMP — no external
+    * dependencies). Returns None for bytes no installed reader understands,
+    * so callers can fall back to [[StubCodec]] for media kinds this
+    * container has no codec for (audio/video).
+    */
+  object ImageCodec {
+    /** Decode an image: (width, height, mean Rec.601 luma in [0,1]). */
+    def imageMeta(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sum = 0.0
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+            0.114 * (p & 0xff)
+          i += 1
+        }
+        Some((w, h, sum / (px.length * 255.0)))
+      }
+    }
+  }
+
+  /** STUB codec — deterministic fakes in place of real decoders for the
+    * media kinds this container has no library for (audio/video).
     * Every function is pure on the input bytes, so pipelines are
     * reproducible end-to-end in tests.
     */
@@ -65,6 +95,11 @@ object Multimodal {
     * upstream so decode work spreads evenly (blobs make row sizes large —
     * at 100 TB keep `spark.sql.files.maxPartitionBytes` small enough that
     * a partition of blobs fits in executor memory).
+    *
+    * Image bytes decode for REAL through JDK ImageIO ([[ImageCodec]]);
+    * bytes no image reader understands (audio/video, corrupt blobs) fall
+    * back to the deterministic [[StubCodec]] so pipelines stay total.
+    * Feature extraction stays stubbed — no encoder model ships here.
     */
   def decodeAndFeaturize(df: DataFrame, featureDim: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -78,7 +113,8 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]]("content")
         if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         else {
-          val (w, h, luma) = StubCodec.imageMeta(bytes)
+          val (w, h, luma) = ImageCodec.imageMeta(bytes)
+            .getOrElse(StubCodec.imageMeta(bytes))
           val feats = StubCodec.features(bytes, featureDim)
           Row.fromSeq(r.toSeq ++ Seq(w, h, luma, feats.toSeq))
         }

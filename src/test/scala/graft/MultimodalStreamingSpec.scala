@@ -38,6 +38,48 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: real JPEG/PNG bytes decode through ImageIO with exact dims and luma") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    def imageBytes(format: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    val gray = 0x808080 // 128,128,128 → Rec.601 luma exactly 128/255
+    val rows = Seq(
+      Row(0L, "image", imageBytes("png", 37, 21, gray), "image/png",
+        null, null, null, null),
+      Row(1L, "image", imageBytes("jpg", 64, 48, gray), "image/jpeg",
+        null, null, null, null),
+      Row(2L, "audio", Array.tabulate[Byte](64)(_.toByte), "audio/wav",
+        null, null, null, Integer.valueOf(16000)))
+    val df = spark.createDataFrame(rows.asJava, Multimodal.mediaSchema)
+    val out = Multimodal.decodeAndFeaturize(df).orderBy("media_id").collect()
+
+    val png = out(0)
+    assert(png.getInt(png.fieldIndex("dec_width")) == 37)
+    assert(png.getInt(png.fieldIndex("dec_height")) == 21)
+    assert(math.abs(png.getDouble(png.fieldIndex("dec_mean_luma")) - 128.0 / 255) < 1e-9)
+
+    val jpg = out(1)
+    assert(jpg.getInt(jpg.fieldIndex("dec_width")) == 64)
+    assert(jpg.getInt(jpg.fieldIndex("dec_height")) == 48)
+    // JPEG is lossy; the solid gray should still come back within ~2%
+    assert(math.abs(jpg.getDouble(jpg.fieldIndex("dec_mean_luma")) - 128.0 / 255) < 0.02)
+
+    // non-image bytes fall back to the deterministic stub, not a crash
+    val audio = out(2)
+    val (sw, sh, sl) = Multimodal.StubCodec.imageMeta(
+      Array.tabulate[Byte](64)(_.toByte))
+    assert(audio.getInt(audio.fieldIndex("dec_width")) == sw)
+    assert(audio.getInt(audio.fieldIndex("dec_height")) == sh)
+    assert(audio.getDouble(audio.fieldIndex("dec_mean_luma")) == sl)
+  }
+
   test("multimodal: frame sampling explodes bounded frame indices") {
     val media = Multimodal.synthetic(spark, 30)
     val sampled = Multimodal.sampleFrameIndices(media, maxFrames = 8)
