@@ -192,14 +192,16 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3
   ): DataFrame = {
+    // hash AFTER the explode: md5 on a plain column stays in whole-stage
+    // codegen, where a `transform(..., md5)` lambda would run interpreted
+    // per element
     val hashes = df
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .repartition(col(idCol))
       .select(
         col(idCol),
-        explode(transform(
-          array_distinct(Text.shingles(col("__toks"), shingleLen)),
-          s => md5Hash60(s))).as("__h"))
+        explode(array_distinct(Text.shingles(col("__toks"), shingleLen))).as("__s"))
+      .select(col(idCol), md5Hash60(col("__s")).as("__h"))
     val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         .as(s"__b$b")

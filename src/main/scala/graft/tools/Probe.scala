@@ -1,12 +1,12 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Ad-hoc performance probe for operator stages (not part of the contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,22 +22,23 @@ object Probe {
       r
     }
 
-    val e = graft.core.Tables.t(spark, sfDir, "events")
-    time("warmup count")(e.count())
-    time("q24 current")(
-      graft.SparkEntry.queries("q24_json_extract")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save())
-    time("q24 current again")(
-      graft.SparkEntry.queries("q24_json_extract")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save())
-    time("q24 from_json")(
-      e.select(from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, missing STRING")).as("j"),
-          col("event_type"))
-        .groupBy(col("event_type"))
-        .agg(sum(col("j.k")).as("sum_k"), count(col("j.missing")).as("n_missing"))
-        .orderBy(col("event_type"))
-        .write.format("noop").mode("overwrite").save())
+    // warmup: shuffle + noop sink init
+    time("warmup") {
+      graft.core.Tables.t(spark, sfDir, "nation")
+        .groupBy(org.apache.spark.sql.functions.col("n_regionkey")).count()
+        .write.format("noop").mode("overwrite").save()
+    }
+    val run = if (names.nonEmpty) names.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    run.foreach { n =>
+      time(n) {
+        graft.SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"$n (warm)") {
+        graft.SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }
