@@ -26,7 +26,9 @@ final class RawQueryEngine(spark: SparkSession) {
       input.createOrReplaceTempView("input")
 
       // Each step becomes a view; the unaliased (final) step is the output.
-      val systemTime = java.time.Instant.now() // raw queries are not pinned
+      // now() is pinned from the request when provided, so retried requests
+      // are deterministic; otherwise one instant is pinned per request.
+      val systemTime = req.systemTime.getOrElse(java.time.Instant.now())
       var result = input
       req.transform.queries.foreach { s =>
         val rw = SqlRewriter.rewrite(s.query, systemTime, None)

@@ -12,23 +12,18 @@ import org.apache.spark.sql.functions._
   * probes join only their bucket; at 100 TB the bucket join replaces the
   * full scan per query batch.
   *
-  * Kernel design: the dot product is a compiled UDF while-loop rather than
-  * `aggregate(zip_with(...))` — Spark's higher-order array functions are
-  * interpreted (not codegen'd) and were measured 10×+ slower on all-pairs
-  * workloads. The UDF folds left in double precision, so results are
-  * bitwise-identical to the naive sequential formula (and to the DuckDB
-  * oracle's list_inner_product). Norms are computed once per vector, never
-  * per pair.
+  * Kernel design: the dot product is the native
+  * [[graft.functions.DotProductExpr]] (whole-stage codegen, zero per-pair
+  * conversion) — not `aggregate(zip_with(...))`, whose higher-order lambdas
+  * run interpreted and were measured 10×+ slower on all-pairs workloads.
+  * The fold is left-to-right in double, bitwise-identical to the naive
+  * sequential formula and the DuckDB oracle's list_inner_product. Norms
+  * are computed once per vector, never per pair.
   */
 object Similarity {
 
-  private val dotF = udf { (a: Array[Float], b: Array[Float]) =>
-    var i = 0
-    var s = 0.0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  private val dotF: (Column, Column) => Column =
+    graft.functions.DotProductExpr.dotProduct
 
   /** Dot product of two float-array columns, folded left in double. */
   def dot(a: Column, b: Column): Column = dotF(a, b)

@@ -88,7 +88,11 @@ object TransformResponse {
 final case class RawQueryRequest(
     inputDataPaths: Vector[String],
     transform: Transform,
-    outputDataPath: String
+    outputDataPath: String,
+    /** Pins `now()` in the query; retries of the same request must not see
+      * different wall clocks. None ⇒ the engine pins its own single instant
+      * for the whole request. */
+    systemTime: Option[Instant] = None
 )
 
 sealed trait RawQueryResponse

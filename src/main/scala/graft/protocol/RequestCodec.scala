@@ -92,7 +92,8 @@ object RequestCodec {
       inputDataPaths = arr(n, "inputDataPaths").map(_.asText()),
       transform = transform(
         opt(n, "transform").getOrElse(sys.error("missing 'transform'"))),
-      outputDataPath = str(n, "outputDataPath"))
+      outputDataPath = str(n, "outputDataPath"),
+      systemTime = opt(n, "systemTime").map(v => Instant.parse(v.asText())))
   }
 
   def renderTransformResponse(r: TransformResponse): String = r match {

@@ -12,4 +12,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanExec {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a raw Catalyst Expression as a Column (private[sql] in classic). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst Expression. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

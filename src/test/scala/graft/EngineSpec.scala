@@ -929,6 +929,22 @@ class EngineSpec extends AnyFunSuite {
     assert(vals.count(_ == null) == 1)
   }
 
+  test("raw query: now() is pinned by the request systemTime") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    spark.createDataset(Seq(1, 2)).toDF("x").write.parquet(in)
+    val resp = new RawQueryEngine(spark).executeRawQuery(RawQueryRequest(
+      Vector(in),
+      transform(None -> "SELECT x, now() AS stamped FROM input"),
+      s"$dir/out.parquet",
+      systemTime = Some(ts(7))))
+    assert(resp == RawQueryResponse.Success(2))
+    val stamped = readOut(s"$dir/out.parquet")
+      .select("stamped").distinct().collect().map(_.getTimestamp(0)).toSeq
+    assert(stamped == Seq(t(ts(7))))
+  }
+
   test("transform: output without event_time column → InvalidQuery") {
     import spark.implicits._
     val dir = tmp()
