@@ -801,6 +801,86 @@ class EngineSpec extends AnyFunSuite {
       ("C", Op.Append, 1L, 7L)))
   }
 
+  test("global aggregate diffs as a single-group changelog; no-change run emits nothing") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = "SELECT max(event_time) as event_time, count(*) as n, sum(price) as total FROM tickers"
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(2)), "B", 20)), in1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 2, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 0)))
+    val o1 = readOut(s"$dir/out1.parquet").collect()
+    assert(o1.length == 1 && o1(0).getAs[Long]("total") == 30L)
+
+    // run 2: watermark-only advance, no new rows → the snapshot is
+    // unchanged and NOTHING re-emits.
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", null, in1, 0, wms = Seq(ts(3)))),
+      nextOffset = 1, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.isEmpty)
+
+    // run 3: one new row → exactly one -U/+U pair with full-history totals.
+    val in3 = s"$dir/in3.parquet"
+    writeSlice(Seq(Ticker(2, 0, t(ts(4)), t(ts(4)), "A", 5)), in3)
+    runT(TransformRequest(
+      "did:out", "out", ts(12), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in3, in3, 1, startOffset = 2, wms = Seq(ts(4)))),
+      nextOffset = 1, prevCheckpointPath = Some(s"$dir/cp2"),
+      newCheckpointPath = s"$dir/cp3", newDataPath = s"$dir/out3.parquet"))
+    val o3 = readOut(s"$dir/out3.parquet").orderBy("offset").collect()
+    assert(o3.map(r => (r.getAs[Int]("op"), r.getAs[Long]("n"),
+      r.getAs[Long]("total"))).toSeq ==
+      Seq((Op.CorrectFrom, 2L, 30L), (Op.CorrectTo, 3L, 35L)))
+  }
+
+  test("SELECT DISTINCT is an updating changelog via multiset diff") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = "SELECT DISTINCT event_time, symbol FROM tickers"
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(1)), "A", 11), // same (event_time, symbol)
+      Ticker(2, 0, t(ts(1)), t(ts(2)), "B", 20)), in1)
+    runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 3, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(o1.length == 2) // distinct collapsed the duplicate
+    assert(o1.map(_.getAs[Int]("op")).toSeq == Seq(0, 0))
+
+    // run 2: a row for an already-seen distinct value emits nothing; a new
+    // value appends once.
+    val in2 = s"$dir/in2.parquet"
+    writeSlice(Seq(
+      Ticker(3, 0, t(ts(3)), t(ts(1)), "A", 99), // duplicate distinct value
+      Ticker(4, 0, t(ts(3)), t(ts(3)), "C", 30)), in2)
+    runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in2, in2, 2, startOffset = 3, wms = Seq(ts(3)))),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    val o2 = readOut(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1)
+    assert(o2(0).getAs[String]("symbol") == "C")
+    assert(o2(0).getAs[Int]("op") == Op.Append)
+  }
+
   test("unsupported stateful composition → InvalidQuery, not a guess") {
     import spark.implicits._
     val dir = tmp()
