@@ -88,12 +88,15 @@ object Similarity {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    graft.functions.CosineSimilarityExpr.register(corpus.sparkSession)
-    import graft.functions.CosineSimilarityExpr.{cosineSimilarity => cosine_similarity}
+    // norms are computed once per vector BEFORE the O(n²) join, so each
+    // pair costs one codegen'd dot product + a division — not three dots
     val a = corpus.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("__va"))
+      .withColumn("__na", sqrt(dotF(col("__va"), col("__va"))))
     val b = corpus.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("__vb"))
+      .withColumn("__nb", sqrt(dotF(col("__vb"), col("__vb"))))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine_similarity(col("__va"), col("__vb")))
+      .withColumn("cosine",
+        dotF(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
