@@ -166,7 +166,14 @@ object PlanClassifier {
 
       case _: Distinct                    => f.distinctOrLimit = true
       case _: GlobalLimit | _: LocalLimit => f.distinctOrLimit = true
-      case _                              => ()
+      // set difference/intersection carry set semantics over full history —
+      // updating queries, not per-slice maps
+      case _: Except | _: Intersect       => f.distinctOrLimit = true
+      // CTE definitions are NOT TreeNode children of UnresolvedWith — a
+      // stateful construct inside `WITH x AS (...)` must still be seen
+      case w: UnresolvedWith =>
+        w.cteRelations.foreach(t => collectFacts(t._2, f))
+      case _ => ()
     }
     // Subqueries (IN / EXISTS / scalar) carry their own plans.
     plan.foreach { node =>

@@ -1,0 +1,100 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{InvalidQueryException, PlanClassifier, SqlRewriter}
+import graft.engine.PlanClassifier.Mode
+
+/** Unit tests for plan-based chain classification — the shapes that regex
+  * detection misrouted (round-1 VERDICT) plus traversal corners (CTE
+  * definitions, set operations) that are easy to miss in the plan walk.
+  */
+class PlanClassifierSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val st: Instant = Instant.parse("2000-01-10T00:00:00Z")
+
+  def classify(sqls: String*): Mode =
+    PlanClassifier.classify(spark,
+      sqls.toSeq.map(q => (None, SqlRewriter.rewrite(q, st, None))))
+
+  test("pure projection/filter chains are stateless") {
+    assert(classify("SELECT event_time, symbol FROM t WHERE price > 3") == Mode.Stateless)
+  }
+
+  test("interval join classifies identically for BETWEEN and >=/<= spellings") {
+    val between =
+      """SELECT o.event_time FROM o LEFT JOIN s ON o.id = s.id
+        |AND s.event_time BETWEEN o.event_time AND o.event_time + INTERVAL '2' DAY""".stripMargin
+    val cmp =
+      """SELECT o.event_time FROM o JOIN s ON o.id = s.id
+        |AND s.event_time >= o.event_time
+        |AND s.event_time <= o.event_time + INTERVAL '2' DAY""".stripMargin
+    assert(classify(between) == Mode.Windowed(2L * 86400 * 1000))
+    assert(classify(cmp) == Mode.Windowed(2L * 86400 * 1000))
+  }
+
+  test("partitioned rank filter keys the diff on partition keys + rank") {
+    val q =
+      """SELECT event_time, symbol, price, rn FROM (
+        |  SELECT event_time, symbol, price,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY event_time DESC) AS rn
+        |  FROM t) WHERE rn = 1""".stripMargin
+    assert(classify(q) == Mode.SnapshotDiff(Some(Seq("symbol", "rn"))))
+  }
+
+  test("non-windowed GROUP BY keys the diff on the group columns") {
+    assert(classify(
+      "SELECT symbol, count(*) AS n FROM t GROUP BY symbol") ==
+      Mode.SnapshotDiff(Some(Seq("symbol"))))
+  }
+
+  test("a GROUP BY hidden inside a CTE definition is still stateful") {
+    // UnresolvedWith does not expose cteRelations as tree children — a
+    // naive plan walk would classify this chain stateless
+    val q =
+      """WITH agg AS (SELECT symbol, count(*) AS n FROM t GROUP BY symbol)
+        |SELECT symbol, n FROM agg WHERE n > 1""".stripMargin
+    assert(classify(q).isInstanceOf[Mode.SnapshotDiff])
+  }
+
+  test("EXCEPT / INTERSECT are updating queries, not per-slice maps") {
+    assert(classify(
+      "SELECT symbol FROM a EXCEPT SELECT symbol FROM b")
+      .isInstanceOf[Mode.SnapshotDiff])
+    assert(classify(
+      "SELECT symbol FROM a INTERSECT SELECT symbol FROM b")
+      .isInstanceOf[Mode.SnapshotDiff])
+  }
+
+  test("global aggregate in a bare SELECT is a single-group diff") {
+    assert(classify("SELECT count(*) AS n FROM t") ==
+      Mode.SnapshotDiff(Some(Nil)))
+  }
+
+  test("tumble + non-windowed aggregation in one chain is rejected") {
+    intercept[InvalidQueryException] {
+      classify(
+        """SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+          |  max(price) as mx FROM t
+          |GROUP BY TUMBLE(event_time, INTERVAL '1' DAY)""".stripMargin,
+        "SELECT count(*) AS n FROM other")
+    }
+  }
+
+  test("calendar-interval join bounds are rejected, not mis-subtracted") {
+    intercept[InvalidQueryException] {
+      classify(
+        """SELECT o.event_time FROM o JOIN s ON o.id = s.id
+          |AND s.event_time BETWEEN o.event_time
+          |  AND o.event_time + INTERVAL '1' MONTH""".stripMargin)
+    }
+  }
+}
