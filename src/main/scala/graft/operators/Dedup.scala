@@ -23,19 +23,11 @@ object Dedup {
     df.groupBy(md5(c).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"))
 
-  /** MinHash signature (array of `numHashes` longs) over a shingle array.
-    * Hash family: xxhash64(shingle ⊕ seed-index) — deterministic, codegen'd.
-    */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(concat_ws("", s, lit(i)))))
-    }: _*)
-
   /** Compiled MinHash → banded-LSH kernel: one 64-bit base hash per
     * shingle, `bands × rows` derived minima via avalanche mixing, bands
     * hashed to bucket ids tagged with their band index. One UDF call per
-    * document; ~20× the throughput of the expression form above
-    * (higher-order transforms are interpreted).
+    * document; ~20× the throughput of the equivalent higher-order
+    * expression form (interpreted lambdas).
     */
   def minhashBands(sh: Column, bands: Int, rowsPerBand: Int): Column = {
     val numHashes = bands * rowsPerBand
@@ -73,15 +65,6 @@ object Dedup {
     }
     f(sh)
   }
-
-  /** LSH band hashes from a minhash signature: `bands` buckets of `rows`
-    * signature positions each.
-    */
-  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until rows).map(r => sig.getItem(b * rows + r).cast("string")): _*))
-    }: _*)
 
   /** Near-duplicate pairs by token-n-gram Jaccard ≥ `threshold`.
     *

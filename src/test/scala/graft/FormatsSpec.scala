@@ -82,6 +82,38 @@ class FormatsSpec extends AnyFunSuite {
       s"unexpected physical schema:\n$s")
   }
 
+  test("date/array/map/struct columns round-trip through the slice pipeline") {
+    // §1.3 superset: the reference's forked reader throws on nested structs
+    // and primitive-element lists ("Record types are not implemented yet",
+    // ParquetSchemaConverterKamu.java:256-259) — Spark handles all of these
+    // natively, so the raw-query path must pass them through unharmed.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fmt")
+    val in = s"$dir/in.parquet"
+    spark.createDataset(Seq((1L, "2000-03-04")))
+      .toDF("id", "d").write.parquet(in)
+    val resp = new RawQueryEngine(spark).executeRawQuery(RawQueryRequest(
+      Vector(in),
+      transform("""SELECT id,
+                  |  CAST(d AS DATE) as dt,
+                  |  array(1, 2, 3) as xs,
+                  |  map('a', 1, 'b', 2) as kv,
+                  |  named_struct('x', id, 'y', d) as rec
+                  |FROM input""".stripMargin),
+      s"$dir/out.parquet"))
+    assert(resp == RawQueryResponse.Success(1))
+    val out = spark.read.parquet(s"$dir/out.parquet")
+    assert(out.schema("dt").dataType.typeName == "date")
+    assert(out.schema("xs").dataType.typeName == "array")
+    assert(out.schema("kv").dataType.typeName == "map")
+    assert(out.schema("rec").dataType.typeName == "struct")
+    val r = out.collect()(0)
+    assert(r.getDate(r.fieldIndex("dt")).toString == "2000-03-04")
+    assert(r.getSeq[Int](r.fieldIndex("xs")) == Seq(1, 2, 3))
+    assert(r.getMap[String, Int](r.fieldIndex("kv"))("b") == 2)
+    assert(r.getStruct(r.fieldIndex("rec")).getLong(0) == 1L)
+  }
+
   test("single-file sink writes exactly one parquet file at the target path") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-fmt")
