@@ -100,7 +100,9 @@ final class IncrementalExecutor(
       var out: DataFrame = null
       steps.zipWithIndex.foreach { case ((alias, rw), i) =>
         val injected = injectSeq(spark.sessionState.sqlParser.parsePlan(rw.sql))
-        val df = org.apache.spark.sql.GraftPlanExec.ofRows(spark, injected)
+        val df = Snitch.tap(
+          org.apache.spark.sql.GraftPlanExec.ofRows(spark, injected),
+          alias.getOrElse("output"))
         alias.foreach(df.createOrReplaceTempView)
         if (i == outputIdx) out = df
       }
@@ -325,7 +327,7 @@ final class IncrementalExecutor(
     steps.zipWithIndex.foreach { case ((alias, rwStep), i) =>
       val sql =
         if (rwStep.asOf.isDefined) rewriteAsOfSql(rwStep.sql, spec) else rwStep.sql
-      val df = spark.sql(sql)
+      val df = Snitch.tap(spark.sql(sql), alias.getOrElse("output"))
       alias.foreach(df.createOrReplaceTempView)
       if (i == outputIdx) result = df
     }
@@ -439,7 +441,7 @@ final class IncrementalExecutor(
   private def runSteps(ss: Seq[(Option[String], SqlRewriter.Rewritten)]): DataFrame = {
     var out: DataFrame = null
     ss.zipWithIndex.foreach { case ((alias, rwStep), i) =>
-      val df = spark.sql(rwStep.sql)
+      val df = Snitch.tap(spark.sql(rwStep.sql), alias.getOrElse("output"))
       alias.foreach(df.createOrReplaceTempView)
       if (i == outputIdx) out = df
     }

@@ -1009,6 +1009,35 @@ class EngineSpec extends AnyFunSuite {
     assert(vals.count(_ == null) == 1)
   }
 
+  test("snitch: enabled debug observer reports per-step row counts") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(2)), "B", 20)), in)
+    spark.conf.set(graft.engine.Snitch.EnabledKey, "true")
+    graft.engine.Snitch.observed.clear()
+    try {
+      runT(TransformRequest(
+        "did:out", "out", ts(5), DatasetVocabulary(),
+        transform(
+          Some("pricey") -> "SELECT op, event_time, symbol, price FROM tickers WHERE price > 15",
+          None -> "SELECT op, event_time, symbol, price FROM pricey"),
+        Vector(mkInput("tickers", in, in, 2, wms = Seq(ts(2)))),
+        nextOffset = 0, prevCheckpointPath = None,
+        newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+      // the execution listener reports asynchronously — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def labels = graft.engine.Snitch.observed.toArray
+        .map(_.asInstanceOf[(String, Long)]).groupBy(_._1)
+      while (!labels.contains("output") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(labels.contains("output"), s"observed: $labels")
+      assert(labels("output").exists(_._2 == 1L))
+    } finally spark.conf.set(graft.engine.Snitch.EnabledKey, "false")
+  }
+
   test("raw query: now() is pinned by the request systemTime") {
     import spark.implicits._
     val dir = tmp()
