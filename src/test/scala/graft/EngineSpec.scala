@@ -1009,6 +1009,50 @@ class EngineSpec extends AnyFunSuite {
     assert(vals.count(_ == null) == 1)
   }
 
+  test("map: UNION ALL of two inputs emits all rows with deterministic offsets") {
+    import spark.implicits._
+    val dir = tmp()
+    val inA = s"$dir/a.parquet"
+    val inB = s"$dir/b.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 1),
+      Ticker(1, 0, t(ts(1)), t(ts(3)), "C", 3)), inA)
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(2)), "B", 2)), inB)
+    val resp = runT(TransformRequest(
+      "did:out", "out", ts(5), DatasetVocabulary(),
+      transform(None ->
+        """SELECT event_time, symbol, price FROM left_in
+          |UNION ALL
+          |SELECT event_time, symbol, price FROM right_in""".stripMargin),
+      Vector(
+        mkInput("left_in", inA, inA, 2, wms = Seq(ts(3))),
+        mkInput("right_in", inB, inB, 1, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(resp.newOffsetInterval.contains(OffsetInterval(0, 2)))
+    assert(resp.newWatermark.contains(ts(2))) // min of the input watermarks
+    val syms = readOut(s"$dir/out1.parquet").orderBy("offset")
+      .select("symbol").collect().map(_.getString(0)).toSeq
+    assert(syms.toSet == Set("A", "B", "C"))
+    // deterministic: re-running the same request yields identical offsets
+    val dir2 = s"$dir/out1b.parquet"
+    runT(TransformRequest(
+      "did:out", "out", ts(5), DatasetVocabulary(),
+      transform(None ->
+        """SELECT event_time, symbol, price FROM left_in
+          |UNION ALL
+          |SELECT event_time, symbol, price FROM right_in""".stripMargin),
+      Vector(
+        mkInput("left_in", inA, inA, 2, wms = Seq(ts(3))),
+        mkInput("right_in", inB, inB, 1, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1b", newDataPath = dir2))
+    val syms2 = readOut(dir2).orderBy("offset")
+      .select("symbol").collect().map(_.getString(0)).toSeq
+    assert(syms2 == syms)
+  }
+
   test("snitch: enabled debug observer reports per-step row counts") {
     import spark.implicits._
     val dir = tmp()
