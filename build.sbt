@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // ICU case mappings for UTF8_BINARY lower()/upper() class-load a table
+  // built by calling UCharacter.toTitleCase once per Unicode code point
+  // (1.1M calls, minutes of one-core CPU, once per JVM). The JVM case
+  // mapping is identical for this engine's data and never pays that.
+  "-Dspark.sql.icu.caseMappings.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables.{t, cents, tenK}
 import graft.functions.Text
-import graft.operators.{AsOfJoin, Dedup, Similarity}
+import graft.operators.{AsOfJoin, Clusters, Dedup, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -188,10 +188,12 @@ object SparkEntry {
     // ── Language identification (stopword-marker heuristic).
     "q11_langid" -> ((s, dir) => {
       // tokens materialized once behind a shuffle barrier: the score cascade
-      // references them ~20×, which interpreted eval would recompute
+      // references them ~20×, which interpreted eval would recompute.
+      // Explicit width: AQE's byte-based coalescing must not collapse a
+      // CPU-bound stage over small document bytes to one task.
       t(s, dir, "documents")
         .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
-        .repartition(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           Text.langIdFromTokens(col("__toks")).as("lang_pred"))
         .orderBy(col("doc_id"))
@@ -201,7 +203,7 @@ object SparkEntry {
     "q12_quality" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
-        .repartition(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(
           col("doc_id"),
           size(col("__toks")).cast("long").as("n_tokens"),
@@ -216,7 +218,7 @@ object SparkEntry {
       // repartition: single-file doc tables otherwise run the three regex
       // passes serially in one task
       t(s, dir, "documents")
-        .repartition(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(
           col("doc_id"),
           Text.wsTokenCount(col("text")).as("n_ws_tokens"),
@@ -390,6 +392,50 @@ object SparkEntry {
     "q17_embedding_neardup" -> ((s, dir) => {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── Duplicate clustering: connected components over the q9 near-dup
+    // pairs, every document labeled with its cluster representative.
+    "q27_dup_clusters" -> ((s, dir) => {
+      Clusters.dupClusters(t(s, dir, "documents"), "doc_id", "text", 0.8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Deterministic stratified sampling: md5-hash gate per document with
+    // a per-language rate (downsample dominant languages, keep the rest) —
+    // reproducible across runs/engines, no RNG state.
+    "q28_stratified_sample" -> ((s, dir) => {
+      val gate = pmod(
+        conv(substring(md5(concat(lit("smp:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(100L))
+      t(s, dir, "documents")
+        .where(gate < when(col("lang") === "en", lit(20L)).otherwise(lit(60L)))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Corpus n-gram statistics: top-50 token trigrams by occurrence.
+    // Partial aggregation map-side, TakeOrdered for the limit — no global
+    // sort of the full n-gram table.
+    "q29_ngram_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(Text.tokens(col("text")).as("__toks"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(Text.shingles(col("__toks"), 3)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(50)
+    }),
+
+    // ── Token-budget batching via two-phase distributed prefix sum.
+    "q30_token_batches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      Pack.tokenBatches(docs, "doc_id", "n_tokens", budget = 8192L)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -779,6 +825,68 @@ object SparkEntry {
         |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Connected components as a recursive CTE: comps propagate along edges
+    // (both directions), min over every reachable id = the cluster
+    // representative the Spark operator converges to.
+    "q27_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |                        for i in generate_series(1, len(toks)-2)])
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, r.comp FROM e JOIN reach r ON e.b = r.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT documents.doc_id,
+        |  CAST(coalesce(cc.comp, documents.doc_id) AS BIGINT) AS cluster_id
+        |FROM documents LEFT JOIN cc ON documents.doc_id = cc.id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q28_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q29_ngram_freq" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 3
+        |    THEN [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |          for i in generate_series(1, len(toks)-2)]
+        |    ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')] END) AS ngram
+        |  FROM d)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
+        |GROUP BY ngram
+        |ORDER BY n DESC, ngram LIMIT 50""".stripMargin,
+
+    "q30_token_batches" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192
+        |    AS BIGINT) AS batch_id
+        |FROM tok ORDER BY doc_id""".stripMargin
   )
 }

@@ -29,6 +29,7 @@ object TransformRunner {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -13,6 +13,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: avoid the minutes-long ICU case-mapping class init
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -125,7 +125,7 @@ object Text {
       window: Int = 4
   ): org.apache.spark.sql.DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .repartition(col(idCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), shingles(col("__toks"), n).as("__sh"))
       .select(col(idCol),
         transform(col("__sh"), s => xxhash64(s)).as("__h"))

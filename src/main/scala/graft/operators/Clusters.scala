@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate clustering: connected components over a near-duplicate pair
+  * list, entirely as DataFrame joins/aggregations (no driver-side graph, no
+  * RDD collect) so it scales with the cluster like the dedup operators that
+  * feed it.
+  *
+  * Algorithm: min-label propagation with pointer jumping — each round a
+  * node's label folds in (a) the minimum label among its neighbors and
+  * (b) the label of its current label (label(label(v))). (b) halves the
+  * remaining propagation depth, giving O(log diameter) rounds like the
+  * large-star/small-star formulation of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" (SoCC'14), with simpler invariants:
+  * labels only ever decrease, so convergence is detected by one cheap
+  * `sum(comp)` action per round instead of a change-count join.
+  *
+  * Scale shape per round: two shuffle hash joins on node id + one hash
+  * aggregate — all AQE-plannable, skew-join eligible. Near-dup graphs are
+  * overwhelmingly tiny components (pairs/triples), so real-world round
+  * counts are 2–3; `maxRounds` only bounds adversarial chains.
+  */
+object Clusters {
+
+  /** Connected components of the undirected graph given by `(aCol, bCol)`
+    * edge endpoints (long ids). Returns ("id", "comp") where `comp` is the
+    * minimum node id in the component — one row per distinct endpoint.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 25
+  ): DataFrame = {
+    val fwd = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // comp is non-increasing per node, so the label sum strictly decreases
+    // until the fixpoint: one scalar action per round decides convergence.
+    var prevSum = labels.agg(sum("comp")).head.getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("__nc").as("__nbrComp"))
+      val stepped = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nbrComp"), col("comp"))).as("comp"))
+      val jumped = stepped
+        .join(
+          stepped.select(col("id").as("comp"), col("comp").as("__cc")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__cc"), col("comp"))).as("comp"))
+        // lineage grows per round; localCheckpoint truncates it so late
+        // rounds don't replan/replay the whole chain
+        .localCheckpoint(true)
+      val newSum = jumped.agg(sum("comp")).head.getLong(0)
+      labels.unpersist()
+      labels = jumped
+      converged = newSum == prevSum
+      prevSum = newSum
+      round += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-duplicate document clusters: MinHash+LSH candidate pairs at
+    * `threshold` Jaccard (exactly `Dedup.nearDupPairs`), connected
+    * components over those pairs, then every document labeled with its
+    * cluster representative (minimum doc id in the component; singletons
+    * are their own representative).
+    *
+    * Output: (idCol, "cluster_id") — one row per input document.
+    */
+  def dupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val pairs = Dedup.nearDupPairs(df, idCol, textCol, threshold)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol))
+      .join(cc.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
+  }
+}

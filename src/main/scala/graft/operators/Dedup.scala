@@ -66,6 +66,38 @@ object Dedup {
     f(sh)
   }
 
+  /** Compiled shingle kernel: token n-grams joined by spaces, distinct,
+    * sorted. Identical output to
+    * `array_sort(array_distinct(Text.shingles(toks, n)))` but one compiled
+    * pass per document instead of interpreted higher-order expressions
+    * (transform/slice/array_join run via `eval`, not codegen, and dominated
+    * profile CPU on document workloads).
+    */
+  def shingleSortedSet(toks: Column, n: Int): Column = {
+    val f = udf { (ts: Array[String]) =>
+      val out =
+        if (ts.length >= n) {
+          val set = new java.util.TreeSet[String]()
+          var i = 0
+          val sb = new java.lang.StringBuilder
+          while (i <= ts.length - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(ts(i + j))
+              j += 1
+            }
+            set.add(sb.toString)
+            i += 1
+          }
+          set.toArray(new Array[String](set.size))
+        } else Array(ts.mkString(" "))
+      out
+    }
+    f(toks)
+  }
+
   /** Near-duplicate pairs by token-n-gram Jaccard ≥ `threshold`.
     *
     * Implementation: MinHash+LSH candidate generation, then exact Jaccard on
@@ -84,24 +116,21 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 3
   ): DataFrame = {
-    // Staged evaluation, deliberately: a higher-order lambda that references
-    // a *derived expression* (e.g. slice(tokens(text),…) inside transform)
-    // re-evaluates that expression per array element in interpreted eval —
-    // O(tokens²) per doc. Materialize tokens first (cheap, one split per
-    // doc), shuffle-repartition (spreads single-file inputs AND stops
-    // projection collapsing), then build shingles/signatures from attribute
-    // references only.
+    // Staged evaluation, deliberately: tokens materialize once (one split
+    // per doc), then an explicit-width shuffle repartition spreads
+    // single-file inputs across all cores (explicit numPartitions so AQE's
+    // byte-based coalescing cannot collapse a CPU-bound stage to one task —
+    // document bytes are small, per-row compute is not), then the compiled
+    // shingle/minhash kernels run from attribute references only.
     // Persisted: this frame is referenced four times downstream (both sides
     // of the bucket self-join and both sides of the verify join); without
     // materialization the tokenize→shingle→minhash pipeline would re-run
     // per reference.
+    val width = df.sparkSession.sparkContext.defaultParallelism
     val docs = df
       .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
-      .repartition(col("__id"))
-      .select(
-        col("__id"),
-        array_sort(array_distinct(Text.shingles(col("__toks"), shingleLen)))
-          .as("__sh"))
+      .repartition(width, col("__id"))
+      .select(col("__id"), shingleSortedSet(col("__toks"), shingleLen).as("__sh"))
       .withColumn("__bands", minhashBands(col("__sh"), bands, rowsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -158,14 +187,17 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** 60-bit SimHash over token shingles, as a DataFrame operator:
-    * explode shingle hashes, then one hash-aggregate with 60 codegen'd
-    * conditional sums (per bit: count-set − count-unset; the bit is the
-    * sign). One shuffle on the id with map-side partial aggregation —
-    * this is the scalable formulation; a per-row higher-order-function
-    * fold would be interpreted (not codegen'd) and re-evaluate the
-    * tokenize→shingle→hash pipeline once per bit after projection
-    * collapsing.
+  /** 60-bit SimHash over token shingles, as a DataFrame operator: one
+    * compiled kernel per document (shingle → md5 → ±1 per bit → sign).
+    *
+    * Map-only — no explode, no shuffle beyond the partition spread, and no
+    * 60-column aggregate. The earlier explode + 60-conditional-sum
+    * formulation was algebraically identical but generated a janino source
+    * large enough that its compile time dominated the query, and its
+    * exploded shuffle was pure overhead for a per-document reduction. The
+    * kernel computes exactly the oracle's number: per distinct shingle,
+    * h = first 15 hex chars of md5 as a 60-bit int; bit b of the result =
+    * sign of Σ±1 over shingles at bit b.
     *
     * @return (idCol, simhash LONG)
     */
@@ -175,28 +207,53 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3
   ): DataFrame = {
-    // hash AFTER the explode: md5 on a plain column stays in whole-stage
-    // codegen, where a `transform(..., md5)` lambda would run interpreted
-    // per element
-    val hashes = df
-      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
-      .repartition(col(idCol))
-      .select(
-        col(idCol),
-        explode(array_distinct(Text.shingles(col("__toks"), shingleLen))).as("__s"))
-      .select(col(idCol), md5Hash60(col("__s")).as("__h"))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        .as(s"__b$b")
+    val n = shingleLen
+    val kernel = udf { (ts: Array[String]) =>
+      val set = new java.util.HashSet[String]()
+      if (ts.length >= n) {
+        var i = 0
+        val sb = new java.lang.StringBuilder
+        while (i <= ts.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(ts(i + j))
+            j += 1
+          }
+          set.add(sb.toString)
+          i += 1
+        }
+      } else set.add(ts.mkString(" "))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sums = new Array[Int](SimhashBits)
+      val it = set.iterator()
+      while (it.hasNext) {
+        val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars as a 60-bit int == unsigned big-endian of the
+        // first 8 bytes >>> 4 (drops the 16th nibble)
+        var v = 0L
+        var k = 0
+        while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+        val h = v >>> 4
+        var b = 0
+        while (b < SimhashBits) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < SimhashBits) {
+        if (sums(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
     }
-    hashes
-      .groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(
-        col(idCol),
-        (0 until SimhashBits).map { b =>
-          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+    val width = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .repartition(width, col(idCol))
+      .select(col(idCol), kernel(col("__toks")).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{RowEncoder => CatalystRowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Token-budget batching for training-data pipelines: assign documents, in
+  * global id order, to consecutive batches by cumulative token count —
+  * `batch_id = floor(exclusive_prefix_sum(n_tokens) / budget)`.
+  *
+  * The naive formulation is a window over a global ORDER BY — a
+  * single-partition sequential scan, the canonical 100 TB scale-killer.
+  * This operator is the two-phase distributed prefix sum instead:
+  *
+  *  1. range-repartition by id and sort within partitions (one shuffle, the
+  *     same one any global ordering pays);
+  *  2. pass A: one `mapPartitions` emitting each partition's token total —
+  *     P scalars to the driver (thousands of values at 100 TB, not rows);
+  *  3. pass B: one `mapPartitions` re-scanning the persisted partitions,
+  *     adding the exclusive sum of all earlier partitions' totals to the
+  *     local running sum.
+  *
+  * Every row is touched exactly twice, all heavy work stays distributed,
+  * and partition count — not data size — bounds driver memory.
+  */
+object Pack {
+
+  /** @return (idCol, "n_tokens", "batch_id"), one row per input row, batch
+    *         ids dense from 0 in ascending `idCol` order.
+    */
+  def tokenBatches(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = df
+      .select(col(idCol).cast("long").as("__id"), col(nTokensCol).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("__id"))
+      .sortWithinPartitions("__id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // pass A: per-partition totals (index → sum), tiny driver collect
+    val totals: Map[Int, Long] = sorted
+      .select(col("n_tokens"))
+      .queryExecution.toRdd // InternalRow, no conversion cost
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(0)
+        Iterator((pid, s))
+      }
+      .collect()
+      .toMap
+    val nParts = totals.keys.foldLeft(-1)(math.max) + 1
+    val offsets = new Array[Long](math.max(nParts, 1))
+    var acc = 0L
+    for (p <- 0 until nParts) {
+      offsets(p) = acc
+      acc += totals.getOrElse(p, 0L)
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+
+    // pass B: local running sum + broadcast offset of earlier partitions
+    val outSchema = StructType(Seq(
+      StructField("__id", LongType), StructField("n_tokens", LongType),
+      StructField("batch_id", LongType)))
+    val enc = CatalystRowEncoder.encoderFor(outSchema)
+    val out = sorted.mapPartitions { it =>
+      var running = bOffsets.value(TaskContext.getPartitionId())
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val batch = running / budget
+        running += n
+        Row(id, n, batch)
+      }
+    }(enc)
+    out.withColumnRenamed("__id", idCol)
+  }
+}

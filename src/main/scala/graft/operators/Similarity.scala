@@ -39,7 +39,7 @@ object Similarity {
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
       idOut: String, vecOut: String, normOut: String): DataFrame =
     df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
-      .repartition(col(idOut))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idOut))
       .withColumn(normOut, sqrt(dotF(col(vecOut), col(vecOut))))
 
   /** Brute-force cosine top-k: for each row of `queries`, the `k` nearest
@@ -369,7 +369,7 @@ object Similarity {
     val bands = nBits / bandBits
     def withBands(df: DataFrame, id: String): DataFrame = {
       val base = df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"))
-        .repartition(col(id))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, col(id))
         .withColumn("__sig", rhpSignature(col(s"__v_$id"), dim, nBits))
         .withColumn(s"__n_$id", sqrt(dotF(col(s"__v_$id"), col(s"__v_$id"))))
       val bandCols = array((0 until bands).map { b =>

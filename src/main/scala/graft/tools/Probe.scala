@@ -12,6 +12,7 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
