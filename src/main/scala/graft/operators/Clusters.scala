@@ -25,6 +25,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Clusters {
 
+  /** Edge count at or below which [[connectedComponents]] solves the graph
+    * with a single-pass driver union-find instead of the iterative join
+    * loop — the same size-adaptive trade AQE makes when it broadcasts a
+    * small join side. A million (src, dst) longs is ~16 MB; the iterative
+    * loop costs several Spark jobs of fixed overhead per round, which
+    * dwarfs that for small graphs. Near-dup edge lists are already the
+    * *output* of LSH candidate pruning, so in practice they are a vanishing
+    * fraction of corpus size; graphs above the threshold take the
+    * distributed loop.
+    */
+  val UnionFindMaxEdges: Long = 1L << 20
+
   /** Connected components of the undirected graph given by `(aCol, bCol)`
     * edge endpoints (long ids). Returns ("id", "comp") where `comp` is the
     * minimum node id in the component — one row per distinct endpoint.
@@ -33,9 +45,32 @@ object Clusters {
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 25
+      maxRounds: Int = 25,
+      unionFindMaxEdges: Long = UnionFindMaxEdges
   ): DataFrame = {
     val fwd = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = fwd.count()
+    if (nEdges <= unionFindMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      // small-graph fast path: classic union-find with path halving over
+      // the collected edge list, result re-distributed as a DataFrame
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      fwd.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = parent.keys.toSeq.map(k => (k, find(k)))
+      fwd.unpersist()
+      return out.toDF("id", "comp")
+    }
+
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -63,8 +98,9 @@ object Clusters {
         .select(col("id"),
           least(col("comp"), coalesce(col("__cc"), col("comp"))).as("comp"))
         // lineage grows per round; localCheckpoint truncates it so late
-        // rounds don't replan/replay the whole chain
-        .localCheckpoint(true)
+        // rounds don't replan/replay the whole chain. Lazy: the sum below
+        // materializes it — one Spark action per round, not two.
+        .localCheckpoint(false)
       val newSum = jumped.agg(sum("comp")).head.getLong(0)
       labels.unpersist()
       labels = jumped
@@ -73,6 +109,7 @@ object Clusters {
       round += 1
     }
     sym.unpersist()
+    fwd.unpersist()
     labels
   }
 

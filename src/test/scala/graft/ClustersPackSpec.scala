@@ -22,11 +22,16 @@ class ClustersPackSpec extends AnyFunSuite {
     // exercises the pointer-jumping rounds, not just one hop)
     val chain = (13L to 20L).map(i => (i, i - 1))
     val edges = (Seq((1L, 2L), (2L, 3L), (5L, 6L)) ++ chain).toDF("a", "b")
-    val got = Clusters.connectedComponents(edges, "a", "b")
-      .as[(Long, Long)].collect().toMap
-    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
-    assert(got(5L) == 5L && got(6L) == 5L)
-    (12L to 20L).foreach(i => assert(got(i) == 12L, s"node $i"))
+    // both execution paths must agree: driver union-find (small-graph
+    // fast path) and the distributed iterative loop (forced via threshold)
+    for (threshold <- Seq(Long.MaxValue, 0L)) {
+      val got = Clusters
+        .connectedComponents(edges, "a", "b", unionFindMaxEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L, s"t=$threshold")
+      assert(got(5L) == 5L && got(6L) == 5L, s"t=$threshold")
+      (12L to 20L).foreach(i => assert(got(i) == 12L, s"node $i t=$threshold"))
+    }
   }
 
   test("dupClusters groups planted near-duplicates, singletons self-labeled") {
