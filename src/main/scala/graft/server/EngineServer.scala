@@ -1,0 +1,130 @@
+package graft.server
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{RawQueryEngine, TransformEngine}
+import graft.protocol.RequestCodec
+
+/** Long-running engine transport: serves `executeTransform` /
+  * `executeRawQuery` over a framed TCP socket, the role the reference's
+  * gRPC endpoint plays on the same default port (reference
+  * adapter/src/grpc.rs:37-104 serves both RPCs on 2884;
+  * adapter/src/adapter.rs:103-203 does the request/checkpoint plumbing).
+  * gRPC/FlatBuffers themselves need codegen toolchains unavailable here,
+  * so the wire format is the engine's YAML protocol behind a trivial
+  * length-prefixed framing any coordinator-side shim can speak:
+  *
+  *   frame   := u32 length (big-endian) ++ UTF-8 payload
+  *   request := ("transform" | "rawquery") "\n" request-YAML
+  *   reply   := response-YAML  (always; engine errors arrive as
+  *              InvalidQuery / InternalError response kinds)
+  *
+  * One connection may send any number of requests; requests execute
+  * sequentially (the reference engine is parallelism-1 per process — each
+  * transform owns its checkpoint directory, so serial execution is the
+  * contract, not a limitation). All Spark parallelism lives inside a
+  * request.
+  */
+object EngineServer {
+
+  /** Default port — mirrors the reference adapter (grpc.rs:29). */
+  val DefaultPort = 2884
+
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(DefaultPort)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-engine-server")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = new ServerSocket(port)
+    println(s"[graft] engine server listening on ${server.getLocalPort}")
+    try serve(spark, server)
+    finally spark.stop()
+  }
+
+  /** Accept loop; returns when the server socket closes. Factored out so
+    * tests can drive an ephemeral-port server with their own session.
+    */
+  def serve(spark: SparkSession, server: ServerSocket): Unit =
+    try {
+      while (true) {
+        val sock = server.accept()
+        try handleConnection(spark, sock)
+        finally sock.close()
+      }
+    } catch {
+      case _: java.net.SocketException => () // server socket closed: done
+    }
+
+  private def handleConnection(spark: SparkSession, sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      while (true) {
+        val payload = readFrame(in)
+        val nl = payload.indexOf('\n')
+        val (method, yaml) =
+          if (nl < 0) (payload.trim, "")
+          else (payload.substring(0, nl).trim, payload.substring(nl + 1))
+        val reply = dispatch(spark, method, yaml)
+        writeFrame(out, reply)
+      }
+    } catch {
+      case _: EOFException => () // client done
+    }
+  }
+
+  /** Engine exceptions surface as response kinds, never dropped
+    * connections — same contract as TransformEngine's own error mapping.
+    */
+  def dispatch(spark: SparkSession, method: String, yaml: String): String =
+    method match {
+      case "transform" =>
+        val resp =
+          try new TransformEngine(spark)
+            .executeTransform(RequestCodec.parseTransformRequest(yaml))
+          catch {
+            case e: Throwable =>
+              graft.protocol.TransformResponse.InternalError(
+                s"${e.getClass.getName}: ${e.getMessage}", None)
+          }
+        RequestCodec.renderTransformResponse(resp)
+      case "rawquery" =>
+        val resp =
+          try new RawQueryEngine(spark)
+            .executeRawQuery(RequestCodec.parseRawQueryRequest(yaml))
+          catch {
+            case e: Throwable =>
+              graft.protocol.RawQueryResponse.InternalError(
+                s"${e.getClass.getName}: ${e.getMessage}", None)
+          }
+        RequestCodec.renderRawQueryResponse(resp)
+      case other =>
+        s"""kind: InvalidQuery\nmessage: "unknown method '$other' (expected transform|rawquery)"\n"""
+    }
+
+  def readFrame(in: DataInputStream): String = {
+    val len = in.readInt()
+    require(len >= 0 && len <= (64 << 20), s"frame length $len out of range")
+    val buf = new Array[Byte](len)
+    in.readFully(buf)
+    new String(buf, UTF_8)
+  }
+
+  def writeFrame(out: DataOutputStream, payload: String): Unit = {
+    val bytes = payload.getBytes(UTF_8)
+    out.writeInt(bytes.length)
+    out.write(bytes)
+    out.flush()
+  }
+}
