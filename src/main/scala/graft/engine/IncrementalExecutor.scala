@@ -80,7 +80,8 @@ final class IncrementalExecutor(
 
   def run(): ExecResult = mode match {
     case PlanClassifier.Mode.Stateless       => runStateless()
-    case PlanClassifier.Mode.AsOfJoin        => runAsOf()
+    case PlanClassifier.Mode.AsOfJoin        => runAsOf(windowed = false)
+    case PlanClassifier.Mode.AsOfWindowed    => runAsOf(windowed = true)
     case w: PlanClassifier.Mode.Windowed     => runWindowed(w.upperMillis)
     case d: PlanClassifier.Mode.SnapshotDiff => runSnapshotDiff(d.keys)
   }
@@ -180,53 +181,59 @@ final class IncrementalExecutor(
     (fulls, retractive)
   }
 
+  // ── Window-gating helpers (shared by Windowed and AsOfWindowed) ───────
+  private def truncUnit(months: Int): String = months match {
+    case 3  => "QUARTER"
+    case 12 => "YEAR"
+    case _  => "MONTH"
+  }
+  /** Window end of an emitted row (event_time = window start, unless the
+    * query already projected TUMBLE_END as its event time). */
+  private def windowEnd(c: Column): Column = tumble match {
+    case _ if eventTimeIsWindowEnd => c
+    case Some(t) if t.calendarMonths > 0 =>
+      add_months(c, t.calendarMonths).cast("timestamp")
+    case Some(t) =>
+      val durUs = durationMillis(t.duration) * 1000
+      timestamp_micros(expr(s"(unix_micros(${vocab.eventTimeColumn}) div $durUs) * $durUs")
+        .plus(durUs))
+    case None => c
+  }
+  /** Window end of a RAW input row (arbitrary event time within a window). */
+  private def rowWindowEnd(c: Column, name: String): Column = tumble match {
+    case Some(t) if t.calendarMonths > 0 =>
+      add_months(date_trunc(truncUnit(t.calendarMonths), c), t.calendarMonths)
+        .cast("timestamp")
+    case Some(t) =>
+      val durUs = durationMillis(t.duration) * 1000
+      timestamp_micros(expr(s"(unix_micros($name) div $durUs) * $durUs").plus(durUs))
+    case None => c
+  }
+  private def tsLit(i: Instant): Column =
+    lit(SqlRewriter.tsLiteral(i)).cast("timestamp")
+  /** Rows of the computed result whose window closed at `reported` but was
+    * still open at the previous run's gate — emit exactly once. */
+  private def gateByWindowEnd(
+      resultAll: DataFrame, reported: Option[Instant]): DataFrame = {
+    val eventCol = col(vocab.eventTimeColumn)
+    reported match {
+      case None => resultAll.limit(0)
+      case Some(r) =>
+        val upperGate = windowEnd(eventCol) <= tsLit(r)
+        ledger.emitThreshold match {
+          case Some(p) => resultAll.where(upperGate && windowEnd(eventCol) > tsLit(p))
+          case None    => resultAll.where(upperGate)
+        }
+    }
+  }
+
   // ── Windowed: tumbling agg / interval join with watermark gating ──────
   private def runWindowed(upperMs: Long): ExecResult = {
     val (fulls, retractive) = bufferedFulls()
     val resultAll = runSteps(steps)
 
     val reported = minWm(inputs).map(_.minusMillis(upperMs))
-    val prevGate = ledger.emitThreshold
-
-    def truncUnit(months: Int): String = months match {
-      case 3  => "QUARTER"
-      case 12 => "YEAR"
-      case _  => "MONTH"
-    }
-    // window end of an emitted row (event_time = window start, unless the
-    // query already projected TUMBLE_END as its event time)
-    def windowEnd(c: Column): Column = tumble match {
-      case _ if eventTimeIsWindowEnd => c
-      case Some(t) if t.calendarMonths > 0 =>
-        add_months(c, t.calendarMonths).cast("timestamp")
-      case Some(t) =>
-        val durUs = durationMillis(t.duration) * 1000
-        timestamp_micros(expr(s"(unix_micros(${vocab.eventTimeColumn}) div $durUs) * $durUs")
-          .plus(durUs))
-      case None => c
-    }
-    // window end of a RAW input row (arbitrary event time within a window)
-    def rowWindowEnd(c: Column, name: String): Column = tumble match {
-      case Some(t) if t.calendarMonths > 0 =>
-        add_months(date_trunc(truncUnit(t.calendarMonths), c), t.calendarMonths)
-          .cast("timestamp")
-      case Some(t) =>
-        val durUs = durationMillis(t.duration) * 1000
-        timestamp_micros(expr(s"(unix_micros($name) div $durUs) * $durUs").plus(durUs))
-      case None => c
-    }
-
-    val eventCol = col(vocab.eventTimeColumn)
-    def tsLit(i: Instant): Column = lit(SqlRewriter.tsLiteral(i)).cast("timestamp")
-    val emitted = reported match {
-      case None => resultAll.limit(0)
-      case Some(r) =>
-        val upperGate = windowEnd(eventCol) <= tsLit(r)
-        prevGate match {
-          case Some(p) => resultAll.where(upperGate && windowEnd(eventCol) > tsLit(p))
-          case None    => resultAll.where(upperGate)
-        }
-    }
+    val emitted = gateByWindowEnd(resultAll, reported)
 
     // Prune + persist buffers: keep rows whose window is still open.
     fulls.foreach { case (i, full) =>
@@ -242,7 +249,14 @@ final class IncrementalExecutor(
   }
 
   // ── AS-OF / temporal join (SURVEY.md §2.2 joins) ─────────────────────
-  private def runAsOf(): ExecResult = {
+  /** @param windowed as-of feeding a tumbling agg (Mode.AsOfWindowed): the
+    *   joined stream is additionally buffered across runs and the final
+    *   result gates on window end like runWindowed — composition the
+    *   reference inherits from the Flink planner. The window buffer prunes
+    *   on the probe's event-time column, which assumes the window groups on
+    *   a time derived non-shifted from it (the whole observed surface).
+    */
+  private def runAsOf(windowed: Boolean): ExecResult = {
     val spec = asOf.get
     val probe = byAlias(spec.probeTable).getOrElse(
       throw new InvalidQueryException(s"unknown probe input ${spec.probeTable}"))
@@ -321,7 +335,14 @@ final class IncrementalExecutor(
         matched.where(!col(s"__build_$buildOpCol")
           .isin(graft.protocol.Op.Retract, graft.protocol.Op.CorrectFrom))
       else matched
-    inner.createOrReplaceTempView("__asof_joined")
+    // Windowed composition: the window stage sees the joined stream's full
+    // open-window history (buffer ∪ this run's join output), not just the
+    // increment — same recompute-open-windows design as runWindowed.
+    val windowInputFull =
+      if (windowed)
+        store.read(bufferName(AsOfWindowBufferAlias), inner.schema).unionByName(inner)
+      else inner
+    windowInputFull.createOrReplaceTempView("__asof_joined")
 
     var result: DataFrame = null
     steps.zipWithIndex.foreach { case ((alias, rwStep), i) =>
@@ -356,7 +377,18 @@ final class IncrementalExecutor(
     store.write(versionStoreName(spec.buildTable), compacted)
 
     val wm = minWm(Seq(probe, build))
-    ExecResult(result, wm, None, None, ledger.retractiveInputs)
+    if (windowed) {
+      val emitted = gateByWindowEnd(result, wm)
+      val keep = wm match {
+        case Some(r) =>
+          windowInputFull.where(
+            rowWindowEnd(col(spec.probeTimeCol), spec.probeTimeCol) > tsLit(r))
+        case None => windowInputFull
+      }
+      store.write(bufferName(AsOfWindowBufferAlias), keep)
+      ExecResult(emitted, wm, wm, None, ledger.retractiveInputs)
+    } else
+      ExecResult(result, wm, None, None, ledger.retractiveInputs)
   }
 
   // ── Snapshot diff: generic updating queries (SURVEY.md §7.4) ──────────
@@ -459,6 +491,9 @@ object IncrementalExecutor {
   def bufferName(alias: String): String = s"buffer_$alias"
   def versionStoreName(alias: String): String = s"versions_$alias"
   val snapshotName: String = "snapshot"
+  /** State name for the joined-stream window buffer in AsOfWindowed mode;
+    * `__` keeps it clear of user query aliases. */
+  val AsOfWindowBufferAlias: String = "__asof_window"
 
   private val keyEqRe = """(\w+)\.([\w`]+)\s*=\s*(\w+)\.([\w`]+)""".r
   private val fromJoinRe =

@@ -51,6 +51,11 @@ object PlanClassifier {
       * the chain is tumble-only); subtracted from the reported watermark. */
     final case class Windowed(upperMillis: Long) extends Mode
     case object AsOfJoin extends Mode
+    /** As-of join feeding a tumbling-window aggregation in one chain: the
+      * join stage runs with probe hold-back as in [[AsOfJoin]], its output
+      * is buffered, and the window stage gates on the joined stream's
+      * watermark as in [[Windowed]]. */
+    case object AsOfWindowed extends Mode
     final case class SnapshotDiff(keys: Option[Seq[String]]) extends Mode
   }
 
@@ -266,10 +271,15 @@ object PlanClassifier {
     if (asOfs.nonEmpty) {
       if (asOfs.size > 1)
         invalid("multiple as-of joins in one transform are not supported")
-      if (tumbles.nonEmpty || f.intervalUppers.nonEmpty || f.snapshotFacts)
+      if (f.intervalUppers.nonEmpty || f.snapshotFacts)
         invalid("an as-of join cannot be composed with other stateful operators " +
-          "(windows, aggregations, ranking, regular joins) in one transform")
-      Mode.AsOfJoin
+          "(interval joins, non-windowed aggregations, ranking, regular joins) " +
+          "in one transform")
+      if (tumbles.nonEmpty) {
+        if (tumbles.size > 1)
+          invalid("multiple distinct tumbling windows in one transform are not supported")
+        Mode.AsOfWindowed
+      } else Mode.AsOfJoin
     } else if (tumbles.nonEmpty) {
       if (tumbles.size > 1)
         invalid("multiple distinct tumbling windows in one transform are not supported")

@@ -1138,6 +1138,77 @@ class EngineSpec extends AnyFunSuite {
     assert(resp.isInstanceOf[RawQueryResponse.InvalidQuery] ||
       resp.isInstanceOf[RawQueryResponse.InternalError])
   }
+
+  // ──────────────────────────────────────────────────────────────────────
+  test("as-of join feeding a tumbling agg: hold-back, once-only close, late drop") {
+    import spark.implicits._
+    val dir = tmp()
+    val tickIn = s"$dir/tick.parquet"
+    val stockIn = s"$dir/stock.parquet"
+    // probe: two day-1 tickers + one day-2 ticker
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1, 10)), "A", 100),
+      Ticker(1, 0, t(ts(1)), t(ts(1, 14)), "A", 110),
+      Ticker(2, 0, t(ts(1)), t(ts(2, 9)), "A", 140)), tickIn)
+    // build: volume 5 from day 1, volume 7 from day 2
+    writeSlice(Seq(
+      Stock(0, 0, t(ts(1)), t(ts(1)), "A", 5),
+      Stock(1, 0, t(ts(1)), t(ts(2)), "A", 7)), stockIn)
+
+    val enriched =
+      """SELECT t.event_time, t.symbol, owned.volume * t.price as value
+        |FROM tickers as t
+        |JOIN stocks_owned FOR SYSTEM_TIME AS OF t.event_time AS owned
+        |  ON t.symbol = owned.symbol""".stripMargin
+    val daily =
+      """SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+        |  symbol, sum(value) as daily_value, count(*) as n
+        |FROM enriched
+        |GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol""".stripMargin
+
+    def req(num: Int, tick: Option[(Long, Long)], tickPath: String,
+        pw: Instant, bw: Instant, prevCp: Option[String]): TransformRequest =
+      TransformRequest(
+        "did:out", "out", ts(20 + num), DatasetVocabulary(),
+        Transform(
+          queries = Vector(SqlQueryStep(Some("enriched"), enriched),
+            SqlQueryStep(None, daily)),
+          temporalTables = Vector(TemporalTable("stocks_owned", Vector("symbol")))),
+        Vector(
+          tick match {
+            case Some((s, n)) => mkInput("tickers", tickPath, tickIn, n, s, wms = Seq(pw))
+            case None         => mkInput("tickers", null, tickIn, 0, wms = Seq(pw))
+          },
+          if (num == 1) mkInput("stocks_owned", stockIn, stockIn, 2, wms = Seq(bw))
+          else mkInput("stocks_owned", null, stockIn, 0, wms = Seq(bw))),
+        nextOffset = num - 1, prevCheckpointPath = prevCp,
+        newCheckpointPath = s"$dir/cp$num", newDataPath = s"$dir/out$num.parquet")
+
+    // Run 1: build WM day 2 → day-2 ticker held back; probe WM day 3 but
+    // reported WM = min(3,2) = day 2 → only the day-1 window closes:
+    // 100*5 + 110*5 = 1050 over 2 rows.
+    val r1 = runT(req(1, Some((0L, 3L)), tickIn, ts(3), ts(2), None))
+    assert(r1.newWatermark.contains(ts(2)))
+    val o1 = readOut(s"$dir/out1.parquet").collect()
+    assert(o1.length == 1)
+    assert(o1(0).getAs[Long]("daily_value") == 1050L && o1(0).getAs[Long]("n") == 2L)
+
+    // Run 2: watermarks to day 4 → held-back day-2 ticker joins volume 7
+    // (140*7 = 980), day-2 window closes exactly once, day-1 not re-emitted.
+    val r2 = runT(req(2, None, tickIn, ts(4), ts(4), Some(s"$dir/cp1")))
+    assert(r2.newWatermark.contains(ts(4)))
+    val o2 = readOut(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1)
+    assert(t(ts(2)).equals(o2(0).getAs[Timestamp]("event_time")))
+    assert(o2(0).getAs[Long]("daily_value") == 980L && o2(0).getAs[Long]("n") == 1L)
+
+    // Run 3: a late day-1 ticker lands after its window closed → dropped.
+    val lateIn = s"$dir/tick_late.parquet"
+    writeSlice(Seq(Ticker(3, 0, t(ts(5)), t(ts(1, 23)), "A", 999)), lateIn)
+    val r3 = runT(req(3, Some((3L, 1L)), lateIn, ts(5), ts(5), Some(s"$dir/cp2")))
+    assert(r3.newOffsetInterval.isEmpty)
+    assert(readOut(s"$dir/out3.parquet").collect().isEmpty)
+  }
 }
 
 /** Top-level fixture row types (Spark encoders require non-inner classes). */

@@ -97,4 +97,33 @@ class PlanClassifierSpec extends AnyFunSuite {
           |  AND o.event_time + INTERVAL '1' MONTH""".stripMargin)
     }
   }
+
+  val asOfSql: String =
+    """SELECT t.event_time, t.symbol, owned.volume * t.price as value
+      |FROM tickers as t
+      |JOIN stocks_owned FOR SYSTEM_TIME AS OF t.event_time AS owned
+      |  ON t.symbol = owned.symbol""".stripMargin
+
+  test("as-of alone is AsOfJoin; as-of feeding a tumble is AsOfWindowed") {
+    assert(classify(asOfSql) == Mode.AsOfJoin)
+    assert(classify(
+      asOfSql,
+      """SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+        |  symbol, sum(value) as daily_value
+        |FROM enriched
+        |GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol""".stripMargin)
+      == Mode.AsOfWindowed)
+  }
+
+  test("as-of composed with ranking or plain aggregation stays rejected") {
+    intercept[InvalidQueryException] {
+      classify(asOfSql, "SELECT count(*) AS n FROM enriched")
+    }
+    intercept[InvalidQueryException] {
+      classify(asOfSql,
+        """SELECT value FROM (SELECT value,
+          |  row_number() OVER (ORDER BY value DESC) AS rn
+          |FROM enriched) WHERE rn <= 2""".stripMargin)
+    }
+  }
 }
