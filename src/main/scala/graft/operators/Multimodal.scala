@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   * `mapPartitions` (the Scala analogue of `mapInPandas` — one JVM call per
   * partition, vectorizable inner loop, no per-row UDF dispatch).
   *
-  * The actual codec calls are STUBBED (this container has no image/audio
-  * libraries): [[StubCodec]] produces deterministic fake decodes derived
-  * from the bytes. The Spark-side contract — schemas, batch shape,
-  * partitioning, null handling — is real and tested; swapping
-  * [[StubCodec]] for a JNI/javacpp codec is a local change.
+  * Image decode/resize (ImageIO + Graphics2D) and PCM audio decode
+  * (javax.sound.sampled) are REAL, JDK-only. Only media without a JDK
+  * reader (video codecs, mp3/ogg) falls back to [[StubCodec]]'s
+  * deterministic fakes; the Spark-side contract — schemas, batch shape,
+  * partitioning, null handling — is identical on both paths, so swapping
+  * the stub for a JNI/javacpp codec is a local change.
   */
 object Multimodal {
 
@@ -56,6 +57,52 @@ object Multimodal {
         Some((w, h, sum / (px.length * 255.0)))
       }
     }
+  }
+
+  /** Real audio decoding via javax.sound.sampled (WAV/AIFF/AU PCM — JDK
+    * only, no external dependencies). Returns None for formats without an
+    * installed reader (mp3/ogg/aac), which fall back to [[StubCodec]].
+    */
+  object AudioCodec {
+    /** Decode: (sampleRate, channels, nFrames, rms amplitude in [0,1]). */
+    def audioMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val nFrames = in.getFrameLength
+          val frameSize = fmt.getFrameSize
+          val data = in.readAllBytes()
+          val bits = fmt.getSampleSizeInBits
+          var sumSq = 0.0
+          var n = 0
+          if (bits == 16) {
+            val bb = java.nio.ByteBuffer.wrap(data).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            while (bb.remaining() >= 2) {
+              val s = bb.getShort / 32768.0
+              sumSq += s * s
+              n += 1
+            }
+          } else if (bits == 8) {
+            var i = 0
+            while (i < data.length) {
+              val s = (data(i) & 0xff) / 128.0 - 1.0
+              sumSq += s * s
+              n += 1
+              i += 1
+            }
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          val frames =
+            if (nFrames >= 0) nFrames
+            else if (frameSize > 0) data.length.toLong / frameSize
+            else 0L
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, frames, rms))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** STUB codec — deterministic fakes in place of real decoders for the
@@ -117,6 +164,81 @@ object Multimodal {
             .getOrElse(StubCodec.imageMeta(bytes))
           val feats = StubCodec.features(bytes, featureDim)
           Row.fromSeq(r.toSeq ++ Seq(w, h, luma, feats.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Proportionally resize every decodable image so its longer side is at
+    * most `maxDim`, re-encoded as PNG — real pixels through JDK
+    * Graphics2D, batch-wise per partition like all media ops. Rows whose
+    * bytes no image reader understands (audio/video, corrupt) pass through
+    * with null resized columns. Already-small images are re-encoded, not
+    * upscaled, so the output column is uniformly PNG.
+    *
+    * @return input columns + (resized BINARY, rs_width INT, rs_height INT)
+    */
+  def resizeImages(df: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType, nullable = true),
+      StructField("rs_width", IntegerType, nullable = true),
+      StructField("rs_height", IntegerType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val scale = math.min(1.0,
+            maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+          val w = math.max(1, math.round(img.getWidth * scale).toInt)
+          val h = math.max(1, math.round(img.getHeight * scale).toInt)
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Row.fromSeq(r.toSeq ++ Seq(bos.toByteArray, w, h))
+        }
+      }
+    }(enc)
+  }
+
+  /** Attach decoded audio metadata, batch-wise: real decode for WAV/AIFF
+    * PCM through [[AudioCodec]]; other formats get nulls (callers decide
+    * between dropping and stub-backed pipelines).
+    *
+    * @return input columns + (au_sample_rate INT, au_channels INT,
+    *         au_frames BIGINT, au_rms DOUBLE)
+    */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("au_sample_rate", IntegerType, nullable = true),
+      StructField("au_channels", IntegerType, nullable = true),
+      StructField("au_frames", LongType, nullable = true),
+      StructField("au_rms", DoubleType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val meta = if (bytes == null) None else AudioCodec.audioMeta(bytes)
+        meta match {
+          case Some((sr, ch, fr, rms)) =>
+            // Seq[Any]: an unannotated all-numeric Seq weakly unifies to
+            // Seq[Double], silently boxing the INT fields as Double
+            Row.fromSeq(r.toSeq ++ Seq[Any](sr, ch, fr, rms))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         }
       }
     }(enc)

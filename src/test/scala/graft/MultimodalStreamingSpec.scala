@@ -80,6 +80,79 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(audio.getDouble(audio.fieldIndex("dec_mean_luma")) == sl)
   }
 
+  test("multimodal: resize shrinks real pixels proportionally, re-encoded PNG") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    def imageBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Row(0L, "image", imageBytes(200, 100, 0x808080), "image/png",
+        null, null, null, null), // landscape, shrinks 2×
+      Row(1L, "image", imageBytes(40, 80, 0x402080), "image/png",
+        null, null, null, null), // already under maxDim: re-encode only
+      Row(2L, "audio", Array.tabulate[Byte](32)(_.toByte), "audio/wav",
+        null, null, null, null)) // undecodable → nulls
+    val df = spark.createDataFrame(rows.asJava, Multimodal.mediaSchema)
+    val out = Multimodal.resizeImages(df, maxDim = 100).orderBy("media_id").collect()
+
+    assert(out(0).getInt(out(0).fieldIndex("rs_width")) == 100)
+    assert(out(0).getInt(out(0).fieldIndex("rs_height")) == 50)
+    // resized bytes are a real PNG of the claimed dims with preserved color
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      out(0).getAs[Array[Byte]]("resized")))
+    assert(back.getWidth == 100 && back.getHeight == 50)
+    assert((back.getRGB(50, 25) & 0xffffff) == 0x808080)
+
+    assert(out(1).getInt(out(1).fieldIndex("rs_width")) == 40)
+    assert(out(1).getInt(out(1).fieldIndex("rs_height")) == 80)
+    assert(out(2).isNullAt(out(2).fieldIndex("resized")))
+    assert(out(2).isNullAt(out(2).fieldIndex("rs_width")))
+  }
+
+  test("multimodal: real WAV PCM decodes sample rate, frames, and RMS") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    // synthesize a 16-bit mono WAV: 0.25s of a full-scale-half sine at 440Hz
+    def wavBytes(rate: Int, seconds: Double, amp: Double): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val pcm = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until n)
+        bb.putShort((math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toShort)
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Row(0L, "audio", wavBytes(16000, 0.25, 0.5), "audio/wav",
+        null, null, null, Integer.valueOf(16000)),
+      Row(1L, "audio", Array.tabulate[Byte](64)(_.toByte), "audio/mpeg",
+        null, null, null, null)) // no JDK reader → nulls
+    val df = spark.createDataFrame(rows.asJava, Multimodal.mediaSchema)
+    val out = Multimodal.decodeAudio(df).orderBy("media_id").collect()
+
+    val wav = out(0)
+    assert(wav.getInt(wav.fieldIndex("au_sample_rate")) == 16000)
+    assert(wav.getInt(wav.fieldIndex("au_channels")) == 1)
+    assert(wav.getLong(wav.fieldIndex("au_frames")) == 4000L)
+    // RMS of a 0.5-amplitude sine is 0.5/√2 ≈ 0.3536
+    assert(math.abs(wav.getDouble(wav.fieldIndex("au_rms")) - 0.5 / math.sqrt(2)) < 0.01)
+
+    assert(out(1).isNullAt(out(1).fieldIndex("au_sample_rate")))
+    assert(out(1).isNullAt(out(1).fieldIndex("au_rms")))
+  }
+
   test("multimodal: frame sampling explodes bounded frame indices") {
     val media = Multimodal.synthetic(spark, 30)
     val sampled = Multimodal.sampleFrameIndices(media, maxFrames = 8)
