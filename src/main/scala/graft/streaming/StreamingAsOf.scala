@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming AS-OF join via `flatMapGroupsWithState` — the Structured
+  * Streaming face of [[graft.operators.AsOfJoin]] with the engine's probe
+  * hold-back semantics (reference
+  * EngineJoinStreamToTemporalTableTest.scala:126-148): a probe row emits
+  * only once the event-time watermark has passed its timestamp, joined
+  * against the latest build version at-or-before it; until then it waits
+  * in per-key state.
+  *
+  * Because the watermark of a union stream is the minimum across both
+  * inputs, "watermark passed the probe" automatically means BOTH the probe
+  * and build sides have sealed that point in time — late build versions can
+  * no longer change the answer, which is exactly the hold-back rule the
+  * batch engine enforces with its ledger.
+  *
+  * State per key: pending probes inside the watermark horizon + build
+  * versions, compacted to the newest at-or-before the watermark plus
+  * everything newer (the same compaction bound as the batch version store).
+  * State expires via event-time timeout an hour past the last activity.
+  * Rows later than the watermark are dropped by Spark's stateful-operator
+  * late-row filter before reaching the join — `delay` is therefore the
+  * allowed lateness, the same contract as the reference's bounded
+  * out-of-orderness watermarks.
+  */
+object StreamingAsOf {
+
+  /** Tagged union row: the event-time stays a REAL timestamp column (the
+    * watermark must be definable on the FMGWS input — serializing it away
+    * fails Spark's streaming checker); row payloads ride as bytes.
+    */
+  final case class Tagged(
+      key: String, isBuild: Boolean, ts: Timestamp, payload: Array[Byte])
+
+  /** Per-key state: (ts-millis, serialized values) for buffered rows. */
+  final case class KeyState(
+      versions: List[(Long, Array[Byte])],
+      pending: List[(Long, Array[Byte])])
+
+  private def ser(values: Seq[Any]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.ObjectOutputStream(bos)
+    o.writeObject(values.toVector)
+    o.close()
+    bos.toByteArray
+  }
+
+  private def deser(bytes: Array[Byte]): Seq[Any] =
+    new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+      .readObject().asInstanceOf[Vector[Any]]
+
+  /** Left as-of join of two STREAMING frames.
+    *
+    * @param probe     streaming frame (kept 1:1 downstream once the
+    *                  watermark passes; unmatched probes emit nulls)
+    * @param build     streaming frame of versions
+    * @param keyCol    equi-key column name, present on both sides
+    * @param probeTime probe event-time column
+    * @param buildTime build event-time column
+    * @param buildCols build columns to attach, as (buildName -> outName)
+    * @param delay     watermark delay applied to the tagged union stream
+    */
+  def leftAsOf(
+      spark: SparkSession,
+      probe: DataFrame,
+      build: DataFrame,
+      keyCol: String,
+      probeTime: String,
+      buildTime: String,
+      buildCols: Seq[(String, String)],
+      delay: String = "0 seconds"
+  ): DataFrame = {
+    val probeSchema = probe.schema
+    val outSchema = StructType(probeSchema.fields ++ buildCols.map {
+      case (b, out) => build.schema(b).copy(name = out)
+    })
+    val taggedEnc = Encoders.product[Tagged]
+
+    // Watermark each branch SEPARATELY before the union: Spark's global
+    // watermark is the min across watermark operators, which is what gives
+    // the join its "both sides sealed" hold-back rule. One watermark on the
+    // union would be max-of-all-rows and release probes the build side has
+    // not caught up to.
+    val probeTagged = probe.map { r =>
+      Tagged(r.getAs[Any](keyCol).toString, isBuild = false,
+        r.getAs[Timestamp](probeTime), ser(r.toSeq))
+    }(taggedEnc).withWatermark("ts", delay)
+    val buildTagged = build.map { r =>
+      Tagged(r.getAs[Any](keyCol).toString, isBuild = true,
+        r.getAs[Timestamp](buildTime),
+        ser(buildCols.map { case (b, _) => r.getAs[Any](b) }))
+    }(taggedEnc).withWatermark("ts", delay)
+    val unioned = probeTagged.union(buildTagged)
+
+    val joined = unioned
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        func = (_: String, rows: Iterator[Tagged], state: GroupState[KeyState]) => {
+          // A timeout is NOT cleanup here — it is the "watermark reached my
+          // earliest pending probe" wake-up that releases held-back probes
+          // for keys receiving no new data (no-data micro-batches only
+          // invoke timed-out groups). Evaluation is identical either way.
+          val prev = state.getOption.getOrElse(KeyState(Nil, Nil))
+          var versions = prev.versions
+          var pending = prev.pending
+          if (!state.hasTimedOut) rows.foreach { t =>
+            if (t.isBuild) versions ::= (t.ts.getTime, t.payload)
+            else pending ::= (t.ts.getTime, t.payload)
+          }
+          // stable ascending time; later arrivals win ties (a changelog
+          // correct-to supersedes its correct-from twin)
+          versions = versions.reverse.sortBy(_._1)
+          val wm = state.getCurrentWatermarkMs()
+
+          val (ripe, waiting) = pending.partition(_._1 <= wm)
+          val out = ripe.sortBy(_._1).iterator.map { case (ts, pv) =>
+            val matched = versions.takeWhile(_._1 <= ts).lastOption
+            val bv = matched.map(m => deser(m._2))
+              .getOrElse(buildCols.map(_ => null: Any))
+            Row.fromSeq(deser(pv) ++ bv)
+          }.toVector
+
+          // compact: newest version at-or-before wm + all newer
+          val (sealedV, openV) = versions.partition(_._1 <= wm)
+          val kept = sealedV.lastOption.toList ++ openV
+          if (waiting.isEmpty && state.hasTimedOut) {
+            // retention elapsed with nothing pending: drop the key
+            state.remove()
+          } else {
+            state.update(KeyState(kept, waiting))
+            // wake exactly when the wm passes the earliest pending probe
+            // (each `waiting` ts is > wm, so this is legal); otherwise keep
+            // versions around for `retention` to serve late probes
+            val wake =
+              if (waiting.nonEmpty) waiting.map(_._1).min
+              else math.max(kept.map(_._1).maxOption.getOrElse(wm), wm)
+            if (waiting.nonEmpty) state.setTimeoutTimestamp(wake)
+            else state.setTimeoutTimestamp(wake, "1 hour")
+          }
+          out.iterator
+        })(Encoders.product[KeyState], Encoders.row(outSchema))
+
+    joined.toDF()
+  }
+}
