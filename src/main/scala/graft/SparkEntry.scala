@@ -436,6 +436,33 @@ object SparkEntry {
         .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
       Pack.tokenBatches(docs, "doc_id", "n_tokens", budget = 8192L)
         .orderBy(col("doc_id"))
+    }),
+
+    // ── End-to-end corpus cleaning, the operators composed as one
+    // pipeline: exact dedup (bag-of-words fingerprint, keep lowest id) →
+    // near-dup clustering on the survivors (keep representatives) →
+    // quality + language annotation with a quality gate. The shape every
+    // training-data pipeline runs; each stage is the already-oracled
+    // operator, composed.
+    "q31_clean_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          Text.fingerprint(col("text")).as("__fp"))
+      val keeper = docs.groupBy(col("__fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val exact = docs.join(keeper, Seq("__fp", "doc_id"))
+      val reps = Clusters
+        .dupClusters(exact.select(col("doc_id"), col("text")), "doc_id", "text", 0.8)
+        .where(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
+      exact.join(reps, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          Text.langIdFromTokens(col("__toks")).as("lang_pred"),
+          Text.qualityScoreFrom(col("__toks"), col("text")).as("quality_score"))
+        .where(col("quality_score") >= 0.4)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -887,6 +914,69 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192
         |    AS BIGINT) AS batch_id
-        |FROM tok ORDER BY doc_id""".stripMargin
+        |FROM tok ORDER BY doc_id""".stripMargin,
+
+    // The cleaning pipeline is the composition of the q14 fingerprint, q9
+    // near-dup pairs, q27 connected components, q11 langid, and q12
+    // quality formulations, staged identically.
+    "q31_clean_corpus" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id, text, toks,
+        |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS f
+        |  FROM d),
+        |keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |ex AS (SELECT fp.* FROM fp JOIN keep USING (f, doc_id)),
+        |s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |                        for i in generate_series(1, len(toks)-2)])
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM ex),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, r.comp FROM e JOIN reach r ON e.b = r.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        |reps AS (
+        |  SELECT ex.doc_id FROM ex LEFT JOIN cc ON ex.doc_id = cc.id
+        |  WHERE coalesce(cc.comp, ex.doc_id) = ex.doc_id),
+        |scored AS (
+        |  SELECT ex.doc_id,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('el','los','de','que','y','las'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','les','et','des','une','est'))) AS s_fr,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ein','mit'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','有','我'))) AS s_zh,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','at','by','from'))) AS BIGINT) AS n_stopwords,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM ex JOIN reps ON ex.doc_id = reps.doc_id),
+        |out AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_zh > greatest(s_en, s_es, s_fr, s_de) THEN 'zh'
+        |         WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+        |         WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+        |         WHEN s_es > s_en THEN 'es'
+        |         ELSE 'en' END AS lang_pred,
+        |    least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) * 0.5
+        |      + coalesce(n_stopwords / nullif(n_tokens, 0), 0.0) * 0.25
+        |      + (1.0 - least(1.0, coalesce(n_punct / nullif(n_chars, 0), 0.0) * 5.0)) * 0.25
+        |      AS quality_score
+        |  FROM scored)
+        |SELECT doc_id, lang_pred, quality_score FROM out
+        |WHERE quality_score >= 0.4
+        |ORDER BY doc_id""".stripMargin
   )
 }
