@@ -114,7 +114,8 @@ object Dedup {
       threshold: Double,
       shingleLen: Int = 3,
       bands: Int = 16,
-      rowsPerBand: Int = 3
+      rowsPerBand: Int = 3,
+      maxBucketSize: Int = 10000
   ): DataFrame = {
     // Staged evaluation, deliberately: tokens materialize once (one split
     // per doc), then an explicit-width shuffle repartition spreads
@@ -134,8 +135,23 @@ object Dedup {
       .withColumn("__bands", minhashBands(col("__sh"), bands, rowsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val buckets = docs
+    val bucketsAll = docs
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__band", "__bucket")))
+
+    // Hot-bucket cap: a bucket of k docs yields k² candidate pairs, and at
+    // corpus scale boilerplate shingles produce pathological buckets that
+    // turn the join quadratic. Buckets above `maxBucketSize` are dropped —
+    // the standard MinHash-at-scale trade (a doc colliding with thousands
+    // of others still collides with its true near-dups in OTHER, smaller
+    // bands with overwhelming probability). The size window partitions on
+    // the same keys as the join, so the exchange is shared. Default 10k is
+    // inert below corpus sizes where the quadratic term matters.
+    val buckets = bucketsAll
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__band"), col("__bucket"))))
+      .where(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
 
     // Bucket-collision candidates (one shuffle on (band, bucket)); dedup pairs.
     val candidates = buckets.alias("x")

@@ -40,6 +40,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(n == 25)
   }
 
+  test("nearDupPairs hot-bucket cap bounds candidates, inert at default") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " tonight"),
+      (2L, base.replace("quick", "swift"))
+    ).toDF("doc_id", "text")
+    // near-identical docs share every band bucket: a cap of 1 drops all
+    // buckets, so no candidates survive — the guard actually gates
+    val capped = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5, maxBucketSize = 1)
+    assert(capped.count() == 0)
+    // default cap is far above any test corpus: identical result set
+    val dflt = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt.contains((0L, 1L)) && dflt.contains((0L, 2L)))
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     import spark.implicits._
     val docs = Seq(
