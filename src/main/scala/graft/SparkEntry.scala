@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables.{t, cents, tenK}
 import graft.functions.Text
-import graft.operators.{AsOfJoin, Clusters, Dedup, Pack, Similarity}
+import graft.operators.{AsOfJoin, Clusters, Decontaminate, Dedup, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -462,6 +462,30 @@ object SparkEntry {
           Text.langIdFromTokens(col("__toks")).as("lang_pred"),
           Text.qualityScoreFrom(col("__toks"), col("text")).as("quality_score"))
         .where(col("quality_score") >= 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Benchmark decontamination: corpus docs sharing token 4-grams with
+    // a held-out eval split (doc_id % 20 = 0 stands in for the benchmark).
+    // Eval n-grams broadcast — the corpus side never shuffles on the gram.
+    "q32_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlap(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Gopher-style within-doc repetition metrics over token 2-grams:
+    // duplicate-gram fraction and top-gram fraction, the standard
+    // boilerplate/degenerate-text filters.
+    "q33_repetition" -> ((s, dir) => {
+      Text.repetitionDf(
+          t(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          "doc_id", "text", n = 2)
+        .where(col("dup_gram_frac") >= 0.1)
         .orderBy(col("doc_id"))
     })
   )
@@ -977,6 +1001,48 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, lang_pred, quality_score FROM out
         |WHERE quality_score >= 0.4
+        |ORDER BY doc_id""".stripMargin,
+
+    "q32_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 4
+        |    THEN list_distinct([list_aggregate(toks[i:i+3], 'string_agg', ' ')
+        |                        for i in generate_series(1, len(toks)-3)])
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM d),
+        |ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0),
+        |co AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0)
+        |SELECT co.doc_id, count(*) AS n_overlap
+        |FROM co JOIN ev USING (g)
+        |GROUP BY co.doc_id
+        |ORDER BY co.doc_id""".stripMargin,
+
+    "q33_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 2
+        |    THEN [list_aggregate(toks[i:i+1], 'string_agg', ' ')
+        |          for i in generate_series(1, len(toks)-1)]
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, unnest(sh) AS gram FROM s),
+        |cnt AS (
+        |  SELECT doc_id, gram, count(*) AS n FROM c GROUP BY 1, 2),
+        |m AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+        |    CAST(sum(n) - count(*) AS DOUBLE) / sum(n) AS dup_gram_frac,
+        |    CAST(max(n) AS DOUBLE) / sum(n) AS top_gram_frac
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_grams, dup_gram_frac, top_gram_frac FROM m
+        |WHERE dup_gram_frac >= 0.1
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -106,6 +106,36 @@ object Text {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
 
+  /** Gopher-style within-document repetition metrics over token n-grams:
+    * the fraction of n-gram occurrences that are repeats of an earlier
+    * occurrence, and the fraction claimed by the single most frequent
+    * n-gram — the two standard filters for boilerplate / degenerate text.
+    *
+    * Exact integer counts divided once at the end (oracle-replicable).
+    * Scale shape: explode → count per (doc, gram) with map-side partial
+    * aggregation, then per-doc rollup; both aggregations are plain hash
+    * aggregates, nothing driver-side. `shingles` emits one whole-text
+    * shingle for short docs, so every doc has ≥1 gram — no zero division.
+    *
+    * @return (idCol, n_grams, dup_gram_frac, top_gram_frac)
+    */
+  def repetitionDf(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2
+  ): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(shingles(col("__toks"), n)).as("__gram"))
+      .groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_grams"),
+        ((sum(col("__n")) - count(lit(1))).cast("double") / sum(col("__n")))
+          .as("dup_gram_frac"),
+        (max(col("__n")).cast("double") / sum(col("__n"))).as("top_gram_frac"))
+
   /** Winnowing-style rolling-hash fingerprint: hash each shingle, keep the
     * min hash of each sliding window of `window` shingles, distinct. Robust
     * to local edits; the standard document-fingerprint scheme at scale.

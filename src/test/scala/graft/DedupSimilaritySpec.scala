@@ -161,4 +161,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1)).sorted.toSeq
     assert(groups == Seq(1L, 2L))
   }
+
+  test("decontaminate flags only docs sharing eval n-grams, via broadcast join") {
+    import spark.implicits._
+    val eval = Seq((100L, "the capital of france is paris as everyone knows"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "we all know the capital of france is paris indeed"), // shares 4-grams
+      (1L, "entirely unrelated words about shuffle partitions and codegen"),
+      (2L, "the capital of spain is madrid as everyone knows too") // overlaps ≤3 tokens, never a full 4-gram
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Decontaminate.overlap(corpus, eval, "doc_id", "text", n = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval n-grams must broadcast:\n$plan")
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.contains(0L) && rows(0L) >= 2)
+    assert(!rows.contains(1L))
+    assert(!rows.contains(2L))
+  }
+
+  test("repetition metrics: exact fractions on planted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a"),                 // 2-grams: ab ba ab ba → dup 0.5, top 0.5
+      (1L, "one two three four five"),   // all distinct → dup 0.0
+      (2L, "x")                          // short doc → single whole-text gram
+    ).toDF("doc_id", "text")
+    val m = Text.repetitionDf(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(0L) == ((4L, 0.5, 0.5)))
+    assert(m(1L) == ((4L, 0.0, 0.25)))
+    assert(m(2L) == ((1L, 0.0, 1.0)))
+  }
 }
