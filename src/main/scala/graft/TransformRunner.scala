@@ -39,7 +39,8 @@ object TransformRunner {
         case "transform" =>
           val req = RequestCodec.parseTransformRequest(yamlText)
           RequestCodec.renderTransformResponse(
-            new TransformEngine(spark).executeTransform(req))
+            CheckpointTar.withTarCheckpoints(req)(
+              new TransformEngine(spark).executeTransform))
         case "rawquery" =>
           val req = RequestCodec.parseRawQueryRequest(yamlText)
           RequestCodec.renderRawQueryResponse(

@@ -91,8 +91,9 @@ object EngineServer {
     method match {
       case "transform" =>
         val resp =
-          try new TransformEngine(spark)
-            .executeTransform(RequestCodec.parseTransformRequest(yaml))
+          try graft.protocol.CheckpointTar.withTarCheckpoints(
+            RequestCodec.parseTransformRequest(yaml))(
+            new TransformEngine(spark).executeTransform)
           catch {
             case e: Throwable =>
               graft.protocol.TransformResponse.InternalError(

@@ -122,6 +122,90 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     assert(o2(0).getAs[Timestamp]("event_time") == t(ts(2)))
   }
 
+  test("tar pack/unpack round-trips nested checkpoint trees, system-tar readable") {
+    val src = Files.createTempDirectory("graft-tar-src")
+    Files.writeString(src.resolve("ledger.json"), """{"n":1}""")
+    Files.createDirectories(src.resolve("buffer"))
+    Files.write(src.resolve("buffer/part-00000.parquet"), Array.tabulate(700)(_.toByte))
+    Files.writeString(src.resolve("buffer/_SUCCESS"), "")
+    val tar = Files.createTempFile("graft-cp", ".tar")
+    CheckpointTar.pack(src, tar)
+
+    // system tar must list the same entries (ustar interop)
+    val p = new ProcessBuilder("tar", "-tf", tar.toString).start()
+    val listed = new String(p.getInputStream.readAllBytes())
+    assert(p.waitFor() == 0, listed)
+    assert(listed.contains("ledger.json") && listed.contains("buffer/part-00000.parquet"))
+
+    val dst = Files.createTempDirectory("graft-tar-dst").resolve("unpacked")
+    CheckpointTar.unpack(tar, dst)
+    assert(Files.readString(dst.resolve("ledger.json")) == """{"n":1}""")
+    assert(Files.readAllBytes(dst.resolve("buffer/part-00000.parquet")).toSeq ==
+      Array.tabulate(700)(_.toByte).toSeq)
+    assert(Files.exists(dst.resolve("buffer/_SUCCESS")))
+  }
+
+  test("transform chain round-trips with coordinator-style tar checkpoints") {
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto-tar")
+    val in1 = s"$dir/in1.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1, 1)), "A", 10),
+        Ticker(1, 0, t(ts(1)), t(ts(1, 2)), "A", 12),
+        Ticker(2, 0, t(ts(1)), t(ts(2, 1)), "A", 20))).toDF(), in1)
+
+    def request(num: Int, dataRows: Option[(String, Int, Int)], wm: String,
+        prevCp: Option[String]): String = {
+      val slice = dataRows.map { case (path, s, e) =>
+        s"""|  offsetInterval:
+            |    start: $s
+            |    end: $e
+            |  dataPaths:
+            |  - "$path"""".stripMargin
+      }.getOrElse("  dataPaths: []")
+      s"""|datasetId: "did:odf:out"
+          |datasetAlias: out
+          |systemTime: "2000-01-1${num}T00:00:00Z"
+          |nextOffset: ${num - 1}
+          |transform:
+          |  kind: Sql
+          |  engine: spark
+          |  query: |
+          |    SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+          |      symbol, min(price) as `min`, max(price) as `max`
+          |    FROM tickers
+          |    GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol
+          |queryInputs:
+          |- datasetId: "did:odf:in"
+          |  queryAlias: tickers
+          |$slice
+          |  schemaFile: "$in1"
+          |  explicitWatermarks:
+          |  - systemTime: "$wm"
+          |    eventTime: "$wm"
+          |${prevCp.map(p => s"prevCheckpointPath: \"$p\"").getOrElse("")}
+          |newCheckpointPath: "$dir/cp$num.tar"
+          |newDataPath: "$dir/out$num.parquet"
+          |""".stripMargin
+    }
+
+    val resp1 = runProcess("transform",
+      request(1, Some((in1, 0, 2)), "2000-01-02T00:00:00Z", None), dir, "1")
+    assert(resp1.contains("kind: Success"), resp1)
+    // the checkpoint left behind is a single regular tar file, not a dir
+    assert(Files.isRegularFile(Paths.get(s"$dir/cp1.tar")))
+
+    val resp2 = runProcess("transform",
+      request(2, None, "2000-01-04T00:00:00Z", Some(s"$dir/cp1.tar")), dir, "2")
+    assert(resp2.contains("kind: Success"), resp2)
+    assert(resp2.contains("start: 1") && resp2.contains("end: 1"), resp2)
+    val o2 = spark.read.parquet(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1 && o2(0).getAs[Int]("min") == 20)
+    assert(Files.isRegularFile(Paths.get(s"$dir/cp2.tar")))
+  }
+
   test("raw query round-trips through a process with YAML response") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-proto-raw")
