@@ -487,6 +487,40 @@ object SparkEntry {
           "doc_id", "text", n = 2)
         .where(col("dup_gram_frac") >= 0.1)
         .orderBy(col("doc_id"))
+    }),
+
+    // ── PII inventory + redaction (emails, phones, IPv4) — pure codegen'd
+    // regex rewriting, linear scan, no shuffle. The synthetic corpus has no
+    // natural PII, so each doc gets deterministically planted PII (same
+    // construction in the oracle) and the redaction is verified exactly.
+    "q34_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" host 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")
+        ).as("text"))
+      Text.piiDf(planted, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
+    // ── Per-domain link stats (source-mix / link-spam audit): extract-all →
+    // explode → single hash aggregate. URLs planted deterministically: one
+    // per-doc bucket domain (50 of them) + one shared mirror domain.
+    "q35_domain_stats" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" see https://s"), (col("doc_id") % 50).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          lit(" and http://mirror.example.com/x_"),
+          (col("doc_id") % 7).cast("string")
+        ).as("text"))
+      Text.domainStatsDf(planted, "doc_id", "text")
+        .orderBy(desc("n_urls"), col("domain"))
     })
   )
 
@@ -1043,6 +1077,42 @@ object SparkEntry {
         |  FROM cnt GROUP BY doc_id)
         |SELECT doc_id, n_grams, dup_gram_frac, top_gram_frac FROM m
         |WHERE dup_gram_frac >= 0.1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q34_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |      ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+\d{1,3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q35_domain_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' see https://s' || CAST(doc_id % 50 AS VARCHAR) ||
+        |      '.example.org/p/' || CAST(doc_id AS VARCHAR) ||
+        |      ' and http://mirror.example.com/x_' ||
+        |      CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*')) AS url
+        |  FROM p)
+        |SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+        |  COUNT(*) AS n_urls,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM u GROUP BY domain
+        |ORDER BY n_urls DESC, domain""".stripMargin
   )
 }

@@ -136,6 +136,64 @@ object Text {
           .as("dup_gram_frac"),
         (max(col("__n")).cast("double") / sum(col("__n"))).as("top_gram_frac"))
 
+  /** PII patterns. Constraint: must compile and match identically under
+    * Java regex (Spark codegen) and RE2 (the DuckDB oracle) — so no
+    * lookaround, no backreferences; `\b` is the ASCII word boundary in both.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+\\d{1,3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, then phones, then IPv4s (fixed order — emails can
+    * contain digits and dots, so they must be rewritten before the IP pass
+    * scans the text). Pure codegen'd string rewriting, no UDFs.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Per-document PII inventory + redacted text.
+    * @return (idCol, n_emails, n_phones, n_ips, redacted)
+    */
+  def piiDf(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame =
+    df.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      redactPii(col(textCol)).as("redacted"))
+
+  /** URLs as they appear in running text; domain is capture group 1. */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*"
+  val DomainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** Per-domain link statistics over a corpus: URL mentions and distinct
+    * documents citing the domain. Extract-all → explode → one hash
+    * aggregate; the standard source-mix / link-spam audit at corpus scale.
+    * @return (domain, n_urls, n_docs)
+    */
+  def domainStatsDf(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+          .as("__url"))
+      .select(col(idCol),
+        regexp_extract(col("__url"), DomainPattern, 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   /** Winnowing-style rolling-hash fingerprint: hash each shingle, keep the
     * min hash of each sliding window of `window` shingles, distinct. Robust
     * to local edits; the standard document-fingerprint scheme at scale.

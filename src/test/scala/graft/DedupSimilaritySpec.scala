@@ -194,4 +194,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m(1L) == ((4L, 0.0, 0.25)))
     assert(m(2L) == ((1L, 0.0, 1.0)))
   }
+
+  test("PII redaction: counts and rewrites emails, phones, IPv4s") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "mail a.b-c@sub.example.io or +44-020-7946 from 192.168.0.1 done"),
+      (1L, "no pii here, just version 1.2 and a plus + sign"),
+      (2L, "two mails x@y.org z@w.net one ip 10.0.0.255")
+    ).toDF("doc_id", "text")
+    val m = Text.piiDf(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(m(0L) == ((1L, 1L, 1L,
+      "mail <EMAIL> or <PHONE> from <IP> done")))
+    // "1.2" must not match the 4-octet IPv4 pattern
+    assert(m(1L) == ((0L, 0L, 0L, "no pii here, just version 1.2 and a plus + sign")))
+    assert(m(2L) == ((2L, 0L, 1L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("domain stats: per-domain url and distinct-doc counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "see https://a.example.org/x and https://a.example.org/y plus http://b.io/z"),
+      (1L, "only https://a.example.org/x again"),
+      (2L, "nothing linked")
+    ).toDF("doc_id", "text")
+    val rows = Text.domainStatsDf(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map("a.example.org" -> ((3L, 2L)), "b.io" -> ((1L, 1L))))
+  }
 }
