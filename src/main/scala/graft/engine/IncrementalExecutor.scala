@@ -83,7 +83,17 @@ final class IncrementalExecutor(
     case PlanClassifier.Mode.AsOfJoin        => runAsOf(windowed = false)
     case PlanClassifier.Mode.AsOfWindowed    => runAsOf(windowed = true)
     case w: PlanClassifier.Mode.Windowed     => runWindowed(w.upperMillis)
-    case d: PlanClassifier.Mode.SnapshotDiff => runSnapshotDiff(d.keys)
+    case d: PlanClassifier.Mode.SnapshotDiff =>
+      d.aggMerge match {
+        // min/max are not invertible, so the merge path requires inputs with
+        // no retraction ever observed; the first retraction flips the run
+        // (and all later ones) to the recompute path, which reads the same
+        // snapshot state — the two paths interleave safely. The rank-touch
+        // narrowing is valid for retractive inputs too (netting commutes
+        // with the partition-key filter).
+        case Some(spec) if retractiveNow.isEmpty => runIncrementalAgg(spec)
+        case _                                   => runSnapshotDiff(d.keys, d.rankTouch)
+      }
   }
 
   // ── Stateless map/filter/union: emit per slice, in arrival order ──────
@@ -154,31 +164,54 @@ final class IncrementalExecutor(
   }
 
   // ── Buffered-input preparation (windowed + snapshot-diff modes) ───────
-  /** Union each input's buffer with its new slice and register the user
-    * view. Changelog inputs are netted to their surviving multiset first —
-    * but only when a retraction has ever been seen on that input (tracked in
-    * the ledger so the check scans just the new slice, never full history).
+  /** Inputs with a retraction/correction observed on any run up to and
+    * including this one — ledger lookup plus a scan of just the new slice.
     */
-  private def bufferedFulls(): (Seq[(LoadedInput, DataFrame)], Set[String]) = {
-    val retractive = inputs.flatMap { i =>
-      val alias = i.spec.queryAlias
-      val opCol = i.spec.vocab.operationTypeColumn
-      val seen = ledger.retractiveInputs.contains(alias) ||
-        (i.df.columns.contains(opCol) &&
-          !i.df.where(col(opCol).isin(Op.Retract, Op.CorrectFrom)).isEmpty)
-      if (seen) Some(alias) else None
-    }.toSet
+  private lazy val retractiveNow: Set[String] = inputs.flatMap { i =>
+    val alias = i.spec.queryAlias
+    val opCol = i.spec.vocab.operationTypeColumn
+    val seen = ledger.retractiveInputs.contains(alias) ||
+      (i.df.columns.contains(opCol) &&
+        !i.df.where(col(opCol).isin(Op.Retract, Op.CorrectFrom)).isEmpty)
+    if (seen) Some(alias) else None
+  }.toSet
+
+  /** @param touch when set, the named input's registered view is narrowed
+    *   with a (broadcast) semi-join to the partition-key values present in
+    *   this run's slice — the touched-partition ranking path. Buffers are
+    *   written un-narrowed either way. Netting commutes with the filter:
+    *   the partition columns are part of the netting identity.
+    */
+  private def bufferedFulls(touch: Option[PlanClassifier.RankTouch] = None)
+      : (Seq[(LoadedInput, DataFrame)], Set[String]) = {
+    val retractive = retractiveNow
     val fulls = inputs.map { i =>
       val buffer = store.read(bufferName(i.spec.queryAlias), i.df.schema)
       val full = buffer.unionByName(i.df)
-      val view =
+      val netted =
         if (retractive.contains(i.spec.queryAlias))
           netChangelog(full.drop("__seq"), i.spec.vocab)
         else full.drop("__seq")
+      val view = touch match {
+        case Some(t) if t.input == i.spec.queryAlias =>
+          semiOnTouched(netted, i, t.cols, "left_semi")
+        case _ => netted
+      }
       view.createOrReplaceTempView(i.spec.queryAlias)
       i -> full
     }
     (fulls, retractive)
+  }
+
+  /** Null-safe semi/anti join of `df` against the distinct `cols` values of
+    * input `i`'s new slice (NULL partition keys are legitimate identities).
+    */
+  private def semiOnTouched(
+      df: DataFrame, i: LoadedInput, cols: Seq[String], joinType: String): DataFrame = {
+    val sk = broadcast(i.df.select(cols.map(col): _*).distinct().alias("__sk"))
+    df.alias("__v").join(sk,
+      cols.map(c => col(s"__v.$c") <=> col(s"__sk.$c")).reduce(_ && _),
+      joinType)
   }
 
   // ── Window-gating helpers (shared by Windowed and AsOfWindowed) ───────
@@ -392,15 +425,38 @@ final class IncrementalExecutor(
   }
 
   // ── Snapshot diff: generic updating queries (SURVEY.md §7.4) ──────────
-  /** Recompute over full history, diff against the previous snapshot.
+  /** Recompute over history, diff against the previous snapshot.
     * `keys` pairs old/new rows (-U/+U per changed key); None falls back to
     * full-row multiset diff (+I/-D only). Keys are validated against the
     * actual output columns — a key that does not survive the final
     * projection falls back to the multiset diff rather than failing.
+    *
+    * With `touch` (Top-N / dedup-latest over a single input), both the
+    * recompute and the diff are narrowed to the partitions the new slice
+    * touches — O(touched partitions), not O(full history), per run; rows of
+    * untouched partitions provably cannot change (no new input, no
+    * time-varying literals, no subqueries — enforced by the classifier) and
+    * are carried into the stored snapshot unread.
     */
-  private def runSnapshotDiff(keys: Option[Seq[String]]): ExecResult = {
-    val (fulls, retractive) = bufferedFulls()
-    val snapshot = runSteps(steps)
+  private def runSnapshotDiff(
+      keys: Option[Seq[String]],
+      touch: Option[PlanClassifier.RankTouch] = None): ExecResult = {
+    // Touched-partition narrowing is only sound when the classifier's key
+    // promise holds at runtime (keys + touch columns present in the output);
+    // verify on the narrowed snapshot's columns BEFORE running it, and fall
+    // back to the full recompute otherwise.
+    var activeTouch = touch.flatMap(t =>
+      inputs.find(_.spec.queryAlias == t.input).map(_ => t))
+    var (fulls, retractive) = bufferedFulls(activeTouch)
+    var snapshot = runSteps(steps)
+    activeTouch = activeTouch.filter(t =>
+      keys.exists(_.forall(snapshot.columns.contains)) &&
+        t.cols.forall(snapshot.columns.contains))
+    if (touch.isDefined && activeTouch.isEmpty) {
+      val rebuilt = bufferedFulls(None)
+      fulls = rebuilt._1; retractive = rebuilt._2
+      snapshot = runSteps(steps)
+    }
 
     if (snapshot.columns.contains(vocab.operationTypeColumn))
       throw new InvalidQueryException(
@@ -410,15 +466,25 @@ final class IncrementalExecutor(
 
     val prev = store.read(snapshotName, snapshot.schema)
     val effKeys = keys.filter(_.forall(snapshot.columns.contains))
+    // Narrowed: diff only the touched partitions of the previous snapshot
+    // against the touched-only recompute; carry untouched rows through.
+    val (prevCmp, untouched) = activeTouch match {
+      case Some(t) =>
+        val i = inputs.find(_.spec.queryAlias == t.input).get
+        (semiOnTouched(prev, i, t.cols, "left_semi"),
+          semiOnTouched(prev, i, t.cols, "left_anti"))
+      case None => (prev, prev.limit(0))
+    }
     val emitted = effKeys match {
       case Some(ks) =>
-        Changelog.diffSnapshots(prev, snapshot, ks, vocab.operationTypeColumn)
+        Changelog.diffSnapshots(prevCmp, snapshot, ks, vocab.operationTypeColumn)
       case None =>
-        Changelog.diffMultiset(prev, snapshot, vocab.operationTypeColumn)
+        Changelog.diffMultiset(prevCmp, snapshot, vocab.operationTypeColumn)
     }
 
     fulls.foreach { case (i, full) => store.write(bufferName(i.spec.queryAlias), full) }
-    store.write(snapshotName, snapshot)
+    store.write(snapshotName,
+      if (activeTouch.isDefined) untouched.unionByName(snapshot) else snapshot)
 
     val orderCols = effKeys.getOrElse(
       snapshot.schema.fields.filter(fd =>
@@ -431,6 +497,78 @@ final class IncrementalExecutor(
       emissionOrder = Some(orderCols.map(col(_).asc) :+
         col(vocab.operationTypeColumn).asc),
       retractiveInputs = retractive)
+  }
+
+  /** Incremental-merge fast path for SnapshotDiff chains whose output step
+    * is one aggregation with decomposable functions (sum/count/min/max) over
+    * inputs that have never carried a retraction: aggregate ONLY the new
+    * slice, merge per-key partials into the persisted snapshot, and diff
+    * just the touched keys. Per-run cost is O(new slice + touched-key
+    * state) instead of O(full buffered history) — the difference between a
+    * long-lived 100 TB dataset staying incremental and going quadratic.
+    *
+    * Raw input buffers are still maintained: the first retraction (min/max
+    * are not invertible) flips execution to [[runSnapshotDiff]]'s
+    * net-and-recompute path, which reads the same `snapshotName` state the
+    * merge path maintains, so the two paths interleave per run without
+    * migration.
+    */
+  private def runIncrementalAgg(spec: PlanClassifier.AggMergeSpec): ExecResult = {
+    val buffers = inputs.map { i =>
+      i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias)
+      val buffer = store.read(bufferName(i.spec.queryAlias), i.df.schema)
+      i -> buffer.unionByName(i.df)
+    }
+    val sliceAgg = runSteps(steps)
+    if (sliceAgg.columns.contains(vocab.operationTypeColumn))
+      throw new InvalidQueryException(
+        s"an updating query must not project the operation column " +
+          s"'${vocab.operationTypeColumn}' — ops are generated by the " +
+          "engine from the snapshot diff")
+
+    val prev = store.read(snapshotName, sliceAgg.schema)
+    val keys = spec.keys
+    val kinds = spec.aggs.toMap
+    val keyEq =
+      if (keys.isEmpty) lit(true)
+      else keys.map(k => col(s"p.$k") <=> col(s"n.$k")).reduce(_ && _)
+    // Null algebra: an absent/NULL previous partial merges to the slice
+    // value and vice versa — correct for sum/min/max (NULL = "no non-null
+    // values yet") and unreachable for count (never NULL on a present row).
+    // Cast back to the recompute schema: sum(decimal) widens under `+`.
+    def mergeCol(fd: org.apache.spark.sql.types.StructField): Column = {
+      val p = col(s"p.${fd.name}"); val n = col(s"n.${fd.name}")
+      val m = kinds.get(fd.name) match {
+        case Some("min") => when(p.isNull, n).when(n.isNull, p).otherwise(least(p, n))
+        case Some("max") => when(p.isNull, n).when(n.isNull, p).otherwise(greatest(p, n))
+        case Some(_)     => when(p.isNull, n).when(n.isNull, p).otherwise(p + n)
+        case None        => coalesce(p, n) // group key
+      }
+      m.cast(fd.dataType).as(fd.name)
+    }
+    val mergedTouched = prev.alias("p")
+      .join(sliceAgg.alias("n"), keyEq, "right_outer")
+      .select(sliceAgg.schema.fields.map(mergeCol).toSeq: _*)
+    val (prevTouched, untouched) =
+      if (keys.isEmpty) (prev, prev.limit(0))
+      else (
+        prev.alias("p").join(sliceAgg.alias("n"), keyEq, "left_semi"),
+        prev.alias("p").join(sliceAgg.alias("n"), keyEq, "left_anti"))
+    val emitted = Changelog.diffSnapshots(
+      prevTouched, mergedTouched, keys, vocab.operationTypeColumn)
+
+    buffers.foreach { case (i, full) =>
+      store.write(bufferName(i.spec.queryAlias), full)
+    }
+    store.write(snapshotName, untouched.unionByName(mergedTouched))
+
+    ExecResult(
+      emitted,
+      minWm(inputs),
+      None,
+      emissionOrder = Some(keys.map(col(_).asc) :+
+        col(vocab.operationTypeColumn).asc),
+      retractiveInputs = ledger.retractiveInputs)
   }
 
   /** Reduce a changelog input to its surviving multiset before stateful

@@ -56,8 +56,29 @@ object PlanClassifier {
       * is buffered, and the window stage gates on the joined stream's
       * watermark as in [[Windowed]]. */
     case object AsOfWindowed extends Mode
-    final case class SnapshotDiff(keys: Option[Seq[String]]) extends Mode
+    final case class SnapshotDiff(
+        keys: Option[Seq[String]],
+        aggMerge: Option[AggMergeSpec] = None,
+        rankTouch: Option[RankTouch] = None) extends Mode
   }
+
+  /** Proof that a SnapshotDiff ranking chain (Top-N / dedup-latest) can be
+    * recomputed over only the partitions the new slice touches: a single
+    * step ranking a single input relation, with the OVER partition columns
+    * passing through from the input un-redefined. The executor then narrows
+    * the input view AND the previous snapshot to the slice's partition-key
+    * values — per-run cost follows the touched partitions, not full history.
+    */
+  final case class RankTouch(input: String, cols: Seq[String])
+
+  /** Proof that a SnapshotDiff chain's output step is a single aggregation
+    * whose functions are decomposable — each output column is either a group
+    * key or an aliased sum/count/min/max. Lets the executor aggregate just
+    * the new slice and merge per-key partials into the persisted snapshot
+    * (O(slice + touched keys) per run) instead of recomputing over full
+    * buffered history. `aggs` maps output column name → merge kind.
+    */
+  final case class AggMergeSpec(keys: Seq[String], aggs: Seq[(String, String)])
 
   /** Facts accumulated over every parsed step of the chain.
     * @param calendarTumble chain has a calendar (month/quarter/year) tumble
@@ -75,6 +96,10 @@ object PlanClassifier {
     var plainAggs: List[Option[Seq[String]]] = Nil
     var distinctOrLimit: Boolean = false
     var filterAttrs: Set[String] = Set.empty
+    /** Chain carries an expression subquery (IN/EXISTS/scalar) — its value
+      * can change as OTHER inputs grow, so per-slice contributions are not
+      * stationary and incremental fast paths must not run. */
+    var hasSubquery: Boolean = false
 
     def snapshotFacts: Boolean =
       rankSpecs.nonEmpty || plainAggs.nonEmpty || regularJoins > 0 ||
@@ -183,7 +208,7 @@ object PlanClassifier {
     // Subqueries (IN / EXISTS / scalar) carry their own plans.
     plan.foreach { node =>
       node.expressions.foreach(_.foreach {
-        case s: SubqueryExpression => collectFacts(s.plan, f)
+        case s: SubqueryExpression => f.hasSubquery = true; collectFacts(s.plan, f)
         case _                     => ()
       })
     }
@@ -295,8 +320,115 @@ object PlanClassifier {
           "in one transform")
       Mode.Windowed(f.intervalUppers.max)
     } else if (f.snapshotFacts) {
-      Mode.SnapshotDiff(snapshotKeys(f))
+      val keys = snapshotKeys(f)
+      Mode.SnapshotDiff(keys,
+        extractAggMerge(spark, steps, f, keys),
+        extractRankTouch(spark, steps, f, keys))
     } else Mode.Stateless
+  }
+
+  private val mergeableFns = Set("sum", "count", "min", "max")
+
+  /** Detect the incremental-merge shape: the chain's single plain aggregate
+    * sits at the TOP of the output step (everything else stateless), every
+    * aggregate column is an aliased non-DISTINCT, non-FILTER sum/count/min/
+    * max, and every group key survives to the output. Anything else — HAVING
+    * above the aggregate, avg, expressions over aggregates, the aggregate in
+    * an intermediate step — returns None and keeps the recompute path.
+    */
+  private def extractAggMerge(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts,
+      keys: Option[Seq[String]]): Option[AggMergeSpec] = {
+    val onlyAgg = f.plainAggs.size == 1 && f.rankSpecs.isEmpty &&
+      f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit &&
+      !f.hasSubquery && !steps.exists(_._2.timeVarying)
+    val ks = keys match {
+      case Some(k) if onlyAgg => k
+      case _                  => return None
+    }
+    val outIdx = steps.lastIndexWhere(_._1.isEmpty) match {
+      case -1 => steps.length - 1
+      case i  => i
+    }
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case w: UnresolvedWith => unwrap(w.child)
+      case s: SubqueryAlias  => unwrap(s.child)
+      case s: Sort           => unwrap(s.child)
+      case other             => other
+    }
+    def fnKind(e: Expression): Option[String] = e match {
+      case fn: UnresolvedFunction
+          if mergeableFns.contains(fn.nameParts.last.toLowerCase) &&
+            !fn.isDistinct && fn.filter.isEmpty =>
+        Some(fn.nameParts.last.toLowerCase)
+      case _ => None
+    }
+    unwrap(spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql)) match {
+      case a: Aggregate =>
+        val entries: Seq[Option[Either[String, (String, String)]]] =
+          a.aggregateExpressions.map {
+            case attr: UnresolvedAttribute if ks.contains(attr.nameParts.last) =>
+              Some(scala.util.Left(attr.nameParts.last))
+            case Alias(_, n) if ks.contains(n) => Some(scala.util.Left(n))
+            case Alias(fn, n) => fnKind(fn).map(k => scala.util.Right(n -> k))
+            case _            => None
+          }
+        if (!entries.forall(_.isDefined)) None
+        else {
+          val flat = entries.flatten
+          val aggs = flat.collect { case scala.util.Right(p) => p }
+          val keyCols = flat.collect { case scala.util.Left(k) => k }
+          if (aggs.nonEmpty && keyCols.sorted == ks.sorted)
+            Some(AggMergeSpec(ks, aggs))
+          else None
+        }
+      // a global aggregate (`SELECT count(*), sum(v) FROM t`) parses as a
+      // bare Project; single merged group, no keys
+      case p: Project if ks.isEmpty =>
+        val aggs = p.projectList.map {
+          case Alias(fn, n) => fnKind(fn).map(n -> _)
+          case _            => None
+        }
+        if (aggs.nonEmpty && aggs.forall(_.isDefined))
+          Some(AggMergeSpec(Nil, aggs.flatten))
+        else None
+      case _ => None
+    }
+  }
+
+  /** Detect the touched-partition ranking shape: one step, one keyed rank
+    * spec (keys defined ⇒ the rank is filtered and partition keys survive to
+    * the output), exactly one occurrence of one input relation, partition
+    * columns never re-defined by an alias anywhere in the step (so the raw
+    * slice's values of those columns are a superset of the touched output
+    * partitions), no subqueries, no time-varying literals. Under those
+    * conditions rows of un-touched partitions cannot change between runs.
+    */
+  private def extractRankTouch(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts,
+      keys: Option[Seq[String]]): Option[RankTouch] = {
+    val onlyRank = f.rankSpecs.size == 1 && f.plainAggs.isEmpty &&
+      f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit &&
+      !f.hasSubquery && !steps.exists(_._2.timeVarying) && steps.size == 1
+    if (!onlyRank || keys.isEmpty) return None
+    val pk = f.rankSpecs.head._2.getOrElse(return None)
+    if (pk.isEmpty) return None
+    val plan = spark.sessionState.sqlParser.parsePlan(steps.head._2.sql)
+    val relations = plan.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    }
+    val redefined = plan.exists(_.expressions.exists(_.exists {
+      case Alias(_, n) => pk.contains(n)
+      case _           => false
+    }))
+    if (relations.size == 1 && !redefined)
+      Some(RankTouch(relations.head, pk))
+    else None
   }
 
   /** Diff identity for SnapshotDiff mode: partition keys + rank alias for a

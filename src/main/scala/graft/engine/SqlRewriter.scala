@@ -47,12 +47,19 @@ object SqlRewriter {
     *   (gate on the value itself); conflating them shifts emission a full
     *   window and silently loses rows at the buffer prune.
     */
+  /** @param timeVarying the step referenced `now()` or
+    *   `current_watermark(...)` — both are substituted with literals that
+    *   CHANGE between runs, so a row's contribution to an updating query is
+    *   not fixed at arrival time. Incremental fast paths (slice-only
+    *   aggregation, touched-partition ranking) must not run such steps.
+    */
   final case class Rewritten(
       sql: String,
       tumble: Option[TumbleSpec],
       asOf: Option[AsOfSpec],
       startAliases: Set[String] = Set.empty,
-      endAliases: Set[String] = Set.empty
+      endAliases: Set[String] = Set.empty,
+      timeVarying: Boolean = false
   )
 
   private val tumbleRe: Regex =
@@ -136,6 +143,8 @@ object SqlRewriter {
       }
     }
 
+    val timeVarying = nowRe.findFirstIn(out).isDefined ||
+      currentWatermarkRe.findFirstIn(out).isDefined
     out = nowRe.replaceAllIn(out, _ => s"TIMESTAMP '${tsLiteral(systemTime)}'")
     out = currentWatermarkRe.replaceAllIn(
       out,
@@ -163,7 +172,7 @@ object SqlRewriter {
       }
     }
 
-    Rewritten(out, tumble, asOf, startAliases, endAliases)
+    Rewritten(out, tumble, asOf, startAliases, endAliases, timeVarying)
   }
 
   private[engine] def tsLiteral(i: Instant): String =

@@ -844,6 +844,169 @@ class EngineSpec extends AnyFunSuite {
       Seq((Op.CorrectFrom, 2L, 30L), (Op.CorrectTo, 3L, 35L)))
   }
 
+  test("aggregate fast path flips to recompute when a retraction arrives") {
+    import spark.implicits._
+    val dir = tmp()
+    // Mergeable shape → runs 1 is the incremental-merge path; run 2 carries
+    // a retraction → net-and-recompute path reads the SAME snapshot state;
+    // run 3 stays on recompute (retractive is sticky in the ledger). Totals
+    // must be full-history-correct across the path flip.
+    val q = """SELECT max(event_time) as event_time, symbol,
+              |  count(*) as n, sum(price) as total
+              |FROM tickers GROUP BY symbol""".stripMargin
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, Op.Append, t(ts(1)), t(ts(1)), "B", 20)), in1)
+    runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 2, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(readOut(s"$dir/out1.parquet").collect().length == 2)
+
+    // run 2: retract A@10 and append A@3 — A's aggregate corrects to the
+    // netted history (n=1, total=3), not a partial.
+    val in2 = s"$dir/in2.parquet"
+    writeSlice(Seq(
+      Ticker(2, Op.Retract, t(ts(2)), t(ts(1)), "A", 10),
+      Ticker(3, Op.Append, t(ts(2)), t(ts(2)), "A", 3)), in2)
+    runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in2, in2, 2, startOffset = 2, wms = Seq(ts(2)))),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    val o2 = readOut(s"$dir/out2.parquet").orderBy("offset").collect()
+    assert(o2.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"),
+      r.getAs[Long]("n"), r.getAs[Long]("total"))).toSeq == Seq(
+      ("A", Op.CorrectFrom, 1L, 10L), ("A", Op.CorrectTo, 1L, 3L)))
+
+    // run 3: plain append for A — still recompute (sticky), still exact.
+    val in3 = s"$dir/in3.parquet"
+    writeSlice(Seq(Ticker(4, Op.Append, t(ts(3)), t(ts(3)), "A", 2)), in3)
+    runT(TransformRequest(
+      "did:out", "out", ts(12), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in3, in3, 1, startOffset = 4, wms = Seq(ts(3)))),
+      nextOffset = 4, prevCheckpointPath = Some(s"$dir/cp2"),
+      newCheckpointPath = s"$dir/cp3", newDataPath = s"$dir/out3.parquet"))
+    val o3 = readOut(s"$dir/out3.parquet").orderBy("offset").collect()
+    assert(o3.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"),
+      r.getAs[Long]("n"), r.getAs[Long]("total"))).toSeq == Seq(
+      ("A", Op.CorrectFrom, 1L, 3L), ("A", Op.CorrectTo, 2L, 5L)))
+  }
+
+  test("aggregate fast path and recompute path emit identical changelogs") {
+    import spark.implicits._
+    // Seeded random append-only slices driven through two chains: the
+    // mergeable shape (incremental merge) and a value-identical but
+    // ineligible shape (`sum(price) + 0` — recompute). Emitted slices must
+    // match row-for-row including offsets every run.
+    val rnd = new scala.util.Random(42)
+    val dirF = tmp(); val dirC = tmp()
+    val qFast = """SELECT max(event_time) as event_time, symbol,
+                  |  count(*) as n, sum(price) as total
+                  |FROM tickers GROUP BY symbol""".stripMargin
+    val qSlow = """SELECT max(event_time) as event_time, symbol,
+                  |  count(*) as n, sum(price) + 0 as total
+                  |FROM tickers GROUP BY symbol""".stripMargin
+    var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    (1 to 4).foreach { run =>
+      val nRows = 1 + rnd.nextInt(5)
+      val rows = (0 until nRows).map { i =>
+        Ticker(off + i, Op.Append, t(ts(run)), t(ts(run)),
+          ("A".head + rnd.nextInt(5)).toChar.toString, 1 + rnd.nextInt(100))
+      }
+      val inF = s"$dirF/in$run.parquet"; val inC = s"$dirC/in$run.parquet"
+      writeSlice(rows, inF); writeSlice(rows, inC)
+      def drive(tag: String, dir: java.nio.file.Path, in: String, q: String,
+          prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(mkInput("tickers", in, in, nRows, startOffset = off,
+            wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, inF, qFast, prevF))
+      prevC = Some(drive("c", dirC, inC, qSlow, prevC))
+      off += nRows
+      val outF = readOut(s"$dirF/out$run.parquet").orderBy("offset")
+        .select("offset", "op", "event_time", "symbol", "n", "total").collect().toSeq
+      val outC = readOut(s"$dirC/out$run.parquet").orderBy("offset")
+        .select("offset", "op", "event_time", "symbol", "n", "total").collect().toSeq
+      assert(outF == outC, s"run $run diverged")
+    }
+  }
+
+  test("rank touched-partition path and full recompute emit identical changelogs") {
+    import spark.implicits._
+    // Seeded random slices through two chains: a single-step partitioned
+    // dedup-latest (touched-partition narrowing) and a value-identical
+    // two-step chain (passthrough view → ineligible, full recompute). Run 4
+    // carries a retraction, covering net-then-narrow against net-then-full.
+    val rnd = new scala.util.Random(7)
+    val dirF = tmp(); val dirC = tmp()
+    val rank = """SELECT event_time, symbol, price, rn FROM (
+                 |  SELECT event_time, symbol, price, row_number() OVER (
+                 |    PARTITION BY symbol
+                 |    ORDER BY event_time DESC, price DESC, offset DESC) AS rn
+                 |  FROM %s) WHERE rn = 1""".stripMargin
+    val qFast = Seq(None -> rank.format("tickers"))
+    val qSlow = Seq(
+      Some("v") -> "SELECT * FROM tickers",
+      None -> rank.format("v"))
+    var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstRow: Ticker = null
+    (1 to 4).foreach { run =>
+      val appends = (0 until 1 + rnd.nextInt(4)).map { i =>
+        Ticker(off + i, Op.Append, t(ts(run)), t(ts(run)),
+          ("A".head + rnd.nextInt(4)).toChar.toString, 1 + rnd.nextInt(100))
+      }
+      val rows =
+        if (run == 4)
+          Ticker(off, Op.Retract, t(ts(run)), firstRow.event_time,
+            firstRow.symbol, firstRow.price) +:
+            appends.map(r => r.copy(offset = r.offset + 1))
+        else appends
+      if (run == 1) firstRow = rows.head
+      val nRows = rows.length
+      val inF = s"$dirF/in$run.parquet"; val inC = s"$dirC/in$run.parquet"
+      writeSlice(rows, inF); writeSlice(rows, inC)
+      def drive(tag: String, dir: java.nio.file.Path, in: String,
+          qs: Seq[(Option[String], String)], prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(qs: _*),
+          Vector(mkInput("tickers", in, in, nRows, startOffset = off,
+            wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, inF, qFast, prevF))
+      prevC = Some(drive("c", dirC, inC, qSlow, prevC))
+      off += nRows
+      val sel = Seq("offset", "op", "event_time", "symbol", "price", "rn")
+      val outF = readOut(s"$dirF/out$run.parquet").orderBy("offset")
+        .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+      val outC = readOut(s"$dirC/out$run.parquet").orderBy("offset")
+        .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+      assert(outF == outC, s"run $run diverged")
+      assert(outF.nonEmpty || run != 1)
+    }
+  }
+
   test("SELECT DISTINCT is an updating changelog via multiset diff") {
     import spark.implicits._
     val dir = tmp()

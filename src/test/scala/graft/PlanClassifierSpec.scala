@@ -47,13 +47,80 @@ class PlanClassifierSpec extends AnyFunSuite {
         |  SELECT event_time, symbol, price,
         |    row_number() OVER (PARTITION BY symbol ORDER BY event_time DESC) AS rn
         |  FROM t) WHERE rn = 1""".stripMargin
-    assert(classify(q) == Mode.SnapshotDiff(Some(Seq("symbol", "rn"))))
+    assert(classify(q) == Mode.SnapshotDiff(Some(Seq("symbol", "rn")), None,
+      Some(PlanClassifier.RankTouch("t", Seq("symbol")))))
+  }
+
+  test("rank touch narrowing is withheld when untouched rows could change") {
+    def rank(extra: String, from: String = "t") =
+      s"""SELECT event_time, symbol, price, rn FROM (
+         |  SELECT event_time, symbol, price,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY event_time DESC) AS rn
+         |  FROM $from$extra) WHERE rn = 1""".stripMargin
+    // current_watermark(): a watermark-only run changes which rows rank
+    assert(classify(rank(" WHERE event_time <= current_watermark(event_time)"))
+      .asInstanceOf[Mode.SnapshotDiff].rankTouch.isEmpty)
+    // subquery over another input: membership changes without new t rows
+    assert(classify(rank(" WHERE symbol IN (SELECT symbol FROM allow)"))
+      .asInstanceOf[Mode.SnapshotDiff].rankTouch.isEmpty)
+    // partition column re-defined by an alias: raw slice values are not the
+    // output partition identity
+    val aliased =
+      """SELECT event_time, symbol, rn FROM (
+        |  SELECT event_time, upper(sym) AS symbol,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY event_time DESC) AS rn
+        |  FROM t) WHERE rn = 1""".stripMargin
+    assert(classify(aliased)
+      .asInstanceOf[Mode.SnapshotDiff].rankTouch.isEmpty)
+    // two relations (self-union): occurrence count must be exactly one
+    assert(classify(rank("", from = "(SELECT * FROM t UNION ALL SELECT * FROM t2)"))
+      .asInstanceOf[Mode.SnapshotDiff].rankTouch.isEmpty)
   }
 
   test("non-windowed GROUP BY keys the diff on the group columns") {
     assert(classify(
       "SELECT symbol, count(*) AS n FROM t GROUP BY symbol") ==
-      Mode.SnapshotDiff(Some(Seq("symbol"))))
+      Mode.SnapshotDiff(Some(Seq("symbol")),
+        Some(PlanClassifier.AggMergeSpec(Seq("symbol"), Seq("n" -> "count")))))
+  }
+
+  test("decomposable aggregate shapes carry an incremental-merge spec") {
+    val m = classify(
+      """SELECT symbol, sum(price) AS total, min(price) AS lo,
+        |max(price) AS hi, count(*) AS n
+        |FROM t GROUP BY symbol""".stripMargin)
+    assert(m == Mode.SnapshotDiff(Some(Seq("symbol")),
+      Some(PlanClassifier.AggMergeSpec(Seq("symbol"),
+        Seq("total" -> "sum", "lo" -> "min", "hi" -> "max", "n" -> "count")))))
+  }
+
+  test("non-decomposable aggregates keep the recompute path") {
+    // avg is not mergeable from per-slice partials
+    assert(classify("SELECT symbol, avg(price) AS a FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+    // expression OVER an aggregate is not mergeable
+    assert(classify("SELECT symbol, sum(price) + 1 AS s FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+    // DISTINCT aggregates are not mergeable
+    assert(classify("SELECT symbol, count(DISTINCT price) AS n FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+    // HAVING filters groups post-merge — recompute path
+    assert(classify(
+      "SELECT symbol, sum(price) AS s FROM t GROUP BY symbol HAVING sum(price) > 5")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+    // the aggregate in an intermediate view with stateless post-processing
+    assert(classify(
+      """WITH a AS (SELECT symbol, sum(price) AS s FROM t GROUP BY symbol)
+        |SELECT symbol, s FROM a WHERE s > 5""".stripMargin)
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+  }
+
+  test("an aggregate as the whole output step under a CTE is mergeable") {
+    val m = classify(
+      """WITH f AS (SELECT symbol, price FROM t WHERE price > 0)
+        |SELECT symbol, sum(price) AS s FROM f GROUP BY symbol""".stripMargin)
+    assert(m.asInstanceOf[Mode.SnapshotDiff].aggMerge ==
+      Some(PlanClassifier.AggMergeSpec(Seq("symbol"), Seq("s" -> "sum"))))
   }
 
   test("a GROUP BY hidden inside a CTE definition is still stateful") {
@@ -76,7 +143,8 @@ class PlanClassifierSpec extends AnyFunSuite {
 
   test("global aggregate in a bare SELECT is a single-group diff") {
     assert(classify("SELECT count(*) AS n FROM t") ==
-      Mode.SnapshotDiff(Some(Nil)))
+      Mode.SnapshotDiff(Some(Nil),
+        Some(PlanClassifier.AggMergeSpec(Nil, Seq("n" -> "count")))))
   }
 
   test("tumble + non-windowed aggregation in one chain is rejected") {
