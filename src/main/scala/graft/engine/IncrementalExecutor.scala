@@ -482,7 +482,11 @@ final class IncrementalExecutor(
         Changelog.diffMultiset(prevCmp, snapshot, vocab.operationTypeColumn)
     }
 
-    fulls.foreach { case (i, full) => store.write(bufferName(i.spec.queryAlias), full) }
+    // buffer = previous buffer ∪ slice exactly (never pruned here), so the
+    // carry-append path applies: O(slice) I/O, not an O(history) rewrite
+    fulls.foreach { case (i, full) =>
+      store.appendCarry(bufferName(i.spec.queryAlias), i.df, full)
+    }
     store.write(snapshotName,
       if (activeTouch.isDefined) untouched.unionByName(snapshot) else snapshot)
 
@@ -558,7 +562,7 @@ final class IncrementalExecutor(
       prevTouched, mergedTouched, keys, vocab.operationTypeColumn)
 
     buffers.foreach { case (i, full) =>
-      store.write(bufferName(i.spec.queryAlias), full)
+      store.appendCarry(bufferName(i.spec.queryAlias), i.df, full)
     }
     store.write(snapshotName, untouched.unionByName(mergedTouched))
 

@@ -3,6 +3,8 @@ package graft.engine
 import java.nio.file.{Files, Paths}
 import java.time.Instant
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -54,6 +56,45 @@ final class StateStore(
   def write(name: String, df: DataFrame): Unit = {
     Files.createDirectories(Paths.get(newDir))
     df.write.mode("overwrite").parquet(s"$newDir/$name")
+  }
+
+  /** Carry the previous checkpoint's `name` state forward unchanged and
+    * append only `slice` — O(slice) I/O per run instead of rewriting the
+    * full (history-sized) state through Spark. Part files are hard-linked
+    * into the new checkpoint (copied when the filesystem refuses links);
+    * once the carried file count reaches `compactAt` the state is rewritten
+    * from `full` in one Spark job, bounding small-file growth to an
+    * amortized O(history / compactAt) per run.
+    */
+  def appendCarry(
+      name: String,
+      slice: DataFrame,
+      full: => DataFrame,
+      compactAt: Int = 64): Unit = {
+    val prev = prevDir.map(d => Paths.get(d, name)).filter(Files.exists(_))
+    prev match {
+      case None => write(name, full)
+      case Some(p) =>
+        val parts = {
+          val s = Files.list(p)
+          try s.iterator().asScala.toVector.filter { f =>
+            f.getFileName.toString.endsWith(".parquet")
+          } finally s.close()
+        }
+        if (parts.size >= compactAt) write(name, full)
+        else {
+          val target = Paths.get(newDir, name)
+          Files.createDirectories(target)
+          parts.foreach { f =>
+            val t = target.resolve(f.getFileName)
+            try Files.createLink(t, f)
+            catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(f, t)
+            }
+          }
+          slice.write.mode("append").parquet(target.toString)
+        }
+    }
   }
 
   def readLedger(): Ledger =

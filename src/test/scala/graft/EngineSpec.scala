@@ -1007,6 +1007,43 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("state carry-append links prior files, appends the slice, compacts at the cap") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.engine.StateStore
+    def files(p: String) = {
+      val d = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(d)) 0
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+    }
+    val dir = tmp()
+    def slice(run: Int) = Seq((run.toLong, s"v$run")).toDF("k", "v").coalesce(1)
+    // run 1: no previous checkpoint → plain write
+    val s1 = new StateStore(spark, None, s"$dir/cp1")
+    s1.appendCarry("buf", slice(1), slice(1), compactAt = 3)
+    assert(files(s"$dir/cp1/buf") == 1)
+    // run 2: below the cap → hard-linked carry + appended slice
+    val s2 = new StateStore(spark, Some(s"$dir/cp1"), s"$dir/cp2")
+    def full(prev: String) = spark.read.parquet(s"$prev/buf")
+    s2.appendCarry("buf", slice(2), full(s"$dir/cp1").unionByName(slice(2)), compactAt = 3)
+    assert(files(s"$dir/cp2/buf") == 2)
+    // run 3: still below the cap
+    val s3 = new StateStore(spark, Some(s"$dir/cp2"), s"$dir/cp3")
+    s3.appendCarry("buf", slice(3), full(s"$dir/cp2").unionByName(slice(3)), compactAt = 3)
+    assert(files(s"$dir/cp3/buf") == 3)
+    // run 4: cap reached → compacted rewrite from `full`
+    val s4 = new StateStore(spark, Some(s"$dir/cp3"), s"$dir/cp4")
+    s4.appendCarry("buf", slice(4),
+      full(s"$dir/cp3").unionByName(slice(4)).coalesce(1), compactAt = 3)
+    assert(files(s"$dir/cp4/buf") == 1)
+    assert(spark.read.parquet(s"$dir/cp4/buf").orderBy("k")
+      .collect().map(_.getString(1)).toSeq == Seq("v1", "v2", "v3", "v4"))
+  }
+
   test("SELECT DISTINCT is an updating changelog via multiset diff") {
     import spark.implicits._
     val dir = tmp()
