@@ -521,6 +521,17 @@ object SparkEntry {
         ).as("text"))
       Text.domainStatsDf(planted, "doc_id", "text")
         .orderBy(desc("n_urls"), col("domain"))
+    }),
+
+    // ── Embedding preprocessing: L2 norms + symmetric int8 quantization
+    // stats (scale, saturated lanes, squared reconstruction error) — the
+    // standard audit before shipping vectors to an ANN index or a quantized
+    // store. Pure per-row map, no shuffle.
+    "q36_embed_quant" -> ((s, dir) => {
+      graft.functions.Embeddings.quantStatsDf(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .where(col("quant_err") > 0)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1113,6 +1124,32 @@ object SparkEntry {
         |  COUNT(*) AS n_urls,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM u GROUP BY domain
-        |ORDER BY n_urls DESC, domain""".stripMargin
+        |ORDER BY n_urls DESC, domain""".stripMargin,
+
+    "q36_embed_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |  FROM e),
+        |s AS (
+        |  SELECT vec_id, v, maxabs,
+        |    CASE WHEN maxabs = 0 THEN 0 ELSE 127.0 / maxabs END AS scale
+        |  FROM m),
+        |o AS (
+        |  SELECT vec_id,
+        |    CAST(len(v) AS BIGINT) AS dim,
+        |    sqrt(list_inner_product(v, v)) AS l2_norm,
+        |    scale,
+        |    CAST(len(list_filter(v, x ->
+        |      abs(floor(x * scale + 0.5)) = 127)) AS BIGINT) AS n_saturated,
+        |    CASE WHEN maxabs = 0 THEN 0 ELSE
+        |      list_inner_product(
+        |        list_transform(v, x -> x - floor(x * scale + 0.5) / scale),
+        |        list_transform(v, x -> x - floor(x * scale + 0.5) / scale))
+        |    END AS quant_err
+        |  FROM s)
+        |SELECT * FROM o WHERE quant_err > 0 ORDER BY vec_id""".stripMargin
   )
 }

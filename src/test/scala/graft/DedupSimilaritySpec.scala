@@ -213,6 +213,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m(2L) == ((2L, 0L, 1L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
   }
 
+  test("embedding quantization stats: scale, saturation, reconstruction error") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(0.5f, -1.0f)),
+      (1L, Seq(0.0f, 0.0f)) // zero vector: scale 0, no NaN/Inf leakage
+    ).toDF("vec_id", "embedding")
+    val rows = graft.functions.Embeddings.quantStatsDf(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val r0 = rows(0)
+    assert(r0.getLong(1) == 2L)
+    assert(math.abs(r0.getDouble(2) - math.sqrt(1.25)) < 1e-12)
+    assert(r0.getDouble(3) == 127.0)
+    // q(0.5) = floor(63.5 + 0.5) = 64 (not saturated); q(-1.0) = -127 (saturated)
+    assert(r0.getLong(4) == 1L)
+    val d = 0.5 - 64.0 / 127.0
+    assert(math.abs(r0.getDouble(5) - d * d) < 1e-15)
+    val r1 = rows(1)
+    assert(r1.getDouble(3) == 0.0 && r1.getDouble(5) == 0.0 && r1.getLong(4) == 0L)
+  }
+
   test("domain stats: per-domain url and distinct-doc counts") {
     import spark.implicits._
     val docs = Seq(
