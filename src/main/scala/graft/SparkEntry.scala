@@ -523,6 +523,17 @@ object SparkEntry {
         .orderBy(desc("n_urls"), col("domain"))
     }),
 
+    // ── Paragraph/chunk-level dedup: remove later occurrences of any
+    // repeated 8-token unit corpus-wide, reassemble surviving units —
+    // catches boilerplate that document-level dedup cannot. Aggregate
+    // arg-min (map-side combinable), not a window over unit partitions.
+    "q37_paragraph_dedup" -> ((s, dir) => {
+      graft.operators.Dedup.paragraphDedupDf(
+          t(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
+        .where(col("n_kept") < col("n_total"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Embedding preprocessing: L2 norms + symmetric int8 quantization
     // stats (scale, saturated lanes, squared reconstruction error) — the
     // standard audit before shipping vectors to an ANN index or a quantized
@@ -1125,6 +1136,32 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM u GROUP BY domain
         |ORDER BY n_urls DESC, domain""".stripMargin,
+
+    "q37_paragraph_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, CAST((len(toks)-1)//8 AS BIGINT))) AS i
+        |  FROM d WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, i AS idx,
+        |    list_aggregate(toks[(i*8+1):(i*8+8)], 'string_agg', ' ') AS chunk
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, idx, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |  FROM c),
+        |o AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |    coalesce(string_agg(chunk, ' ' ORDER BY idx)
+        |      FILTER (WHERE rn = 1), '') AS cleaned_text
+        |  FROM r GROUP BY doc_id)
+        |SELECT * FROM o WHERE n_kept < n_total ORDER BY doc_id""".stripMargin,
 
     "q36_embed_quant" ->
       """WITH e AS (

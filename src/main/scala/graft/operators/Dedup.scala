@@ -274,4 +274,54 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Paragraph/chunk-level dedup: split each document into consecutive
+    * `chunkTokens`-token units, keep only the globally FIRST occurrence of
+    * each distinct unit (ordered by document id, then position), and
+    * reassemble the surviving units in order — the standard unit-level
+    * dedup pass (boilerplate headers, repeated paragraphs) that document-
+    * level dedup cannot catch.
+    *
+    * Scale shape: explode → arg-min per unit (`min(struct(doc, idx))` — a
+    * plain hash aggregate, so map-side partial aggregation absorbs hot
+    * boilerplate units) → shuffle join back → per-doc rollup. Deliberately
+    * NOT a `row_number() OVER (PARTITION BY unit)` window: a unit repeated
+    * millions of times would pin one sort partition; the aggregate form
+    * combines before the shuffle.
+    *
+    * @return (idCol, n_total, n_kept, cleaned_text); documents with zero
+    *   tokens produce no output row (no units).
+    */
+  def paragraphDedupDf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 8
+  ): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val units = df
+      .select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("__toks")) - 1) / chunkTokens).cast("int")),
+          i => array_join(slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+          .as(Seq("idx", "chunk")))
+    val firsts = units
+      .groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("idx"))).as("__first"))
+    units.join(firsts, "chunk")
+      .withColumn("__kept",
+        col(idCol) === col(s"__first.$idCol") && col("idx") === col("__first.idx"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__kept"),
+              struct(col("idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("cleaned_text"))
+  }
 }

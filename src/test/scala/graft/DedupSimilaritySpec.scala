@@ -213,6 +213,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m(2L) == ((2L, 0L, 1L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
   }
 
+  test("paragraph dedup keeps the globally first occurrence of each chunk") {
+    import spark.implicits._
+    val boiler = "all rights reserved"   // 3-token chunk shared by docs
+    val docs = Seq(
+      (0L, s"alpha beta gamma $boiler"), // chunks: "alpha beta gamma", boiler
+      (1L, s"$boiler delta echo"),       // boiler (dup) + "delta echo"
+      (2L, "unique words only here")
+    ).toDF("doc_id", "text")
+    val m = Dedup.paragraphDedupDf(docs, "doc_id", "text", chunkTokens = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(m(0L) == ((2L, 2L, s"alpha beta gamma $boiler")))
+    // doc 1 loses its leading boilerplate chunk (doc 0 owns it)
+    assert(m(1L) == ((2L, 1L, "delta echo")))
+    assert(m(2L) == ((2L, 2L, "unique words only here")))
+  }
+
   test("embedding quantization stats: scale, saturation, reconstruction error") {
     import spark.implicits._
     val df = Seq(
