@@ -534,6 +534,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Distinguishing terms per document: tf-idf-style ranking made
+    // integer-exact (tf desc, corpus df asc, term) — no floating log, so
+    // the oracle is deterministic. Two hash aggs + a term join + top-k.
+    "q38_top_terms" -> ((s, dir) => {
+      Text.topTermsDf(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("term_rank"))
+    }),
+
     // ── Embedding preprocessing: L2 norms + symmetric int8 quantization
     // stats (scale, saturated lanes, squared reconstruction error) — the
     // standard audit before shipping vectors to an ANN index or a quantized
@@ -1136,6 +1144,25 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM u GROUP BY domain
         |ORDER BY n_urls DESC, domain""".stripMargin,
+
+    "q38_top_terms" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY term),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS term_rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, term_rank FROM r
+        |WHERE term_rank <= 3
+        |ORDER BY doc_id, term_rank""".stripMargin,
 
     "q37_paragraph_dedup" ->
       """WITH d AS (

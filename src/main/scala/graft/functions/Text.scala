@@ -194,6 +194,41 @@ object Text {
         count(lit(1)).as("n_urls"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** Per-document distinguishing terms: the tf-idf idea with an
+    * integer-exact ranking — terms scored by in-document frequency
+    * descending, then corpus document-frequency ascending (rarer wins),
+    * then term text — so the oracle needs no floating-point `log`, whose
+    * libm rounding may differ across engines.
+    *
+    * Scale shape: per-doc term counts (hash agg with map-side combine),
+    * corpus document frequencies (hash agg), shuffle join on term, then
+    * one window over doc partitions for the top-k cut. The df table is
+    * bounded by vocabulary size — broadcastable when small, shuffle join
+    * otherwise (AQE decides).
+    *
+    * @return (idCol, term, tf, df, term_rank), top `k` per document
+    */
+  def topTermsDf(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3
+  ): org.apache.spark.sql.DataFrame = {
+    val terms = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .where(col("term_rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("term_rank"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint: hash each shingle, keep the
     * min hash of each sliding window of `window` shingles, distinct. Robust
     * to local edits; the standard document-fingerprint scheme at scale.

@@ -231,6 +231,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m(2L) == ((2L, 2L, "unique words only here")))
   }
 
+  test("top terms rank by tf desc, then corpus rarity, then term") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark spark rare common"),  // tf: spark 2; rare/common 1 each
+      (1L, "common words common here")  // common appears in both docs (df 2)
+    ).toDF("doc_id", "text")
+    val rows = Text.topTermsDf(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows((0L, 1L)) == (("spark", 2L, 1L)))
+    // tf tie between rare (df 1) and common (df 2) → rarity wins
+    assert(rows((0L, 2L)) == (("rare", 1L, 1L)))
+    assert(rows((1L, 1L)) == (("common", 2L, 2L)))
+    // tf tie between here and words (both df 1) → term text breaks it
+    assert(rows((1L, 2L)) == (("here", 1L, 1L)))
+  }
+
   test("embedding quantization stats: scale, saturation, reconstruction error") {
     import spark.implicits._
     val df = Seq(
