@@ -849,7 +849,7 @@ object SparkEntry {
          |    THEN list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
          |                        for i in generate_series(1, len(toks)-2)])
          |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
-         |  FROM d),
+         |  FROM d WHERE len(toks) > 0),
          |h AS (
          |  SELECT doc_id,
          |    CAST(concat('0x', substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h

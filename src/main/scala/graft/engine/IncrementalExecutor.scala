@@ -205,10 +205,14 @@ final class IncrementalExecutor(
 
   /** Null-safe semi/anti join of `df` against the distinct `cols` values of
     * input `i`'s new slice (NULL partition keys are legitimate identities).
+    * No forced broadcast: the distinct-key side is usually tiny and AQE
+    * converts to a broadcast join at runtime from its REAL size — but a
+    * catch-up slice can touch tens of millions of keys, where a forced
+    * broadcast would blow the driver instead of degrading to a shuffle.
     */
   private def semiOnTouched(
       df: DataFrame, i: LoadedInput, cols: Seq[String], joinType: String): DataFrame = {
-    val sk = broadcast(i.df.select(cols.map(col): _*).distinct().alias("__sk"))
+    val sk = i.df.select(cols.map(col): _*).distinct().alias("__sk")
     df.alias("__v").join(sk,
       cols.map(c => col(s"__v.$c") <=> col(s"__sk.$c")).reduce(_ && _),
       joinType)

@@ -216,8 +216,11 @@ object Text {
   ): org.apache.spark.sql.DataFrame = {
     val terms = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // persisted: tf feeds BOTH the df aggregation and the probe side of the
+    // join — without it the tokenize→explode→count pipeline runs twice
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window

@@ -48,6 +48,18 @@ object Clusters {
       maxRounds: Int = 25,
       unionFindMaxEdges: Long = UnionFindMaxEdges
   ): DataFrame = {
+    // Fail loudly on non-integral id columns: cast("long") on a string/UUID
+    // id yields NULLs, which would silently dissolve every component (the
+    // join back in dupClusters would match nothing and report singletons).
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _                                             => false
+      }
+      require(ok, s"connectedComponents needs integral node ids; " +
+        s"column '$c' is ${edges.schema(c).dataType.sql}")
+    }
     val fwd = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = fwd.count()

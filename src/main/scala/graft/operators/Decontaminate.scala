@@ -34,12 +34,17 @@ object Decontaminate {
     // Stage the token arrays before shingling: a higher-order lambda that
     // references a derived expression re-evaluates it per array element in
     // interpreted eval — O(len²) tokenization without this select.
+    // Zero-token docs are skipped on both sides: they have no n-grams, and
+    // their whole-text "" shingle would diverge from the DuckDB oracle
+    // (empty-list aggregate is NULL there and never joins).
     val evalGrams = eval
       .select(Text.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
       .select(explode(Text.shingles(col("__toks"), n)).as("__ngram"))
       .distinct()
     corpus
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
       .select(col(idCol), Text.shingles(col("__toks"), n).as("__sh"))
       .select(col(idCol), explode(array_distinct(col("__sh"))).as("__ngram"))
       .join(broadcast(evalGrams), "__ngram")

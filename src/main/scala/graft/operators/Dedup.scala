@@ -31,7 +31,10 @@ object Dedup {
     */
   def minhashBands(sh: Column, bands: Int, rowsPerBand: Int): Column = {
     val numHashes = bands * rowsPerBand
-    val f = udf { (shingles: Array[String]) =>
+    val f = udf { (shinglesIn: Array[String]) =>
+      // NULL array (null text upstream) ≅ no shingles: UDFs receive null for
+      // reference-typed args, where the expression forms propagated it
+      val shingles = if (shinglesIn == null) Array.empty[String] else shinglesIn
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var s = 0
       while (s < shingles.length) {
@@ -74,7 +77,8 @@ object Dedup {
     * profile CPU on document workloads).
     */
   def shingleSortedSet(toks: Column, n: Int): Column = {
-    val f = udf { (ts: Array[String]) =>
+    val f = udf { (tsIn: Array[String]) =>
+      val ts = if (tsIn == null) Array.empty[String] else tsIn // null text ≅ no tokens
       val out =
         if (ts.length >= n) {
           val set = new java.util.TreeSet[String]()
@@ -130,6 +134,11 @@ object Dedup {
     val width = df.sparkSession.sparkContext.defaultParallelism
     val docs = df
       .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+      // Zero-token documents carry no content to compare — and their
+      // whole-text "" shingle would diverge from the DuckDB oracle, whose
+      // empty-list aggregate is NULL and never joins. Exact dedup is the
+      // right operator for them.
+      .where(size(col("__toks")) > 0)
       .repartition(width, col("__id"))
       .select(col("__id"), shingleSortedSet(col("__toks"), shingleLen).as("__sh"))
       .withColumn("__bands", minhashBands(col("__sh"), bands, rowsPerBand))
@@ -224,7 +233,8 @@ object Dedup {
       shingleLen: Int = 3
   ): DataFrame = {
     val n = shingleLen
-    val kernel = udf { (ts: Array[String]) =>
+    val kernel = udf { (tsIn: Array[String]) =>
+      val ts = if (tsIn == null) Array.empty[String] else tsIn // null text ≅ no tokens
       val set = new java.util.HashSet[String]()
       if (ts.length >= n) {
         var i = 0
@@ -268,6 +278,8 @@ object Dedup {
     }
     val width = df.sparkSession.sparkContext.defaultParallelism
     df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      // zero-token docs: no content to hash; oracle's empty-list md5 is NULL
+      .where(size(col("__toks")) > 0)
       .repartition(width, col(idCol))
       .select(col(idCol), kernel(col("__toks")).as("simhash"))
   }

@@ -40,8 +40,14 @@ object Pack {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
+    // NULL handling up front, where both passes see the same values: a NULL
+    // token count weighs 0 (pass A's InternalRow.getLong would silently
+    // read 0 while pass B's Row.getLong would throw); a NULL id has no
+    // position in the global order and is excluded.
     val sorted = df
-      .select(col(idCol).cast("long").as("__id"), col(nTokensCol).cast("long").as("n_tokens"))
+      .select(col(idCol).cast("long").as("__id"),
+        coalesce(col(nTokensCol).cast("long"), lit(0L)).as("n_tokens"))
+      .where(col("__id").isNotNull)
       .repartitionByRange(parts, col("__id"))
       .sortWithinPartitions("__id")
       .persist(StorageLevel.MEMORY_AND_DISK)

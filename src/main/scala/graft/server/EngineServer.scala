@@ -56,14 +56,17 @@ object EngineServer {
     * tests can drive an ephemeral-port server with their own session.
     */
   def serve(spark: SparkSession, server: ServerSocket): Unit =
-    try {
-      while (true) {
-        val sock = server.accept()
-        try handleConnection(spark, sock)
-        finally sock.close()
-      }
-    } catch {
-      case _: java.net.SocketException => () // server socket closed: done
+    while (!server.isClosed) {
+      val sock =
+        try server.accept()
+        catch { case _: java.io.IOException => return } // server socket closed
+      // One bad client must never take the accept loop down: a reset
+      // connection, a truncated frame, or an oversized length prefix end
+      // only THIS connection. Engine-level errors are already mapped to
+      // response kinds inside dispatch.
+      try handleConnection(spark, sock)
+      catch { case scala.util.control.NonFatal(_) => () }
+      finally sock.close()
     }
 
   private def handleConnection(spark: SparkSession, sock: Socket): Unit = {

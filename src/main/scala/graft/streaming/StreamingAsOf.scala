@@ -108,15 +108,18 @@ object StreamingAsOf {
           // for keys receiving no new data (no-data micro-batches only
           // invoke timed-out groups). Evaluation is identical either way.
           val prev = state.getOption.getOrElse(KeyState(Nil, Nil))
-          var versions = prev.versions
+          var newVersions: List[(Long, Array[Byte])] = Nil
           var pending = prev.pending
           if (!state.hasTimedOut) rows.foreach { t =>
-            if (t.isBuild) versions ::= (t.ts.getTime, t.payload)
+            if (t.isBuild) newVersions ::= (t.ts.getTime, t.payload)
             else pending ::= (t.ts.getTime, t.payload)
           }
-          // stable ascending time; later arrivals win ties (a changelog
-          // correct-to supersedes its correct-from twin)
-          versions = versions.reverse.sortBy(_._1)
+          // Stable ascending time; later arrivals win ties (a changelog
+          // correct-to supersedes its correct-from twin). Stored state is
+          // already ascending with ties in arrival order — append the new
+          // batch (in arrival order) BEHIND it and stable-sort, so equal-ts
+          // winners never flip between micro-batches.
+          val versions = (prev.versions ++ newVersions.reverse).sortBy(_._1)
           val wm = state.getCurrentWatermarkMs()
 
           val (ripe, waiting) = pending.partition(_._1 <= wm)

@@ -231,6 +231,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m(2L) == ((2L, 2L, "unique words only here")))
   }
 
+  test("null and token-less docs pass through dedup kernels without NPE") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " tonight"),
+      (2L, null.asInstanceOf[String]), // null text → null token array in UDFs
+      (3L, "!!! ???")                  // tokens exist in neither engine
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // content-less docs excluded, no crash
+    val sims = Dedup.simhashDf(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(sims == Set(0L, 1L))
+  }
+
   test("top terms rank by tf desc, then corpus rarity, then term") {
     import spark.implicits._
     val docs = Seq(

@@ -148,4 +148,28 @@ class EngineServerSpec extends AnyFunSuite {
       } finally sock.close()
     }
   }
+
+  test("a crashed or malformed client does not take the accept loop down") {
+    withServer { (host, port) =>
+      // client 1: writes a length prefix promising bytes it never sends,
+      // then resets the connection mid-frame
+      val bad1 = new Socket(host, port)
+      bad1.getOutputStream.write(Array[Byte](0, 0, 16, 0)) // 4096-byte promise
+      bad1.getOutputStream.flush()
+      bad1.setSoLinger(true, 0) // RST on close, not FIN
+      bad1.close()
+      // client 2: an absurd frame length the server must refuse, not buffer
+      val bad2 = new Socket(host, port)
+      try {
+        bad2.getOutputStream.write(Array[Byte](0x7f, -1, -1, -1))
+        bad2.getOutputStream.flush()
+      } finally bad2.close()
+      // the server must still serve a well-formed client afterwards
+      val good = new Socket(host, port)
+      try {
+        val r = call(good, "nonsense", "")
+        assert(r.contains("kind: InvalidQuery"), r)
+      } finally good.close()
+    }
+  }
 }
