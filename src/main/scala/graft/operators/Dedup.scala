@@ -311,6 +311,9 @@ object Dedup {
       chunkTokens: Int = 8
   ): DataFrame = {
     val toks = Text.tokens(col(textCol))
+    // persisted: units feeds BOTH the arg-min aggregation and the join
+    // probe — without it the tokenize→chunk explode (interpreted
+    // higher-order lambdas, the expensive stage) runs twice
     val units = df
       .select(col(idCol), toks.as("__toks"))
       .where(size(col("__toks")) > 0)
@@ -319,6 +322,7 @@ object Dedup {
           sequence(lit(0), ((size(col("__toks")) - 1) / chunkTokens).cast("int")),
           i => array_join(slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
           .as(Seq("idx", "chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = units
       .groupBy(col("chunk"))
       .agg(min(struct(col(idCol), col("idx"))).as("__first"))
