@@ -21,6 +21,11 @@ object Embeddings {
     * runs interpreted per element and was ~10× slower); no shuffle, linear
     * over any corpus size. Folds accumulate in index order in double, so
     * the arithmetic is the oracle's exactly.
+    *
+    * Contract: `vecCol` must be `array<float>` — the same vector type the
+    * rest of the embedding operators ([[DotProductExpr]], Similarity)
+    * take. A double-typed column should be cast by the caller, who owns
+    * the precision decision.
     * @return (idCol, dim, l2_norm, scale, n_saturated, quant_err)
     */
   def quantStatsDf(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

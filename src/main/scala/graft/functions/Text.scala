@@ -217,7 +217,9 @@ object Text {
     val terms = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     // persisted: tf feeds BOTH the df aggregation and the probe side of the
-    // join — without it the tokenize→explode→count pipeline runs twice
+    // join — without it the tokenize→explode→count pipeline runs twice.
+    // Lifetime = the returned frame (module convention; sessions running
+    // many queries sweep persistent RDDs between them, as Bench does)
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -28,8 +28,10 @@ import org.apache.spark.storage.StorageLevel
   */
 object Pack {
 
-  /** @return (idCol, "n_tokens", "batch_id"), one row per input row, batch
-    *         ids dense from 0 in ascending `idCol` order.
+  /** @return (idCol, "n_tokens", "batch_id"), one row per input row whose
+    *         id is non-NULL (a NULL id has no position in the global order
+    *         and is excluded; NULL token counts weigh 0), batch ids dense
+    *         from 0 in ascending `idCol` order.
     */
   def tokenBatches(
       df: DataFrame,

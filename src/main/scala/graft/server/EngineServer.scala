@@ -65,7 +65,12 @@ object EngineServer {
       // only THIS connection. Engine-level errors are already mapped to
       // response kinds inside dispatch.
       try handleConnection(spark, sock)
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // keep the evidence: a misbehaving client's failure mode (reset,
+          // bad length prefix) is invisible otherwise
+          System.err.println(s"[graft] connection ${sock.getRemoteSocketAddress} dropped: $e")
+      }
       finally sock.close()
     }
 

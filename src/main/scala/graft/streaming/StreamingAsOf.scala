@@ -43,17 +43,7 @@ object StreamingAsOf {
       versions: List[(Long, Array[Byte])],
       pending: List[(Long, Array[Byte])])
 
-  private def ser(values: Seq[Any]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val o = new java.io.ObjectOutputStream(bos)
-    o.writeObject(values.toVector)
-    o.close()
-    bos.toByteArray
-  }
-
-  private def deser(bytes: Array[Byte]): Seq[Any] =
-    new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-      .readObject().asInstanceOf[Vector[Any]]
+  import Payload.{deser, ser}
 
   /** Left as-of join of two STREAMING frames.
     *
@@ -114,12 +104,17 @@ object StreamingAsOf {
             if (t.isBuild) newVersions ::= (t.ts.getTime, t.payload)
             else pending ::= (t.ts.getTime, t.payload)
           }
-          // Stable ascending time; later arrivals win ties (a changelog
+          // Stable ascending time; newer versions win ties (a changelog
           // correct-to supersedes its correct-from twin). Stored state is
-          // already ascending with ties in arrival order — append the new
-          // batch (in arrival order) BEHIND it and stable-sort, so equal-ts
-          // winners never flip between micro-batches.
-          val versions = (prev.versions ++ newVersions.reverse).sortBy(_._1)
+          // already ascending with settled tie order — new versions sort
+          // BEHIND it. WITHIN one micro-batch the group iterator's order is
+          // shuffle-fetch-dependent, so equal-ts arrivals are ordered by
+          // payload bytes: an arbitrary but DETERMINISTIC rule — reruns and
+          // restarts pick the same winner. True changelog twins carry
+          // engine offsets and belong on the batch engine's as-of path.
+          val batchOrdered = newVersions.reverse.sortBy(v =>
+            (v._1, java.util.Base64.getEncoder.encodeToString(v._2)))
+          val versions = (prev.versions ++ batchOrdered).sortBy(_._1)
           val wm = state.getCurrentWatermarkMs()
 
           val (ripe, waiting) = pending.partition(_._1 <= wm)

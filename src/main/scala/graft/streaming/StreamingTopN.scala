@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
@@ -28,19 +29,12 @@ object StreamingTopN {
 
   final case class RankState(rows: List[(Double, Long, Array[Byte])])
 
-  private def ser(values: Seq[Any]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val o = new java.io.ObjectOutputStream(bos)
-    o.writeObject(values.toVector)
-    o.close()
-    bos.toByteArray
-  }
-
-  private def deser(bytes: Array[Byte]): Seq[Any] =
-    new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-      .readObject().asInstanceOf[Vector[Any]]
+  import Payload.{deser, ser}
 
   /** Top `n` rows per `partCol` by `ordCol` DESC (ties by `tieCol` ASC).
+    * A NULL partition key is a legitimate identity (it groups as its own
+    * partition, as in the batch engine's keyed diff); rows with a NULL ord
+    * or tie have no place in the ordering and are excluded.
     * @return input columns + (`rank` LONG, `op` INT) changelog rows
     */
   def topN(
@@ -57,12 +51,14 @@ object StreamingTopN {
       org.apache.spark.sql.types.StructField("rank", LongType) :+
       org.apache.spark.sql.types.StructField("op", IntegerType))
 
-    val keyed = df.map { r =>
-      In(r.getAs[Any](partCol).toString,
-        r.getAs[Number](ordCol).doubleValue(),
-        r.getAs[Number](tieCol).longValue(),
-        ser(r.toSeq))
-    }(Encoders.product[In])
+    val keyed = df
+      .where(col(ordCol).isNotNull && col(tieCol).isNotNull)
+      .map { r =>
+        In(String.valueOf(r.getAs[Any](partCol)),
+          r.getAs[Number](ordCol).doubleValue(),
+          r.getAs[Number](tieCol).longValue(),
+          ser(r.toSeq))
+      }(Encoders.product[In])
 
     keyed
       .groupByKey(_.key)
