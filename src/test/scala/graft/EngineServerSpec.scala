@@ -149,6 +149,92 @@ class EngineServerSpec extends AnyFunSuite {
     }
   }
 
+  test("tar checkpoints round-trip the merge-path's hard-linked buffers over the socket") {
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    // Non-windowed GROUP BY → the incremental-merge path, whose buffers
+    // carry across checkpoints as HARD LINKS (appendCarry). With .tar
+    // checkpoint paths those links are made inside withTarCheckpoints'
+    // scratch dirs, which are DELETED after each response — the links must
+    // keep the data alive and the re-packed tar must carry full content.
+    val dir = Files.createTempDirectory("graft-srv3")
+    def slice(num: Int, rows: Seq[Ticker]): String = {
+      val p = s"$dir/in$num.parquet"
+      graft.engine.ParquetSliceSink.writeSingleFile(
+        spark.createDataset(rows).toDF(), p)
+      p
+    }
+    val in1 = slice(1, Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(1)), "B", 20)))
+    val in2 = slice(2, Seq(Ticker(2, 0, t(ts(2)), t(ts(2)), "A", 5)))
+
+    def request(num: Int, in: Option[(String, Long, Long)], wm: String,
+        nextOff: Long, prevCp: Option[String]): String = {
+      val sliceYaml = in match {
+        case Some((p, s, e)) =>
+          s"""|  offsetInterval:
+              |    start: $s
+              |    end: $e
+              |  dataPaths:
+              |  - "$p"""".stripMargin
+        case None => "  dataPaths: []"
+      }
+      s"""|datasetId: "did:odf:out"
+          |datasetAlias: out
+          |systemTime: "2000-01-1${num}T00:00:00Z"
+          |nextOffset: $nextOff
+          |transform:
+          |  kind: Sql
+          |  engine: spark
+          |  query: |
+          |    SELECT max(event_time) as event_time, symbol,
+          |      count(*) as n, sum(price) as total
+          |    FROM tickers GROUP BY symbol
+          |queryInputs:
+          |- datasetId: "did:odf:in"
+          |  queryAlias: tickers
+          |$sliceYaml
+          |  schemaFile: "$in1"
+          |  explicitWatermarks:
+          |  - systemTime: "$wm"
+          |    eventTime: "$wm"
+          |${prevCp.map(p => s"prevCheckpointPath: \"$p\"").getOrElse("")}
+          |newCheckpointPath: "$dir/cp$num.tar"
+          |newDataPath: "$dir/out$num.parquet"
+          |""".stripMargin
+    }
+
+    withServer { (host, port) =>
+      val sock = new Socket(host, port)
+      try {
+        val r1 = call(sock, "transform",
+          request(1, Some((in1, 0, 1)), "2000-01-01T00:00:00Z", 0, None))
+        assert(r1.contains("kind: Success"), r1)
+        assert(Files.isRegularFile(java.nio.file.Paths.get(s"$dir/cp1.tar")))
+
+        val r2 = call(sock, "transform",
+          request(2, Some((in2, 2, 2)), "2000-01-02T00:00:00Z", 2,
+            Some(s"$dir/cp1.tar")))
+        assert(r2.contains("kind: Success"), r2)
+        // A corrects with FULL-history totals (count 2, sum 15) — proof the
+        // buffer and snapshot survived the tar round-trip
+        val o2 = spark.read.parquet(s"$dir/out2.parquet").orderBy("offset").collect()
+        assert(o2.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"),
+          r.getAs[Long]("n"), r.getAs[Long]("total"))).toSeq == Seq(
+          ("A", graft.protocol.Op.CorrectFrom, 1L, 10L),
+          ("A", graft.protocol.Op.CorrectTo, 2L, 15L)))
+
+        // run 3: watermark-only; re-links files that themselves came from a
+        // tar of linked files; nothing re-emits
+        val r3 = call(sock, "transform",
+          request(3, None, "2000-01-03T00:00:00Z", 4, Some(s"$dir/cp2.tar")))
+        assert(r3.contains("kind: Success"), r3)
+        assert(!r3.contains("newOffsetInterval"), r3)
+      } finally sock.close()
+    }
+  }
+
   test("a crashed or malformed client does not take the accept loop down") {
     withServer { (host, port) =>
       // client 1: writes a length prefix promising bytes it never sends,
