@@ -3,7 +3,6 @@ package graft.engine
 import java.time.Instant
 
 import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -100,16 +99,18 @@ final class TransformEngine(spark: SparkSession) {
       val orderCols: Seq[Column] = out.emissionOrder.getOrElse(
         col(vocab.eventTimeColumn) +:
           userCols.filter(_ != vocab.eventTimeColumn).map(col).toSeq)
-      val withOffset = withSys.withColumn(
-        vocab.offsetColumn,
-        (row_number().over(Window.orderBy(orderCols: _*)) - 1 + req.nextOffset)
-          .cast(LongType))
+      // Distributed two-phase offset assignment — no single-partition
+      // Window/Sort in the sink path (see OffsetAssigner).
+      val (withOffset, pinned) =
+        OffsetAssigner.assign(withSys, orderCols, vocab.offsetColumn, req.nextOffset)
 
       val ordered = withOffset.select(
         (Seq(vocab.offsetColumn, vocab.operationTypeColumn, vocab.systemTimeColumn)
           ++ userCols).map(col): _*)
 
-      val n = ParquetSliceSink.writeSingleFile(ordered, req.newDataPath)
+      val n =
+        try ParquetSliceSink.writeSingleFile(ordered, req.newDataPath)
+        finally pinned.foreach(_.unpersist(blocking = false))
 
       val newWm = out.newWatermark.orElse(ledger.outputWatermark)
       store.writeLedger(Ledger(

@@ -1,8 +1,6 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.{RowEncoder => CatalystRowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
@@ -74,13 +72,16 @@ object Pack {
     }
     val bOffsets = spark.sparkContext.broadcast(offsets)
 
-    // pass B: local running sum + broadcast offset of earlier partitions
+    // pass B: local running sum + broadcast offset of earlier partitions.
+    // rdd.mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): the
+    // index is the RDD partition id even when a downstream coalesce packs
+    // several partitions into one task (where the task id would hand every
+    // partition the first base).
     val outSchema = StructType(Seq(
       StructField("__id", LongType), StructField("n_tokens", LongType),
       StructField("batch_id", LongType)))
-    val enc = CatalystRowEncoder.encoderFor(outSchema)
-    val out = sorted.mapPartitions { it =>
-      var running = bOffsets.value(TaskContext.getPartitionId())
+    val withBatches = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bOffsets.value(pid)
       it.map { r =>
         val id = r.getLong(0)
         val n = r.getLong(1)
@@ -88,7 +89,7 @@ object Pack {
         running += n
         Row(id, n, batch)
       }
-    }(enc)
-    out.withColumnRenamed("__id", idCol)
+    }
+    spark.createDataFrame(withBatches, outSchema).withColumnRenamed("__id", idCol)
   }
 }
