@@ -61,7 +61,14 @@ final class IncrementalExecutor(
       retractiveInputs: Set[String] = Set.empty
   )
 
-  private val allSql = steps.map(_._2.sql).mkString("\n")
+  /** Parsed plan of the as-of step (its SQL is pre-normalized to plain
+    * Spark join syntax by SqlRewriter, so Spark's own parser handles it). */
+  private lazy val asOfStepPlan
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    steps.collectFirst {
+      case (_, rw) if rw.asOf.isDefined =>
+        spark.sessionState.sqlParser.parsePlan(rw.sql)
+    }
   private val tumble = steps.flatMap(_._2.tumble).headOption
   private val asOf = steps.flatMap(_._2.asOf).headOption
   private val mode = PlanClassifier.classify(spark, steps)
@@ -321,7 +328,7 @@ final class IncrementalExecutor(
     // function, composite PKs rejected); the key equality written in the
     // join/WHERE clause is used as a cross-check and as the probe-side
     // column name, and remains a fallback when no PK is declared.
-    val sqlKeys = findAsOfKeys(allSql, spec)
+    val sqlKeys = asOfStepPlan.flatMap(p => findAsOfKeys(p, spec))
     val (probeKey, buildKey) = temporalTables.get(spec.buildTable) match {
       case Some(pks) =>
         val pk = pks match {
@@ -383,9 +390,13 @@ final class IncrementalExecutor(
 
     var result: DataFrame = null
     steps.zipWithIndex.foreach { case ((alias, rwStep), i) =>
-      val sql =
-        if (rwStep.asOf.isDefined) rewriteAsOfSql(rwStep.sql, spec) else rwStep.sql
-      val df = Snitch.tap(spark.sql(sql), alias.getOrElse("output"))
+      val stepDf =
+        if (rwStep.asOf.isDefined)
+          org.apache.spark.sql.GraftPlanExec.ofRows(spark,
+            rewriteAsOfPlan(
+              spark.sessionState.sqlParser.parsePlan(rwStep.sql), spec))
+        else spark.sql(rwStep.sql)
+      val df = Snitch.tap(stepDf, alias.getOrElse("output"))
       alias.foreach(df.createOrReplaceTempView)
       if (i == outputIdx) result = df
     }
@@ -641,10 +652,6 @@ object IncrementalExecutor {
     * `__` keeps it clear of user query aliases. */
   val AsOfWindowBufferAlias: String = "__asof_window"
 
-  private val keyEqRe = """(\w+)\.([\w`]+)\s*=\s*(\w+)\.([\w`]+)""".r
-  private val fromJoinRe =
-    """(?is)FROM\s+\w+(?:\s+AS)?\s+\w+\s*(?:,\s*LATERAL\s+TABLE\s*\([^)]*\)\s*\)?(?:\s+(?:AS\s+)?\w+)?|(?:\s*(?:LEFT\s+)?JOIN\s+\w+\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.`]+(?:\s+(?:AS\s+)?\w+)?\s+ON\s+[^\n]*?))(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT)\b|\s*$)""".r
-
   def unitMillis(unit: String): Long = unit.toLowerCase match {
     case "second" | "seconds" => 1000L
     case "minute" | "minutes" => 60L * 1000
@@ -659,23 +666,75 @@ object IncrementalExecutor {
     parts(0).toLong * unitMillis(parts(1))
   }
 
-  /** Find `probeAlias.k = buildAlias.k2` (either order) → (probeKey, buildKey). */
-  def findAsOfKeys(
-      sql: String,
-      spec: SqlRewriter.AsOfSpec
-  ): Option[(String, String)] =
-    keyEqRe.findAllMatchIn(sql).collectFirst {
-      case m if m.group(1) == spec.probeAlias && m.group(3) == spec.buildAlias =>
-        (m.group(2), m.group(4))
-      case m if m.group(1) == spec.buildAlias && m.group(3) == spec.probeAlias =>
-        (m.group(4), m.group(2))
-    }
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, SubqueryAlias}
 
-  /** Rewrite the as-of step to select from the materialized joined view. */
-  def rewriteAsOfSql(sql: String, spec: SqlRewriter.AsOfSpec): String = {
-    var out = fromJoinRe.replaceFirstIn(sql, "FROM __asof_joined ")
-    out = s"""(?i)\\b${spec.buildAlias}\\.""".r.replaceAllIn(out, "__build_")
-    out = s"""(?i)\\b${spec.probeAlias}\\.(\\w+)""".r.replaceAllIn(out, m => m.group(1))
-    out
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** Find `probeAlias.k = buildAlias.k2` (either order) in the parsed as-of
+    * step's join conditions and filters → (probeKey, buildKey). Structural:
+    * quoted aliases, literals that happen to contain `alias.`, and aliases
+    * prefixing other identifiers cannot confuse it (unlike the round-1–3
+    * text regex).
+    */
+  def findAsOfKeys(
+      plan: LogicalPlan,
+      spec: SqlRewriter.AsOfSpec
+  ): Option[(String, String)] = {
+    val found = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    def scan(cond: Expression): Unit = conjuncts(cond).foreach {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if l.nameParts.length == 2 && r.nameParts.length == 2 =>
+        val (lq, ln) = (l.nameParts.head, l.nameParts.last)
+        val (rq, rn) = (r.nameParts.head, r.nameParts.last)
+        if (lq.equalsIgnoreCase(spec.probeAlias) && rq.equalsIgnoreCase(spec.buildAlias))
+          found += ((ln, rn))
+        else if (lq.equalsIgnoreCase(spec.buildAlias) && rq.equalsIgnoreCase(spec.probeAlias))
+          found += ((rn, ln))
+      case _ => ()
+    }
+    plan.foreach {
+      case j: Join   => j.condition.foreach(scan)
+      case f: Filter => scan(f.condition)
+      case _         => ()
+    }
+    found.headOption
+  }
+
+  /** Rewrite the PARSED as-of step plan to read the materialized joined
+    * view: the probe×build join collapses to `__asof_joined`, and
+    * alias-qualified references remap structurally — `probe.x` → `x`,
+    * `build.x` → `__build_x`. The ON key equality is subsumed by the as-of
+    * join materialization itself (reference
+    * EngineJoinStreamToTemporalTableTest.scala:75-85,322-331 — both
+    * temporal syntaxes carry only the key equality there).
+    */
+  def rewriteAsOfPlan(plan: LogicalPlan, spec: SqlRewriter.AsOfSpec): LogicalPlan = {
+    def mentions(p: LogicalPlan, name: String): Boolean = p.collectFirst {
+      case r: UnresolvedRelation if r.multipartIdentifier.last.equalsIgnoreCase(name) => ()
+      case s: SubqueryAlias if s.alias.equalsIgnoreCase(name) => ()
+    }.isDefined
+    val collapsed = plan.transformUp {
+      case j: Join
+          if (mentions(j.left, spec.probeTable) || mentions(j.left, spec.probeAlias)) &&
+            (mentions(j.right, spec.buildTable) || mentions(j.right, spec.buildAlias)) =>
+        UnresolvedRelation(Seq("__asof_joined"))
+    }
+    collapsed.transformAllExpressions {
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 2 &&
+            (a.nameParts.head.equalsIgnoreCase(spec.buildAlias) ||
+              a.nameParts.head.equalsIgnoreCase(spec.buildTable)) =>
+        UnresolvedAttribute(Seq("__build_" + a.nameParts.last))
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 2 &&
+            (a.nameParts.head.equalsIgnoreCase(spec.probeAlias) ||
+              a.nameParts.head.equalsIgnoreCase(spec.probeTable)) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
   }
 }

@@ -76,14 +76,23 @@ object SqlRewriter {
   private val currentWatermarkRe: Regex =
     """(?i)\bcurrent_watermark\s*\(\s*[\w.`]+\s*\)""".r
   // FROM probe p JOIN build FOR SYSTEM_TIME AS OF p.t AS b ON ... | alternate order
+  // Aliases may be backtick-quoted (the plan-based step rewrite resolves
+  // them structurally; this spec regex only needs the names).
   private val forSystemTimeRe: Regex =
-    """(?is)FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s*,?\s*(?:LEFT\s+)?JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.([\w`]+)(?:\s+(?:AS\s+)?(\w+))?""".r
+    """(?is)FROM\s+(\w+)(?:\s+AS)?\s+`?(\w+)`?\s*,?\s*(?:LEFT\s+)?JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+`?(\w+)`?\.`?(\w+)`?(?:\s+(?:AS\s+)?`?(\w+)`?)?""".r
   // FROM probe p, LATERAL TABLE (fn(p.t)) AS b | LATERAL TABLE (fn(p.t)) b
   // The temporal-table name may be a backticked dotted dataset alias, e.g.
   // LATERAL TABLE (`stocks.owned`(t.event_time)) — the reference's own test
   // corpus uses that form (EngineJoinStreamToTemporalTableTest.scala:75-85).
   private val lateralRe: Regex =
-    """(?is)FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s*,\s*LATERAL\s+TABLE\s*\(\s*(`[^`]+`|\w+)\s*\(\s*(\w+)\.([\w`]+)\s*\)\s*\)(?:\s+(?:AS\s+)?(\w+))?""".r
+    """(?is)FROM\s+(\w+)(?:\s+AS)?\s+`?(\w+)`?\s*,\s*LATERAL\s+TABLE\s*\(\s*(`[^`]+`|\w+)\s*\(\s*`?(\w+)`?\.`?(\w+)`?\s*\)\s*\)(?:\s+(?:AS\s+)?`?(\w+)`?)?""".r
+  // Normalizers: strip the two Flink-only temporal constructs so the as-of
+  // step parses with Spark's own parser — the executor then rewrites the
+  // PARSED plan (no further text surgery on the step).
+  private val forSystemTimeClauseRe: Regex =
+    """(?is)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+`?\w+`?\.`?\w+`?""".r
+  private val lateralClauseRe: Regex =
+    """(?is)\s*,\s*LATERAL\s+TABLE\s*\(\s*(`[^`]+`|\w+)\s*\(\s*`?\w+`?\.`?\w+`?\s*\)\s*\)""".r
 
   private def sparkInterval(n: String, unit: String): String =
     s"$n ${unit.toLowerCase}"
@@ -160,6 +169,8 @@ object SqlRewriter {
         probeTable = m.group(1), probeAlias = m.group(2),
         buildTable = m.group(3), buildAlias = buildAlias,
         probeTimeCol = m.group(5)))
+      // `JOIN build AS b ON …` — plain Spark join syntax
+      out = forSystemTimeClauseRe.replaceFirstIn(out, "")
     }
     if (asOf.isEmpty) {
       lateralRe.findFirstMatchIn(out).foreach { m =>
@@ -169,6 +180,9 @@ object SqlRewriter {
           probeTable = m.group(1), probeAlias = m.group(2),
           buildTable = buildTable, buildAlias = buildAlias,
           probeTimeCol = m.group(5)))
+        // `JOIN \`build\` AS b` (condition-free; the key equality lives in
+        // WHERE for this syntax) — parseable by Spark
+        out = lateralClauseRe.replaceFirstIn(out, " JOIN $1")
       }
     }
 

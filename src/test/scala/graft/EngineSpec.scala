@@ -530,6 +530,43 @@ class EngineSpec extends AnyFunSuite {
     assert(o1.map(_.getAs[Int]("current_value")).toSeq == Seq(500, 770))
   }
 
+  test("as-of join: quoted aliases, alias prefixing a column name, literal trap") {
+    // Round-3 finding: the textual step rewrite blind-replaced `alias.`
+    // prefixes — a quoted alias broke extraction and a string literal
+    // containing "owned." was corrupted into "__build_…". Plan-based
+    // rewriting must survive all three hazards at once: backtick-quoted
+    // aliases, a probe alias (`symb`) that prefixes a column name
+    // (`symbol`), and a literal spelling of "owned.volume".
+    import spark.implicits._
+    val dir = tmp()
+    val tickIn = s"$dir/tick.parquet"
+    val stockIn = s"$dir/stock.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 100),
+      Ticker(1, 0, t(ts(1)), t(ts(2)), "A", 110)), tickIn)
+    writeSlice(Seq(
+      Stock(0, 0, t(ts(1)), t(ts(1)), "A", 5),
+      Stock(1, 0, t(ts(1)), t(ts(2)), "A", 7)), stockIn)
+    val q = """SELECT `symb`.event_time, `symb`.symbol,
+              |  `owned`.volume as volume, 'owned.volume' as tag
+              |FROM tickers as `symb`
+              |JOIN stocks_owned FOR SYSTEM_TIME AS OF `symb`.event_time AS `owned`
+              |  ON `symb`.symbol = `owned`.symbol""".stripMargin
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(20), DatasetVocabulary(),
+      Transform(queries = Vector(SqlQueryStep(None, q)),
+        temporalTables = Vector(TemporalTable("stocks_owned", Vector("symbol")))),
+      Vector(
+        mkInput("tickers", tickIn, tickIn, 2, wms = Seq(ts(5))),
+        mkInput("stocks_owned", stockIn, stockIn, 2, wms = Seq(ts(5)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 1)))
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(o1.map(_.getAs[Int]("volume")).toSeq == Seq(5, 7))
+    assert(o1.map(_.getAs[String]("tag")).distinct.toSeq == Seq("owned.volume"))
+  }
+
   test("as-of join: empty or composite primary key → InvalidQuery") {
     import spark.implicits._
     val dir = tmp()

@@ -66,11 +66,48 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(r.startAliases == Set("window_open"))
   }
 
-  test("as-of key equality extraction handles both orders") {
+  test("as-of key equality extraction handles both orders (plan-based)") {
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan
     val spec = SqlRewriter.AsOfSpec("tick", "t", "stocks", "s", "event_time")
-    assert(IncrementalExecutor.findAsOfKeys("... ON t.symbol = s.sym ...", spec)
+    assert(IncrementalExecutor.findAsOfKeys(
+      parsePlan("SELECT * FROM tick t JOIN stocks s ON t.symbol = s.sym"), spec)
       .contains(("symbol", "sym")))
-    assert(IncrementalExecutor.findAsOfKeys("... ON s.sym = t.symbol ...", spec)
+    assert(IncrementalExecutor.findAsOfKeys(
+      parsePlan("SELECT * FROM tick t JOIN stocks s ON s.sym = t.symbol"), spec)
       .contains(("symbol", "sym")))
+    // WHERE-clause equality (lateral syntax), quoted aliases, and a string
+    // literal that a text regex would have matched
+    assert(IncrementalExecutor.findAsOfKeys(
+      parsePlan("SELECT 't.symbol = s.nope' AS trap FROM tick `t` JOIN stocks `s` " +
+        "WHERE `s`.sym = `t`.symbol"), spec)
+      .contains(("symbol", "sym")))
+  }
+
+  test("as-of step SQL is normalized to parseable Spark join syntax") {
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan
+    val r = SqlRewriter.rewrite(
+      """SELECT t.event_time, owned.volume FROM tickers as t
+        |JOIN stocks_owned FOR SYSTEM_TIME AS OF t.event_time AS owned
+        |  ON t.symbol = owned.symbol""".stripMargin, st, wm)
+    assert(r.asOf.isDefined)
+    parsePlan(r.sql) // must not throw
+    assert(!r.sql.toUpperCase.contains("SYSTEM_TIME"))
+
+    val r2 = SqlRewriter.rewrite(
+      """SELECT t.event_time, p.volume
+        |FROM tickers t, LATERAL TABLE (`stocks.owned`(t.event_time)) p
+        |WHERE t.symbol = p.symbol""".stripMargin, st, wm)
+    assert(r2.asOf.isDefined)
+    parsePlan(r2.sql)
+    assert(!r2.sql.toUpperCase.contains("LATERAL"))
+  }
+
+  test("quoted aliases in FOR SYSTEM_TIME still produce the AsOfSpec") {
+    val r = SqlRewriter.rewrite(
+      """SELECT `symb`.event_time, `owned`.volume FROM tickers as `symb`
+        |JOIN stocks_owned FOR SYSTEM_TIME AS OF `symb`.event_time AS `owned`
+        |  ON `symb`.symbol = `owned`.symbol""".stripMargin, st, wm)
+    assert(r.asOf.contains(SqlRewriter.AsOfSpec(
+      "tickers", "symb", "stocks_owned", "owned", "event_time")))
   }
 }
