@@ -418,6 +418,13 @@ object PlanClassifier {
     val pk = f.rankSpecs.head._2.getOrElse(return None)
     if (pk.isEmpty) return None
     val plan = spark.sessionState.sqlParser.parsePlan(steps.head._2.sql)
+    // CTE bodies are not TreeNode children of UnresolvedWith (collectFacts
+    // recurses into them manually), so the relation-count and
+    // alias-redefinition scans below cannot see them — and a CTE can even
+    // SHADOW the input alias, re-keying partitions while the raw slice
+    // still holds the un-derived values. Narrowing is unsound there:
+    // WITH-queries always take the full recompute path.
+    if (plan.exists(_.isInstanceOf[UnresolvedWith])) return None
     val relations = plan.collect {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         r.multipartIdentifier.last

@@ -84,6 +84,13 @@ final class StateStore(
         if (parts.size >= compactAt) write(name, full)
         else {
           val target = Paths.get(newDir, name)
+          // A retried run reusing the same newDir must start clean, like
+          // write()'s overwrite mode: leftover hard links would throw
+          // FileAlreadyExists and a leftover appended slice would double up.
+          if (Files.exists(target)) {
+            Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          }
           Files.createDirectories(target)
           parts.foreach { f =>
             val t = target.resolve(f.getFileName)

@@ -649,6 +649,52 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ──────────────────────────────────────────────────────────────────────
+  test("top-n: CTE shadowing the input alias still diffs correctly (no narrowing)") {
+    // Round-3 ADVICE: a WITH clause that shadows the input alias and
+    // re-keys the partition column (upper(symbol)) hid the re-aliasing from
+    // the RankTouch scan — narrowing then matched raw lowercase slice
+    // values against computed uppercase snapshot partitions and emitted a
+    // bogus +I instead of -U/+U. WITH-queries must take the full recompute.
+    import spark.implicits._
+    val dir = tmp()
+    val q = """WITH tickers AS
+              |  (SELECT event_time, upper(symbol) AS symbol, price FROM tickers)
+              |SELECT event_time, symbol, price, rn FROM (
+              |  SELECT event_time, symbol, price,
+              |    row_number() OVER (PARTITION BY symbol ORDER BY price DESC) AS rn
+              |  FROM tickers) WHERE rn = 1""".stripMargin
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "a", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(1)), "b", 20)), in1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 2, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 1)))
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(o1.map(_.getAs[Int]("op")).toSeq == Seq(0, 0))
+    assert(o1.map(_.getAs[String]("symbol")).toSeq == Seq("A", "B"))
+
+    val in2 = s"$dir/in2.parquet"
+    writeSlice(Seq(Ticker(2, 0, t(ts(2)), t(ts(2)), "a", 30)), in2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in2, in2, 1, startOffset = 2, wms = Seq(ts(2)))),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(2, 3)))
+    val o2 = readOut(s"$dir/out2.parquet").orderBy("offset").collect()
+    // partition A corrected: -U (A,10) then +U (A,30); B untouched
+    assert(o2.map(_.getAs[Int]("op")).toSeq == Seq(2, 3))
+    assert(o2.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("price"))).toSeq ==
+      Seq(("A", 10), ("A", 30)))
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
   test("map: multiple input files in one run are read in offset order") {
     import spark.implicits._
     val dir = tmp()
@@ -1079,6 +1125,15 @@ class EngineSpec extends AnyFunSuite {
     assert(files(s"$dir/cp4/buf") == 1)
     assert(spark.read.parquet(s"$dir/cp4/buf").orderBy("k")
       .collect().map(_.getString(1)).toSeq == Seq("v1", "v2", "v3", "v4"))
+
+    // Retry semantics (round-3 ADVICE): a retried run reusing the same
+    // newCheckpointPath must neither throw on the pre-existing hard links
+    // nor double the appended slice — same tolerance as write()'s overwrite.
+    val s2r = new StateStore(spark, Some(s"$dir/cp1"), s"$dir/cp2")
+    s2r.appendCarry("buf", slice(2), full(s"$dir/cp1").unionByName(slice(2)), compactAt = 3)
+    assert(files(s"$dir/cp2/buf") == 2)
+    assert(spark.read.parquet(s"$dir/cp2/buf").orderBy("k")
+      .collect().map(_.getString(1)).toSeq == Seq("v1", "v2"))
   }
 
   test("SELECT DISTINCT is an updating changelog via multiset diff") {

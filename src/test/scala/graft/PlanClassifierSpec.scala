@@ -75,6 +75,17 @@ class PlanClassifierSpec extends AnyFunSuite {
     // two relations (self-union): occurrence count must be exactly one
     assert(classify(rank("", from = "(SELECT * FROM t UNION ALL SELECT * FROM t2)"))
       .asInstanceOf[Mode.SnapshotDiff].rankTouch.isEmpty)
+    // a CTE body is not a TreeNode child — it can hide a second relation
+    // reference or shadow the input alias with re-keyed partition values,
+    // so WITH-queries must never narrow
+    val cteShadow =
+      """WITH t AS (SELECT event_time, upper(symbol) AS symbol, price FROM t)
+        |SELECT event_time, symbol, price, rn FROM (
+        |  SELECT event_time, symbol, price,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY price DESC) AS rn
+        |  FROM t) WHERE rn = 1""".stripMargin
+    assert(classify(cteShadow)
+      .asInstanceOf[Mode.SnapshotDiff].rankTouch.isEmpty)
   }
 
   test("non-windowed GROUP BY keys the diff on the group columns") {

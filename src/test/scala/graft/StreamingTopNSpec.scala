@@ -60,4 +60,48 @@ class StreamingTopNSpec extends AnyFunSuite {
       assert(b3.toSet == Set(("y", "dan", 1L, Op.Append)))
     } finally query.stop()
   }
+
+  test("NULL partition key does not collide with the string \"null\"") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val mem = MemoryStream[(Option[String], String, Double, Long)]
+    val df = mem.toDF.toDF("league", "player", "score", "offset")
+    val out = StreamingTopN.topN(spark, df, "league", "score", "offset", n = 1)
+    val query = out.writeStream
+      .format("memory").queryName("topn_null")
+      .outputMode("append").start()
+    try {
+      mem.addData((None, "anon", 1.0, 0L), (Some("null"), "named", 2.0, 1L))
+      query.processAllAvailable()
+      val rows = spark.table("topn_null")
+        .select("player", "rank", "op").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      // two distinct partitions -> each player holds rank 1 of its own
+      assert(rows == Set(("anon", 1L, Op.Append), ("named", 1L, Op.Append)))
+    } finally query.stop()
+  }
+
+  test("bigint sort values above 2^53 rank exactly (no double collapse)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val df = mem.toDF.toDF("league", "player", "score", "offset")
+    val out = StreamingTopN.topN(spark, df, "league", "score", "offset", n = 1)
+    val query = out.writeStream
+      .format("memory").queryName("topn_big")
+      .outputMode("append").start()
+    try {
+      // 2^53 and 2^53+1 collapse to the same Double; the lower tie (bob)
+      // would then steal rank 1 from the truly-larger score (alice)
+      mem.addData(("x", "bob", 9007199254740992L, 0L),
+        ("x", "alice", 9007199254740993L, 1L))
+      query.processAllAvailable()
+      val rows = spark.table("topn_big")
+        .select("player", "rank", "op").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(rows == Set(("alice", 1L, Op.Append)))
+    } finally query.stop()
+  }
 }
