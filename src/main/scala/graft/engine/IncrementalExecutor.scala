@@ -538,16 +538,34 @@ final class IncrementalExecutor(
       val buffer = store.read(bufferName(i.spec.queryAlias), i.df.schema)
       i -> buffer.unionByName(i.df)
     }
-    val sliceAgg = runSteps(steps)
-    if (sliceAgg.columns.contains(vocab.operationTypeColumn))
+    // avg/HAVING chains run the classifier's PARTIALS plan (avg split into
+    // sum+count, HAVING deferred); the plain shape runs the steps as-is.
+    val needsAux = spec.partialsPlan.isDefined
+    val sliceAgg = spec.partialsPlan match {
+      case Some(p) =>
+        runStepsWithOutput(org.apache.spark.sql.GraftPlanExec.ofRows(spark, p))
+      case None => runSteps(steps)
+    }
+    // Analysis-only frame of the ORIGINAL output step — supplies the
+    // visible column order and avg result types; never executed.
+    val visibleSchema =
+      if (!needsAux) sliceAgg.schema
+      else spark.sql(steps(outputIdx)._2.sql).schema
+    if (visibleSchema.fieldNames.contains(vocab.operationTypeColumn))
       throw new InvalidQueryException(
         s"an updating query must not project the operation column " +
           s"'${vocab.operationTypeColumn}' — ops are generated by the " +
           "engine from the snapshot diff")
 
-    val prev = store.read(snapshotName, sliceAgg.schema)
+    // Merge state: partials (with __as_/__ac_ aux columns, unfiltered by
+    // HAVING) under aggStateName when aux is needed; the visible snapshot
+    // itself otherwise. snapshotName ALWAYS holds the visible output, which
+    // is what the recompute path diffs against after a retraction flip.
+    val prev = store.read(
+      if (needsAux) aggStateName else snapshotName, sliceAgg.schema)
     val keys = spec.keys
-    val kinds = spec.aggs.toMap
+    val kinds = spec.aggs.toMap ++ spec.avgs.flatMap(n =>
+      Seq(s"__as_$n" -> "sum", s"__ac_$n" -> "count"))
     val keyEq =
       if (keys.isEmpty) lit(true)
       else keys.map(k => col(s"p.$k") <=> col(s"n.$k")).reduce(_ && _)
@@ -573,13 +591,36 @@ final class IncrementalExecutor(
       else (
         prev.alias("p").join(sliceAgg.alias("n"), keyEq, "left_semi"),
         prev.alias("p").join(sliceAgg.alias("n"), keyEq, "left_anti"))
+
+    /** Partials → the user-visible frame: avg = sum/count (cast to the real
+      * avg type), aux dropped, HAVING applied, original column order. */
+    def visible(df: DataFrame): DataFrame =
+      if (!needsAux) df
+      else {
+        var v = df
+        spec.avgs.foreach { n =>
+          v = v.withColumn(n,
+            (col(s"__as_$n") / col(s"__ac_$n")).cast(visibleSchema(n).dataType))
+        }
+        v = v.drop(spec.avgs.flatMap(n => Seq(s"__as_$n", s"__ac_$n")): _*)
+        spec.havingSql.foreach(h => v = v.where(expr(h)))
+        v.select(visibleSchema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+
+    // Diff VISIBLE views: a group crossing the HAVING threshold appears as
+    // +I / disappears as -D even though its partials persist in state.
     val emitted = Changelog.diffSnapshots(
-      prevTouched, mergedTouched, keys, vocab.operationTypeColumn)
+      visible(prevTouched), visible(mergedTouched), keys,
+      vocab.operationTypeColumn)
 
     buffers.foreach { case (i, full) =>
       store.appendCarry(bufferName(i.spec.queryAlias), i.df, full)
     }
-    store.write(snapshotName, untouched.unionByName(mergedTouched))
+    val newState = untouched.unionByName(mergedTouched)
+    if (needsAux) {
+      store.write(aggStateName, newState)
+      store.write(snapshotName, visible(newState))
+    } else store.write(snapshotName, newState)
 
     ExecResult(
       emitted,
@@ -588,6 +629,20 @@ final class IncrementalExecutor(
       emissionOrder = Some(keys.map(col(_).asc) :+
         col(vocab.operationTypeColumn).asc),
       retractiveInputs = ledger.retractiveInputs)
+  }
+
+  /** [[runSteps]] with the output step's DataFrame supplied directly (the
+    * partials plan) instead of parsed from its SQL. */
+  private def runStepsWithOutput(outDf: => DataFrame): DataFrame = {
+    var out: DataFrame = null
+    steps.zipWithIndex.foreach { case ((alias, rwStep), i) =>
+      val df = Snitch.tap(
+        if (i == outputIdx) outDf else spark.sql(rwStep.sql),
+        alias.getOrElse("output"))
+      alias.foreach(df.createOrReplaceTempView)
+      if (i == outputIdx) out = df
+    }
+    out
   }
 
   /** Reduce a changelog input to its surviving multiset before stateful
@@ -648,6 +703,11 @@ object IncrementalExecutor {
   def bufferName(alias: String): String = s"buffer_$alias"
   def versionStoreName(alias: String): String = s"versions_$alias"
   val snapshotName: String = "snapshot"
+  /** Merge-path partials state (avg sum+count aux columns, pre-HAVING
+    * groups) — distinct from `snapshotName`, which always holds the
+    * VISIBLE output so the recompute path can diff against it after a
+    * retraction flips the chain over. */
+  val aggStateName: String = "agg_partials"
   /** State name for the joined-stream window buffer in AsOfWindowed mode;
     * `__` keeps it clear of user query aliases. */
   val AsOfWindowBufferAlias: String = "__asof_window"

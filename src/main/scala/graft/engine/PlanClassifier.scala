@@ -73,12 +73,26 @@ object PlanClassifier {
 
   /** Proof that a SnapshotDiff chain's output step is a single aggregation
     * whose functions are decomposable — each output column is either a group
-    * key or an aliased sum/count/min/max. Lets the executor aggregate just
-    * the new slice and merge per-key partials into the persisted snapshot
-    * (O(slice + touched keys) per run) instead of recomputing over full
-    * buffered history. `aggs` maps output column name → merge kind.
+    * key, an aliased sum/count/min/max, or an aliased avg (decomposed into
+    * sum+count partials). Lets the executor aggregate just the new slice and
+    * merge per-key partials into the persisted state (O(slice + touched
+    * keys) per run) instead of recomputing over full buffered history.
+    *
+    * @param aggs output column name → merge kind (sum/count/min/max)
+    * @param avgs output columns computed as `avg(x)` — maintained as hidden
+    *   `__as_<n>`/`__ac_<n>` sum+count partials and divided post-merge
+    * @param havingSql a HAVING predicate over OUTPUT columns only, applied
+    *   post-merge as the visible filter (state keeps sub-threshold groups)
+    * @param partialsPlan the output step's parsed plan with HAVING/ORDER
+    *   dropped and avg split into its partials — present iff avgs or
+    *   havingSql is; the executor runs it in place of the output step
     */
-  final case class AggMergeSpec(keys: Seq[String], aggs: Seq[(String, String)])
+  final case class AggMergeSpec(
+      keys: Seq[String],
+      aggs: Seq[(String, String)],
+      avgs: Seq[String] = Nil,
+      havingSql: Option[String] = None,
+      partialsPlan: Option[LogicalPlan] = None)
 
   /** Facts accumulated over every parsed step of the chain.
     * @param calendarTumble chain has a calendar (month/quarter/year) tumble
@@ -331,10 +345,12 @@ object PlanClassifier {
 
   /** Detect the incremental-merge shape: the chain's single plain aggregate
     * sits at the TOP of the output step (everything else stateless), every
-    * aggregate column is an aliased non-DISTINCT, non-FILTER sum/count/min/
-    * max, and every group key survives to the output. Anything else — HAVING
-    * above the aggregate, avg, expressions over aggregates, the aggregate in
-    * an intermediate step — returns None and keeps the recompute path.
+    * aggregate column is an aliased non-DISTINCT, non-FILTER
+    * sum/count/min/max/avg, and every group key survives to the output. A
+    * HAVING above the aggregate qualifies when its predicate reads only
+    * OUTPUT columns (it is then applied post-merge). Anything else —
+    * expressions over aggregates, aggregates in HAVING, the aggregate in an
+    * intermediate step — returns None and keeps the recompute path.
     */
   private def extractAggMerge(
       spark: SparkSession,
@@ -352,18 +368,47 @@ object PlanClassifier {
       case -1 => steps.length - 1
       case i  => i
     }
+    var having: Option[Expression] = None
     def unwrap(p: LogicalPlan): LogicalPlan = p match {
-      case w: UnresolvedWith => unwrap(w.child)
-      case s: SubqueryAlias  => unwrap(s.child)
-      case s: Sort           => unwrap(s.child)
-      case other             => other
+      case w: UnresolvedWith   => unwrap(w.child)
+      case s: SubqueryAlias    => unwrap(s.child)
+      case s: Sort             => unwrap(s.child)
+      case h: UnresolvedHaving => having = Some(h.havingCondition); unwrap(h.child)
+      case other               => other
     }
     def fnKind(e: Expression): Option[String] = e match {
       case fn: UnresolvedFunction
-          if mergeableFns.contains(fn.nameParts.last.toLowerCase) &&
+          if (mergeableFns.contains(fn.nameParts.last.toLowerCase) ||
+            fn.nameParts.last.equalsIgnoreCase("avg")) &&
             !fn.isDistinct && fn.filter.isEmpty =>
         Some(fn.nameParts.last.toLowerCase)
       case _ => None
+    }
+    def build(
+        flat: Seq[Either[String, (String, String)]]): Option[AggMergeSpec] = {
+      val aggs = flat.collect { case scala.util.Right((n, k)) if k != "avg" => (n, k) }
+      val avgs = flat.collect { case scala.util.Right((n, "avg")) => n }
+      val keyCols = flat.collect { case scala.util.Left(k) => k }
+      if ((aggs.nonEmpty || avgs.nonEmpty) && keyCols.sorted == ks.sorted) {
+        val visibleNames = (keyCols ++ aggs.map(_._1) ++ avgs).toSet
+        // the post-merge filter can only evaluate what the merged frame
+        // holds: plain output-column references, no functions, no subqueries
+        val havingOk = having.forall(c =>
+          !c.exists(e => e.isInstanceOf[UnresolvedFunction] ||
+            e.isInstanceOf[SubqueryExpression]) &&
+            c.collect { case at: UnresolvedAttribute => at }.forall(at =>
+              at.nameParts.length == 1 && visibleNames.contains(at.nameParts.head)))
+        if (!havingOk) None
+        else {
+          val needsPlan = avgs.nonEmpty || having.isDefined
+          val partials =
+            if (!needsPlan) None
+            else Some(partialsPlanOf(
+              spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql),
+              avgs.toSet))
+          Some(AggMergeSpec(ks, aggs, avgs, having.map(_.sql), partials))
+        }
+      } else None
     }
     unwrap(spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql)) match {
       case a: Aggregate =>
@@ -375,26 +420,45 @@ object PlanClassifier {
             case Alias(fn, n) => fnKind(fn).map(k => scala.util.Right(n -> k))
             case _            => None
           }
-        if (!entries.forall(_.isDefined)) None
-        else {
-          val flat = entries.flatten
-          val aggs = flat.collect { case scala.util.Right(p) => p }
-          val keyCols = flat.collect { case scala.util.Left(k) => k }
-          if (aggs.nonEmpty && keyCols.sorted == ks.sorted)
-            Some(AggMergeSpec(ks, aggs))
-          else None
-        }
+        if (!entries.forall(_.isDefined)) None else build(entries.flatten)
       // a global aggregate (`SELECT count(*), sum(v) FROM t`) parses as a
       // bare Project; single merged group, no keys
       case p: Project if ks.isEmpty =>
-        val aggs = p.projectList.map {
-          case Alias(fn, n) => fnKind(fn).map(n -> _)
-          case _            => None
-        }
-        if (aggs.nonEmpty && aggs.forall(_.isDefined))
-          Some(AggMergeSpec(Nil, aggs.flatten))
+        val entries: Seq[Option[Either[String, (String, String)]]] =
+          p.projectList.map {
+            case Alias(fn, n) => fnKind(fn).map(k => scala.util.Right(n -> k))
+            case _            => None
+          }
+        if (entries.nonEmpty && entries.forall(_.isDefined)) build(entries.flatten)
         else None
       case _ => None
+    }
+  }
+
+  /** The output step's plan rewritten to produce MERGE PARTIALS: ORDER BY
+    * dropped (state needs no order), HAVING dropped (applied post-merge),
+    * each `avg(x) AS n` split into `sum(x) AS __as_n, count(x) AS __ac_n`.
+    * Only the top aggregate/projection is rewritten — wrappers are
+    * descended, subtrees below are untouched.
+    */
+  private def partialsPlanOf(p: LogicalPlan, avgs: Set[String]): LogicalPlan = {
+    def split(ne: NamedExpression): Seq[NamedExpression] = ne match {
+      case Alias(fn: UnresolvedFunction, n) if avgs.contains(n) =>
+        Seq(
+          Alias(fn.copy(nameParts = Seq("sum")), s"__as_$n")(),
+          Alias(fn.copy(nameParts = Seq("count")), s"__ac_$n")())
+      case other => Seq(other)
+    }
+    p match {
+      case w: UnresolvedWith   => w.copy(child = partialsPlanOf(w.child, avgs))
+      case s: SubqueryAlias    => s.copy(child = partialsPlanOf(s.child, avgs))
+      case s: Sort             => partialsPlanOf(s.child, avgs)
+      case h: UnresolvedHaving => partialsPlanOf(h.child, avgs)
+      case a: Aggregate =>
+        a.copy(aggregateExpressions = a.aggregateExpressions.flatMap(split))
+      case pr: Project =>
+        pr.copy(projectList = pr.projectList.flatMap(split))
+      case other => other
     }
   }
 

@@ -106,16 +106,14 @@ class PlanClassifierSpec extends AnyFunSuite {
   }
 
   test("non-decomposable aggregates keep the recompute path") {
-    // avg is not mergeable from per-slice partials
-    assert(classify("SELECT symbol, avg(price) AS a FROM t GROUP BY symbol")
-      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
     // expression OVER an aggregate is not mergeable
     assert(classify("SELECT symbol, sum(price) + 1 AS s FROM t GROUP BY symbol")
       .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
     // DISTINCT aggregates are not mergeable
     assert(classify("SELECT symbol, count(DISTINCT price) AS n FROM t GROUP BY symbol")
       .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
-    // HAVING filters groups post-merge — recompute path
+    // HAVING over an aggregate EXPRESSION (not an output column) cannot be
+    // evaluated on the merged frame — recompute path
     assert(classify(
       "SELECT symbol, sum(price) AS s FROM t GROUP BY symbol HAVING sum(price) > 5")
       .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
@@ -123,6 +121,33 @@ class PlanClassifierSpec extends AnyFunSuite {
     assert(classify(
       """WITH a AS (SELECT symbol, sum(price) AS s FROM t GROUP BY symbol)
         |SELECT symbol, s FROM a WHERE s > 5""".stripMargin)
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+  }
+
+  test("avg decomposes to sum+count partials in the merge spec") {
+    val m = classify("SELECT symbol, avg(price) AS ap, count(*) AS n FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge
+    assert(m.isDefined)
+    assert(m.get.keys == Seq("symbol"))
+    assert(m.get.aggs == Seq("n" -> "count"))
+    assert(m.get.avgs == Seq("ap"))
+    assert(m.get.partialsPlan.isDefined)
+    // global avg too
+    val g = classify("SELECT avg(price) AS ap FROM t")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge
+    assert(g.exists(s => s.keys.isEmpty && s.avgs == Seq("ap")))
+  }
+
+  test("HAVING over output columns merges with a post-merge filter") {
+    val m = classify(
+      "SELECT symbol, sum(price) AS s FROM t GROUP BY symbol HAVING s > 5")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge
+    assert(m.isDefined)
+    assert(m.get.havingSql.isDefined)
+    assert(m.get.partialsPlan.isDefined)
+    // HAVING referencing a non-output column stays on the recompute path
+    assert(classify(
+      "SELECT symbol, sum(price) AS s FROM t GROUP BY symbol HAVING other > 5")
       .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
   }
 
