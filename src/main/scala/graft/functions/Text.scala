@@ -94,8 +94,12 @@ object Text {
   /** Canonical content fingerprint: md5 over the sorted distinct token set.
     * Word-order-insensitive (bag-of-words identity), cheap to group on.
     */
-  def fingerprint(c: Column): Column =
-    md5(array_join(array_sort(array_distinct(tokens(c))), " "))
+  def fingerprint(c: Column): Column = fingerprintFromTokens(tokens(c))
+
+  /** [[fingerprint]] over an already-tokenized column — lets a pipeline
+    * tokenize once and share the frame across stages (q31). */
+  def fingerprintFromTokens(toks: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks)), " "))
 
   /** Token n-gram shingles as strings; documents shorter than n tokens
     * collapse to a single whole-text shingle.

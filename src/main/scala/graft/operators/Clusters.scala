@@ -138,8 +138,22 @@ object Clusters {
       idCol: String,
       textCol: String,
       threshold: Double
-  ): DataFrame = {
-    val pairs = Dedup.nearDupPairs(df, idCol, textCol, threshold)
+  ): DataFrame =
+    clustersFromPairs(df, idCol, Dedup.nearDupPairs(df, idCol, textCol, threshold))
+
+  /** [[dupClusters]] over an already-tokenized frame (see
+    * [[Dedup.nearDupPairsFromTokens]]) — q31 tokenizes once and shares. */
+  def dupClustersFromTokens(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      threshold: Double
+  ): DataFrame =
+    clustersFromPairs(df, idCol,
+      Dedup.nearDupPairsFromTokens(df, idCol, toksCol, threshold))
+
+  private def clustersFromPairs(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val cc = connectedComponents(pairs, "id_a", "id_b")
     df.select(col(idCol))
       .join(cc.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")

@@ -120,6 +120,24 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 3,
       maxBucketSize: Int = 10000
+  ): DataFrame =
+    nearDupPairsFromTokens(
+      df.select(col(idCol), Text.tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", threshold, shingleLen, bands, rowsPerBand, maxBucketSize)
+
+  /** [[nearDupPairs]] over an already-tokenized frame — lets a pipeline
+    * (q31) tokenize once and share the token frame across its fingerprint,
+    * near-dup, and quality stages instead of re-splitting per stage.
+    */
+  def nearDupPairsFromTokens(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      threshold: Double,
+      shingleLen: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 3,
+      maxBucketSize: Int = 10000
   ): DataFrame = {
     // Staged evaluation, deliberately: tokens materialize once (one split
     // per doc), then an explicit-width shuffle repartition spreads
@@ -133,7 +151,7 @@ object Dedup {
     // per reference.
     val width = df.sparkSession.sparkContext.defaultParallelism
     val docs = df
-      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("__id"), col(toksCol).as("__toks"))
       // Zero-token documents carry no content to compare — and their
       // whole-text "" shingle would diverge from the DuckDB oracle, whose
       // empty-list aggregate is NULL and never joins. Exact dedup is the
