@@ -4,14 +4,20 @@ import org.apache.spark.sql.SparkSession
 /** Headline benchmark: every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
   *
-  * Timing protocol: two timed passes per query, report the MIN. The host
+  * Timing protocol: two timed passes per query, report the MIN — and the
+  * passes are INTERLEAVED across the suite (pass 1 of every query, then
+  * pass 2 of every query) rather than back-to-back per query. The host
   * this runs on is a shared VM with intermittent multi-second vCPU
   * starvation windows (observed: identical back-to-back suite runs of 96 s
   * and 634 s with per-query times moving 50× between runs while guest CPU
-  * stays idle); a single-pass measurement conflates those stalls with query
-  * cost. Min-of-two keeps the figure an upper bound on real work while
-  * halving the variance; it also reports steady-state cost (JIT + janino
-  * codegen warm), which is the number that scales to a long-lived cluster.
+  * stays idle); a single-pass measurement conflates those stalls with
+  * query cost, and back-to-back passes let ONE window sink both passes of
+  * adjacent queries (what invalidated BENCH_r03: q14/q15 read 50 s in the
+  * file, 0.7–1.1 s isolated). Interleaving puts the whole suite between a
+  * query's two samples, so a window must persist for an entire suite pass
+  * to contaminate both. Min-of-N keeps the figure an upper bound on real
+  * work and reports steady-state cost (JIT + janino codegen warm), the
+  * number that scales to a long-lived cluster.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -72,9 +78,15 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (1 to passes).map(_ => timeOnce(name, fn)).min
+    val ordered = selected.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to passes).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
+        val dt = timeOnce(name, fn)
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      }
     }
+    val results = ordered.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
