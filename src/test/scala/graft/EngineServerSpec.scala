@@ -44,6 +44,54 @@ class EngineServerSpec extends AnyFunSuite {
     EngineServer.readFrame(in)
   }
 
+  test("frame grammar as documented in PROTOCOL.md §1 (raw bytes, no helpers)") {
+    // frame := u32 big-endian length ++ UTF-8 payload;
+    // request payload := method "\n" body; one response frame per request.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-proto")
+    val in1 = s"$dir/in.parquet"
+    Seq((1L, "x")).toDF("id", "name").coalesce(1).write.parquet(in1)
+    val body =
+      s"""|inputDataPaths:
+          |- "$in1"
+          |transform:
+          |  kind: Sql
+          |  query: "SELECT id FROM input"
+          |outputDataPath: "$dir/out.parquet"
+          |""".stripMargin
+    val payload = ("rawquery\n" + body).getBytes("UTF-8")
+    withServer { (host, port) =>
+      val sock = new Socket(host, port)
+      try {
+        val out = sock.getOutputStream
+        // hand-built big-endian u32 length prefix
+        out.write(Array[Byte](
+          ((payload.length >> 24) & 0xff).toByte,
+          ((payload.length >> 16) & 0xff).toByte,
+          ((payload.length >> 8) & 0xff).toByte,
+          (payload.length & 0xff).toByte))
+        out.write(payload)
+        out.flush()
+        val in = new DataInputStream(sock.getInputStream)
+        val replyLen = ((in.read() & 0xff) << 24) | ((in.read() & 0xff) << 16) |
+          ((in.read() & 0xff) << 8) | (in.read() & 0xff)
+        assert(replyLen > 0 && replyLen <= (64 << 20))
+        val reply = new Array[Byte](replyLen)
+        in.readFully(reply)
+        val yaml = new String(reply, "UTF-8")
+        assert(yaml.contains("kind: Success") && yaml.contains("numRecords: 1"), yaml)
+        // unknown method → InvalidQuery response frame, connection stays up
+        val bad = "nosuchmethod\nfoo: 1\n".getBytes("UTF-8")
+        out.write(Array[Byte](0, 0, 0, bad.length.toByte)); out.write(bad); out.flush()
+        val len2 = ((in.read() & 0xff) << 24) | ((in.read() & 0xff) << 16) |
+          ((in.read() & 0xff) << 8) | (in.read() & 0xff)
+        val reply2 = new Array[Byte](len2)
+        in.readFully(reply2)
+        assert(new String(reply2, "UTF-8").contains("kind: InvalidQuery"))
+      } finally sock.close()
+    }
+  }
+
   test("raw query executes over the socket") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-srv")
