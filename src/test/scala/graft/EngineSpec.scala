@@ -1149,7 +1149,7 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("state carry-append links prior files, appends the slice, compacts at the cap") {
+  test("state carry-append links prior files, appends the slice, merges full tiers") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     import graft.engine.StateStore
@@ -1166,22 +1166,22 @@ class EngineSpec extends AnyFunSuite {
     def slice(run: Int) = Seq((run.toLong, s"v$run")).toDF("k", "v").coalesce(1)
     // run 1: no previous checkpoint → plain write
     val s1 = new StateStore(spark, None, s"$dir/cp1")
-    s1.appendCarry("buf", slice(1), slice(1), compactAt = 3)
+    s1.appendCarry("buf", slice(1), slice(1), mergeFactor = 3)
     assert(files(s"$dir/cp1/buf") == 1)
-    // run 2: below the cap → hard-linked carry + appended slice
+    // run 2: below the tier cap → hard-linked carry + appended slice
     val s2 = new StateStore(spark, Some(s"$dir/cp1"), s"$dir/cp2")
     def full(prev: String) = spark.read.parquet(s"$prev/buf")
-    s2.appendCarry("buf", slice(2), full(s"$dir/cp1").unionByName(slice(2)), compactAt = 3)
+    s2.appendCarry("buf", slice(2), full(s"$dir/cp1").unionByName(slice(2)), mergeFactor = 3)
     assert(files(s"$dir/cp2/buf") == 2)
-    // run 3: still below the cap
+    // run 3: the tier fills (3 tiny files) → merged into one
     val s3 = new StateStore(spark, Some(s"$dir/cp2"), s"$dir/cp3")
-    s3.appendCarry("buf", slice(3), full(s"$dir/cp2").unionByName(slice(3)), compactAt = 3)
-    assert(files(s"$dir/cp3/buf") == 3)
-    // run 4: cap reached → compacted rewrite from `full`
+    s3.appendCarry("buf", slice(3), full(s"$dir/cp2").unionByName(slice(3)), mergeFactor = 3)
+    assert(files(s"$dir/cp3/buf") == 1)
+    // run 4: carry the merged file + the slice
     val s4 = new StateStore(spark, Some(s"$dir/cp3"), s"$dir/cp4")
     s4.appendCarry("buf", slice(4),
-      full(s"$dir/cp3").unionByName(slice(4)).coalesce(1), compactAt = 3)
-    assert(files(s"$dir/cp4/buf") == 1)
+      full(s"$dir/cp3").unionByName(slice(4)).coalesce(1), mergeFactor = 3)
+    assert(files(s"$dir/cp4/buf") == 2)
     assert(spark.read.parquet(s"$dir/cp4/buf").orderBy("k")
       .collect().map(_.getString(1)).toSeq == Seq("v1", "v2", "v3", "v4"))
 
@@ -1189,10 +1189,42 @@ class EngineSpec extends AnyFunSuite {
     // newCheckpointPath must neither throw on the pre-existing hard links
     // nor double the appended slice — same tolerance as write()'s overwrite.
     val s2r = new StateStore(spark, Some(s"$dir/cp1"), s"$dir/cp2")
-    s2r.appendCarry("buf", slice(2), full(s"$dir/cp1").unionByName(slice(2)), compactAt = 3)
+    s2r.appendCarry("buf", slice(2), full(s"$dir/cp1").unionByName(slice(2)), mergeFactor = 3)
     assert(files(s"$dir/cp2/buf") == 2)
     assert(spark.read.parquet(s"$dir/cp2/buf").orderBy("k")
       .collect().map(_.getString(1)).toSeq == Seq("v1", "v2"))
+  }
+
+  test("30-run carry chain: buffer file count stays logarithmic, rows exact") {
+    // Round-3 VERDICT item 7 "done" criterion: a long merge chain's state
+    // must stop growing linearly in buffer files. With mergeFactor=4 tiers,
+    // 30 one-file appends keep the dir at O(mergeFactor × tiers) files.
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.engine.StateStore
+    def files(p: String) = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val dir = tmp()
+    var prev: Option[String] = None
+    var maxFiles = 0
+    (1 to 30).foreach { run =>
+      val cp = s"$dir/cp$run"
+      val store = new StateStore(spark, prev, cp)
+      val slice = Seq((run.toLong, s"v$run")).toDF("k", "v").coalesce(1)
+      val full = prev.map(p => spark.read.parquet(s"$p/buf").unionByName(slice))
+        .getOrElse(slice)
+      store.appendCarry("buf", slice, full)
+      maxFiles = math.max(maxFiles, files(s"$cp/buf"))
+      prev = Some(cp)
+    }
+    // strictly sublinear: 30 runs, never more than 8 live part files
+    assert(maxFiles <= 8, s"file count grew to $maxFiles")
+    val rows = spark.read.parquet(s"${prev.get}/buf").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == (1 to 30).map(i => (i.toLong, s"v$i")))
   }
 
   test("SELECT DISTINCT is an updating changelog via multiset diff") {
