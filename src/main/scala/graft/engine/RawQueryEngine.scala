@@ -20,7 +20,7 @@ final class RawQueryEngine(spark: SparkSession) {
 
       val input =
         if (req.inputDataPaths.nonEmpty)
-          spark.read.parquet(req.inputDataPaths: _*)
+          TimeAwareParquet.read(spark, req.inputDataPaths)
         else
           spark.emptyDataFrame
       input.createOrReplaceTempView("input")

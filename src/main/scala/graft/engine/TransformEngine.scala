@@ -32,11 +32,15 @@ final class TransformEngine(spark: SparkSession) {
 
       // ── Load inputs ──────────────────────────────────────────────────
       val inputs = req.queryInputs.map { in =>
-        val schema = spark.read.parquet(in.schemaFile).schema
+        // TIME_MILLIS/MICROS inputs surface as millis-of-day ints
+        // (TimeAwareParquet); everything else is native inference.
+        val fixed = TimeAwareParquet.readSchema(spark, in.schemaFile)
         val raw =
           if (in.dataPaths.nonEmpty)
-            spark.read.schema(schema).parquet(in.dataPaths: _*)
-          else emptyDf(spark, schema)
+            TimeAwareParquet.normalize(
+              spark.read.schema(fixed.readSchema).parquet(in.dataPaths: _*),
+              fixed.timeCols)
+          else emptyDf(spark, fixed.normalizedSchema)
         val sliced = in.offsetInterval match {
           case Some(OffsetInterval(s, e)) =>
             raw.where(col(in.vocab.offsetColumn).between(s, e))

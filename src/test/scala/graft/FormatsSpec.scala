@@ -114,6 +114,100 @@ class FormatsSpec extends AnyFunSuite {
     assert(r.getStruct(r.fieldIndex("rec")).getLong(0) == 1L)
   }
 
+  // ── TIME_MILLIS / TIME_MICROS inputs (SURVEY §1.3; reference
+  // ParquetSchemaConverterKamu.java:68-71,106-108 maps both to TimeType(3)).
+  // Spark's own writer can't produce these annotations, so the fixtures are
+  // written with parquet-mr's example API — the same physical layout an
+  // external ODF producer would hand the engine.
+
+  private def writeTimeFixture(path: String, withSystemCols: Boolean): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val sys = if (withSystemCols)
+      """required int64 offset;
+        |required int32 op;
+        |required int64 system_time (TIMESTAMP_MILLIS);
+        |required int64 event_time (TIMESTAMP_MILLIS);""".stripMargin
+    else ""
+    val schema = MessageTypeParser.parseMessageType(
+      s"""message m {
+         |  $sys
+         |  required int32 id;
+         |  optional int32 t_ms (TIME_MILLIS);
+         |  optional int64 t_us (TIME_MICROS);
+         |}""".stripMargin)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    val epochMs = 946684800000L // 2000-01-01T00:00:00Z
+    def row(off: Long, id: Int, ms: Int, us: Long) = {
+      val g = f.newGroup()
+      if (withSystemCols)
+        g.append("offset", off).append("op", 0)
+          .append("system_time", epochMs).append("event_time", epochMs + off)
+      g.append("id", id).append("t_ms", ms).append("t_us", us)
+    }
+    // 12:34:00.000 and the last representable instant of the day
+    w.write(row(0, 1, 45240000, 45240000000L))
+    w.write(row(1, 2, 0, 86399999999L))
+    w.close()
+  }
+
+  test("TIME_MILLIS/TIME_MICROS inputs surface as millis-of-day ints") {
+    val dir = Files.createTempDirectory("graft-fmt")
+    val in = s"$dir/time.parquet"
+    writeTimeFixture(in, withSystemCols = false)
+    val df = graft.engine.TimeAwareParquet.read(spark, Seq(in))
+    assert(df.schema("t_ms").dataType.typeName == "integer")
+    assert(df.schema("t_us").dataType.typeName == "integer")
+    val m = df.collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1) == ((45240000, 45240000)))   // micros ÷ 1000 == the same instant
+    assert(m(2) == ((0, 86399999)))          // exact integer division, no rounding up
+  }
+
+  test("raw query round-trips a TIME column through filter and output") {
+    val dir = Files.createTempDirectory("graft-fmt")
+    val in = s"$dir/time.parquet"
+    writeTimeFixture(in, withSystemCols = false)
+    val resp = new RawQueryEngine(spark).executeRawQuery(RawQueryRequest(
+      Vector(in),
+      transform("""SELECT id, t_ms, t_us FROM input
+                  |WHERE t_us >= 45240000 ORDER BY id""".stripMargin),
+      s"$dir/out.parquet"))
+    assert(resp == RawQueryResponse.Success(2))
+    val out = spark.read.parquet(s"$dir/out.parquet").orderBy("id").collect()
+    assert(out.map(_.getInt(2)).toSeq == Seq(45240000, 86399999))
+  }
+
+  test("transform engine round-trips TIME columns (map over millis ints)") {
+    import graft.engine.TransformEngine
+    val dir = Files.createTempDirectory("graft-fmt")
+    val in = s"$dir/time.parquet"
+    writeTimeFixture(in, withSystemCols = true)
+    val req = TransformRequest(
+      datasetId = "did:out", datasetAlias = "out",
+      systemTime = java.time.Instant.parse("2000-01-02T00:00:00Z"),
+      vocab = DatasetVocabulary(),
+      transform = Transform(queries = Vector(SqlQueryStep(None,
+        "SELECT event_time, id, t_ms, t_us, t_us - t_ms AS drift_ms FROM src"))),
+      queryInputs = Vector(TransformRequestInput(
+        datasetId = "did:src", datasetAlias = "src", queryAlias = "src",
+        offsetInterval = Some(OffsetInterval(0, 1)),
+        dataPaths = Vector(in), schemaFile = in)),
+      nextOffset = 0,
+      prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp",
+      newDataPath = s"$dir/out.parquet")
+    val resp = new TransformEngine(spark).executeTransform(req)
+    assert(resp == TransformResponse.Success(Some(OffsetInterval(0, 1)), None))
+    val out = spark.read.parquet(s"$dir/out.parquet").orderBy("id").collect()
+    assert(out.map(r => r.getInt(r.fieldIndex("t_us"))).toSeq == Seq(45240000, 86399999))
+    assert(out.map(r => r.getInt(r.fieldIndex("drift_ms"))).toSeq == Seq(0, 86399999))
+  }
+
   test("single-file sink writes exactly one parquet file at the target path") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-fmt")
