@@ -6,17 +6,17 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.SparkSession
 
-import graft.engine.{RawQueryEngine, TransformEngine}
 import graft.protocol.RequestCodec
 
-/** Long-running engine transport: serves `executeTransform` /
-  * `executeRawQuery` over a framed TCP socket, the role the reference's
-  * gRPC endpoint plays on the same default port (reference
-  * adapter/src/grpc.rs:37-104 serves both RPCs on 2884;
-  * adapter/src/adapter.rs:103-203 does the request/checkpoint plumbing).
-  * gRPC/FlatBuffers themselves need codegen toolchains unavailable here,
-  * so the wire format is the engine's YAML protocol behind a trivial
-  * length-prefixed framing any coordinator-side shim can speak:
+/** Long-running engine transports. `main` serves BOTH wire formats:
+  *
+  *  - gRPC (h2c + FlatBuffers payloads) on 2884 — the reference adapter's
+  *    service and port (reference adapter/src/grpc.rs:29-104); see
+  *    [[GrpcEngineServer]].
+  *  - the framed-TCP YAML protocol on 2885 — the engine's own interchange
+  *    format (the reference adapter converts FlatBuffers⇆YAML internally,
+  *    adapter/src/adapter.rs:44-48; this transport exposes it directly for
+  *    shims and debugging):
   *
   *   frame   := u32 length (big-endian) ++ UTF-8 payload
   *   request := ("transform" | "rawquery") "\n" request-YAML
@@ -31,11 +31,15 @@ import graft.protocol.RequestCodec
   */
 object EngineServer {
 
-  /** Default port — mirrors the reference adapter (grpc.rs:29). */
+  /** Default gRPC port — mirrors the reference adapter (grpc.rs:29). */
   val DefaultPort = 2884
 
+  /** Default framed-TCP YAML port (PROTOCOL.md §1). */
+  val DefaultYamlPort = 2885
+
   def main(args: Array[String]): Unit = {
-    val port = args.headOption.map(_.toInt).getOrElse(DefaultPort)
+    val grpcPort = args.headOption.map(_.toInt).getOrElse(DefaultPort)
+    val yamlPort = args.lift(1).map(_.toInt).getOrElse(DefaultYamlPort)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-engine-server")
@@ -46,10 +50,12 @@ object EngineServer {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = new ServerSocket(port)
-    println(s"[graft] engine server listening on ${server.getLocalPort}")
+    val grpc = GrpcEngineServer.start(spark, grpcPort)
+    println(s"[graft] engine gRPC server listening on ${grpc.port}")
+    val server = new ServerSocket(yamlPort)
+    println(s"[graft] engine YAML server listening on ${server.getLocalPort}")
     try serve(spark, server)
-    finally spark.stop()
+    finally { grpc.close(); spark.stop() }
   }
 
   /** Accept loop; returns when the server socket closes. Factored out so
@@ -98,26 +104,25 @@ object EngineServer {
   def dispatch(spark: SparkSession, method: String, yaml: String): String =
     method match {
       case "transform" =>
-        val resp =
-          try graft.protocol.CheckpointTar.withTarCheckpoints(
-            RequestCodec.parseTransformRequest(yaml))(
-            new TransformEngine(spark).executeTransform)
+        val req =
+          try RequestCodec.parseTransformRequest(yaml)
           catch {
             case e: Throwable =>
-              graft.protocol.TransformResponse.InternalError(
-                s"${e.getClass.getName}: ${e.getMessage}", None)
+              return RequestCodec.renderTransformResponse(
+                graft.protocol.TransformResponse.InternalError(
+                  s"${e.getClass.getName}: ${e.getMessage}", None))
           }
-        RequestCodec.renderTransformResponse(resp)
+        RequestCodec.renderTransformResponse(EngineDispatch.transform(spark, req))
       case "rawquery" =>
-        val resp =
-          try new RawQueryEngine(spark)
-            .executeRawQuery(RequestCodec.parseRawQueryRequest(yaml))
+        val req =
+          try RequestCodec.parseRawQueryRequest(yaml)
           catch {
             case e: Throwable =>
-              graft.protocol.RawQueryResponse.InternalError(
-                s"${e.getClass.getName}: ${e.getMessage}", None)
+              return RequestCodec.renderRawQueryResponse(
+                graft.protocol.RawQueryResponse.InternalError(
+                  s"${e.getClass.getName}: ${e.getMessage}", None))
           }
-        RequestCodec.renderRawQueryResponse(resp)
+        RequestCodec.renderRawQueryResponse(EngineDispatch.rawQuery(spark, req))
       case other =>
         s"""kind: InvalidQuery\nmessage: "unknown method '$other' (expected transform|rawquery)"\n"""
     }

@@ -1,0 +1,234 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import java.util.concurrent.{CompletableFuture, TimeUnit}
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannelBootstrap}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.protocol._
+import graft.protocol.EngineFlatbuffers.ProtoBytes
+import graft.server.GrpcEngineServer
+
+/** Drives the gRPC transport end to end with an independent netty h2c
+  * client: FlatBuffers request → HTTP/2 POST → engine → FlatBuffers
+  * response, including the checkpoint chain across sequential RPCs, the
+  * engine-error-as-response-message contract, and transport-status edges.
+  */
+class GrpcEngineServerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def ts(day: Int, hour: Int = 0): Instant =
+    Instant.parse(f"2000-01-${day}%02dT${hour}%02d:00:00Z")
+  def t(i: Instant): Timestamp = Timestamp.from(i)
+
+  /** grpc-status, grpc-message, concatenated DATA bytes. */
+  final case class GrpcReply(status: Int, message: String, body: Array[Byte])
+
+  /** Minimal h2c (prior-knowledge) gRPC client over netty's frame codec —
+    * built independently of the server code so the two sides cross-check
+    * each other's HTTP/2 + gRPC framing.
+    */
+  private final class GrpcClient(host: String, port: Int) extends AutoCloseable {
+    private val group = new NioEventLoopGroup(1)
+    private val channel: Channel = new Bootstrap()
+      .group(group)
+      .channel(classOf[NioSocketChannel])
+      .handler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit =
+          ch.pipeline.addLast(
+            Http2FrameCodecBuilder.forClient().build(),
+            new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+      })
+      .connect(host, port).syncUninterruptibly().channel()
+
+    def call(path: String, grpcBody: Array[Byte], timeoutSec: Long = 300): GrpcReply = {
+      val done = new CompletableFuture[GrpcReply]()
+      val boot = new Http2StreamChannelBootstrap(channel)
+      boot.handler(new ChannelInitializer[Channel] {
+        override def initChannel(s: Channel): Unit =
+          s.pipeline.addLast(new ChannelInboundHandlerAdapter {
+            private val buf = new ByteArrayOutputStream()
+            private var status = -1
+            private var message = ""
+            private def headerSeen(h: Http2HeadersFrame): Unit = {
+              val st = h.headers.get("grpc-status")
+              if (st != null) status = Integer.parseInt(String.valueOf(st))
+              val m = h.headers.get("grpc-message")
+              if (m != null) message = java.net.URLDecoder.decode(String.valueOf(m), "UTF-8")
+            }
+            override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+              msg match {
+                case h: Http2HeadersFrame =>
+                  headerSeen(h)
+                  if (h.isEndStream) done.complete(GrpcReply(status, message, buf.toByteArray))
+                case d: Http2DataFrame =>
+                  try {
+                    val bytes = new Array[Byte](d.content.readableBytes())
+                    d.content.readBytes(bytes)
+                    buf.write(bytes)
+                  } finally d.release()
+                  if (d.isEndStream) done.complete(GrpcReply(status, message, buf.toByteArray))
+                case other => io.netty.util.ReferenceCountUtil.release(other)
+              }
+            override def exceptionCaught(ctx: ChannelHandlerContext, cause: Throwable): Unit =
+              done.completeExceptionally(cause)
+          })
+      })
+      val stream = boot.open().syncUninterruptibly().getNow
+      val headers = new DefaultHttp2Headers()
+      headers.method("POST").scheme("http").path(path)
+        .authority(s"$host:$port")
+      headers.set("content-type", "application/grpc")
+      headers.set("te", "trailers")
+      stream.write(new DefaultHttp2HeadersFrame(headers))
+      stream.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(grpcBody), true))
+      done.get(timeoutSec, TimeUnit.SECONDS)
+    }
+
+    override def close(): Unit = {
+      channel.close().syncUninterruptibly()
+      group.shutdownGracefully(0, 500, TimeUnit.MILLISECONDS).syncUninterruptibly()
+      ()
+    }
+  }
+
+  private def withGrpc[T](f: GrpcClient => T): T = {
+    val handle = GrpcEngineServer.start(spark, 0)
+    val client = new GrpcClient("127.0.0.1", handle.port)
+    try f(client)
+    finally { client.close(); handle.close() }
+  }
+
+  private def callTransform(c: GrpcClient, req: TransformRequest): TransformResponse = {
+    val reply = c.call(GrpcEngineServer.PathTransform,
+      GrpcEngineServer.grpcFrame(ProtoBytes.wrap(EngineFlatbuffers.writeTransformRequest(req))))
+    assert(reply.status == 0, s"grpc-status ${reply.status}: ${reply.message}")
+    EngineFlatbuffers.readTransformResponse(
+      ProtoBytes.unwrap(GrpcEngineServer.grpcUnframe(reply.body)))
+  }
+
+  private def callRawQuery(c: GrpcClient, req: RawQueryRequest): RawQueryResponse = {
+    val reply = c.call(GrpcEngineServer.PathRawQuery,
+      GrpcEngineServer.grpcFrame(ProtoBytes.wrap(EngineFlatbuffers.writeRawQueryRequest(req))))
+    assert(reply.status == 0, s"grpc-status ${reply.status}: ${reply.message}")
+    EngineFlatbuffers.readRawQueryResponse(
+      ProtoBytes.unwrap(GrpcEngineServer.grpcUnframe(reply.body)))
+  }
+
+  test("raw query executes over gRPC") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-grpc")
+    val in1 = s"$dir/in.parquet"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .coalesce(1).write.parquet(in1)
+    withGrpc { c =>
+      val resp = callRawQuery(c, RawQueryRequest(
+        inputDataPaths = Vector(in1),
+        transform = Transform(queries =
+          Vector(SqlQueryStep(None, "SELECT id, name FROM input WHERE id >= 2"))),
+        outputDataPath = s"$dir/out.parquet"))
+      assert(resp == RawQueryResponse.Success(2))
+    }
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 2)
+  }
+
+  test("stateful transform carries checkpoint across sequential RPCs") {
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-grpc2")
+    val in1 = s"$dir/in1.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1, 1)), "A", 10),
+        Ticker(1, 0, t(ts(1)), t(ts(1, 2)), "A", 12),
+        Ticker(2, 0, t(ts(1)), t(ts(2, 1)), "A", 20))).toDF(), in1)
+
+    def request(num: Int, slice: Boolean, wm: Instant, prevCp: Option[String]) =
+      TransformRequest(
+        datasetId = "did:odf:out", datasetAlias = "out",
+        systemTime = ts(10 + num),
+        vocab = DatasetVocabulary(),
+        transform = Transform(queries = Vector(SqlQueryStep(None,
+          """SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+            |  symbol, min(price) as `min`, max(price) as `max`
+            |FROM tickers
+            |GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol""".stripMargin))),
+        queryInputs = Vector(TransformRequestInput(
+          datasetId = "did:odf:in", datasetAlias = "did:odf:in", queryAlias = "tickers",
+          offsetInterval = if (slice) Some(OffsetInterval(0, 2)) else None,
+          dataPaths = if (slice) Vector(in1) else Vector.empty,
+          schemaFile = in1,
+          explicitWatermarks = Vector(RequestWatermark(wm, wm)))),
+        nextOffset = num - 1,
+        prevCheckpointPath = prevCp,
+        newCheckpointPath = s"$dir/cp$num",
+        newDataPath = s"$dir/out$num.parquet")
+
+    withGrpc { c =>
+      val r1 = callTransform(c, request(1, slice = true, ts(2), None))
+      assert(r1 == TransformResponse.Success(Some(OffsetInterval(0, 0)), Some(ts(2))), r1)
+      val r2 = callTransform(c, request(2, slice = false, ts(4), Some(s"$dir/cp1")))
+      assert(r2 == TransformResponse.Success(Some(OffsetInterval(1, 1)), Some(ts(4))), r2)
+    }
+    val o2 = spark.read.parquet(s"$dir/out2.parquet").collect()
+    assert(o2.length == 1 && o2(0).getAs[Int]("min") == 20 && o2(0).getAs[Int]("max") == 20)
+  }
+
+  test("engine errors are response messages with grpc-status 0") {
+    val dir = Files.createTempDirectory("graft-grpc3")
+    withGrpc { c =>
+      val resp = callRawQuery(c, RawQueryRequest(
+        inputDataPaths = Vector.empty,
+        transform = Transform(queries = Vector(SqlQueryStep(None, "SELEC nonsense FRM"))),
+        outputDataPath = s"$dir/out.parquet"))
+      resp match {
+        case RawQueryResponse.InvalidQuery(_) | RawQueryResponse.InternalError(_, _) => ()
+        case other => fail(s"expected an error response kind, got $other")
+      }
+    }
+  }
+
+  test("unknown method yields grpc-status UNIMPLEMENTED (12)") {
+    withGrpc { c =>
+      val reply = c.call("/engine.Engine/NoSuchMethod",
+        GrpcEngineServer.grpcFrame(Array.emptyByteArray), timeoutSec = 60)
+      assert(reply.status == 12, reply)
+      assert(reply.body.isEmpty)
+    }
+  }
+
+  test("malformed gRPC framing yields INVALID_ARGUMENT (3), connection survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-grpc4")
+    val in1 = s"$dir/in.parquet"
+    Seq((1L, "a")).toDF("id", "name").coalesce(1).write.parquet(in1)
+    withGrpc { c =>
+      val bad = c.call(GrpcEngineServer.PathTransform,
+        Array[Byte](1, 0, 0, 0, 0), timeoutSec = 60) // compressed flag set
+      assert(bad.status == 3, bad)
+      // same connection still serves a well-formed RPC
+      val ok = callRawQuery(c, RawQueryRequest(
+        inputDataPaths = Vector(in1),
+        transform = Transform(queries = Vector(SqlQueryStep(None, "SELECT id FROM input"))),
+        outputDataPath = s"$dir/out.parquet"))
+      assert(ok == RawQueryResponse.Success(1))
+    }
+  }
+}
