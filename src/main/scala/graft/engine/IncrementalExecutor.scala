@@ -91,15 +91,21 @@ final class IncrementalExecutor(
     case PlanClassifier.Mode.AsOfWindowed    => runAsOf(windowed = true)
     case w: PlanClassifier.Mode.Windowed     => runWindowed(w.upperMillis)
     case d: PlanClassifier.Mode.SnapshotDiff =>
-      d.aggMerge match {
-        // min/max are not invertible, so the merge path requires inputs with
-        // no retraction ever observed; the first retraction flips the run
-        // (and all later ones) to the recompute path, which reads the same
-        // snapshot state — the two paths interleave safely. The rank-touch
-        // narrowing is valid for retractive inputs too (netting commutes
-        // with the partition-key filter).
-        case Some(spec) if retractiveNow.isEmpty => runIncrementalAgg(spec)
-        case _                                   => runSnapshotDiff(d.keys, d.rankTouch)
+      // min/max are not invertible and an inner join is only monotone over
+      // appends, so both fast paths require inputs with no retraction ever
+      // observed; the first retraction flips the run (and all later ones)
+      // to the recompute path, which reads the same snapshot state — the
+      // paths interleave safely. The rank-touch narrowing is valid for
+      // retractive inputs too (netting commutes with the partition filter).
+      d match {
+        case _ if retractiveNow.nonEmpty =>
+          runSnapshotDiff(d.keys, d.rankTouch)
+        case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _) =>
+          runIncrementalAgg(spec)
+        case PlanClassifier.Mode.SnapshotDiff(_, _, _, Some(jd))
+            if byAlias(jd.left).isDefined && byAlias(jd.right).isDefined =>
+          runDeltaJoin(jd)
+        case _ => runSnapshotDiff(d.keys, d.rankTouch)
       }
   }
 
@@ -627,6 +633,74 @@ final class IncrementalExecutor(
       minWm(inputs),
       None,
       emissionOrder = Some(keys.map(col(_).asc) :+
+        col(vocab.operationTypeColumn).asc),
+      retractiveInputs = ledger.retractiveInputs)
+  }
+
+  /** Append-only delta-join fast path for SnapshotDiff chains that are one
+    * inner join between two input relations with no retraction ever
+    * observed: run the step twice with the views rebound to the delta
+    * decomposition's terms —
+    *
+    *   Δout = ΔA ⋈ B_full  ∪  A_old ⋈ ΔB
+    *
+    * — and emit the union as appends. Per-run cost is O(slice ⋈ state)
+    * with NO snapshot read and no full-history re-join; the recompute path
+    * is O(full ⋈ full) plus a full multiset diff every run. An inner join
+    * is monotone over appends, so the emitted rows equal exactly what the
+    * multiset diff would report.
+    *
+    * Input buffers and the output snapshot are still maintained (snapshot
+    * via O(slice) carry-append): the first retraction flips execution to
+    * [[runSnapshotDiff]]'s net-and-recompute path, which diffs against
+    * this same `snapshotName` state — the two paths interleave without
+    * migration.
+    */
+  private def runDeltaJoin(spec: PlanClassifier.JoinDelta): ExecResult = {
+    val ia = byAlias(spec.left).get
+    val ib = byAlias(spec.right).get
+    val oldA = store.read(bufferName(spec.left), ia.df.schema)
+    val oldB = store.read(bufferName(spec.right), ib.df.schema)
+    val fullA = oldA.unionByName(ia.df)
+    val fullB = oldB.unionByName(ib.df)
+
+    val sql = steps(outputIdx)._2.sql
+    def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
+      // spark.sql analyzes eagerly, so each pass captures its own bindings
+      aDf.drop("__seq").createOrReplaceTempView(spec.left)
+      bDf.drop("__seq").createOrReplaceTempView(spec.right)
+      spark.sql(sql)
+    }
+    val parts = Seq(
+      if (ia.spec.offsetInterval.isEmpty) None else Some(pass(ia.df, fullB)),
+      if (ib.spec.offsetInterval.isEmpty) None else Some(pass(oldA, ib.df))
+    ).flatten
+    // watermark-only run on both inputs: nothing can join, emit nothing
+    val delta = Snitch.tap(
+      parts.reduceOption(_.unionByName(_)).getOrElse(pass(ia.df, ib.df).limit(0)),
+      "output")
+
+    if (delta.columns.contains(vocab.operationTypeColumn))
+      throw new InvalidQueryException(
+        s"an updating query must not project the operation column " +
+          s"'${vocab.operationTypeColumn}' — ops are generated by the " +
+          "engine from the snapshot diff")
+
+    val emitted = delta.withColumn(vocab.operationTypeColumn, lit(Op.Append))
+
+    store.appendCarry(bufferName(spec.left), ia.df, fullA)
+    store.appendCarry(bufferName(spec.right), ib.df, fullB)
+    store.appendCarry(snapshotName, delta,
+      store.read(snapshotName, delta.schema).unionByName(delta))
+
+    val orderCols = delta.schema.fields.filter(fd =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(fd.dataType)).map(_.name).toSeq
+    ExecResult(
+      emitted,
+      minWm(inputs),
+      None,
+      emissionOrder = Some(orderCols.map(col(_).asc) :+
         col(vocab.operationTypeColumn).asc),
       retractiveInputs = ledger.retractiveInputs)
   }

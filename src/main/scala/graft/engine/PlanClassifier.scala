@@ -59,7 +59,8 @@ object PlanClassifier {
     final case class SnapshotDiff(
         keys: Option[Seq[String]],
         aggMerge: Option[AggMergeSpec] = None,
-        rankTouch: Option[RankTouch] = None) extends Mode
+        rankTouch: Option[RankTouch] = None,
+        joinDelta: Option[JoinDelta] = None) extends Mode
   }
 
   /** Proof that a SnapshotDiff ranking chain (Top-N / dedup-latest) can be
@@ -70,6 +71,18 @@ object PlanClassifier {
     * values — per-run cost follows the touched partitions, not full history.
     */
   final case class RankTouch(input: String, cols: Seq[String])
+
+  /** Proof that a SnapshotDiff chain is a single INNER join between two
+    * distinct input relations (each scanned exactly once) with a stateless
+    * select list. An inner join is monotone over appends — `(A∪ΔA)⋈(B∪ΔB)
+    * = A⋈B ∪ ΔA⋈(B∪ΔB) ∪ A⋈ΔB` — so while no input has ever carried a
+    * retraction the executor emits just the delta terms as appends:
+    * O(Δ ⋈ state) per run with NO snapshot read and no full-history
+    * re-join, instead of recompute-plus-multiset-diff over everything.
+    * Outer/semi/anti joins are excluded (a later match retracts earlier
+    * null-padded or anti rows — not append-only).
+    */
+  final case class JoinDelta(left: String, right: String)
 
   /** Proof that a SnapshotDiff chain's output step is a single aggregation
     * whose functions are decomposable — each output column is either a group
@@ -337,7 +350,8 @@ object PlanClassifier {
       val keys = snapshotKeys(f)
       Mode.SnapshotDiff(keys,
         extractAggMerge(spark, steps, f, keys),
-        extractRankTouch(spark, steps, f, keys))
+        extractRankTouch(spark, steps, f, keys),
+        extractJoinDelta(spark, steps, f))
     } else Mode.Stateless
   }
 
@@ -460,6 +474,54 @@ object PlanClassifier {
         pr.copy(projectList = pr.projectList.flatMap(split))
       case other => other
     }
+  }
+
+  /** Detect the append-only delta-join shape: one step whose plan is a
+    * single INNER join (plain, USING, or NATURAL) between two DISTINCT
+    * relations, each appearing exactly once in the whole plan, with nothing
+    * stateful above or below it — no aggregates, ranking, DISTINCT/LIMIT,
+    * subqueries, or time-varying literals, and no CTEs (their bodies are
+    * not plan children; classification over them is unsound — same rule as
+    * [[extractRankTouch]]). The join predicate itself is unrestricted:
+    * the delta decomposition holds for any inner θ-join.
+    */
+  private def extractJoinDelta(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts): Option[JoinDelta] = {
+    val onlyJoin = f.regularJoins == 1 && f.plainAggs.isEmpty &&
+      f.rankSpecs.isEmpty && !f.otherWindowFns && !f.distinctOrLimit &&
+      !f.hasSubquery && f.intervalUppers.isEmpty &&
+      !steps.exists(_._2.timeVarying) && steps.size == 1
+    if (!onlyJoin) return None
+    val plan = spark.sessionState.sqlParser.parsePlan(steps.head._2.sql)
+    if (plan.exists(_.isInstanceOf[UnresolvedWith])) return None
+    val joins = plan.collect { case j: Join => j }
+    if (joins.size != 1) return None
+    val j = joins.head
+    import org.apache.spark.sql.catalyst.plans.{Inner, NaturalJoin, UsingJoin}
+    val inner = j.joinType match {
+      case Inner               => true
+      case UsingJoin(Inner, _) => true
+      case NaturalJoin(Inner)  => true
+      case _                   => false
+    }
+    if (!inner) return None
+    def relOf(p: LogicalPlan): Option[String] = p match {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        Some(r.multipartIdentifier.last)
+      case s: SubqueryAlias => relOf(s.child)
+      case _                => None
+    }
+    val allRels = plan.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    }
+    for {
+      a <- relOf(j.left)
+      b <- relOf(j.right)
+      if a != b && allRels.sorted == Seq(a, b).sorted
+    } yield JoinDelta(a, b)
   }
 
   /** Detect the touched-partition ranking shape: one step, one keyed rank

@@ -183,6 +183,44 @@ class PlanClassifierSpec extends AnyFunSuite {
         Some(PlanClassifier.AggMergeSpec(Nil, Seq("n" -> "count")))))
   }
 
+  test("a single inner join carries a delta-join spec") {
+    assert(classify("SELECT a.id, b.v FROM a JOIN b ON a.id = b.id")
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
+      Some(PlanClassifier.JoinDelta("a", "b")))
+    // aliased sides resolve through SubqueryAlias to the input relations
+    assert(classify("SELECT x.id, y.v FROM a AS x JOIN b AS y ON x.id = y.id")
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
+      Some(PlanClassifier.JoinDelta("a", "b")))
+    // the predicate is unrestricted — inner θ-joins decompose the same way
+    assert(classify("SELECT a.id, b.v FROM a JOIN b ON a.id < b.id AND b.v > 0")
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
+      Some(PlanClassifier.JoinDelta("a", "b")))
+  }
+
+  test("delta-join spec is withheld for non-append-only or multi-scan shapes") {
+    def jd(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].joinDelta
+    // outer join: a later match must retract the null-padded row
+    assert(jd("SELECT a.id FROM a LEFT JOIN b ON a.id = b.id").isEmpty)
+    // self-join: one relation scanned twice — old/delta split is ambiguous
+    assert(jd("SELECT x.id FROM a AS x JOIN a AS y ON x.id = y.parent").isEmpty)
+    // three-way join
+    assert(jd("SELECT a.id FROM a JOIN b ON a.id = b.id JOIN c ON b.id = c.id").isEmpty)
+    // aggregation above the join is its own (non-join) updating shape
+    assert(jd("SELECT a.id, count(*) AS n FROM a JOIN b ON a.id = b.id GROUP BY a.id").isEmpty)
+    // CTE bodies are not plan children — never classify through them
+    assert(jd(
+      """WITH j AS (SELECT a.id, b.v FROM a JOIN b ON a.id = b.id)
+        |SELECT id, v FROM j""".stripMargin).isEmpty)
+    // expression subqueries change membership without new slice rows
+    assert(jd(
+      "SELECT a.id, b.v FROM a JOIN b ON a.id = b.id WHERE a.id IN (SELECT id FROM c)").isEmpty)
+    // multi-step chains keep the recompute path
+    assert(PlanClassifier.classify(spark, Seq(
+      (Some("j"), SqlRewriter.rewrite("SELECT a.id, b.v FROM a JOIN b ON a.id = b.id", st, None)),
+      (None, SqlRewriter.rewrite("SELECT id, v FROM j", st, None))))
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
+  }
+
   test("tumble + non-windowed aggregation in one chain is rejected") {
     intercept[InvalidQueryException] {
       classify(
