@@ -100,11 +100,14 @@ final class IncrementalExecutor(
       d match {
         case _ if retractiveNow.nonEmpty =>
           runSnapshotDiff(d.keys, d.rankTouch)
-        case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _) =>
+        case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _) =>
           runIncrementalAgg(spec)
-        case PlanClassifier.Mode.SnapshotDiff(_, _, _, Some(jd))
+        case PlanClassifier.Mode.SnapshotDiff(_, _, _, Some(jd), _)
             if byAlias(jd.left).isDefined && byAlias(jd.right).isDefined =>
           runDeltaJoin(jd)
+        case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, Some(dd))
+            if byAlias(dd.input).isDefined =>
+          runDistinctDelta(dd)
         case _ => runSnapshotDiff(d.keys, d.rankTouch)
       }
   }
@@ -659,8 +662,12 @@ final class IncrementalExecutor(
   private def runDeltaJoin(spec: PlanClassifier.JoinDelta): ExecResult = {
     val ia = byAlias(spec.left).get
     val ib = byAlias(spec.right).get
-    val oldA = store.read(bufferName(spec.left), ia.df.schema)
-    val oldB = store.read(bufferName(spec.right), ib.df.schema)
+    // buffers of ALL inputs (referenced or not) must keep accumulating —
+    // a later retraction flip recomputes over them
+    val olds = inputs.map(i =>
+      i.spec.queryAlias -> store.read(bufferName(i.spec.queryAlias), i.df.schema)).toMap
+    val oldA = olds(spec.left)
+    val oldB = olds(spec.right)
     val fullA = oldA.unionByName(ia.df)
     val fullB = oldB.unionByName(ib.df)
 
@@ -688,12 +695,57 @@ final class IncrementalExecutor(
 
     val emitted = delta.withColumn(vocab.operationTypeColumn, lit(Op.Append))
 
-    store.appendCarry(bufferName(spec.left), ia.df, fullA)
-    store.appendCarry(bufferName(spec.right), ib.df, fullB)
+    inputs.foreach(i => store.appendCarry(bufferName(i.spec.queryAlias),
+      i.df, olds(i.spec.queryAlias).unionByName(i.df)))
     store.appendCarry(snapshotName, delta,
       store.read(snapshotName, delta.schema).unionByName(delta))
 
     val orderCols = delta.schema.fields.filter(fd =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(fd.dataType)).map(_.name).toSeq
+    ExecResult(
+      emitted,
+      minWm(inputs),
+      None,
+      emissionOrder = Some(orderCols.map(col(_).asc) :+
+        col(vocab.operationTypeColumn).asc),
+      retractiveInputs = ledger.retractiveInputs)
+  }
+
+  /** Append-only DISTINCT fast path: distinct the NEW SLICE only through
+    * the step, then anti-join (null-safe, all columns) the persisted
+    * snapshot — rows already emitted stay emitted, new distinct rows
+    * append. O(slice ⋈ state) per run versus the recompute path's
+    * full-history distinct plus full snapshot diff. State is maintained
+    * exactly as the recompute path expects (buffers carried, snapshot
+    * extended via O(slice) carry-append), so the first retraction flips to
+    * [[runSnapshotDiff]] without migration.
+    */
+  private def runDistinctDelta(spec: PlanClassifier.DistinctDelta): ExecResult = {
+    val i = byAlias(spec.input).get
+    i.df.drop("__seq").createOrReplaceTempView(spec.input)
+    val sliceDistinct = spark.sql(steps(outputIdx)._2.sql)
+
+    if (sliceDistinct.columns.contains(vocab.operationTypeColumn))
+      throw new InvalidQueryException(
+        s"an updating query must not project the operation column " +
+          s"'${vocab.operationTypeColumn}' — ops are generated by the " +
+          "engine from the snapshot diff")
+
+    val prev = store.read(snapshotName, sliceDistinct.schema)
+    val keyEq = sliceDistinct.columns
+      .map(c => col(s"n.$c") <=> col(s"p.$c")).reduce(_ && _)
+    val delta = Snitch.tap(
+      sliceDistinct.alias("n").join(prev.alias("p"), keyEq, "left_anti"),
+      "output")
+    val emitted = delta.withColumn(vocab.operationTypeColumn, lit(Op.Append))
+
+    // carry ALL inputs' buffers (a later retraction flip recomputes over them)
+    inputs.foreach(in => store.appendCarry(bufferName(in.spec.queryAlias), in.df,
+      store.read(bufferName(in.spec.queryAlias), in.df.schema).unionByName(in.df)))
+    store.appendCarry(snapshotName, delta, prev.unionByName(delta))
+
+    val orderCols = sliceDistinct.schema.fields.filter(fd =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(fd.dataType)).map(_.name).toSeq
     ExecResult(

@@ -60,7 +60,8 @@ object PlanClassifier {
         keys: Option[Seq[String]],
         aggMerge: Option[AggMergeSpec] = None,
         rankTouch: Option[RankTouch] = None,
-        joinDelta: Option[JoinDelta] = None) extends Mode
+        joinDelta: Option[JoinDelta] = None,
+        distinctDelta: Option[DistinctDelta] = None) extends Mode
   }
 
   /** Proof that a SnapshotDiff ranking chain (Top-N / dedup-latest) can be
@@ -83,6 +84,17 @@ object PlanClassifier {
     * null-padded or anti rows — not append-only).
     */
   final case class JoinDelta(left: String, right: String)
+
+  /** Proof that a SnapshotDiff chain is one DISTINCT over a stateless
+    * derivation of a single input relation. DISTINCT is monotone over
+    * appends — rows never leave the set — so while no retraction has been
+    * observed the executor distincts ONLY the new slice and anti-joins the
+    * persisted snapshot: O(slice ⋈ state) per run instead of a full-history
+    * aggregate plus full snapshot diff. First retraction flips to the
+    * recompute path (a retraction can delete the last occurrence of a
+    * distinct row).
+    */
+  final case class DistinctDelta(input: String)
 
   /** Proof that a SnapshotDiff chain's output step is a single aggregation
     * whose functions are decomposable — each output column is either a group
@@ -121,7 +133,9 @@ object PlanClassifier {
     var tumbleAggs: Int = 0
     /** Group keys as output column names; None when not mappable. */
     var plainAggs: List[Option[Seq[String]]] = Nil
-    var distinctOrLimit: Boolean = false
+    var distincts: Int = 0
+    var limitOrSetOp: Boolean = false
+    def distinctOrLimit: Boolean = distincts > 0 || limitOrSetOp
     var filterAttrs: Set[String] = Set.empty
     /** Chain carries an expression subquery (IN/EXISTS/scalar) — its value
       * can change as OTHER inputs grow, so per-slice contributions are not
@@ -221,11 +235,11 @@ object PlanClassifier {
           case a: UnresolvedAttribute => a.nameParts.last
         }
 
-      case _: Distinct                    => f.distinctOrLimit = true
-      case _: GlobalLimit | _: LocalLimit => f.distinctOrLimit = true
+      case _: Distinct                    => f.distincts += 1
+      case _: GlobalLimit | _: LocalLimit => f.limitOrSetOp = true
       // set difference/intersection carry set semantics over full history —
       // updating queries, not per-slice maps
-      case _: Except | _: Intersect       => f.distinctOrLimit = true
+      case _: Except | _: Intersect       => f.limitOrSetOp = true
       // CTE definitions are NOT TreeNode children of UnresolvedWith — a
       // stateful construct inside `WITH x AS (...)` must still be seen
       case w: UnresolvedWith =>
@@ -351,7 +365,8 @@ object PlanClassifier {
       Mode.SnapshotDiff(keys,
         extractAggMerge(spark, steps, f, keys),
         extractRankTouch(spark, steps, f, keys),
-        extractJoinDelta(spark, steps, f))
+        extractJoinDelta(spark, steps, f),
+        extractDistinctDelta(spark, steps, f))
     } else Mode.Stateless
   }
 
@@ -522,6 +537,38 @@ object PlanClassifier {
       b <- relOf(j.right)
       if a != b && allRels.sorted == Seq(a, b).sorted
     } yield JoinDelta(a, b)
+  }
+
+  /** Detect the append-only DISTINCT shape: one step whose plan is one
+    * DISTINCT at the top (below an optional ORDER BY) over a stateless
+    * derivation of a single relation scanned exactly once — no joins,
+    * aggregates, ranking, LIMIT/set-ops, subqueries, time-varying
+    * literals, or CTEs. A UNION under the DISTINCT scans two relations and
+    * is excluded by the scan count.
+    */
+  private def extractDistinctDelta(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts): Option[DistinctDelta] = {
+    val onlyDistinct = f.distincts == 1 && !f.limitOrSetOp &&
+      f.plainAggs.isEmpty && f.rankSpecs.isEmpty && f.regularJoins == 0 &&
+      !f.otherWindowFns && !f.hasSubquery && f.intervalUppers.isEmpty &&
+      !steps.exists(_._2.timeVarying) && steps.size == 1
+    if (!onlyDistinct) return None
+    val plan = spark.sessionState.sqlParser.parsePlan(steps.head._2.sql)
+    if (plan.exists(_.isInstanceOf[UnresolvedWith])) return None
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case s: Sort => unwrap(s.child)
+      case other   => other
+    }
+    if (!unwrap(plan).isInstanceOf[Distinct]) return None
+    plan.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    } match {
+      case Seq(only) => Some(DistinctDelta(only))
+      case _         => None
+    }
   }
 
   /** Detect the touched-partition ranking shape: one step, one keyed rank

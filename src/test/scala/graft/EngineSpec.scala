@@ -1282,6 +1282,111 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("DISTINCT emits only never-seen rows across runs") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = "SELECT DISTINCT event_time, symbol FROM tickers"
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(1)), "A", 12),
+      Ticker(2, 0, t(ts(1)), t(ts(1)), "B", 20)), in1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 3, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 1)))
+    assert(readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+      .map(_.getAs[String]("symbol")).toSeq == Seq("A", "B"))
+
+    // run 2: (day-1, A) again (already emitted, silent) + new (day-2, C)
+    val in2 = s"$dir/in2.parquet"
+    writeSlice(Seq(
+      Ticker(3, 0, t(ts(2)), t(ts(1)), "A", 7),
+      Ticker(4, 0, t(ts(2)), t(ts(2)), "C", 9)), in2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in2, in2, 2, startOffset = 3, wms = Seq(ts(2)))),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(2, 2)))
+    val o2 = readOut(s"$dir/out2.parquet").collect()
+    assert(o2.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"))).toSeq ==
+      Seq(("C", Op.Append)))
+
+    // run 3: watermark-only — nothing emits
+    val r3 = runT(TransformRequest(
+      "did:out", "out", ts(12), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", null, in1, 0, wms = Seq(ts(3)))),
+      nextOffset = 3, prevCheckpointPath = Some(s"$dir/cp2"),
+      newCheckpointPath = s"$dir/cp3", newDataPath = s"$dir/out3.parquet"))
+    assert(r3.newOffsetInterval.isEmpty)
+  }
+
+  test("distinct-delta path and recompute path emit identical changelogs") {
+    import spark.implicits._
+    // Seeded random slices with a small value domain (guaranteed dups)
+    // through the single-step DISTINCT (delta path) and a value-identical
+    // CTE-wrapped variant (recompute). Run 4 carries a retraction — if it
+    // cancels the LAST occurrence of a row the distinct set shrinks, which
+    // only the recompute path can express; the flip must keep both chains
+    // identical.
+    val rnd = new scala.util.Random(5)
+    val dirF = tmp(); val dirC = tmp()
+    val qFast = "SELECT DISTINCT event_time, symbol, price FROM tickers"
+    val qSlow =
+      """WITH d AS (SELECT DISTINCT event_time, symbol, price FROM tickers)
+        |SELECT event_time, symbol, price FROM d""".stripMargin
+    var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstRow: Ticker = null
+    (1 to 5).foreach { run =>
+      val appends = (0 until 1 + rnd.nextInt(4)).map { i =>
+        Ticker(off + i, Op.Append, t(ts(run)), t(ts(run)),
+          ("A".head + rnd.nextInt(3)).toChar.toString, 1 + rnd.nextInt(3))
+      }
+      if (run == 1) firstRow = appends.head
+      val rows =
+        if (run == 4)
+          appends :+ Ticker(off + appends.length, Op.Retract, t(ts(run)),
+            firstRow.event_time, firstRow.symbol, firstRow.price)
+        else appends
+      val nRows = rows.length
+      val inF = s"$dirF/in$run.parquet"; val inC = s"$dirC/in$run.parquet"
+      writeSlice(rows, inF); writeSlice(rows, inC)
+      def drive(tag: String, dir: java.nio.file.Path, in: String, q: String,
+          prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(mkInput("tickers", in, in, nRows, startOffset = off,
+            wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, inF, qFast, prevF))
+      prevC = Some(drive("c", dirC, inC, qSlow, prevC))
+      off += nRows
+      val sel = Seq("offset", "op", "event_time", "symbol", "price")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+  }
+
   test("state carry-append links prior files, appends the slice, merges full tiers") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._

@@ -221,6 +221,29 @@ class PlanClassifierSpec extends AnyFunSuite {
       .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
   }
 
+  test("a single DISTINCT carries a distinct-delta spec") {
+    assert(classify("SELECT DISTINCT symbol, price FROM t")
+      .asInstanceOf[Mode.SnapshotDiff].distinctDelta ==
+      Some(PlanClassifier.DistinctDelta("t")))
+    // stateless derivation below and ORDER BY above are fine
+    assert(classify(
+      "SELECT DISTINCT symbol, price % 10 AS p FROM t WHERE price > 3 ORDER BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].distinctDelta ==
+      Some(PlanClassifier.DistinctDelta("t")))
+  }
+
+  test("distinct-delta spec is withheld for non-append-only shapes") {
+    def dd(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].distinctDelta
+    // LIMIT above: emitted rows can be displaced later
+    assert(dd("SELECT DISTINCT symbol FROM t LIMIT 5").isEmpty)
+    // UNION parses as Distinct(Union): two scans, excluded by scan count
+    assert(dd("SELECT symbol FROM a UNION SELECT symbol FROM b").isEmpty)
+    // DISTINCT above a join is the join's problem, not a slice-local one
+    assert(dd("SELECT DISTINCT a.symbol FROM a JOIN b ON a.id = b.id").isEmpty)
+    // CTE bodies are never classified through
+    assert(dd("WITH v AS (SELECT DISTINCT symbol FROM t) SELECT symbol FROM v").isEmpty)
+  }
+
   test("tumble + non-windowed aggregation in one chain is rejected") {
     intercept[InvalidQueryException] {
       classify(
