@@ -671,12 +671,19 @@ final class IncrementalExecutor(
     val fullA = oldA.unionByName(ia.df)
     val fullB = oldB.unionByName(ib.df)
 
-    val sql = steps(outputIdx)._2.sql
+    // spark.sql analyzes eagerly, so each pass captures its own bindings —
+    // including any stateless pre-step views re-run over the pass's frames
+    // (a stateless step is row-local: Δf(A) = f(ΔA)).
     def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
-      // spark.sql analyzes eagerly, so each pass captures its own bindings
       aDf.drop("__seq").createOrReplaceTempView(spec.left)
       bDf.drop("__seq").createOrReplaceTempView(spec.right)
-      spark.sql(sql)
+      var out: DataFrame = null
+      steps.zipWithIndex.foreach { case ((alias, rw), i) =>
+        val df = spark.sql(rw.sql)
+        alias.foreach(df.createOrReplaceTempView)
+        if (i == outputIdx) out = df
+      }
+      out
     }
     val parts = Seq(
       if (ia.spec.offsetInterval.isEmpty) None else Some(pass(ia.df, fullB)),
@@ -724,7 +731,12 @@ final class IncrementalExecutor(
   private def runDistinctDelta(spec: PlanClassifier.DistinctDelta): ExecResult = {
     val i = byAlias(spec.input).get
     i.df.drop("__seq").createOrReplaceTempView(spec.input)
-    val sliceDistinct = spark.sql(steps(outputIdx)._2.sql)
+    var sliceDistinct: DataFrame = null
+    steps.zipWithIndex.foreach { case ((alias, rw), ix) =>
+      val df = spark.sql(rw.sql)
+      alias.foreach(df.createOrReplaceTempView)
+      if (ix == outputIdx) sliceDistinct = df
+    }
 
     if (sliceDistinct.columns.contains(vocab.operationTypeColumn))
       throw new InvalidQueryException(

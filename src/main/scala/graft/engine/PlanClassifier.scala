@@ -491,14 +491,72 @@ object PlanClassifier {
     }
   }
 
-  /** Detect the append-only delta-join shape: one step whose plan is a
-    * single INNER join (plain, USING, or NATURAL) between two DISTINCT
-    * relations, each appearing exactly once in the whole plan, with nothing
-    * stateful above or below it — no aggregates, ranking, DISTINCT/LIMIT,
-    * subqueries, or time-varying literals, and no CTEs (their bodies are
-    * not plan children; classification over them is unsound — same rule as
-    * [[extractRankTouch]]). The join predicate itself is unrestricted:
-    * the delta decomposition holds for any inner θ-join.
+  /** Parsed step plans plus the single-consumption chain algebra the delta
+    * paths share. A stateless aliased pre-step is row-local, so
+    * `Δf(A) = f(ΔA)` and a delta decomposition at the output propagates
+    * through any chain of them — PROVIDED every step is consumed exactly
+    * once and every input relation is scanned exactly once (re-use would
+    * make one side's "old" frame observe the other side's delta).
+    */
+  private final class StepChains(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)]) {
+    val outIdx: Int = steps.lastIndexWhere(_._1.isEmpty) match {
+      case -1 => steps.length - 1
+      case i  => i
+    }
+    val plans: Seq[(Option[String], LogicalPlan)] = steps.map { case (a, rw) =>
+      (a, spark.sessionState.sqlParser.parsePlan(rw.sql))
+    }
+    def hasCte: Boolean = plans.exists(_._2.exists(_.isInstanceOf[UnresolvedWith]))
+    val outPlan: LogicalPlan = plans(outIdx)._2
+
+    private def scans(p: LogicalPlan): Seq[String] = p.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    }
+    /** Pre-step alias → its plan (the output step's alias, if any, names a
+      * view nothing may consume — guarded in [[soundUse]]). */
+    private val stepByAlias: Map[String, LogicalPlan] =
+      plans.zipWithIndex.collect {
+        case ((Some(a), p), i) if i != outIdx => a -> p
+      }.toMap
+    private val duplicateAlias =
+      stepByAlias.size != plans.zipWithIndex.count(x => x._1._1.isDefined && x._2 != outIdx)
+
+    /** Resolve a relation name through single-scan pre-steps to the input
+      * it terminates at; None on a multi-scan step or a cycle. */
+    def terminal(name: String, seen: Set[String] = Set.empty): Option[String] =
+      if (seen(name) || duplicateAlias) None
+      else stepByAlias.get(name) match {
+        case None => Some(name) // not a step alias ⇒ an input relation
+        case Some(p) => scans(p) match {
+          case Seq(one) => terminal(one, seen + name)
+          case _        => None
+        }
+      }
+
+    /** Every pre-step alias consumed exactly once, the given inputs scanned
+      * exactly once each, nothing else referenced anywhere — the
+      * use-once discipline the delta decomposition needs. */
+    def soundUse(inputs: Seq[String]): Boolean = {
+      val outAlias = plans(outIdx)._1
+      val all = plans.flatMap(p => scans(p._2))
+      !duplicateAlias &&
+        !outAlias.exists(all.contains) &&
+        all.sorted == (stepByAlias.keys.toSeq ++ inputs).sorted
+    }
+  }
+
+  /** Detect the append-only delta-join shape: the output step is a single
+    * INNER join (plain, USING, or NATURAL) whose two sides resolve —
+    * through chains of stateless single-scan pre-steps — to two DISTINCT
+    * input relations, with the use-once discipline of [[StepChains]] and
+    * nothing stateful anywhere: no aggregates, ranking, DISTINCT/LIMIT,
+    * subqueries, time-varying literals, or CTEs (their bodies are not plan
+    * children; classification over them is unsound — same rule as
+    * [[extractRankTouch]]). The join predicate itself is unrestricted: the
+    * delta decomposition holds for any inner θ-join.
     */
   private def extractJoinDelta(
       spark: SparkSession,
@@ -507,11 +565,11 @@ object PlanClassifier {
     val onlyJoin = f.regularJoins == 1 && f.plainAggs.isEmpty &&
       f.rankSpecs.isEmpty && !f.otherWindowFns && !f.distinctOrLimit &&
       !f.hasSubquery && f.intervalUppers.isEmpty &&
-      !steps.exists(_._2.timeVarying) && steps.size == 1
+      !steps.exists(_._2.timeVarying)
     if (!onlyJoin) return None
-    val plan = spark.sessionState.sqlParser.parsePlan(steps.head._2.sql)
-    if (plan.exists(_.isInstanceOf[UnresolvedWith])) return None
-    val joins = plan.collect { case j: Join => j }
+    val chains = new StepChains(spark, steps)
+    if (chains.hasCte) return None
+    val joins = chains.outPlan.collect { case j: Join => j }
     if (joins.size != 1) return None
     val j = joins.head
     import org.apache.spark.sql.catalyst.plans.{Inner, NaturalJoin, UsingJoin}
@@ -528,23 +586,20 @@ object PlanClassifier {
       case s: SubqueryAlias => relOf(s.child)
       case _                => None
     }
-    val allRels = plan.collect {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        r.multipartIdentifier.last
-    }
     for {
-      a <- relOf(j.left)
-      b <- relOf(j.right)
-      if a != b && allRels.sorted == Seq(a, b).sorted
+      a <- relOf(j.left).flatMap(chains.terminal(_))
+      b <- relOf(j.right).flatMap(chains.terminal(_))
+      if a != b && chains.soundUse(Seq(a, b))
     } yield JoinDelta(a, b)
   }
 
-  /** Detect the append-only DISTINCT shape: one step whose plan is one
-    * DISTINCT at the top (below an optional ORDER BY) over a stateless
-    * derivation of a single relation scanned exactly once — no joins,
-    * aggregates, ranking, LIMIT/set-ops, subqueries, time-varying
-    * literals, or CTEs. A UNION under the DISTINCT scans two relations and
-    * is excluded by the scan count.
+  /** Detect the append-only DISTINCT shape: the output step is one DISTINCT
+    * at the top (below an optional ORDER BY) over a stateless derivation
+    * that resolves — through single-scan pre-steps — to one input relation,
+    * under [[StepChains]]'s use-once discipline; no joins, aggregates,
+    * ranking, LIMIT/set-ops, subqueries, time-varying literals, or CTEs.
+    * A UNION under the DISTINCT scans two relations and is excluded by the
+    * scan count.
     */
   private def extractDistinctDelta(
       spark: SparkSession,
@@ -553,21 +608,24 @@ object PlanClassifier {
     val onlyDistinct = f.distincts == 1 && !f.limitOrSetOp &&
       f.plainAggs.isEmpty && f.rankSpecs.isEmpty && f.regularJoins == 0 &&
       !f.otherWindowFns && !f.hasSubquery && f.intervalUppers.isEmpty &&
-      !steps.exists(_._2.timeVarying) && steps.size == 1
+      !steps.exists(_._2.timeVarying)
     if (!onlyDistinct) return None
-    val plan = spark.sessionState.sqlParser.parsePlan(steps.head._2.sql)
-    if (plan.exists(_.isInstanceOf[UnresolvedWith])) return None
+    val chains = new StepChains(spark, steps)
+    if (chains.hasCte) return None
     def unwrap(p: LogicalPlan): LogicalPlan = p match {
       case s: Sort => unwrap(s.child)
       case other   => other
     }
-    if (!unwrap(plan).isInstanceOf[Distinct]) return None
-    plan.collect {
+    if (!unwrap(chains.outPlan).isInstanceOf[Distinct]) return None
+    chains.outPlan.collect {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         r.multipartIdentifier.last
     } match {
-      case Seq(only) => Some(DistinctDelta(only))
-      case _         => None
+      case Seq(only) =>
+        chains.terminal(only)
+          .filter(t => chains.soundUse(Seq(t)))
+          .map(DistinctDelta)
+      case _ => None
     }
   }
 

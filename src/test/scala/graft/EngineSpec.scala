@@ -1203,6 +1203,49 @@ class EngineSpec extends AnyFunSuite {
     assert(r3.newWatermark.contains(ts(3)))
   }
 
+  test("delta join resolves through a stateless pre-step chain end to end") {
+    import spark.implicits._
+    val dir = tmp()
+    // pre-step derives/filters the left side; the join's delta must still
+    // consult run-1's BUFFERED orders when the matching shipment arrives
+    val qs = Seq(
+      Some("big") -> "SELECT event_time, order_id, quantity FROM orders WHERE quantity >= 10",
+      None -> ("SELECT big.event_time as event_time, big.order_id, big.quantity, " +
+        "s.num_shipped FROM big JOIN shipments s ON big.order_id = s.order_id"))
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    writeSlice(Seq(
+      OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10),
+      OrderRow(1, 0, t(ts(1)), t(ts(1)), 2, 3)), o1) // order 2 filtered out
+    writeSlice(Seq(Shipment(0, 0, t(ts(1)), t(ts(1)), 2, 20)), s1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(qs: _*),
+      Vector(
+        mkInput("orders", o1, o1, 2, wms = Seq(ts(1))),
+        mkInput("shipments", s1, s1, 1, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    // shipment 2's order was filtered by the pre-step: nothing joins
+    assert(r1.newOffsetInterval.isEmpty)
+
+    // run 2: shipment for order 1 — joins the buffered order THROUGH the
+    // pre-step derivation
+    val s2 = s"$dir/s2.parquet"
+    writeSlice(Seq(Shipment(1, 0, t(ts(2)), t(ts(2)), 1, 10)), s2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(qs: _*),
+      Vector(
+        mkInput("orders", null, o1, 0, wms = Seq(ts(2))),
+        mkInput("shipments", s2, s2, 1, startOffset = 1, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(0, 0)))
+    val o2 = readOut(s"$dir/out2.parquet").collect()
+    assert(o2.map(r => (r.getAs[Long]("order_id"), r.getAs[Long]("num_shipped"),
+      r.getAs[Int]("op"))).toSeq == Seq((1L, 10L, Op.Append)))
+  }
+
   test("delta-join path and recompute path emit identical changelogs") {
     import spark.implicits._
     // Seeded random append-only slices on TWO inputs through two chains:

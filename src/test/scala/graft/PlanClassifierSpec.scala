@@ -214,11 +214,63 @@ class PlanClassifierSpec extends AnyFunSuite {
     // expression subqueries change membership without new slice rows
     assert(jd(
       "SELECT a.id, b.v FROM a JOIN b ON a.id = b.id WHERE a.id IN (SELECT id FROM c)").isEmpty)
-    // multi-step chains keep the recompute path
+    // the JOIN in a PRE-step with stateless post-processing: the output
+    // step's delta cannot be formed from the step's view alone — recompute
     assert(PlanClassifier.classify(spark, Seq(
       (Some("j"), SqlRewriter.rewrite("SELECT a.id, b.v FROM a JOIN b ON a.id = b.id", st, None)),
       (None, SqlRewriter.rewrite("SELECT id, v FROM j", st, None))))
       .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
+  }
+
+  test("delta-join resolves through stateless single-scan pre-steps") {
+    def chain(qs: (Option[String], String)*): Mode =
+      PlanClassifier.classify(spark,
+        qs.toSeq.map { case (a, q) => (a, SqlRewriter.rewrite(q, st, None)) })
+    // one side derived through a pre-step
+    assert(chain(
+      Some("v") -> "SELECT id, quantity * 2 AS q2 FROM a WHERE quantity > 0",
+      None -> "SELECT v.id, v.q2, b.x FROM v JOIN b ON v.id = b.id")
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
+      Some(PlanClassifier.JoinDelta("a", "b")))
+    // both sides derived, two-deep on one side
+    assert(chain(
+      Some("v1") -> "SELECT id, quantity FROM a",
+      Some("v2") -> "SELECT id, quantity FROM v1 WHERE quantity > 1",
+      Some("w") -> "SELECT id, x FROM b",
+      None -> "SELECT v2.id, w.x FROM v2 JOIN w ON v2.id = w.id")
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
+      Some(PlanClassifier.JoinDelta("a", "b")))
+    // a pre-step consumed TWICE breaks the use-once discipline
+    assert(chain(
+      Some("v") -> "SELECT id FROM a",
+      None -> "SELECT v.id FROM v JOIN b ON v.id = b.id AND b.id IN (0)")
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta.isDefined) // sanity: used once is fine
+    assert(chain(
+      Some("v") -> "SELECT id FROM a",
+      Some("w") -> "SELECT id FROM v",
+      None -> "SELECT w.id FROM w JOIN v ON w.id = v.id")
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
+    // both sides terminating at the SAME input is a self-join in disguise
+    assert(chain(
+      Some("v") -> "SELECT id FROM a",
+      None -> "SELECT v.id FROM v JOIN a AS x ON v.id = x.id")
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
+  }
+
+  test("distinct-delta resolves through stateless single-scan pre-steps") {
+    def chain(qs: (Option[String], String)*): Mode =
+      PlanClassifier.classify(spark,
+        qs.toSeq.map { case (a, q) => (a, SqlRewriter.rewrite(q, st, None)) })
+    assert(chain(
+      Some("v") -> "SELECT event_time, upper(symbol) AS s FROM t WHERE price > 0",
+      None -> "SELECT DISTINCT event_time, s FROM v")
+      .asInstanceOf[Mode.SnapshotDiff].distinctDelta ==
+      Some(PlanClassifier.DistinctDelta("t")))
+    // DISTINCT in a pre-step (output not Distinct-topped) stays recompute
+    assert(chain(
+      Some("v") -> "SELECT DISTINCT symbol FROM t",
+      None -> "SELECT symbol FROM v")
+      .asInstanceOf[Mode.SnapshotDiff].distinctDelta.isEmpty)
   }
 
   test("a single DISTINCT carries a distinct-delta spec") {
