@@ -100,7 +100,9 @@ final class IncrementalExecutor(
       d match {
         case _ if retractiveNow.nonEmpty =>
           runSnapshotDiff(d.keys, d.rankTouch)
-        case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _) =>
+        case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _)
+            if spec.join.forall(jd =>
+              byAlias(jd.left).isDefined && byAlias(jd.right).isDefined) =>
           runIncrementalAgg(spec)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, Some(jd), _)
             if byAlias(jd.left).isDefined && byAlias(jd.right).isDefined =>
@@ -535,6 +537,11 @@ final class IncrementalExecutor(
     * state) instead of O(full buffered history) — the difference between a
     * long-lived 100 TB dataset staying incremental and going quadratic.
     *
+    * When the spec carries a [[PlanClassifier.JoinDelta]] (aggregate above
+    * the chain's single inner join), the slice partials come from the join
+    * delta decomposition instead of the raw slices — per-run cost
+    * O(slice ⋈ state + touched keys), still never O(history ⋈ history).
+    *
     * Raw input buffers are still maintained: the first retraction (min/max
     * are not invertible) flips execution to [[runSnapshotDiff]]'s
     * net-and-recompute path, which reads the same `snapshotName` state the
@@ -550,10 +557,44 @@ final class IncrementalExecutor(
     // avg/HAVING chains run the classifier's PARTIALS plan (avg split into
     // sum+count, HAVING deferred); the plain shape runs the steps as-is.
     val needsAux = spec.partialsPlan.isDefined
-    val sliceAgg = spec.partialsPlan match {
+    def partials(): DataFrame = spec.partialsPlan match {
       case Some(p) =>
         runStepsWithOutput(org.apache.spark.sql.GraftPlanExec.ofRows(spark, p))
       case None => runSteps(steps)
+    }
+    val keys = spec.keys
+    val kinds = spec.aggs.toMap ++ spec.avgs.flatMap(n =>
+      Seq(s"__as_$n" -> "sum", s"__ac_$n" -> "count"))
+    // This run's DELTA partials. A plain chain aggregates the new slices
+    // directly (stateless derivations are linear in the input multiset).
+    // With an inner join below the aggregate the delta is the join
+    // decomposition  Δout = ΔA ⋈ B_full  ∪  A_old ⋈ ΔB  — run the chain
+    // once per term and merge the two aggregated frames: decomposable
+    // partials are associative, so agg(t1 ∪ t2) = agg(t1) ⊕ agg(t2).
+    val sliceAgg = spec.join match {
+      case None => partials()
+      case Some(jd) =>
+        val ia = byAlias(jd.left).get
+        val ib = byAlias(jd.right).get
+        val oldA = store.read(bufferName(jd.left), ia.df.schema)
+        val oldB = store.read(bufferName(jd.right), ib.df.schema)
+        def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
+          aDf.drop("__seq").createOrReplaceTempView(jd.left)
+          bDf.drop("__seq").createOrReplaceTempView(jd.right)
+          partials()
+        }
+        val parts = Seq(
+          if (ia.spec.offsetInterval.isEmpty) None
+          else Some(pass(ia.df, oldB.unionByName(ib.df))),
+          if (ib.spec.offsetInterval.isEmpty) None else Some(pass(oldA, ib.df))
+        ).flatten
+        parts match {
+          case Seq(p1, p2) =>
+            mergePartials(p1, p2, keys, kinds, p1.schema, "full_outer")
+          case Seq(p1) => p1
+          // watermark-only run: no delta terms — empty partials frame
+          case _ => pass(ia.df, ib.df).limit(0)
+        }
     }
     // Analysis-only frame of the ORIGINAL output step — supplies the
     // visible column order and avg result types; never executed.
@@ -572,29 +613,11 @@ final class IncrementalExecutor(
     // is what the recompute path diffs against after a retraction flip.
     val prev = store.read(
       if (needsAux) aggStateName else snapshotName, sliceAgg.schema)
-    val keys = spec.keys
-    val kinds = spec.aggs.toMap ++ spec.avgs.flatMap(n =>
-      Seq(s"__as_$n" -> "sum", s"__ac_$n" -> "count"))
     val keyEq =
       if (keys.isEmpty) lit(true)
       else keys.map(k => col(s"p.$k") <=> col(s"n.$k")).reduce(_ && _)
-    // Null algebra: an absent/NULL previous partial merges to the slice
-    // value and vice versa — correct for sum/min/max (NULL = "no non-null
-    // values yet") and unreachable for count (never NULL on a present row).
-    // Cast back to the recompute schema: sum(decimal) widens under `+`.
-    def mergeCol(fd: org.apache.spark.sql.types.StructField): Column = {
-      val p = col(s"p.${fd.name}"); val n = col(s"n.${fd.name}")
-      val m = kinds.get(fd.name) match {
-        case Some("min") => when(p.isNull, n).when(n.isNull, p).otherwise(least(p, n))
-        case Some("max") => when(p.isNull, n).when(n.isNull, p).otherwise(greatest(p, n))
-        case Some(_)     => when(p.isNull, n).when(n.isNull, p).otherwise(p + n)
-        case None        => coalesce(p, n) // group key
-      }
-      m.cast(fd.dataType).as(fd.name)
-    }
-    val mergedTouched = prev.alias("p")
-      .join(sliceAgg.alias("n"), keyEq, "right_outer")
-      .select(sliceAgg.schema.fields.map(mergeCol).toSeq: _*)
+    val mergedTouched =
+      mergePartials(prev, sliceAgg, keys, kinds, sliceAgg.schema, "right_outer")
     val (prevTouched, untouched) =
       if (keys.isEmpty) (prev, prev.limit(0))
       else (
@@ -638,6 +661,39 @@ final class IncrementalExecutor(
       emissionOrder = Some(keys.map(col(_).asc) :+
         col(vocab.operationTypeColumn).asc),
       retractiveInputs = ledger.retractiveInputs)
+  }
+
+  /** Pairwise merge of two partials frames on the group keys with the
+    * decomposable-aggregate algebra: keys pair null-safely and coalesce,
+    * sum/count add, min/max take least/greatest. Null algebra: an
+    * absent/NULL partial on either side merges to the other — correct for
+    * sum/min/max (NULL = "no non-null values yet") and unreachable for
+    * count on a present row. Cast back to `schema`: sum(decimal) widens
+    * under `+`. joinType "right_outer" merges state into this run's
+    * touched keys; "full_outer" combines two delta-term frames.
+    */
+  private def mergePartials(
+      p0: DataFrame,
+      n0: DataFrame,
+      keys: Seq[String],
+      kinds: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType,
+      joinType: String): DataFrame = {
+    val keyEq =
+      if (keys.isEmpty) lit(true)
+      else keys.map(k => col(s"p.$k") <=> col(s"n.$k")).reduce(_ && _)
+    def mergeCol(fd: org.apache.spark.sql.types.StructField): Column = {
+      val p = col(s"p.${fd.name}"); val n = col(s"n.${fd.name}")
+      val m = kinds.get(fd.name) match {
+        case Some("min") => when(p.isNull, n).when(n.isNull, p).otherwise(least(p, n))
+        case Some("max") => when(p.isNull, n).when(n.isNull, p).otherwise(greatest(p, n))
+        case Some(_)     => when(p.isNull, n).when(n.isNull, p).otherwise(p + n)
+        case None        => coalesce(p, n) // group key
+      }
+      m.cast(fd.dataType).as(fd.name)
+    }
+    p0.alias("p").join(n0.alias("n"), keyEq, joinType)
+      .select(schema.fields.map(mergeCol).toSeq: _*)
   }
 
   /** Append-only delta-join fast path for SnapshotDiff chains that are one

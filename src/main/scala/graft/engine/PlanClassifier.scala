@@ -111,13 +111,19 @@ object PlanClassifier {
     * @param partialsPlan the output step's parsed plan with HAVING/ORDER
     *   dropped and avg split into its partials — present iff avgs or
     *   havingSql is; the executor runs it in place of the output step
+    * @param join when the aggregate sits above the chain's single inner
+    *   join ([[JoinDelta]] conditions), this run's delta partials come from
+    *   the join decomposition — `agg(ΔA⋈B_full) ⊕ agg(A_old⋈ΔB)` — merged
+    *   into state by the same algebra; decomposable partials are
+    *   associative, so aggregating each delta term separately is exact
     */
   final case class AggMergeSpec(
       keys: Seq[String],
       aggs: Seq[(String, String)],
       avgs: Seq[String] = Nil,
       havingSql: Option[String] = None,
-      partialsPlan: Option[LogicalPlan] = None)
+      partialsPlan: Option[LogicalPlan] = None,
+      join: Option[JoinDelta] = None)
 
   /** Facts accumulated over every parsed step of the chain.
     * @param calendarTumble chain has a calendar (month/quarter/year) tumble
@@ -361,9 +367,9 @@ object PlanClassifier {
           "in one transform")
       Mode.Windowed(f.intervalUppers.max)
     } else if (f.snapshotFacts) {
-      val keys = snapshotKeys(f)
+      val keys = snapshotKeys(f, aggTopsOutputStep(spark, steps))
       Mode.SnapshotDiff(keys,
-        extractAggMerge(spark, steps, f, keys),
+        extractAggMerge(spark, steps, f),
         extractRankTouch(spark, steps, f, keys),
         extractJoinDelta(spark, steps, f),
         extractDistinctDelta(spark, steps, f))
@@ -377,22 +383,40 @@ object PlanClassifier {
     * aggregate column is an aliased non-DISTINCT, non-FILTER
     * sum/count/min/max/avg, and every group key survives to the output. A
     * HAVING above the aggregate qualifies when its predicate reads only
-    * OUTPUT columns (it is then applied post-merge). Anything else —
-    * expressions over aggregates, aggregates in HAVING, the aggregate in an
-    * intermediate step — returns None and keeps the recompute path.
+    * OUTPUT columns (it is then applied post-merge). The chain may
+    * additionally hold ONE inner join below the aggregate when it resolves
+    * under [[StepChains]]'s discipline — the spec then carries the
+    * [[JoinDelta]] and the executor aggregates the join's delta terms
+    * instead of the raw slices. Anything else — expressions over
+    * aggregates, aggregates in HAVING, the aggregate in an intermediate
+    * step, an outer join — returns None and keeps the recompute path.
     */
   private def extractAggMerge(
       spark: SparkSession,
       steps: Seq[(Option[String], SqlRewriter.Rewritten)],
-      f: Facts,
-      keys: Option[Seq[String]]): Option[AggMergeSpec] = {
+      f: Facts): Option[AggMergeSpec] = {
     val onlyAgg = f.plainAggs.size == 1 && f.rankSpecs.isEmpty &&
-      f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit &&
+      f.regularJoins <= 1 && !f.otherWindowFns && !f.distinctOrLimit &&
       !f.hasSubquery && !steps.exists(_._2.timeVarying)
-    val ks = keys match {
+    val ks = f.plainAggs.headOption.flatten match {
       case Some(k) if onlyAgg => k
       case _                  => return None
     }
+    // With a join below the aggregate, the slice is not the delta — the
+    // join's delta decomposition is, and it demands the same resolution
+    // discipline as the plain delta-join path (CTE bodies unseeable ⇒
+    // unsound ⇒ no fast path).
+    val joinOpt: Option[JoinDelta] =
+      if (f.regularJoins == 0) None
+      else {
+        val chains = new StepChains(spark, steps)
+        val resolved =
+          if (chains.hasCte) None else chains.resolveSingleInnerJoin()
+        resolved match {
+          case None => return None
+          case some => some
+        }
+      }
     val outIdx = steps.lastIndexWhere(_._1.isEmpty) match {
       case -1 => steps.length - 1
       case i  => i
@@ -435,7 +459,7 @@ object PlanClassifier {
             else Some(partialsPlanOf(
               spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql),
               avgs.toSet))
-          Some(AggMergeSpec(ks, aggs, avgs, having.map(_.sql), partials))
+          Some(AggMergeSpec(ks, aggs, avgs, having.map(_.sql), partials, joinOpt))
         }
       } else None
     }
@@ -546,11 +570,44 @@ object PlanClassifier {
         !outAlias.exists(all.contains) &&
         all.sorted == (stepByAlias.keys.toSeq ++ inputs).sorted
     }
+
+    /** The chain's single INNER join (plain, USING, or NATURAL) — in any
+      * step — with both sides resolving through single-scan pre-steps to
+      * two DISTINCT input relations under the use-once discipline. None
+      * when the join is outer/semi/anti, duplicated, a disguised
+      * self-join, or the discipline fails.
+      */
+    def resolveSingleInnerJoin(): Option[JoinDelta] = {
+      import org.apache.spark.sql.catalyst.plans.{Inner, NaturalJoin, UsingJoin}
+      val joins = plans.flatMap(_._2.collect { case j: Join => j })
+      if (joins.size != 1) return None
+      val j = joins.head
+      val inner = j.joinType match {
+        case Inner               => true
+        case UsingJoin(Inner, _) => true
+        case NaturalJoin(Inner)  => true
+        case _                   => false
+      }
+      if (!inner) return None
+      def relOf(p: LogicalPlan): Option[String] = p match {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          Some(r.multipartIdentifier.last)
+        case s: SubqueryAlias => relOf(s.child)
+        case _                => None
+      }
+      for {
+        a <- relOf(j.left).flatMap(terminal(_))
+        b <- relOf(j.right).flatMap(terminal(_))
+        if a != b && soundUse(Seq(a, b))
+      } yield JoinDelta(a, b)
+    }
   }
 
-  /** Detect the append-only delta-join shape: the output step is a single
-    * INNER join (plain, USING, or NATURAL) whose two sides resolve —
-    * through chains of stateless single-scan pre-steps — to two DISTINCT
+  /** Detect the append-only delta-join shape: the chain holds a single
+    * INNER join (plain, USING, or NATURAL) — in the output step OR a
+    * pre-step (the executor re-runs the whole chain per delta term, and a
+    * stateless post-join step is row-local) — whose two sides resolve
+    * through chains of stateless single-scan pre-steps to two DISTINCT
     * input relations, with the use-once discipline of [[StepChains]] and
     * nothing stateful anywhere: no aggregates, ranking, DISTINCT/LIMIT,
     * subqueries, time-varying literals, or CTEs (their bodies are not plan
@@ -569,28 +626,7 @@ object PlanClassifier {
     if (!onlyJoin) return None
     val chains = new StepChains(spark, steps)
     if (chains.hasCte) return None
-    val joins = chains.outPlan.collect { case j: Join => j }
-    if (joins.size != 1) return None
-    val j = joins.head
-    import org.apache.spark.sql.catalyst.plans.{Inner, NaturalJoin, UsingJoin}
-    val inner = j.joinType match {
-      case Inner               => true
-      case UsingJoin(Inner, _) => true
-      case NaturalJoin(Inner)  => true
-      case _                   => false
-    }
-    if (!inner) return None
-    def relOf(p: LogicalPlan): Option[String] = p match {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        Some(r.multipartIdentifier.last)
-      case s: SubqueryAlias => relOf(s.child)
-      case _                => None
-    }
-    for {
-      a <- relOf(j.left).flatMap(chains.terminal(_))
-      b <- relOf(j.right).flatMap(chains.terminal(_))
-      if a != b && chains.soundUse(Seq(a, b))
-    } yield JoinDelta(a, b)
+    chains.resolveSingleInnerJoin()
   }
 
   /** Detect the append-only DISTINCT shape: the output step is one DISTINCT
@@ -669,16 +705,44 @@ object PlanClassifier {
     else None
   }
 
+  /** True when the output step's top node (below WITH/alias/ORDER/HAVING
+    * wrappers) is an aggregation — a real Aggregate, or a bare Project
+    * calling aggregate functions (the global-aggregate parse shape). */
+  private def aggTopsOutputStep(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)]): Boolean = {
+    val outIdx = steps.lastIndexWhere(_._1.isEmpty) match {
+      case -1 => steps.length - 1
+      case i  => i
+    }
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case w: UnresolvedWith   => unwrap(w.child)
+      case s: SubqueryAlias    => unwrap(s.child)
+      case s: Sort             => unwrap(s.child)
+      case h: UnresolvedHaving => unwrap(h.child)
+      case other               => other
+    }
+    unwrap(spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql)) match {
+      case _: Aggregate => true
+      case p: Project   => p.projectList.exists(containsAggFn)
+      case _            => false
+    }
+  }
+
   /** Diff identity for SnapshotDiff mode: partition keys + rank alias for a
     * single filtered ranking query (Top-N / dedup-latest), group keys for a
-    * single non-windowed aggregation. Anything more complex pairs by
-    * full-row multiset.
+    * single non-windowed aggregation. An aggregation composed with regular
+    * joins stays keyed only when it TOPS the output step (one output row
+    * per group regardless of what is joined below it); an aggregate feeding
+    * a join produces multi-row output where the group keys are not an
+    * identity. Anything more complex pairs by full-row multiset.
     */
-  private def snapshotKeys(f: Facts): Option[Seq[String]] = {
+  private def snapshotKeys(f: Facts, aggAtOutputTop: Boolean): Option[Seq[String]] = {
     val onlyRank = f.rankSpecs.size == 1 && f.plainAggs.isEmpty &&
       f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit
     val onlyAgg = f.plainAggs.size == 1 && f.rankSpecs.isEmpty &&
-      f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit
+      (f.regularJoins == 0 || aggAtOutputTop) && !f.otherWindowFns &&
+      !f.distinctOrLimit
 
     if (onlyRank) {
       val (alias, partKeys) = f.rankSpecs.head

@@ -1246,6 +1246,130 @@ class EngineSpec extends AnyFunSuite {
       r.getAs[Int]("op"))).toSeq == Seq((1L, 10L, Op.Append)))
   }
 
+  test("aggregate above a join updates groups as later rows join buffered state") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = """SELECT max(o.event_time) as event_time, o.order_id as order_id,
+              |  count(*) as n, sum(s.num_shipped) as shipped
+              |FROM orders o JOIN shipments s ON o.order_id = s.order_id
+              |GROUP BY o.order_id""".stripMargin
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    writeSlice(Seq(OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10)), o1)
+    writeSlice(Seq(Shipment(0, 0, t(ts(1)), t(ts(1)), 1, 5)), s1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", o1, o1, 1, wms = Seq(ts(1))),
+        mkInput("shipments", s1, s1, 1, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 0)))
+    val out1 = readOut(s"$dir/out1.parquet").collect()
+    assert(out1.map(r => (r.getAs[Long]("order_id"), r.getAs[Long]("n"),
+      r.getAs[Long]("shipped"), r.getAs[Int]("op"))).toSeq ==
+      Seq((1L, 1L, 5L, Op.Append)))
+
+    // run 2: a second shipment for order 1 only — the delta pass must join
+    // the BUFFERED order and update the group as -U/+U
+    val s2 = s"$dir/s2.parquet"
+    writeSlice(Seq(Shipment(1, 0, t(ts(2)), t(ts(2)), 1, 7)), s2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", null, o1, 0, wms = Seq(ts(2))),
+        mkInput("shipments", s2, s2, 1, startOffset = 1, wms = Seq(ts(2)))),
+      nextOffset = 1, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(1, 2)))
+    val out2 = readOut(s"$dir/out2.parquet").orderBy("offset").collect()
+    assert(out2.map(r => (r.getAs[Long]("order_id"), r.getAs[Long]("n"),
+      r.getAs[Long]("shipped"), r.getAs[Int]("op"))).toSeq ==
+      Seq((1L, 1L, 5L, Op.CorrectFrom), (1L, 2L, 12L, Op.CorrectTo)))
+  }
+
+  test("agg-over-join merge path and recompute emit identical changelogs") {
+    import spark.implicits._
+    // Seeded random append-only slices on TWO inputs through the mergeable
+    // aggregate-above-inner-join shape (join-delta partials merged into
+    // state) and a value-identical ineligible variant (`sum(...) + 0`
+    // forces recompute; both diff keyed on the group key). Run 4 retracts
+    // a run-1 order, covering the merge → net-and-recompute flip against
+    // the merge-maintained snapshot. Slices may be empty for either input
+    // (watermark-only advances).
+    val rnd = new scala.util.Random(37)
+    val dirF = tmp(); val dirC = tmp()
+    def q(sum: String) =
+      s"""SELECT max(o.event_time) as event_time, o.order_id as order_id,
+         |  count(*) as n, $sum as shipped
+         |FROM orders o JOIN shipments s ON o.order_id = s.order_id
+         |GROUP BY o.order_id""".stripMargin
+    val qFast = q("sum(s.num_shipped)")
+    val qSlow = q("sum(s.num_shipped) + 0")
+    var offA = 0L; var offB = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 5).foreach { run =>
+      val nA0 = if (run == 1) 2 else rnd.nextInt(3)
+      val nB = if (run == 1) 1 + rnd.nextInt(2) else rnd.nextInt(3)
+      val orders = (0 until nA0).map { i =>
+        OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 10 * (1 + rnd.nextInt(5)))
+      }
+      if (run == 1) firstOrder = orders.head
+      val orderSlice =
+        if (run == 4)
+          orders :+ OrderRow(offA + nA0, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val ships = (0 until nB).map { i =>
+        Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 5 * (1 + rnd.nextInt(4)))
+      }
+      val nA = orderSlice.length
+      def stage(dir: java.nio.file.Path): (String, String) = {
+        val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+        if (nA > 0) writeSlice(orderSlice, o)
+        if (nB > 0) writeSlice(ships, s)
+        (o, s)
+      }
+      val (oF, sF) = stage(dirF); val (oC, sC) = stage(dirC)
+      def drive(tag: String, dir: java.nio.file.Path, o: String, s: String,
+          q: String, prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(
+            mkInput("orders", if (nA > 0) o else null,
+              s"$dir/o1.parquet", nA, startOffset = offA, wms = Seq(ts(run))),
+            mkInput("shipments", if (nB > 0) s else null,
+              s"$dir/s1.parquet", nB, startOffset = offB, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, oF, sF, qFast, prevF))
+      prevC = Some(drive("c", dirC, oC, sC, qSlow, prevC))
+      offA += nA; offB += nB
+      val sel = Seq("offset", "op", "event_time", "order_id", "n", "shipped")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    // the random schedule must have produced joined, aggregated output
+    assert(nextOut("f") > 0)
+  }
+
   test("delta-join path and recompute path emit identical changelogs") {
     import spark.implicits._
     // Seeded random append-only slices on TWO inputs through two chains:

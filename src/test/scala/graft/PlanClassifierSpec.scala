@@ -214,12 +214,13 @@ class PlanClassifierSpec extends AnyFunSuite {
     // expression subqueries change membership without new slice rows
     assert(jd(
       "SELECT a.id, b.v FROM a JOIN b ON a.id = b.id WHERE a.id IN (SELECT id FROM c)").isEmpty)
-    // the JOIN in a PRE-step with stateless post-processing: the output
-    // step's delta cannot be formed from the step's view alone — recompute
+    // the JOIN in a PRE-step with stateless post-processing: the executor
+    // re-runs the whole chain per delta term, so the delta path applies
     assert(PlanClassifier.classify(spark, Seq(
       (Some("j"), SqlRewriter.rewrite("SELECT a.id, b.v FROM a JOIN b ON a.id = b.id", st, None)),
       (None, SqlRewriter.rewrite("SELECT id, v FROM j", st, None))))
-      .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
+      Some(PlanClassifier.JoinDelta("a", "b")))
   }
 
   test("delta-join resolves through stateless single-scan pre-steps") {
@@ -271,6 +272,49 @@ class PlanClassifierSpec extends AnyFunSuite {
       Some("v") -> "SELECT DISTINCT symbol FROM t",
       None -> "SELECT symbol FROM v")
       .asInstanceOf[Mode.SnapshotDiff].distinctDelta.isEmpty)
+  }
+
+  test("a mergeable aggregate above an inner join carries the join spec") {
+    def sd(qs: (Option[String], String)*): Mode.SnapshotDiff =
+      PlanClassifier.classify(spark,
+        qs.toSeq.map { case (a, q) => (a, SqlRewriter.rewrite(q, st, None)) })
+        .asInstanceOf[Mode.SnapshotDiff]
+    val m = sd(None -> ("SELECT a.id AS id, sum(b.v) AS s, count(*) AS n " +
+      "FROM a JOIN b ON a.id = b.id GROUP BY a.id"))
+    assert(m.aggMerge.isDefined)
+    assert(m.aggMerge.get.join == Some(PlanClassifier.JoinDelta("a", "b")))
+    assert(m.aggMerge.get.keys == Seq("id"))
+    assert(m.aggMerge.get.aggs.toSet == Set("s" -> "sum", "n" -> "count"))
+    // the aggregate tops the output step → group keys are the diff identity
+    assert(m.keys == Some(Seq("id")))
+    // join in a pre-step, aggregate at the output: same spec
+    assert(sd(
+      Some("j") -> "SELECT a.id AS id, b.v AS v FROM a JOIN b ON a.id = b.id",
+      None -> "SELECT id, sum(v) AS s FROM j GROUP BY id")
+      .aggMerge.exists(_.join == Some(PlanClassifier.JoinDelta("a", "b"))))
+    // avg + HAVING above the join still qualifies
+    val ah = sd(None -> ("SELECT a.id AS id, avg(b.v) AS av, sum(b.v) AS s " +
+      "FROM a JOIN b ON a.id = b.id GROUP BY a.id HAVING s > 10"))
+    assert(ah.aggMerge.exists(sp => sp.join.isDefined &&
+      sp.avgs == Seq("av") && sp.havingSql.isDefined))
+    // outer join: delta not append-only — no merge spec, identity stays keyed
+    val lj = sd(None -> ("SELECT a.id AS id, sum(b.v) AS s " +
+      "FROM a LEFT JOIN b ON a.id = b.id GROUP BY a.id"))
+    assert(lj.aggMerge.isEmpty && lj.keys == Some(Seq("id")))
+    // expression over the aggregate: no merge spec
+    assert(sd(None -> ("SELECT a.id AS id, sum(b.v) + 0 AS s " +
+      "FROM a JOIN b ON a.id = b.id GROUP BY a.id")).aggMerge.isEmpty)
+    // an input scanned outside the join chain breaks the use-once discipline
+    assert(sd(
+      Some("w") -> "SELECT id FROM a",
+      None -> ("SELECT a.id AS id, sum(b.v) AS s " +
+        "FROM a JOIN b ON a.id = b.id GROUP BY a.id")).aggMerge.isEmpty)
+    // an aggregate FEEDING a join: multi-row output per group key — no
+    // merge spec AND no keyed identity (multiset diff)
+    val below = sd(
+      Some("g") -> "SELECT id, sum(v) AS s FROM a GROUP BY id",
+      None -> "SELECT g.id AS id, g.s AS s, b.v AS v FROM g JOIN b ON g.id = b.id")
+    assert(below.aggMerge.isEmpty && below.keys.isEmpty)
   }
 
   test("a single DISTINCT carries a distinct-delta spec") {
