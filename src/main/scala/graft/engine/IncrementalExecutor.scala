@@ -100,16 +100,19 @@ final class IncrementalExecutor(
       d match {
         case _ if retractiveNow.nonEmpty =>
           runSnapshotDiff(d.keys, d.rankTouch)
-        case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _)
+        case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _, _)
             if spec.join.forall(jd =>
               byAlias(jd.left).isDefined && byAlias(jd.right).isDefined) =>
           runIncrementalAgg(spec)
-        case PlanClassifier.Mode.SnapshotDiff(_, _, _, Some(jd), _)
+        case PlanClassifier.Mode.SnapshotDiff(_, _, _, Some(jd), _, _)
             if byAlias(jd.left).isDefined && byAlias(jd.right).isDefined =>
           runDeltaJoin(jd)
-        case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, Some(dd))
+        case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, Some(dd), _)
             if byAlias(dd.input).isDefined =>
           runDistinctDelta(dd)
+        case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, _, Some(lj))
+            if byAlias(lj.left).isDefined && byAlias(lj.right).isDefined =>
+          runLeftDeltaJoin(lj)
         case _ => runSnapshotDiff(d.keys, d.rankTouch)
       }
   }
@@ -775,6 +778,124 @@ final class IncrementalExecutor(
       retractiveInputs = ledger.retractiveInputs)
   }
 
+  /** Left-join delta fast path (classifier: [[PlanClassifier.LeftJoinDelta]])
+    * for append-only inputs. A left join is not monotone over appends — a
+    * right row arriving for a previously-unmatched left row retracts that
+    * row's null-padded output — so alongside the input buffers the path
+    * keeps `left_matched`, the offsets of left rows that have ever had a
+    * match. Per run it emits
+    *
+    *   ΔA ⟕ B_full                       appends (null-padded if unmatched),
+    *   (A_old ⋉ ΔB) ⟕ ΔB                 appends (pairs only — every left
+    *                                     row in the pass has a match in ΔB),
+    *   chain((A_old ∖ matched) ⋉ ΔB, ∅)  retractions — re-running the step
+    *                                     against an EMPTY right side
+    *                                     reproduces exactly the null-padded
+    *                                     projection those rows emitted when
+    *                                     they were unmatched.
+    *
+    * O(slice ⋈ state) per run. The snapshot stays exact: appends carry in
+    * O(slice); when retractions exist the replaced null-padded rows are
+    * multiset-subtracted (exceptAll) and the snapshot rewritten, so the
+    * first input retraction still flips cleanly to [[runSnapshotDiff]]'s
+    * net-and-recompute path against the same state.
+    *
+    * Changelog granularity: when the projection drops every right-side
+    * column, a replaced null-padded row and its new pair can be
+    * value-identical; the recompute path's multiset diff nets such pairs
+    * while this path emits the −D/+I churn explicitly (what Flink's
+    * retract stream does too). The net state is identical either way.
+    */
+  private def runLeftDeltaJoin(spec: PlanClassifier.LeftJoinDelta): ExecResult = {
+    val ia = byAlias(spec.left).get
+    val ib = byAlias(spec.right).get
+    val olds = inputs.map(i =>
+      i.spec.queryAlias -> store.read(bufferName(i.spec.queryAlias), i.df.schema)).toMap
+    val oldA = olds(spec.left)
+    val oldB = olds(spec.right)
+    val fullB = oldB.unionByName(ib.df)
+    val offCol = ia.spec.vocab.offsetColumn
+    val matched0 = store.read(leftMatchedName,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(offCol,
+          org.apache.spark.sql.types.LongType))))
+
+    def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
+      aDf.drop("__seq").createOrReplaceTempView(spec.left)
+      bDf.drop("__seq").createOrReplaceTempView(spec.right)
+      runSteps(steps)
+    }
+    /** The ON condition evaluated directly against raw input frames (the
+      * classifier guarantees both sides are direct relations, so the
+      * predicate references only their columns under these aliases). */
+    def matchJoin(aDf: DataFrame, bDf: DataFrame, joinType: String): DataFrame =
+      aDf.drop("__seq").alias(spec.leftAlias)
+        .join(bDf.drop("__seq").alias(spec.rightAlias),
+          expr(spec.conditionSql), joinType)
+
+    val hasDa = ia.spec.offsetInterval.nonEmpty
+    val hasDb = ib.spec.offsetInterval.nonEmpty
+
+    val p1 = if (hasDa) Some(pass(ia.df, fullB)) else None
+    val p2 =
+      if (hasDb) Some(pass(matchJoin(oldA, ib.df, "left_semi"), ib.df)) else None
+    val prevUnmatchedNowMatched =
+      if (hasDb)
+        matchJoin(
+          oldA.alias("__a").join(matched0.alias("__m"),
+            col(s"__a.$offCol") === col(s"__m.$offCol"), "left_anti"),
+          ib.df, "left_semi")
+      else oldA.limit(0)
+    val p3 = if (hasDb) Some(pass(prevUnmatchedNowMatched, fullB.limit(0))) else None
+
+    val shape = (p1 orElse p2).getOrElse(pass(ia.df, ib.df).limit(0))
+    if (shape.columns.contains(vocab.operationTypeColumn))
+      throw new InvalidQueryException(
+        s"an updating query must not project the operation column " +
+          s"'${vocab.operationTypeColumn}' — ops are generated by the " +
+          "engine from the snapshot diff")
+
+    val appends = Seq(p1, p2).flatten.reduceOption(_.unionByName(_))
+    val retractsRaw = p3.filter(!_.isEmpty)
+    val emitted = (appends.map(_.withColumn(vocab.operationTypeColumn, lit(Op.Append))) ++
+      retractsRaw.map(_.withColumn(vocab.operationTypeColumn, lit(Op.Retract))))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(shape.limit(0).withColumn(vocab.operationTypeColumn, lit(Op.Append)))
+
+    inputs.foreach(i => store.appendCarry(bufferName(i.spec.queryAlias),
+      i.df, olds(i.spec.queryAlias).unionByName(i.df)))
+    // matched-state is append-only: ΔA rows matching anything now, plus the
+    // previously-unmatched old rows ΔB just matched — disjoint from matched0
+    val newMatched = Seq(
+      if (hasDa) Some(matchJoin(ia.df, fullB, "left_semi")
+        .select(col(s"${spec.leftAlias}.$offCol"))) else None,
+      if (hasDb) Some(prevUnmatchedNowMatched
+        .select(col(s"${spec.leftAlias}.$offCol"))) else None
+    ).flatten.reduceOption(_.unionByName(_)).getOrElse(matched0.limit(0))
+    store.appendCarry(leftMatchedName, newMatched, matched0.unionByName(newMatched))
+
+    val prevSnap = store.read(snapshotName, shape.schema)
+    retractsRaw match {
+      case Some(r) =>
+        store.write(snapshotName,
+          appends.map(prevSnap.unionByName(_)).getOrElse(prevSnap).exceptAll(r))
+      case None =>
+        val add = appends.getOrElse(shape.limit(0))
+        store.appendCarry(snapshotName, add, prevSnap.unionByName(add))
+    }
+
+    val orderCols = shape.schema.fields.filter(fd =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(fd.dataType)).map(_.name).toSeq
+    ExecResult(
+      emitted,
+      minWm(inputs),
+      None,
+      emissionOrder = Some(orderCols.map(col(_).asc) :+
+        col(vocab.operationTypeColumn).asc),
+      retractiveInputs = ledger.retractiveInputs)
+  }
+
   /** Append-only DISTINCT fast path: distinct the NEW SLICE only through
     * the step, then anti-join (null-safe, all columns) the persisted
     * snapshot — rows already emitted stay emitted, new distinct rows
@@ -905,6 +1026,9 @@ object IncrementalExecutor {
   /** State name for the joined-stream window buffer in AsOfWindowed mode;
     * `__` keeps it clear of user query aliases. */
   val AsOfWindowBufferAlias: String = "__asof_window"
+  /** Left-join delta path: offsets of left-input rows that have ever had a
+    * right-side match (see [[IncrementalExecutor.runLeftDeltaJoin]]). */
+  val leftMatchedName: String = "left_matched"
 
   def unitMillis(unit: String): Long = unit.toLowerCase match {
     case "second" | "seconds" => 1000L

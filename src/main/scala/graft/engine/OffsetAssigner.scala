@@ -60,13 +60,17 @@ object OffsetAssigner {
       .sortWithinPartitions(orderCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // pass A: per-partition counts (partition id → n), tiny driver collect
+    // pass A: per-partition counts (partition id → n), tiny driver collect.
+    // Size the base array from the RDD's REAL partition count, not the max
+    // observed id: empty partitions report no count row, but pass B's
+    // closure still evaluates bases(pid) for them.
+    val rdd = sorted.rdd
     val counts: Map[Int, Long] = sorted
       .groupBy(spark_partition_id().as("__pid")).count()
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
-    val nParts = counts.keys.foldLeft(-1)(math.max) + 1
+    val nParts = rdd.getNumPartitions
     val bases = new Array[Long](math.max(nParts, 1))
     var acc = start
     for (p <- 0 until nParts) {
@@ -77,7 +81,7 @@ object OffsetAssigner {
 
     // pass B: local row index + broadcast base of earlier partitions
     val outSchema = sorted.schema.add(StructField(offsetName, LongType, nullable = false))
-    val withOffsets = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val withOffsets = rdd.mapPartitionsWithIndex { (pid, it) =>
       var off = bBases.value(pid)
       it.map { r =>
         val row = Row.fromSeq(r.toSeq :+ off)

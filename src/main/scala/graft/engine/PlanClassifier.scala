@@ -61,7 +61,8 @@ object PlanClassifier {
         aggMerge: Option[AggMergeSpec] = None,
         rankTouch: Option[RankTouch] = None,
         joinDelta: Option[JoinDelta] = None,
-        distinctDelta: Option[DistinctDelta] = None) extends Mode
+        distinctDelta: Option[DistinctDelta] = None,
+        leftJoinDelta: Option[LeftJoinDelta] = None) extends Mode
   }
 
   /** Proof that a SnapshotDiff ranking chain (Top-N / dedup-latest) can be
@@ -84,6 +85,34 @@ object PlanClassifier {
     * null-padded or anti rows — not append-only).
     */
   final case class JoinDelta(left: String, right: String)
+
+  /** Proof that a SnapshotDiff chain is a single LEFT OUTER join of two
+    * direct input relations in one step. Unlike an inner join, a left join
+    * is NOT monotone over appends: a right-side row arriving for a
+    * previously-unmatched left row retracts that row's null-padded output.
+    * The executor therefore keeps the set of left-row offsets that have
+    * ever matched, and per run emits
+    *
+    *   ΔA ⟕ B_full                                    as appends,
+    *   (A_old ⋉ ΔB) ⟕ ΔB                              as appends (pairs only
+    *                                                   — every row matches),
+    *   chain((A_old ∖ matched) ⋉ ΔB, ∅)               as retractions (the
+    *                                                   null-padded rows),
+    *
+    * O(slice ⋈ state) per run instead of recompute + full multiset diff.
+    * Restricted to one step with both join sides as direct (optionally
+    * aliased) relations so the ON condition can be evaluated against the
+    * raw input frames for the matched-state semi/anti joins.
+    *
+    * @param conditionSql the ON predicate as SQL, referencing
+    *   `leftAlias`/`rightAlias`
+    */
+  final case class LeftJoinDelta(
+      left: String,
+      leftAlias: String,
+      right: String,
+      rightAlias: String,
+      conditionSql: String)
 
   /** Proof that a SnapshotDiff chain is one DISTINCT over a stateless
     * derivation of a single input relation. DISTINCT is monotone over
@@ -372,7 +401,8 @@ object PlanClassifier {
         extractAggMerge(spark, steps, f),
         extractRankTouch(spark, steps, f, keys),
         extractJoinDelta(spark, steps, f),
-        extractDistinctDelta(spark, steps, f))
+        extractDistinctDelta(spark, steps, f),
+        extractLeftJoinDelta(spark, steps, f))
     } else Mode.Stateless
   }
 
@@ -627,6 +657,49 @@ object PlanClassifier {
     val chains = new StepChains(spark, steps)
     if (chains.hasCte) return None
     chains.resolveSingleInnerJoin()
+  }
+
+  /** Detect the left-join delta shape (see [[LeftJoinDelta]]): one step,
+    * one LEFT OUTER join with an ON condition, both sides direct
+    * (optionally aliased) input relations each scanned exactly once,
+    * nothing else stateful — same exclusions as [[extractJoinDelta]].
+    */
+  private def extractLeftJoinDelta(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts): Option[LeftJoinDelta] = {
+    val onlyJoin = f.regularJoins == 1 && f.plainAggs.isEmpty &&
+      f.rankSpecs.isEmpty && !f.otherWindowFns && !f.distinctOrLimit &&
+      !f.hasSubquery && f.intervalUppers.isEmpty &&
+      !steps.exists(_._2.timeVarying) && steps.size == 1
+    if (!onlyJoin) return None
+    val plan = spark.sessionState.sqlParser.parsePlan(steps.head._2.sql)
+    if (plan.exists(_.isInstanceOf[UnresolvedWith])) return None
+    val joins = plan.collect { case j: Join => j }
+    if (joins.size != 1) return None
+    val j = joins.head
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    if (j.joinType != LeftOuter || j.condition.isEmpty) return None
+    def relAlias(p: LogicalPlan): Option[(String, String)] = p match {
+      case s: SubqueryAlias =>
+        s.child match {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            Some((r.multipartIdentifier.last, s.alias))
+          case _ => None
+        }
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        Some((r.multipartIdentifier.last, r.multipartIdentifier.last))
+      case _ => None
+    }
+    val allRels = plan.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    }
+    for {
+      (a, la) <- relAlias(j.left)
+      (b, rb) <- relAlias(j.right)
+      if a != b && allRels.sorted == Seq(a, b).sorted
+    } yield LeftJoinDelta(a, la, b, rb, j.condition.get.sql)
   }
 
   /** Detect the append-only DISTINCT shape: the output step is one DISTINCT

@@ -1370,6 +1370,145 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("left join retracts the null-padded row when the match arrives") {
+    import spark.implicits._
+    val dir = tmp()
+    val q = """SELECT o.event_time as event_time, o.order_id as order_id,
+              |  o.quantity as quantity, s.num_shipped as num_shipped
+              |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    writeSlice(Seq(
+      OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10),
+      OrderRow(1, 0, t(ts(1)), t(ts(1)), 2, 20)), o1)
+    writeSlice(Seq(Shipment(0, 0, t(ts(1)), t(ts(1)), 1, 5)), s1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", o1, o1, 2, wms = Seq(ts(1))),
+        mkInput("shipments", s1, s1, 1, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 1)))
+    val out1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    // order 1 pairs; order 2 emits null-padded
+    assert(out1.map(r => (r.getAs[Long]("order_id"), r.getAs[Any]("num_shipped"),
+      r.getAs[Int]("op"))).toSeq ==
+      Seq((1L, 5L, Op.Append), (2L, null, Op.Append)))
+
+    // run 2: shipment for order 2 — its null-padded row retracts, pair appends
+    val s2 = s"$dir/s2.parquet"
+    writeSlice(Seq(Shipment(1, 0, t(ts(2)), t(ts(2)), 2, 7)), s2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", null, o1, 0, wms = Seq(ts(2))),
+        mkInput("shipments", s2, s2, 1, startOffset = 1, wms = Seq(ts(2)))),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(2, 3)))
+    val out2 = readOut(s"$dir/out2.parquet").orderBy("offset").collect()
+    // emission sorts value columns asc (nulls first): the retracted
+    // null-padded row takes the lower offset
+    assert(out2.map(r => (r.getAs[Long]("order_id"), r.getAs[Any]("num_shipped"),
+      r.getAs[Int]("op"))).toSeq ==
+      Seq((2L, null, Op.Retract), (2L, 7L, Op.Append)))
+
+    // run 3: another shipment for order 2 — pair only, NO second retraction
+    val s3 = s"$dir/s3.parquet"
+    writeSlice(Seq(Shipment(2, 0, t(ts(3)), t(ts(3)), 2, 9)), s3)
+    val r3 = runT(TransformRequest(
+      "did:out", "out", ts(12), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", null, o1, 0, wms = Seq(ts(3))),
+        mkInput("shipments", s3, s3, 1, startOffset = 2, wms = Seq(ts(3)))),
+      nextOffset = 4, prevCheckpointPath = Some(s"$dir/cp2"),
+      newCheckpointPath = s"$dir/cp3", newDataPath = s"$dir/out3.parquet"))
+    assert(r3.newOffsetInterval.contains(OffsetInterval(4, 4)))
+    val out3 = readOut(s"$dir/out3.parquet").collect()
+    assert(out3.map(r => (r.getAs[Long]("order_id"), r.getAs[Any]("num_shipped"),
+      r.getAs[Int]("op"))).toSeq == Seq((2L, 9L, Op.Append)))
+  }
+
+  test("left-join delta path and recompute path emit identical changelogs") {
+    import spark.implicits._
+    // Seeded random append-only slices on TWO inputs through the
+    // single-step left join (delta path with matched-state) and a
+    // value-identical CTE-wrapped variant (recompute + multiset diff).
+    // Run 4 retracts a run-1 order, covering the delta → net-and-recompute
+    // flip against the delta-maintained snapshot (including the exceptAll
+    // null-pad replacement). Slices may be empty for either input.
+    val rnd = new scala.util.Random(59)
+    val dirF = tmp(); val dirC = tmp()
+    val join = """SELECT o.event_time as event_time, o.order_id, o.quantity,
+                 |  s.num_shipped
+                 |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    val qFast = join
+    val qSlow = s"WITH j AS ($join)\nSELECT event_time, order_id, quantity, num_shipped FROM j"
+    var offA = 0L; var offB = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 5).foreach { run =>
+      val nA0 = if (run == 1) 2 else rnd.nextInt(3)
+      val nB = if (run == 1) 1 + rnd.nextInt(2) else rnd.nextInt(3)
+      val orders = (0 until nA0).map { i =>
+        OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 10 * (1 + rnd.nextInt(5)))
+      }
+      if (run == 1) firstOrder = orders.head
+      val orderSlice =
+        if (run == 4)
+          orders :+ OrderRow(offA + nA0, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val ships = (0 until nB).map { i =>
+        Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 5 * (1 + rnd.nextInt(4)))
+      }
+      val nA = orderSlice.length
+      def stage(dir: java.nio.file.Path): (String, String) = {
+        val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+        if (nA > 0) writeSlice(orderSlice, o)
+        if (nB > 0) writeSlice(ships, s)
+        (o, s)
+      }
+      val (oF, sF) = stage(dirF); val (oC, sC) = stage(dirC)
+      def drive(tag: String, dir: java.nio.file.Path, o: String, s: String,
+          q: String, prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(
+            mkInput("orders", if (nA > 0) o else null,
+              s"$dir/o1.parquet", nA, startOffset = offA, wms = Seq(ts(run))),
+            mkInput("shipments", if (nB > 0) s else null,
+              s"$dir/s1.parquet", nB, startOffset = offB, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, oF, sF, qFast, prevF))
+      prevC = Some(drive("c", dirC, oC, sC, qSlow, prevC))
+      offA += nA; offB += nB
+      val sel = Seq("offset", "op", "event_time", "order_id", "quantity", "num_shipped")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    assert(nextOut("f") > 0)
+  }
+
   test("delta-join path and recompute path emit identical changelogs") {
     import spark.implicits._
     // Seeded random append-only slices on TWO inputs through two chains:

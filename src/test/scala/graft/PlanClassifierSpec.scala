@@ -274,6 +274,37 @@ class PlanClassifierSpec extends AnyFunSuite {
       .asInstanceOf[Mode.SnapshotDiff].distinctDelta.isEmpty)
   }
 
+  test("a plain LEFT JOIN of two direct relations carries a left-join-delta spec") {
+    def lj(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].leftJoinDelta
+    val spec = lj("SELECT o.event_time, o.order_id, s.num_shipped " +
+      "FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id")
+    assert(spec.isDefined)
+    assert(spec.get.left == "orders" && spec.get.leftAlias == "o")
+    assert(spec.get.right == "shipments" && spec.get.rightAlias == "s")
+    // unaliased sides use the relation name as the qualifier
+    assert(lj("SELECT orders.order_id FROM orders LEFT JOIN shipments " +
+      "ON orders.order_id = shipments.order_id")
+      .exists(s => s.leftAlias == "orders" && s.rightAlias == "shipments"))
+    // a WHERE above the join is re-applied by the delta passes — still valid
+    assert(lj("SELECT o.order_id, s.num_shipped FROM orders o " +
+      "LEFT JOIN shipments s ON o.order_id = s.order_id " +
+      "WHERE o.quantity > 2").isDefined)
+    // inner joins take the (cheaper) join-delta path, not this one
+    assert(lj("SELECT o.order_id FROM orders o JOIN shipments s " +
+      "ON o.order_id = s.order_id").isEmpty)
+    // full outer: neither side's null-padding is tracked — recompute
+    assert(lj("SELECT o.order_id FROM orders o FULL JOIN shipments s " +
+      "ON o.order_id = s.order_id").isEmpty)
+    // a derived (non-direct) side: the ON condition cannot be evaluated
+    // against the raw input for matched-state maintenance — recompute
+    assert(lj("SELECT o.order_id, s.n FROM orders o LEFT JOIN " +
+      "(SELECT order_id, num_shipped AS n FROM shipments) s " +
+      "ON o.order_id = s.order_id").isEmpty)
+    // self left-join stays recompute
+    assert(lj("SELECT a.order_id FROM orders a LEFT JOIN orders b " +
+      "ON a.order_id = b.order_id").isEmpty)
+  }
+
   test("a mergeable aggregate above an inner join carries the join spec") {
     def sd(qs: (Option[String], String)*): Mode.SnapshotDiff =
       PlanClassifier.classify(spark,
