@@ -108,7 +108,8 @@ final class IncrementalExecutor(
             if byAlias(jd.left).isDefined && byAlias(jd.right).isDefined =>
           runDeltaJoin(jd)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, Some(dd), _)
-            if byAlias(dd.input).isDefined =>
+            if byAlias(dd.input).isDefined &&
+              dd.join.forall(jd => byAlias(jd.right).isDefined) =>
           runDistinctDelta(dd)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, _, Some(lj))
             if byAlias(lj.left).isDefined && byAlias(lj.right).isDefined =>
@@ -736,13 +737,7 @@ final class IncrementalExecutor(
     def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
       aDf.drop("__seq").createOrReplaceTempView(spec.left)
       bDf.drop("__seq").createOrReplaceTempView(spec.right)
-      var out: DataFrame = null
-      steps.zipWithIndex.foreach { case ((alias, rw), i) =>
-        val df = spark.sql(rw.sql)
-        alias.foreach(df.createOrReplaceTempView)
-        if (i == outputIdx) out = df
-      }
-      out
+      runStepsUntapped()
     }
     val parts = Seq(
       if (ia.spec.offsetInterval.isEmpty) None else Some(pass(ia.df, fullB)),
@@ -823,7 +818,7 @@ final class IncrementalExecutor(
     def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
       aDf.drop("__seq").createOrReplaceTempView(spec.left)
       bDf.drop("__seq").createOrReplaceTempView(spec.right)
-      runSteps(steps)
+      runStepsUntapped()
     }
     /** The ON condition evaluated directly against raw input frames (the
       * classifier guarantees both sides are direct relations, so the
@@ -857,10 +852,12 @@ final class IncrementalExecutor(
 
     val appends = Seq(p1, p2).flatten.reduceOption(_.unionByName(_))
     val retractsRaw = p3.filter(!_.isEmpty)
-    val emitted = (appends.map(_.withColumn(vocab.operationTypeColumn, lit(Op.Append))) ++
-      retractsRaw.map(_.withColumn(vocab.operationTypeColumn, lit(Op.Retract))))
-      .reduceOption(_.unionByName(_))
-      .getOrElse(shape.limit(0).withColumn(vocab.operationTypeColumn, lit(Op.Append)))
+    val emitted = Snitch.tap(
+      (appends.map(_.withColumn(vocab.operationTypeColumn, lit(Op.Append))) ++
+        retractsRaw.map(_.withColumn(vocab.operationTypeColumn, lit(Op.Retract))))
+        .reduceOption(_.unionByName(_))
+        .getOrElse(shape.limit(0).withColumn(vocab.operationTypeColumn, lit(Op.Append))),
+      "output")
 
     inputs.foreach(i => store.appendCarry(bufferName(i.spec.queryAlias),
       i.df, olds(i.spec.queryAlias).unionByName(i.df)))
@@ -906,13 +903,35 @@ final class IncrementalExecutor(
     * [[runSnapshotDiff]] without migration.
     */
   private def runDistinctDelta(spec: PlanClassifier.DistinctDelta): ExecResult = {
-    val i = byAlias(spec.input).get
-    i.df.drop("__seq").createOrReplaceTempView(spec.input)
-    var sliceDistinct: DataFrame = null
-    steps.zipWithIndex.foreach { case ((alias, rw), ix) =>
-      val df = spark.sql(rw.sql)
-      alias.foreach(df.createOrReplaceTempView)
-      if (ix == outputIdx) sliceDistinct = df
+    // Delta candidates: the distinct of the new slice alone — or, with an
+    // inner join under the DISTINCT, of the join's delta terms (each pass
+    // re-runs the chain, so the step's own DISTINCT applies per term;
+    // dropDuplicates dedups across the two terms before the anti-join).
+    val sliceDistinct: DataFrame = spec.join match {
+      case None =>
+        val i = byAlias(spec.input).get
+        i.df.drop("__seq").createOrReplaceTempView(spec.input)
+        runStepsUntapped()
+      case Some(jd) =>
+        val ia = byAlias(jd.left).get
+        val ib = byAlias(jd.right).get
+        val oldA = store.read(bufferName(jd.left), ia.df.schema)
+        val oldB = store.read(bufferName(jd.right), ib.df.schema)
+        def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
+          aDf.drop("__seq").createOrReplaceTempView(jd.left)
+          bDf.drop("__seq").createOrReplaceTempView(jd.right)
+          runStepsUntapped()
+        }
+        val parts = Seq(
+          if (ia.spec.offsetInterval.isEmpty) None
+          else Some(pass(ia.df, oldB.unionByName(ib.df))),
+          if (ib.spec.offsetInterval.isEmpty) None else Some(pass(oldA, ib.df))
+        ).flatten
+        parts match {
+          case Seq(p1, p2) => p1.unionByName(p2).dropDuplicates()
+          case Seq(p1)     => p1
+          case _           => pass(ia.df, ib.df).limit(0)
+        }
     }
 
     if (sliceDistinct.columns.contains(vocab.operationTypeColumn))
@@ -1001,6 +1020,19 @@ final class IncrementalExecutor(
     var out: DataFrame = null
     ss.zipWithIndex.foreach { case ((alias, rwStep), i) =>
       val df = Snitch.tap(spark.sql(rwStep.sql), alias.getOrElse("output"))
+      alias.foreach(df.createOrReplaceTempView)
+      if (i == outputIdx) out = df
+    }
+    out
+  }
+
+  /** [[runSteps]] without Snitch taps — for delta-path passes that re-run
+    * the chain per decomposition term: the pass output feeds a frame that
+    * is tapped once as "output", so per-pass taps would double-count. */
+  private def runStepsUntapped(): DataFrame = {
+    var out: DataFrame = null
+    steps.zipWithIndex.foreach { case ((alias, rw), i) =>
+      val df = spark.sql(rw.sql)
       alias.foreach(df.createOrReplaceTempView)
       if (i == outputIdx) out = df
     }

@@ -115,15 +115,20 @@ object PlanClassifier {
       conditionSql: String)
 
   /** Proof that a SnapshotDiff chain is one DISTINCT over a stateless
-    * derivation of a single input relation. DISTINCT is monotone over
-    * appends — rows never leave the set — so while no retraction has been
-    * observed the executor distincts ONLY the new slice and anti-joins the
-    * persisted snapshot: O(slice ⋈ state) per run instead of a full-history
-    * aggregate plus full snapshot diff. First retraction flips to the
-    * recompute path (a retraction can delete the last occurrence of a
-    * distinct row).
+    * derivation of a single input relation — or, when `join` is set, over
+    * the chain's single inner join. DISTINCT is monotone over appends —
+    * rows never leave the set — and so is an inner join, so while no
+    * retraction has been observed the executor distincts ONLY the delta
+    * (the new slice, or the join's delta terms) and anti-joins the
+    * persisted snapshot: O(slice ⋈ state) per run instead of a
+    * full-history aggregate plus full snapshot diff. First retraction
+    * flips to the recompute path (a retraction can delete the last
+    * occurrence of a distinct row).
+    *
+    * @param input the single input relation; `join.get.left` when `join`
+    *   is set (the executor reads both relations from the join spec)
     */
-  final case class DistinctDelta(input: String)
+  final case class DistinctDelta(input: String, join: Option[JoinDelta] = None)
 
   /** Proof that a SnapshotDiff chain's output step is a single aggregation
     * whose functions are decomposable — each output column is either a group
@@ -704,18 +709,19 @@ object PlanClassifier {
 
   /** Detect the append-only DISTINCT shape: the output step is one DISTINCT
     * at the top (below an optional ORDER BY) over a stateless derivation
-    * that resolves — through single-scan pre-steps — to one input relation,
-    * under [[StepChains]]'s use-once discipline; no joins, aggregates,
-    * ranking, LIMIT/set-ops, subqueries, time-varying literals, or CTEs.
-    * A UNION under the DISTINCT scans two relations and is excluded by the
-    * scan count.
+    * that resolves — through single-scan pre-steps — to one input relation
+    * OR to the chain's single inner join ([[JoinDelta]] conditions), under
+    * [[StepChains]]'s use-once discipline; no aggregates, ranking,
+    * LIMIT/set-ops, subqueries, time-varying literals, or CTEs. A UNION
+    * under the DISTINCT scans two relations without a join and is excluded
+    * by the scan count.
     */
   private def extractDistinctDelta(
       spark: SparkSession,
       steps: Seq[(Option[String], SqlRewriter.Rewritten)],
       f: Facts): Option[DistinctDelta] = {
     val onlyDistinct = f.distincts == 1 && !f.limitOrSetOp &&
-      f.plainAggs.isEmpty && f.rankSpecs.isEmpty && f.regularJoins == 0 &&
+      f.plainAggs.isEmpty && f.rankSpecs.isEmpty && f.regularJoins <= 1 &&
       !f.otherWindowFns && !f.hasSubquery && f.intervalUppers.isEmpty &&
       !steps.exists(_._2.timeVarying)
     if (!onlyDistinct) return None
@@ -726,6 +732,9 @@ object PlanClassifier {
       case other   => other
     }
     if (!unwrap(chains.outPlan).isInstanceOf[Distinct]) return None
+    if (f.regularJoins == 1)
+      return chains.resolveSingleInnerJoin()
+        .map(jd => DistinctDelta(jd.left, Some(jd)))
     chains.outPlan.collect {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         r.multipartIdentifier.last
@@ -733,7 +742,7 @@ object PlanClassifier {
       case Seq(only) =>
         chains.terminal(only)
           .filter(t => chains.soundUse(Seq(t)))
-          .map(DistinctDelta)
+          .map(DistinctDelta(_))
       case _ => None
     }
   }

@@ -1633,6 +1633,83 @@ class EngineSpec extends AnyFunSuite {
     assert(r3.newOffsetInterval.isEmpty)
   }
 
+  test("distinct-over-join delta path and recompute emit identical changelogs") {
+    import spark.implicits._
+    // Seeded random append-only slices on TWO inputs through DISTINCT above
+    // an inner join (delta path: distinct the join's delta terms, anti-join
+    // the snapshot) and a value-identical CTE-wrapped recompute variant.
+    // Run 4 retracts a run-1 order, covering the flip. The projection drops
+    // order quantity so distinct VALUES repeat across different row pairs —
+    // the dedup-across-terms and anti-join must both bite.
+    val rnd = new scala.util.Random(71)
+    val dirF = tmp(); val dirC = tmp()
+    val join = """SELECT DISTINCT o.event_time as event_time, o.order_id,
+                 |  s.num_shipped
+                 |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    val qFast = join
+    val qSlow = s"WITH j AS ($join)\nSELECT event_time, order_id, num_shipped FROM j"
+    var offA = 0L; var offB = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 5).foreach { run =>
+      val nA0 = if (run == 1) 2 else rnd.nextInt(3)
+      val nB = if (run == 1) 1 + rnd.nextInt(2) else rnd.nextInt(3)
+      val orders = (0 until nA0).map { i =>
+        OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(1)),
+          1 + rnd.nextInt(2), 10 * (1 + rnd.nextInt(5)))
+      }
+      if (run == 1) firstOrder = orders.head
+      val orderSlice =
+        if (run == 4)
+          orders :+ OrderRow(offA + nA0, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val ships = (0 until nB).map { i =>
+        Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(2), 5 * (1 + rnd.nextInt(3)))
+      }
+      val nA = orderSlice.length
+      def stage(dir: java.nio.file.Path): (String, String) = {
+        val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+        if (nA > 0) writeSlice(orderSlice, o)
+        if (nB > 0) writeSlice(ships, s)
+        (o, s)
+      }
+      val (oF, sF) = stage(dirF); val (oC, sC) = stage(dirC)
+      def drive(tag: String, dir: java.nio.file.Path, o: String, s: String,
+          q: String, prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(
+            mkInput("orders", if (nA > 0) o else null,
+              s"$dir/o1.parquet", nA, startOffset = offA, wms = Seq(ts(run))),
+            mkInput("shipments", if (nB > 0) s else null,
+              s"$dir/s1.parquet", nB, startOffset = offB, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, oF, sF, qFast, prevF))
+      prevC = Some(drive("c", dirC, oC, sC, qSlow, prevC))
+      offA += nA; offB += nB
+      val sel = Seq("offset", "op", "event_time", "order_id", "num_shipped")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    assert(nextOut("f") > 0)
+  }
+
   test("distinct-delta path and recompute path emit identical changelogs") {
     import spark.implicits._
     // Seeded random slices with a small value domain (guaranteed dups)

@@ -274,6 +274,17 @@ class PlanClassifierSpec extends AnyFunSuite {
       .asInstanceOf[Mode.SnapshotDiff].distinctDelta.isEmpty)
   }
 
+  test("DISTINCT above an inner join carries the join in its delta spec") {
+    def dd(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].distinctDelta
+    assert(dd("SELECT DISTINCT a.id, b.v FROM a JOIN b ON a.id = b.id") ==
+      Some(PlanClassifier.DistinctDelta("a",
+        Some(PlanClassifier.JoinDelta("a", "b")))))
+    // outer join under the DISTINCT: not append-only-monotone — recompute
+    assert(dd("SELECT DISTINCT a.id, b.v FROM a LEFT JOIN b ON a.id = b.id").isEmpty)
+    // a self-join disguise stays recompute
+    assert(dd("SELECT DISTINCT x.id FROM a x JOIN a y ON x.id = y.id").isEmpty)
+  }
+
   test("a plain LEFT JOIN of two direct relations carries a left-join-delta spec") {
     def lj(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].leftJoinDelta
     val spec = lj("SELECT o.event_time, o.order_id, s.num_shipped " +
@@ -365,8 +376,10 @@ class PlanClassifierSpec extends AnyFunSuite {
     assert(dd("SELECT DISTINCT symbol FROM t LIMIT 5").isEmpty)
     // UNION parses as Distinct(Union): two scans, excluded by scan count
     assert(dd("SELECT symbol FROM a UNION SELECT symbol FROM b").isEmpty)
-    // DISTINCT above a join is the join's problem, not a slice-local one
-    assert(dd("SELECT DISTINCT a.symbol FROM a JOIN b ON a.id = b.id").isEmpty)
+    // DISTINCT above an INNER join rides the join's delta decomposition
+    // (not the slice-local path) — see the distinct-over-join test
+    assert(dd("SELECT DISTINCT a.symbol FROM a JOIN b ON a.id = b.id")
+      .exists(_.join.isDefined))
     // CTE bodies are never classified through
     assert(dd("WITH v AS (SELECT DISTINCT symbol FROM t) SELECT symbol FROM v").isEmpty)
   }
