@@ -747,13 +747,19 @@ object PlanClassifier {
     }
   }
 
-  /** Detect the touched-partition ranking shape: one step, one keyed rank
-    * spec (keys defined ⇒ the rank is filtered and partition keys survive to
-    * the output), exactly one occurrence of one input relation, partition
-    * columns never re-defined by an alias anywhere in the step (so the raw
-    * slice's values of those columns are a superset of the touched output
-    * partitions), no subqueries, no time-varying literals. Under those
-    * conditions rows of un-touched partitions cannot change between runs.
+  /** Detect the touched-partition ranking shape: one keyed rank spec (keys
+    * defined ⇒ the rank is filtered and partition keys survive to the
+    * output), the chain resolving — through stateless single-scan
+    * pre-steps under [[StepChains]]'s use-once discipline — to exactly one
+    * input relation, partition columns never re-defined by an alias in ANY
+    * step (so the raw slice's values of those columns are a superset of
+    * the touched output partitions), no subqueries, no time-varying
+    * literals, no CTEs (their bodies are not plan children and can even
+    * shadow the input alias, re-keying partitions while the raw slice
+    * still holds the un-derived values — same rule as the delta paths).
+    * Under those conditions rows of un-touched partitions cannot change
+    * between runs. Covers both the nested single-step spelling and the
+    * two-step `ranked` / `WHERE rn = 1` spelling.
     */
   private def extractRankTouch(
       spark: SparkSession,
@@ -762,29 +768,27 @@ object PlanClassifier {
       keys: Option[Seq[String]]): Option[RankTouch] = {
     val onlyRank = f.rankSpecs.size == 1 && f.plainAggs.isEmpty &&
       f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit &&
-      !f.hasSubquery && !steps.exists(_._2.timeVarying) && steps.size == 1
+      !f.hasSubquery && !steps.exists(_._2.timeVarying)
     if (!onlyRank || keys.isEmpty) return None
     val pk = f.rankSpecs.head._2.getOrElse(return None)
     if (pk.isEmpty) return None
-    val plan = spark.sessionState.sqlParser.parsePlan(steps.head._2.sql)
-    // CTE bodies are not TreeNode children of UnresolvedWith (collectFacts
-    // recurses into them manually), so the relation-count and
-    // alias-redefinition scans below cannot see them — and a CTE can even
-    // SHADOW the input alias, re-keying partitions while the raw slice
-    // still holds the un-derived values. Narrowing is unsound there:
-    // WITH-queries always take the full recompute path.
-    if (plan.exists(_.isInstanceOf[UnresolvedWith])) return None
-    val relations = plan.collect {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        r.multipartIdentifier.last
-    }
-    val redefined = plan.exists(_.expressions.exists(_.exists {
+    val chains = new StepChains(spark, steps)
+    if (chains.hasCte) return None
+    val redefined = chains.plans.exists(_._2.exists(_.expressions.exists(_.exists {
       case Alias(_, n) => pk.contains(n)
       case _           => false
-    }))
-    if (relations.size == 1 && !redefined)
-      Some(RankTouch(relations.head, pk))
-    else None
+    })))
+    if (redefined) return None
+    chains.outPlan.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    } match {
+      case Seq(only) =>
+        chains.terminal(only)
+          .filter(t => chains.soundUse(Seq(t)))
+          .map(RankTouch(_, pk))
+      case _ => None
+    }
   }
 
   /** True when the output step's top node (below WITH/alias/ORDER/HAVING

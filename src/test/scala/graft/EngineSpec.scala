@@ -1090,10 +1090,12 @@ class EngineSpec extends AnyFunSuite {
 
   test("rank touched-partition path and full recompute emit identical changelogs") {
     import spark.implicits._
-    // Seeded random slices through two chains: a single-step partitioned
-    // dedup-latest (touched-partition narrowing) and a value-identical
-    // two-step chain (passthrough view → ineligible, full recompute). Run 4
-    // carries a retraction, covering net-then-narrow against net-then-full.
+    // Seeded random slices through two chains: a TWO-STEP partitioned
+    // dedup-latest (passthrough view then rank — touched-partition
+    // narrowing resolves through the pre-step chain) and a value-identical
+    // CTE-wrapped variant (WITH bodies are never classified through → full
+    // recompute). Run 4 carries a retraction, covering net-then-narrow
+    // against net-then-full.
     val rnd = new scala.util.Random(7)
     val dirF = tmp(); val dirC = tmp()
     val rank = """SELECT event_time, symbol, price, rn FROM (
@@ -1101,10 +1103,11 @@ class EngineSpec extends AnyFunSuite {
                  |    PARTITION BY symbol
                  |    ORDER BY event_time DESC, price DESC, offset DESC) AS rn
                  |  FROM %s) WHERE rn = 1""".stripMargin
-    val qFast = Seq(None -> rank.format("tickers"))
-    val qSlow = Seq(
+    val qFast = Seq(
       Some("v") -> "SELECT * FROM tickers",
       None -> rank.format("v"))
+    val qSlow = Seq(
+      None -> s"WITH v AS (SELECT * FROM tickers)\n${rank.format("v")}")
     var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
     var prevF: Option[String] = None; var prevC: Option[String] = None
     var firstRow: Ticker = null

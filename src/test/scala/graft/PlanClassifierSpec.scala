@@ -51,6 +51,30 @@ class PlanClassifierSpec extends AnyFunSuite {
       Some(PlanClassifier.RankTouch("t", Seq("symbol")))))
   }
 
+  test("rank touch resolves through the two-step ranked/filter spelling") {
+    def chain(qs: (Option[String], String)*): Option[PlanClassifier.RankTouch] =
+      PlanClassifier.classify(spark,
+        qs.toSeq.map { case (a, q) => (a, SqlRewriter.rewrite(q, st, None)) })
+        .asInstanceOf[Mode.SnapshotDiff].rankTouch
+    assert(chain(
+      Some("ranked") -> ("SELECT event_time, symbol, price, " +
+        "row_number() OVER (PARTITION BY symbol ORDER BY event_time DESC) AS rn FROM t"),
+      None -> "SELECT event_time, symbol, price, rn FROM ranked WHERE rn = 1") ==
+      Some(PlanClassifier.RankTouch("t", Seq("symbol"))))
+    // a pre-step re-deriving the partition column breaks the narrowing
+    assert(chain(
+      Some("v") -> "SELECT event_time, upper(symbol) AS symbol, price FROM t",
+      Some("ranked") -> ("SELECT event_time, symbol, price, " +
+        "row_number() OVER (PARTITION BY symbol ORDER BY event_time DESC) AS rn FROM v"),
+      None -> "SELECT event_time, symbol, price, rn FROM ranked WHERE rn = 1").isEmpty)
+    // a ranked view consumed twice breaks the use-once discipline
+    assert(chain(
+      Some("ranked") -> ("SELECT event_time, symbol, price, " +
+        "row_number() OVER (PARTITION BY symbol ORDER BY event_time DESC) AS rn FROM t"),
+      Some("w") -> "SELECT symbol FROM ranked",
+      None -> "SELECT event_time, symbol, price, rn FROM ranked WHERE rn = 1").isEmpty)
+  }
+
   test("rank touch narrowing is withheld when untouched rows could change") {
     def rank(extra: String, from: String = "t") =
       s"""SELECT event_time, symbol, price, rn FROM (
