@@ -1292,6 +1292,49 @@ class EngineSpec extends AnyFunSuite {
       Seq((1L, 1L, 5L, Op.CorrectFrom), (1L, 2L, 12L, Op.CorrectTo)))
   }
 
+  test("avg+HAVING above a join merges partials per delta term") {
+    import spark.implicits._
+    // avg splits into sum+count partials and HAVING filters post-merge —
+    // here the partials come from the JOIN's delta terms. Run 2's shipment
+    // pushes group 1 over the HAVING threshold: it must surface as +I
+    // (state held its sub-threshold partials; the stream never saw it).
+    val dir = tmp()
+    val q = """SELECT max(o.event_time) as event_time, o.order_id as order_id,
+              |  avg(s.num_shipped) as avg_shipped
+              |FROM orders o JOIN shipments s ON o.order_id = s.order_id
+              |GROUP BY o.order_id HAVING avg_shipped > 6""".stripMargin
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    writeSlice(Seq(OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10)), o1)
+    writeSlice(Seq(Shipment(0, 0, t(ts(1)), t(ts(1)), 1, 4)), s1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", o1, o1, 1, wms = Seq(ts(1))),
+        mkInput("shipments", s1, s1, 1, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    // avg 4 <= 6: group stays sub-threshold, nothing emits
+    assert(r1.newOffsetInterval.isEmpty)
+
+    // run 2: second shipment lifts avg to (4+10)/2 = 7 > 6 → +I
+    val s2 = s"$dir/s2.parquet"
+    writeSlice(Seq(Shipment(1, 0, t(ts(2)), t(ts(2)), 1, 10)), s2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", null, o1, 0, wms = Seq(ts(2))),
+        mkInput("shipments", s2, s2, 1, startOffset = 1, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(0, 0)))
+    val out2 = readOut(s"$dir/out2.parquet").collect()
+    assert(out2.map(r => (r.getAs[Long]("order_id"),
+      r.getAs[Double]("avg_shipped"), r.getAs[Int]("op"))).toSeq ==
+      Seq((1L, 7.0, Op.Append)))
+  }
+
   test("agg-over-join merge path and recompute emit identical changelogs") {
     import spark.implicits._
     // Seeded random append-only slices on TWO inputs through the mergeable
