@@ -137,11 +137,14 @@ object PlanClassifier {
     * merge per-key partials into the persisted state (O(slice + touched
     * keys) per run) instead of recomputing over full buffered history.
     *
-    * @param aggs output column name → merge kind (sum/count/min/max)
+    * @param aggs output column name → merge kind (sum/count/min/max);
+    *   includes hidden `__hv_<i>` partials for mergeable aggregates that
+    *   appear only in the HAVING clause
     * @param avgs output columns computed as `avg(x)` — maintained as hidden
     *   `__as_<n>`/`__ac_<n>` sum+count partials and divided post-merge
-    * @param havingSql a HAVING predicate over OUTPUT columns only, applied
-    *   post-merge as the visible filter (state keeps sub-threshold groups)
+    * @param havingSql the HAVING predicate rewritten over output columns
+    *   and hidden partials, applied post-merge as the visible filter
+    *   (state keeps sub-threshold groups)
     * @param partialsPlan the output step's parsed plan with HAVING/ORDER
     *   dropped and avg split into its partials — present iff avgs or
     *   havingSql is; the executor runs it in place of the output step
@@ -479,22 +482,49 @@ object PlanClassifier {
       val keyCols = flat.collect { case scala.util.Left(k) => k }
       if ((aggs.nonEmpty || avgs.nonEmpty) && keyCols.sorted == ks.sorted) {
         val visibleNames = (keyCols ++ aggs.map(_._1) ++ avgs).toSet
-        // the post-merge filter can only evaluate what the merged frame
-        // holds: plain output-column references, no functions, no subqueries
-        val havingOk = having.forall(c =>
-          !c.exists(e => e.isInstanceOf[UnresolvedFunction] ||
-            e.isInstanceOf[SubqueryExpression]) &&
-            c.collect { case at: UnresolvedAttribute => at }.forall(at =>
-              at.nameParts.length == 1 && visibleNames.contains(at.nameParts.head)))
-        if (!havingOk) None
+        // The post-merge filter evaluates against the merged frame: plain
+        // output-column references and scalar functions over them pass
+        // through unchanged; a mergeable aggregate CALL that is not
+        // projected (`HAVING count(*) > 2`) becomes a hidden `__hv_<i>`
+        // partial maintained alongside the visible columns and the
+        // predicate is rewritten to reference it. Anything else — avg in
+        // HAVING, non-mergeable aggregates, subqueries, qualified or
+        // unknown columns — keeps the recompute path.
+        var hidden = Vector.empty[(String, String, Expression)]
+        def rewriteHaving(e: Expression): Option[Expression] = e match {
+          case _: SubqueryExpression => None
+          case fn: UnresolvedFunction if isAggregateFn(fn.nameParts.last) =>
+            fnKind(fn).filter(_ != "avg").map { k =>
+              hidden.find(_._3.sql == fn.sql)
+                .map(h => UnresolvedAttribute(h._1))
+                .getOrElse {
+                  val name = s"__hv_${hidden.size}"
+                  hidden :+= ((name, k, fn))
+                  UnresolvedAttribute(name)
+                }
+            }
+          case at: UnresolvedAttribute =>
+            if (at.nameParts.length == 1 && visibleNames.contains(at.nameParts.head))
+              Some(at)
+            else None
+          case other =>
+            val kids = other.children.map(rewriteHaving)
+            if (kids.exists(_.isEmpty)) None
+            else Some(other.withNewChildren(kids.map(_.get)))
+        }
+        val rewritten: Option[Option[Expression]] = having.map(rewriteHaving)
+        if (rewritten.exists(_.isEmpty)) None
         else {
-          val needsPlan = avgs.nonEmpty || having.isDefined
+          val havingExpr = rewritten.flatten
+          val needsPlan = avgs.nonEmpty || havingExpr.isDefined
           val partials =
             if (!needsPlan) None
             else Some(partialsPlanOf(
               spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql),
-              avgs.toSet))
-          Some(AggMergeSpec(ks, aggs, avgs, having.map(_.sql), partials, joinOpt))
+              avgs.toSet,
+              hidden.map(h => Alias(h._3, h._1)()).toSeq))
+          Some(AggMergeSpec(ks, aggs ++ hidden.map(h => (h._1, h._2)), avgs,
+            havingExpr.map(_.sql), partials, joinOpt))
         }
       } else None
     }
@@ -525,11 +555,16 @@ object PlanClassifier {
 
   /** The output step's plan rewritten to produce MERGE PARTIALS: ORDER BY
     * dropped (state needs no order), HAVING dropped (applied post-merge),
-    * each `avg(x) AS n` split into `sum(x) AS __as_n, count(x) AS __ac_n`.
-    * Only the top aggregate/projection is rewritten — wrappers are
-    * descended, subtrees below are untouched.
+    * each `avg(x) AS n` split into `sum(x) AS __as_n, count(x) AS __ac_n`,
+    * plus `extra` hidden aggregate columns (the `__hv_<i>` partials a
+    * rewritten HAVING references) appended to the select list. Only the
+    * top aggregate/projection is rewritten — wrappers are descended,
+    * subtrees below are untouched.
     */
-  private def partialsPlanOf(p: LogicalPlan, avgs: Set[String]): LogicalPlan = {
+  private def partialsPlanOf(
+      p: LogicalPlan,
+      avgs: Set[String],
+      extra: Seq[NamedExpression] = Nil): LogicalPlan = {
     def split(ne: NamedExpression): Seq[NamedExpression] = ne match {
       case Alias(fn: UnresolvedFunction, n) if avgs.contains(n) =>
         Seq(
@@ -538,14 +573,14 @@ object PlanClassifier {
       case other => Seq(other)
     }
     p match {
-      case w: UnresolvedWith   => w.copy(child = partialsPlanOf(w.child, avgs))
-      case s: SubqueryAlias    => s.copy(child = partialsPlanOf(s.child, avgs))
-      case s: Sort             => partialsPlanOf(s.child, avgs)
-      case h: UnresolvedHaving => partialsPlanOf(h.child, avgs)
+      case w: UnresolvedWith   => w.copy(child = partialsPlanOf(w.child, avgs, extra))
+      case s: SubqueryAlias    => s.copy(child = partialsPlanOf(s.child, avgs, extra))
+      case s: Sort             => partialsPlanOf(s.child, avgs, extra)
+      case h: UnresolvedHaving => partialsPlanOf(h.child, avgs, extra)
       case a: Aggregate =>
-        a.copy(aggregateExpressions = a.aggregateExpressions.flatMap(split))
+        a.copy(aggregateExpressions = a.aggregateExpressions.flatMap(split) ++ extra)
       case pr: Project =>
-        pr.copy(projectList = pr.projectList.flatMap(split))
+        pr.copy(projectList = pr.projectList.flatMap(split) ++ extra)
       case other => other
     }
   }

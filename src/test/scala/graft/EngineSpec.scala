@@ -1029,6 +1029,42 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("HAVING on a non-projected count rides a hidden merge partial") {
+    import spark.implicits._
+    // `count(*)` appears only in the HAVING: the merge path maintains it
+    // as a hidden __hv partial. Run 2's second row lifts the group over
+    // the threshold — it must surface as +I with the correct sum even
+    // though the count column never reaches the output.
+    val dir = tmp()
+    val q = """SELECT max(event_time) as event_time, symbol,
+              |  sum(price) as total
+              |FROM tickers GROUP BY symbol HAVING count(*) >= 2""".stripMargin
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10)), in1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 1, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.isEmpty) // count 1 < 2: sub-threshold
+
+    val in2 = s"$dir/in2.parquet"
+    writeSlice(Seq(Ticker(1, 0, t(ts(2)), t(ts(2)), "A", 7)), in2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in2, in2, 1, startOffset = 1, wms = Seq(ts(2)))),
+      nextOffset = 0, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(0, 0)))
+    val out2 = readOut(s"$dir/out2.parquet").collect()
+    assert(out2.map(r => (r.getAs[String]("symbol"), r.getAs[Long]("total"),
+      r.getAs[Int]("op"))).toSeq == Seq(("A", 17L, Op.Append)))
+    // the hidden partial never reaches the output schema
+    assert(!readOut(s"$dir/out2.parquet").columns.exists(_.startsWith("__hv")))
+  }
+
   test("avg+HAVING merge path and recompute emit identical changelogs") {
     import spark.implicits._
     // Round-3 VERDICT item 3: avg decomposes to sum+count partials and a

@@ -136,11 +136,12 @@ class PlanClassifierSpec extends AnyFunSuite {
     // DISTINCT aggregates are not mergeable
     assert(classify("SELECT symbol, count(DISTINCT price) AS n FROM t GROUP BY symbol")
       .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
-    // HAVING over an aggregate EXPRESSION (not an output column) cannot be
-    // evaluated on the merged frame — recompute path
+    // HAVING over a mergeable aggregate CALL rides a hidden partial — see
+    // the hidden-partial test; a non-mergeable one stays recompute
     assert(classify(
-      "SELECT symbol, sum(price) AS s FROM t GROUP BY symbol HAVING sum(price) > 5")
-      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+      "SELECT symbol, sum(price) AS s FROM t GROUP BY symbol HAVING max(price) > 5")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge
+      .exists(_.aggs.toMap == Map("s" -> "sum", "__hv_0" -> "max")))
     // the aggregate in an intermediate view with stateless post-processing
     assert(classify(
       """WITH a AS (SELECT symbol, sum(price) AS s FROM t GROUP BY symbol)
@@ -307,6 +308,28 @@ class PlanClassifierSpec extends AnyFunSuite {
     assert(dd("SELECT DISTINCT a.id, b.v FROM a LEFT JOIN b ON a.id = b.id").isEmpty)
     // a self-join disguise stays recompute
     assert(dd("SELECT DISTINCT x.id FROM a x JOIN a y ON x.id = y.id").isEmpty)
+  }
+
+  test("HAVING over a non-projected mergeable aggregate gets a hidden partial") {
+    def am(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].aggMerge
+    val spec = am("SELECT symbol, sum(price) AS total FROM t " +
+      "GROUP BY symbol HAVING count(*) > 2")
+    assert(spec.isDefined)
+    assert(spec.get.aggs.toMap == Map("total" -> "sum", "__hv_0" -> "count"))
+    assert(spec.get.havingSql.exists(_.contains("__hv_0")))
+    // the same call appearing twice reuses one hidden partial
+    val twice = am("SELECT symbol, sum(price) AS total FROM t " +
+      "GROUP BY symbol HAVING count(*) > 2 AND count(*) < 100")
+    assert(twice.exists(_.aggs.count(_._2 == "count") == 1))
+    // scalar functions over output columns are post-merge-evaluable
+    assert(am("SELECT symbol, sum(price) AS total FROM t " +
+      "GROUP BY symbol HAVING abs(total) > 5").exists(_.aggs.size == 1))
+    // non-mergeable aggregates in HAVING keep the recompute path
+    assert(am("SELECT symbol, sum(price) AS total FROM t " +
+      "GROUP BY symbol HAVING stddev(price) > 1").isEmpty)
+    // avg in HAVING (not projected) stays recompute
+    assert(am("SELECT symbol, sum(price) AS total FROM t " +
+      "GROUP BY symbol HAVING avg(price) > 3").isEmpty)
   }
 
   test("a plain LEFT JOIN of two direct relations carries a left-join-delta spec") {
