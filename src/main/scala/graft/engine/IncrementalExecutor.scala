@@ -103,7 +103,8 @@ final class IncrementalExecutor(
         case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _, _)
             if spec.join.forall(jd =>
               byAlias(jd.left).isDefined && byAlias(jd.right).isDefined) =>
-          runIncrementalAgg(spec)
+          if (hiddenAvgsDivisible(spec)) runIncrementalAgg(spec)
+          else runSnapshotDiff(d.keys, d.rankTouch)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, Some(jd), _, _)
             if byAlias(jd.left).isDefined && byAlias(jd.right).isDefined =>
           runDeltaJoin(jd)
@@ -552,6 +553,32 @@ final class IncrementalExecutor(
     * merge path maintains, so the two paths interleave per run without
     * migration.
     */
+  /** An avg that appears only in HAVING was rewritten to a sum/count
+    * division; that matches avg's arithmetic exactly iff the division is
+    * double division (any non-decimal numeric sum). Decimal quotients
+    * follow decimal-division precision rules, not avg's s+4 rounding, so
+    * such queries keep the generic recompute path — decided once per run
+    * from the ANALYZED partials schema (no jobs execute), and
+    * deterministic across runs because input schemas are fixed.
+    */
+  private def hiddenAvgsDivisible(
+      spec: PlanClassifier.AggMergeSpec): Boolean =
+    spec.hiddenAvgs.isEmpty || {
+      inputs.foreach(i =>
+        i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias))
+      steps.zipWithIndex.foreach { case ((alias, rw), i) =>
+        if (i != outputIdx)
+          alias.foreach(a => spark.sql(rw.sql).createOrReplaceTempView(a))
+      }
+      val schema = org.apache.spark.sql.GraftPlanExec
+        .ofRows(spark, spec.partialsPlan.get).schema
+      spec.hiddenAvgs.forall(n => schema(s"__as_$n").dataType match {
+        case _: org.apache.spark.sql.types.DecimalType => false
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _                                         => false
+      })
+    }
+
   private def runIncrementalAgg(spec: PlanClassifier.AggMergeSpec): ExecResult = {
     val buffers = inputs.map { i =>
       i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias)

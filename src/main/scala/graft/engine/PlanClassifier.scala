@@ -160,7 +160,14 @@ object PlanClassifier {
       avgs: Seq[String] = Nil,
       havingSql: Option[String] = None,
       partialsPlan: Option[LogicalPlan] = None,
-      join: Option[JoinDelta] = None)
+      join: Option[JoinDelta] = None,
+      /** `__hva_<i>` bases for avg calls appearing only in HAVING: the
+        * predicate references `__as_<base> / __ac_<base>` partials carried
+        * in [[aggs]]. Division is value-identical to avg only when it is
+        * double division, so the executor checks the analyzed sum-partial
+        * types and routes decimal inputs to the recompute path.
+        */
+      hiddenAvgs: Seq[String] = Nil)
 
   /** Facts accumulated over every parsed step of the chain.
     * @param calendarTumble chain has a calendar (month/quarter/year) tumble
@@ -407,7 +414,8 @@ object PlanClassifier {
       val keys = snapshotKeys(f, aggTopsOutputStep(spark, steps))
       Mode.SnapshotDiff(keys,
         extractAggMerge(spark, steps, f),
-        extractRankTouch(spark, steps, f, keys),
+        extractRankTouch(spark, steps, f, keys)
+          .orElse(extractAggTouch(spark, steps, f)),
         extractJoinDelta(spark, steps, f),
         extractDistinctDelta(spark, steps, f),
         extractLeftJoinDelta(spark, steps, f))
@@ -487,21 +495,43 @@ object PlanClassifier {
         // through unchanged; a mergeable aggregate CALL that is not
         // projected (`HAVING count(*) > 2`) becomes a hidden `__hv_<i>`
         // partial maintained alongside the visible columns and the
-        // predicate is rewritten to reference it. Anything else — avg in
-        // HAVING, non-mergeable aggregates, subqueries, qualified or
-        // unknown columns — keeps the recompute path.
+        // predicate is rewritten to reference it. An unprojected
+        // `avg(x)` decomposes to hidden sum+count partials and is
+        // rewritten to their division — Spark SQL division of integral
+        // or floating operands IS double division, exactly avg's
+        // arithmetic, and the executor gates decimal inputs back to
+        // recompute (decimal quotients round by division precision
+        // rules, not avg's s+4 contract). Anything else — non-mergeable
+        // aggregates, subqueries, qualified or unknown columns — keeps
+        // the recompute path.
         var hidden = Vector.empty[(String, String, Expression)]
+        var hiddenAvgNames = Vector.empty[String]
+        var avgSeen = Map.empty[String, String]
         def rewriteHaving(e: Expression): Option[Expression] = e match {
           case _: SubqueryExpression => None
           case fn: UnresolvedFunction if isAggregateFn(fn.nameParts.last) =>
-            fnKind(fn).filter(_ != "avg").map { k =>
-              hidden.find(_._3.sql == fn.sql)
-                .map(h => UnresolvedAttribute(h._1))
-                .getOrElse {
-                  val name = s"__hv_${hidden.size}"
-                  hidden :+= ((name, k, fn))
-                  UnresolvedAttribute(name)
-                }
+            fnKind(fn).map {
+              case "avg" =>
+                val base = avgSeen.getOrElse(fn.sql, {
+                  val n = s"__hva_${avgSeen.size}"
+                  avgSeen += fn.sql -> n
+                  hiddenAvgNames :+= n
+                  hidden :+= ((s"__as_$n", "sum",
+                    fn.copy(nameParts = Seq("sum"))))
+                  hidden :+= ((s"__ac_$n", "count",
+                    fn.copy(nameParts = Seq("count"))))
+                  n
+                })
+                spark.sessionState.sqlParser
+                  .parseExpression(s"__as_$base / __ac_$base")
+              case k =>
+                hidden.find(_._3.sql == fn.sql)
+                  .map(h => UnresolvedAttribute(h._1))
+                  .getOrElse {
+                    val name = s"__hv_${hidden.size}"
+                    hidden :+= ((name, k, fn))
+                    UnresolvedAttribute(name)
+                  }
             }
           case at: UnresolvedAttribute =>
             if (at.nameParts.length == 1 && visibleNames.contains(at.nameParts.head))
@@ -524,7 +554,7 @@ object PlanClassifier {
               avgs.toSet,
               hidden.map(h => Alias(h._3, h._1)()).toSeq))
           Some(AggMergeSpec(ks, aggs ++ hidden.map(h => (h._1, h._2)), avgs,
-            havingExpr.map(_.sql), partials, joinOpt))
+            havingExpr.map(_.sql), partials, joinOpt, hiddenAvgNames))
         }
       } else None
     }
@@ -822,6 +852,46 @@ object PlanClassifier {
         chains.terminal(only)
           .filter(t => chains.soundUse(Seq(t)))
           .map(RankTouch(_, pk))
+      case _ => None
+    }
+  }
+
+  /** Touched-group narrowing for a single non-windowed aggregation: a
+    * group's output row depends only on that group's input rows, so a run
+    * that recomputes (non-mergeable aggregate functions, or a merge-path
+    * chain flipped by a retraction) only needs the buffered history of the
+    * groups whose key values appear in this run's slice — the same
+    * narrowing [[extractRankTouch]] provides for partitioned rankings.
+    * Demands the same provenance discipline: every group key must be a RAW
+    * input column surviving the chain unrenamed (any alias re-defining a
+    * key name anywhere, a CTE, or multiple relations disqualifies), so the
+    * slice's key values can narrow the raw buffer by semi-join.
+    */
+  private def extractAggTouch(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts): Option[RankTouch] = {
+    val onlyAgg = f.plainAggs.size == 1 && f.rankSpecs.isEmpty &&
+      f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit &&
+      !f.hasSubquery && !steps.exists(_._2.timeVarying)
+    if (!onlyAgg) return None
+    val ks = f.plainAggs.head.getOrElse(return None)
+    if (ks.isEmpty) return None // global aggregate: one group, nothing to narrow
+    val chains = new StepChains(spark, steps)
+    if (chains.hasCte) return None
+    val redefined = chains.plans.exists(_._2.exists(_.expressions.exists(_.exists {
+      case Alias(_, n) => ks.contains(n)
+      case _           => false
+    })))
+    if (redefined) return None
+    chains.outPlan.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    } match {
+      case Seq(only) =>
+        chains.terminal(only)
+          .filter(t => chains.soundUse(Seq(t)))
+          .map(RankTouch(_, ks))
       case _ => None
     }
   }

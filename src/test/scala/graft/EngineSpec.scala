@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.sql.Timestamp
 import java.time.Instant
 
@@ -1063,6 +1063,174 @@ class EngineSpec extends AnyFunSuite {
       r.getAs[Int]("op"))).toSeq == Seq(("A", 17L, Op.Append)))
     // the hidden partial never reaches the output schema
     assert(!readOut(s"$dir/out2.parquet").columns.exists(_.startsWith("__hv")))
+  }
+
+  test("HAVING on a non-projected avg rides hidden division partials") {
+    import spark.implicits._
+    // avg appearing only in HAVING is maintained as hidden __as_/__ac_
+    // partials and evaluated as their division post-merge. The shadow
+    // query projects `avg(price) + 0`, which forces the recompute path
+    // but leaves group membership identical — both must emit identical
+    // changelogs, including across run 4's retraction flip.
+    val rnd = new scala.util.Random(23)
+    val dirF = tmp(); val dirC = tmp()
+    val qFast = """SELECT max(event_time) as event_time, symbol,
+                  |  sum(price) as total
+                  |FROM tickers GROUP BY symbol HAVING avg(price) > 25""".stripMargin
+    val qSlow = """SELECT max(event_time) as event_time, symbol,
+                  |  sum(price) as total, avg(price) + 0 as shadow
+                  |FROM tickers GROUP BY symbol HAVING avg(price) > 25""".stripMargin
+    var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var run1Head: Option[EngineFixtures.Ticker] = None
+    (1 to 5).foreach { run =>
+      val nRows = 1 + rnd.nextInt(5)
+      val appends = (0 until nRows).map { i =>
+        Ticker(off + i, Op.Append, t(ts(run)), t(ts(run)),
+          ("A".head + rnd.nextInt(4)).toChar.toString, 1 + rnd.nextInt(50))
+      }
+      if (run == 1) run1Head = Some(appends.head)
+      val slices = appends ++ (if (run == 4) Seq(run1Head.get.copy(
+        offset = off + nRows, op = Op.Retract, system_time = t(ts(run))))
+      else Nil)
+      val n = slices.length
+      val inF = s"$dirF/in$run.parquet"; val inC = s"$dirC/in$run.parquet"
+      writeSlice(slices, inF); writeSlice(slices, inC)
+      def drive(tag: String, dir: java.nio.file.Path, in: String, q: String,
+          prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(mkInput("tickers", in, in, n, startOffset = off,
+            wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, inF, qFast, prevF))
+      prevC = Some(drive("c", dirC, inC, qSlow, prevC))
+      off += n
+      val sel = Seq("offset", "op", "event_time", "symbol", "total")
+      val outF = readOut(s"$dirF/out$run.parquet").orderBy("offset")
+        .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+      val outC = readOut(s"$dirC/out$run.parquet").orderBy("offset")
+        .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    // the fast engine really took the merge path before the flip
+    assert(Files.exists(Paths.get(s"$dirF/cp1/agg_partials")))
+  }
+
+  test("touched-group recompute narrowing matches the full recompute") {
+    import spark.implicits._
+    // stddev is non-mergeable, so both queries recompute every run; qFast's
+    // plain `symbol` key activates the touched-group narrowing while
+    // qSlow's `symbol AS sym` rename (raw values, different name) withholds
+    // it. Seeded slices with retractions on runs 3 and 5 — narrowed and
+    // full recompute must emit identical changelogs throughout, including
+    // groups whose rows retract away entirely.
+    val rnd = new scala.util.Random(41)
+    val dirF = tmp(); val dirC = tmp()
+    val qFast = """SELECT max(event_time) as event_time, symbol,
+                  |  sum(price) as total, stddev_pop(price) as sd
+                  |FROM tickers GROUP BY symbol""".stripMargin
+    val qSlow = """SELECT max(event_time) as event_time, symbol AS sym,
+                  |  sum(price) as total, stddev_pop(price) as sd
+                  |FROM tickers GROUP BY symbol""".stripMargin
+    var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var history = Vector.empty[EngineFixtures.Ticker]
+    (1 to 6).foreach { run =>
+      val nRows = 1 + rnd.nextInt(4)
+      val appends = (0 until nRows).map { i =>
+        Ticker(off + i, Op.Append, t(ts(run)), t(ts(run)),
+          ("A".head + rnd.nextInt(3)).toChar.toString, 1 + rnd.nextInt(50))
+      }
+      // runs 3 and 5 retract a random still-live prior row
+      val retracts =
+        if (run == 3 || run == 5) {
+          val victim = history(rnd.nextInt(history.size))
+          history = history.filterNot(_ == victim)
+          Seq(victim.copy(offset = off + nRows, op = Op.Retract,
+            system_time = t(ts(run))))
+        } else Nil
+      history ++= appends
+      val slices = appends ++ retracts
+      val n = slices.length
+      val inF = s"$dirF/in$run.parquet"; val inC = s"$dirC/in$run.parquet"
+      writeSlice(slices, inF); writeSlice(slices, inC)
+      def drive(tag: String, dir: java.nio.file.Path, in: String, q: String,
+          prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(mkInput("tickers", in, in, n, startOffset = off,
+            wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, inF, qFast, prevF))
+      prevC = Some(drive("c", dirC, inC, qSlow, prevC))
+      off += n
+      import org.apache.spark.sql.functions.col
+      val sel = Seq("offset", "op", "event_time", "symbol", "total", "sd")
+      val outF = readOut(s"$dirF/out$run.parquet").orderBy("offset")
+        .select(sel.map(col): _*).collect().toSeq
+      val outC = readOut(s"$dirC/out$run.parquet").orderBy("offset")
+        .withColumnRenamed("sym", "symbol")
+        .select(sel.map(col): _*).collect().toSeq
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+  }
+
+  test("decimal avg in HAVING keeps the recompute path (division gate)") {
+    import spark.implicits._
+    // avg over decimal rounds to scale s+4; a sum/count division follows
+    // decimal-quotient precision rules instead, so the executor's
+    // analyzed-schema gate must route decimal inputs to recompute — no
+    // agg_partials merge state — and still produce the right changelog.
+    val dir = tmp()
+    val q = """SELECT max(event_time) as event_time, symbol,
+              |  sum(price) as total
+              |FROM tickers GROUP BY symbol HAVING avg(price) >= 8""".stripMargin
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(EngineFixtures.DecTicker(
+      0, Op.Append, t(ts(1)), t(ts(1)), "A", BigDecimal(10))), in1)
+    val r1 = runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 1, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 0)))
+    val out1 = readOut(s"$dir/out1.parquet").collect()
+    assert(out1.map(r => (r.getAs[String]("symbol"),
+      r.getAs[java.math.BigDecimal]("total").doubleValue,
+      r.getAs[Int]("op"))).toSeq == Seq(("A", 10.0, Op.Append)))
+
+    val in2 = s"$dir/in2.parquet"
+    writeSlice(Seq(EngineFixtures.DecTicker(
+      1, Op.Append, t(ts(2)), t(ts(2)), "A", BigDecimal(2))), in2)
+    val r2 = runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in2, in2, 1, startOffset = 1, wms = Seq(ts(2)))),
+      nextOffset = 1, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    assert(r2.newOffsetInterval.contains(OffsetInterval(1, 1)))
+    // avg dropped to 6 < 8: the group leaves the visible set as a retract
+    val out2 = readOut(s"$dir/out2.parquet").collect()
+    assert(out2.map(r => (r.getAs[String]("symbol"),
+      r.getAs[java.math.BigDecimal]("total").doubleValue,
+      r.getAs[Int]("op"))).toSeq == Seq(("A", 10.0, Op.Retract)))
+    // the gate kept the merge state off disk on both runs
+    assert(!Files.exists(Paths.get(s"$dir/cp1/agg_partials")))
+    assert(!Files.exists(Paths.get(s"$dir/cp2/agg_partials")))
   }
 
   test("avg+HAVING merge path and recompute emit identical changelogs") {
@@ -2310,4 +2478,6 @@ object EngineFixtures {
       match_time: Timestamp, player_name: String, score: Int)
   case class Stock(offset: Long, op: Int, system_time: Timestamp,
       event_time: Timestamp, symbol: String, volume: Int)
+  case class DecTicker(offset: Long, op: Int, system_time: Timestamp,
+      event_time: Timestamp, symbol: String, price: BigDecimal)
 }

@@ -116,7 +116,8 @@ class PlanClassifierSpec extends AnyFunSuite {
     assert(classify(
       "SELECT symbol, count(*) AS n FROM t GROUP BY symbol") ==
       Mode.SnapshotDiff(Some(Seq("symbol")),
-        Some(PlanClassifier.AggMergeSpec(Seq("symbol"), Seq("n" -> "count")))))
+        Some(PlanClassifier.AggMergeSpec(Seq("symbol"), Seq("n" -> "count"))),
+        Some(PlanClassifier.RankTouch("t", Seq("symbol")))))
   }
 
   test("decomposable aggregate shapes carry an incremental-merge spec") {
@@ -126,7 +127,8 @@ class PlanClassifierSpec extends AnyFunSuite {
         |FROM t GROUP BY symbol""".stripMargin)
     assert(m == Mode.SnapshotDiff(Some(Seq("symbol")),
       Some(PlanClassifier.AggMergeSpec(Seq("symbol"),
-        Seq("total" -> "sum", "lo" -> "min", "hi" -> "max", "n" -> "count")))))
+        Seq("total" -> "sum", "lo" -> "min", "hi" -> "max", "n" -> "count"))),
+      Some(PlanClassifier.RankTouch("t", Seq("symbol")))))
   }
 
   test("non-decomposable aggregates keep the recompute path") {
@@ -327,9 +329,68 @@ class PlanClassifierSpec extends AnyFunSuite {
     // non-mergeable aggregates in HAVING keep the recompute path
     assert(am("SELECT symbol, sum(price) AS total FROM t " +
       "GROUP BY symbol HAVING stddev(price) > 1").isEmpty)
-    // avg in HAVING (not projected) stays recompute
-    assert(am("SELECT symbol, sum(price) AS total FROM t " +
-      "GROUP BY symbol HAVING avg(price) > 3").isEmpty)
+  }
+
+  test("avg in HAVING decomposes to hidden sum+count division partials") {
+    def am(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].aggMerge
+    val spec = am("SELECT symbol, sum(price) AS total FROM t " +
+      "GROUP BY symbol HAVING avg(price) > 3")
+    assert(spec.exists(_.hiddenAvgs == Seq("__hva_0")))
+    assert(spec.exists(_.aggs.toMap == Map(
+      "total" -> "sum", "__as___hva_0" -> "sum", "__ac___hva_0" -> "count")))
+    assert(spec.get.havingSql.exists(h =>
+      h.contains("__as___hva_0") && h.contains("__ac___hva_0")))
+    // a repeated avg call shares one partial pair
+    val twice = am("SELECT symbol, sum(price) AS total FROM t " +
+      "GROUP BY symbol HAVING avg(price) > 3 AND avg(price) < 100")
+    assert(twice.exists(s => s.hiddenAvgs.size == 1 && s.aggs.size == 3))
+    // distinct avg calls each get their own pair
+    val two = am("SELECT symbol, sum(price) AS total FROM t " +
+      "GROUP BY symbol HAVING avg(price) > avg(volume)")
+    assert(two.exists(s => s.hiddenAvgs == Seq("__hva_0", "__hva_1") &&
+      s.aggs.size == 5))
+    // mixes with hidden non-avg partials without name collisions
+    val mix = am("SELECT symbol, sum(price) AS total FROM t " +
+      "GROUP BY symbol HAVING count(*) > 2 AND avg(price) > 3")
+    assert(mix.exists(s => s.aggs.map(_._1).distinct.size == s.aggs.size &&
+      s.hiddenAvgs.size == 1 && s.aggs.size == 4))
+  }
+
+  test("a plain grouped aggregate carries a touched-group narrowing spec") {
+    def tt(qs: (Option[String], String)*) =
+      PlanClassifier.classify(spark,
+        qs.toSeq.map { case (a, q) => (a, SqlRewriter.rewrite(q, st, None)) })
+        .asInstanceOf[Mode.SnapshotDiff].rankTouch
+    // non-mergeable aggregate: recompute is the only path — narrow it
+    assert(tt(None -> "SELECT symbol, stddev(price) AS sd FROM t GROUP BY symbol")
+      .contains(PlanClassifier.RankTouch("t", Seq("symbol"))))
+    // mergeable shape carries it too (used after a retraction flip)
+    assert(tt(None -> "SELECT symbol, sum(price) AS s FROM t GROUP BY symbol")
+      .contains(PlanClassifier.RankTouch("t", Seq("symbol"))))
+    // resolves through a stateless pre-step chain to the raw input
+    assert(tt(
+      Some("v") -> "SELECT event_time, symbol, price FROM t WHERE price > 0",
+      None -> "SELECT symbol, stddev(price) AS sd FROM v GROUP BY symbol")
+      .contains(PlanClassifier.RankTouch("t", Seq("symbol"))))
+    // a renamed key is not the raw column — no narrowing
+    assert(tt(None ->
+      "SELECT symbol AS sym, sum(price) AS s FROM t GROUP BY symbol").isEmpty)
+    // a computed key is not the raw column — no narrowing
+    assert(tt(None ->
+      "SELECT upper(symbol) AS u, sum(price) AS s FROM t GROUP BY upper(symbol)")
+      .isEmpty)
+    // a pre-step re-deriving the key column breaks the narrowing
+    assert(tt(
+      Some("v") -> "SELECT event_time, upper(symbol) AS symbol, price FROM t",
+      None -> "SELECT symbol, stddev(price) AS sd FROM v GROUP BY symbol").isEmpty)
+    // global aggregate: one group, nothing to narrow
+    assert(tt(None -> "SELECT count(*) AS n, sum(price) AS s FROM t").isEmpty)
+    // CTE bodies are unseeable by the chain algebra — no narrowing
+    assert(tt(None -> ("WITH s AS (SELECT * FROM t) " +
+      "SELECT symbol, stddev(price) AS sd FROM s GROUP BY symbol")).isEmpty)
+    // a join below the aggregate: group rows draw from two inputs
+    assert(tt(None -> ("SELECT a.symbol, stddev(b.price) AS sd FROM a " +
+      "JOIN b ON a.symbol = b.symbol GROUP BY a.symbol")).isEmpty)
   }
 
   test("a plain LEFT JOIN of two direct relations carries a left-join-delta spec") {
