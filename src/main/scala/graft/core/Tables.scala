@@ -16,10 +16,13 @@ object Tables {
 
   /** Read one testdata table (parquet) from the given scale-factor dir.
     *
-    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * TimestampType (micros) rejects. We read nanos as raw longs and floor-divide
-    * to micros — exactly DuckDB's ns→µs truncation, so the oracle sees the
-    * same values.
+    * The driver's `events.parquet` has carried `ts` under two encodings
+    * across regenerations: parquet TIMESTAMP(NANOS) (read as raw longs via
+    * `nanosAsLong`, floor-divided to micros — exactly DuckDB's ns→µs
+    * truncation) and `Timestamp(isAdjustedToUTC=false, MICROS)` (inferred
+    * as TIMESTAMP_NTZ). Both normalize to TimestampType: the session zone
+    * is UTC, so the NTZ cast is value-preserving and the oracle sees the
+    * same wall-clock values either way.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -27,6 +30,8 @@ object Tables {
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         acc.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case (acc, f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        acc.withColumn(f.name, col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       case (acc, _) => acc
     }
   }

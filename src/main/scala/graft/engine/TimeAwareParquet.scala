@@ -43,14 +43,31 @@ object TimeAwareParquet {
   /** A top-level TIME-annotated column and whether it is micros (int64). */
   final case class TimeCol(name: String, micros: Boolean)
 
-  final case class FixedSchema(readSchema: StructType, timeCols: Seq[TimeCol]) {
-    /** Schema of frames AFTER [[normalize]] (micros long → millis int). */
+  final case class FixedSchema(
+      readSchema: StructType,
+      timeCols: Seq[TimeCol],
+      ntzCols: Seq[String] = Nil) {
+    /** Schema of frames AFTER [[normalize]] (micros long → millis int;
+      * TIMESTAMP_NTZ → TIMESTAMP).
+      */
     def normalizedSchema: StructType = StructType(readSchema.map { f =>
       if (timeCols.exists(tc => tc.micros && tc.name == f.name))
         f.copy(dataType = IntegerType)
+      else if (ntzCols.contains(f.name)) f.copy(dataType = TimestampType)
       else f
     })
   }
+
+  /** Top-level TIMESTAMP_NTZ columns. The reference has no NTZ notion at
+    * all — any parquet `Timestamp(isAdjustedToUTC=false)` maps to its
+    * TIMESTAMP(3)-UTC contract (reference
+    * ParquetSchemaConverterKamu.java:72-75), so the engine surfaces these
+    * as `TimestampType`. The session zone is pinned to UTC everywhere, so
+    * the cast is value-preserving (same wall-clock instant, bit-identical
+    * micros).
+    */
+  private def ntzColumns(s: StructType): Seq[String] =
+    s.fields.collect { case f if f.dataType == TimestampNTZType => f.name }.toSeq
 
   def footerSchema(file: String): MessageType = {
     val reader = ParquetFileReader.open(
@@ -104,30 +121,39 @@ object TimeAwareParquet {
     }
     val stripped = new MessageType(msg.getName, fields.toSeq.asJava)
     val converter = new ParquetToSparkSchemaConverter(spark.sessionState.conf)
-    FixedSchema(converter.convert(stripped), cols.result())
+    val converted = converter.convert(stripped)
+    FixedSchema(converted, cols.result(), ntzColumns(converted))
   }
 
-  /** Rewrite micros columns to exact millis-of-day ints, in place. */
-  def normalize(df: DataFrame, timeCols: Seq[TimeCol]): DataFrame =
-    timeCols.filter(_.micros).foldLeft(df) { (d, tc) =>
+  /** Rewrite micros columns to exact millis-of-day ints and NTZ timestamps
+    * to UTC instants, in place.
+    */
+  def normalize(df: DataFrame, fixed: FixedSchema): DataFrame = {
+    val t = fixed.timeCols.filter(_.micros).foldLeft(df) { (d, tc) =>
       d.withColumn(tc.name, expr(s"CAST(`${tc.name}` DIV 1000 AS INT)"))
     }
+    fixed.ntzCols.foldLeft(t) { (d, c) =>
+      d.withColumn(c, col(c).cast(TimestampType))
+    }
+  }
 
   /** Schema of `schemaFile` as the engine will surface it, with the fix-up
     * applied only when inference actually fails on a TIME annotation — the
     * common no-TIME path stays on Spark's native inference.
     */
   def readSchema(spark: SparkSession, schemaFile: String): FixedSchema =
-    try FixedSchema(spark.read.parquet(schemaFile).schema, Nil)
-    catch {
+    try {
+      val s = spark.read.parquet(schemaFile).schema
+      FixedSchema(s, Nil, ntzColumns(s))
+    } catch {
       case e: Throwable if isTimeIllegal(e) => fixSchema(spark, footerSchema(schemaFile))
     }
 
-  /** `spark.read.parquet` that survives TIME-annotated inputs. */
+  /** `spark.read.parquet` that survives TIME-annotated and NTZ inputs. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val fixed = readSchema(spark, paths.head)
-    if (fixed.timeCols.isEmpty) spark.read.parquet(paths: _*)
-    else normalize(spark.read.schema(fixed.readSchema).parquet(paths: _*), fixed.timeCols)
+    if (fixed.timeCols.isEmpty && fixed.ntzCols.isEmpty) spark.read.parquet(paths: _*)
+    else normalize(spark.read.schema(fixed.readSchema).parquet(paths: _*), fixed)
   }
 
   private def isTimeIllegal(e: Throwable): Boolean = {

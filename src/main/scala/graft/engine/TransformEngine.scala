@@ -39,7 +39,7 @@ final class TransformEngine(spark: SparkSession) {
           if (in.dataPaths.nonEmpty)
             TimeAwareParquet.normalize(
               spark.read.schema(fixed.readSchema).parquet(in.dataPaths: _*),
-              fixed.timeCols)
+              fixed)
           else emptyDf(spark, fixed.normalizedSchema)
         val sliced = in.offsetInterval match {
           case Some(OffsetInterval(s, e)) =>

@@ -208,6 +208,89 @@ class FormatsSpec extends AnyFunSuite {
     assert(out.map(r => r.getInt(r.fieldIndex("drift_ms"))).toSeq == Seq(0, 86399999))
   }
 
+  // ── TIMESTAMP_NTZ inputs. The reference has no NTZ notion: any parquet
+  // Timestamp(isAdjustedToUTC=false) maps to its TIMESTAMP(3)-UTC contract
+  // (ParquetSchemaConverterKamu.java:72-75). Spark infers NTZ for that
+  // annotation, which would poison every watermark/window downstream
+  // (withWatermark rejects NTZ), so the engine normalizes at input load.
+
+  test("TIMESTAMP_NTZ (isAdjustedToUTC=false) inputs surface as UTC timestamps") {
+    val dir = Files.createTempDirectory("graft-fmt")
+    val in = s"$dir/ntz.parquet"
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, TIMESTAMP_NTZ'2000-01-01 12:34:56.789'),
+        |  (2, TIMESTAMP_NTZ'2000-01-02 00:00:00')
+        |AS t(id, event_time)""".stripMargin)
+      .write.parquet(in)
+    // the fixture really carries the unadjusted annotation
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head.getAbsolutePath), conf))
+    val raw = reader.getFooter.getFileMetaData.getSchema.toString
+    reader.close()
+    assert(raw.contains("TIMESTAMP(MICROS,false)"), s"fixture not NTZ:\n$raw")
+
+    val df = graft.engine.TimeAwareParquet.read(spark, Seq(in))
+    assert(df.schema("event_time").dataType.typeName == "timestamp")
+    val m = df.collect().map(r => r.getInt(0) -> r.getTimestamp(1).toInstant).toMap
+    // session TZ is UTC → cast is value-preserving wall-clock
+    assert(m(1) == java.time.Instant.parse("2000-01-01T12:34:56.789Z"))
+    assert(m(2) == java.time.Instant.parse("2000-01-02T00:00:00Z"))
+  }
+
+  test("transform engine accepts NTZ event time end-to-end (watermark path)") {
+    import graft.engine.TransformEngine
+    val dir = Files.createTempDirectory("graft-fmt")
+    val in = s"$dir/ntz.parquet"
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(0 AS BIGINT), 0, TIMESTAMP'2000-01-05 00:00:00',
+        |   TIMESTAMP_NTZ'2000-01-01 06:00:00', 'a'),
+        |  (CAST(1 AS BIGINT), 0, TIMESTAMP'2000-01-05 00:00:00',
+        |   TIMESTAMP_NTZ'2000-01-02 06:00:00', 'b')
+        |AS t(offset, op, system_time, event_time, v)""".stripMargin)
+      .coalesce(1).write.parquet(in)
+    val file = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val req = TransformRequest(
+      datasetId = "did:out", datasetAlias = "out",
+      systemTime = java.time.Instant.parse("2000-01-06T00:00:00Z"),
+      vocab = DatasetVocabulary(),
+      transform = Transform(queries = Vector(SqlQueryStep(None,
+        "SELECT event_time, upper(v) AS v FROM src"))),
+      queryInputs = Vector(TransformRequestInput(
+        datasetId = "did:src", datasetAlias = "src", queryAlias = "src",
+        offsetInterval = Some(OffsetInterval(0, 1)),
+        dataPaths = Vector(file), schemaFile = file,
+        explicitWatermarks = Vector(RequestWatermark(
+          java.time.Instant.parse("2000-01-06T00:00:00Z"),
+          java.time.Instant.parse("2000-01-02T06:00:00Z"))))),
+      nextOffset = 0,
+      prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp",
+      newDataPath = s"$dir/out.parquet")
+    val resp = new TransformEngine(spark).executeTransform(req)
+    assert(resp == TransformResponse.Success(
+      Some(OffsetInterval(0, 1)),
+      Some(java.time.Instant.parse("2000-01-02T06:00:00Z"))))
+    val out = spark.read.parquet(s"$dir/out.parquet").orderBy("offset").collect()
+    assert(out.map(_.getAs[String]("v")).toSeq == Seq("A", "B"))
+    // event_time came in NTZ and leaves as the contract's UTC-adjusted millis
+    val pr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/out.parquet"),
+        new org.apache.hadoop.conf.Configuration()))
+    val outSchema = pr.getFooter.getFileMetaData.getSchema.toString
+    pr.close()
+    assert(outSchema.contains("int64 event_time (TIMESTAMP(MILLIS,true))"),
+      s"unexpected output schema:\n$outSchema")
+    assert(out.map(_.getTimestamp(out.head.fieldIndex("event_time")).toInstant).head ==
+      java.time.Instant.parse("2000-01-01T06:00:00Z"))
+  }
+
   test("single-file sink writes exactly one parquet file at the target path") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-fmt")
