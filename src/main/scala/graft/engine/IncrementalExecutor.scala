@@ -101,16 +101,17 @@ final class IncrementalExecutor(
         case _ if retractiveNow.nonEmpty =>
           runSnapshotDiff(d.keys, d.rankTouch)
         case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _, _)
-            if spec.join.forall(jd =>
-              byAlias(jd.left).isDefined && byAlias(jd.right).isDefined) =>
+            if spec.join.forall(_.rels.forall(byAlias(_).isDefined)) &&
+              spec.leftJoin.forall(lj =>
+                byAlias(lj.left).isDefined && byAlias(lj.right).isDefined) =>
           if (hiddenAvgsDivisible(spec)) runIncrementalAgg(spec)
           else runSnapshotDiff(d.keys, d.rankTouch)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, Some(jd), _, _)
-            if byAlias(jd.left).isDefined && byAlias(jd.right).isDefined =>
+            if jd.rels.forall(byAlias(_).isDefined) =>
           runDeltaJoin(jd)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, Some(dd), _)
             if byAlias(dd.input).isDefined &&
-              dd.join.forall(jd => byAlias(jd.right).isDefined) =>
+              dd.join.forall(_.rels.forall(byAlias(_).isDefined)) =>
           runDistinctDelta(dd)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, _, Some(lj))
             if byAlias(lj.left).isDefined && byAlias(lj.right).isDefined =>
@@ -598,34 +599,89 @@ final class IncrementalExecutor(
       Seq(s"__as_$n" -> "sum", s"__ac_$n" -> "count"))
     // This run's DELTA partials. A plain chain aggregates the new slices
     // directly (stateless derivations are linear in the input multiset).
-    // With an inner join below the aggregate the delta is the join
-    // decomposition  Δout = ΔA ⋈ B_full  ∪  A_old ⋈ ΔB  — run the chain
-    // once per term and merge the two aggregated frames: decomposable
-    // partials are associative, so agg(t1 ∪ t2) = agg(t1) ⊕ agg(t2).
-    val sliceAgg = spec.join match {
-      case None => partials()
-      case Some(jd) =>
-        val ia = byAlias(jd.left).get
-        val ib = byAlias(jd.right).get
-        val oldA = store.read(bufferName(jd.left), ia.df.schema)
-        val oldB = store.read(bufferName(jd.right), ib.df.schema)
-        def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
-          aDf.drop("__seq").createOrReplaceTempView(jd.left)
-          bDf.drop("__seq").createOrReplaceTempView(jd.right)
+    // With an inner-join tree below the aggregate the delta is the n-term
+    // join decomposition — term i rebinding input i to its slice, inputs
+    // before it to their old buffers, inputs after it to old ∪ slice — run
+    // the chain once per term and merge the aggregated frames:
+    // decomposable partials are associative, so agg(⋃tᵢ) = ⊕ agg(tᵢ).
+    // With a LEFT join below the aggregate the decomposition additionally
+    // carries RETRACTION terms (null-padded rows replaced by real pairs),
+    // merged in with their sum/count partials negated.
+    val sliceAgg = (spec.join, spec.leftJoin) match {
+      case (Some(jd), _) =>
+        val loaded = jd.rels.map(r => byAlias(r).get)
+        val olds = jd.rels.map(r =>
+          r -> store.read(bufferName(r), byAlias(r).get.df.schema)).toMap
+        def pass(frames: Seq[(String, DataFrame)]): DataFrame = {
+          frames.foreach { case (n, d) =>
+            d.drop("__seq").createOrReplaceTempView(n)
+          }
           partials()
         }
-        val parts = Seq(
-          if (ia.spec.offsetInterval.isEmpty) None
-          else Some(pass(ia.df, oldB.unionByName(ib.df))),
-          if (ib.spec.offsetInterval.isEmpty) None else Some(pass(oldA, ib.df))
-        ).flatten
-        parts match {
-          case Seq(p1, p2) =>
-            mergePartials(p1, p2, keys, kinds, p1.schema, "full_outer")
-          case Seq(p1) => p1
-          // watermark-only run: no delta terms — empty partials frame
-          case _ => pass(ia.df, ib.df).limit(0)
+        val parts = jd.rels.indices.flatMap { i =>
+          if (loaded(i).spec.offsetInterval.isEmpty) None
+          else Some(pass(jd.rels.zipWithIndex.map { case (r, j) =>
+            r -> (if (j < i) olds(r)
+                  else if (j == i) loaded(j).df
+                  else olds(r).unionByName(loaded(j).df))
+          }))
         }
+        parts
+          .reduceOption((a, b) => mergePartials(a, b, keys, kinds, a.schema, "full_outer"))
+          // watermark-only run: no delta terms — empty partials frame
+          .getOrElse(pass(jd.rels.map(r => r -> byAlias(r).get.df)).limit(0))
+      case (None, Some(lj)) =>
+        val ia = byAlias(lj.left).get
+        val ib = byAlias(lj.right).get
+        val oldA = store.read(bufferName(lj.left), ia.df.schema)
+        val oldB = store.read(bufferName(lj.right), ib.df.schema)
+        val fullB = oldB.unionByName(ib.df)
+        val offCol = ia.spec.vocab.offsetColumn
+        val matched0 = store.read(leftMatchedName,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(offCol,
+              org.apache.spark.sql.types.LongType))))
+        def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
+          aDf.drop("__seq").createOrReplaceTempView(lj.left)
+          bDf.drop("__seq").createOrReplaceTempView(lj.right)
+          partials()
+        }
+        def matchJoin(aDf: DataFrame, bDf: DataFrame, joinType: String): DataFrame =
+          aDf.drop("__seq").alias(lj.leftAlias)
+            .join(bDf.drop("__seq").alias(lj.rightAlias),
+              expr(lj.conditionSql), joinType)
+        val hasDa = ia.spec.offsetInterval.nonEmpty
+        val hasDb = ib.spec.offsetInterval.nonEmpty
+        // same three terms as runLeftDeltaJoin, aggregated to partials
+        val p1 = if (hasDa) Some(pass(ia.df, fullB)) else None
+        val p2 =
+          if (hasDb) Some(pass(matchJoin(oldA, ib.df, "left_semi"), ib.df))
+          else None
+        val prevUnmatchedNowMatched =
+          if (hasDb)
+            matchJoin(
+              oldA.alias("__a").join(matched0.alias("__m"),
+                col(s"__a.$offCol") === col(s"__m.$offCol"), "left_anti"),
+              ib.df, "left_semi")
+          else oldA.limit(0)
+        val p3 =
+          if (hasDb)
+            Some(negatePartials(pass(prevUnmatchedNowMatched, fullB.limit(0)), kinds))
+          else None
+        // matched-state is append-only, exactly as in runLeftDeltaJoin
+        val newMatched = Seq(
+          if (hasDa) Some(matchJoin(ia.df, fullB, "left_semi")
+            .select(col(s"${lj.leftAlias}.$offCol"))) else None,
+          if (hasDb) Some(prevUnmatchedNowMatched
+            .select(col(s"${lj.leftAlias}.$offCol"))) else None
+        ).flatten.reduceOption(_.unionByName(_)).getOrElse(matched0.limit(0))
+        store.appendCarry(leftMatchedName, newMatched,
+          matched0.unionByName(newMatched))
+        val parts = Seq(p1, p2, p3).flatten
+        parts
+          .reduceOption((a, b) => mergePartials(a, b, keys, kinds, a.schema, "full_outer"))
+          .getOrElse(pass(ia.df, ib.df).limit(0))
+      case (None, None) => partials()
     }
     // Analysis-only frame of the ORIGINAL output step — supplies the
     // visible column order and avg result types; never executed.
@@ -656,7 +712,8 @@ final class IncrementalExecutor(
         prev.alias("p").join(sliceAgg.alias("n"), keyEq, "left_anti"))
 
     /** Partials → the user-visible frame: avg = sum/count (cast to the real
-      * avg type), aux dropped, HAVING applied, original column order. */
+      * avg type), left-path NULL/dead-group fix-ups, aux dropped, HAVING
+      * applied, original column order. */
     def visible(df: DataFrame): DataFrame =
       if (!needsAux) df
       else {
@@ -665,6 +722,17 @@ final class IncrementalExecutor(
           v = v.withColumn(n,
             (col(s"__as_$n") / col(s"__ac_$n")).cast(visibleSchema(n).dataType))
         }
+        // Left-join path: a sum whose every contribution was retracted away
+        // must read NULL (SQL's empty sum), not the 0 subtraction leaves;
+        // a group whose last row was retracted disappears entirely (except
+        // the global group, which a recompute would still produce).
+        spec.sumNullCounts.foreach { case (n, nc) =>
+          v = v.withColumn(n,
+            when(col(nc) === 0, lit(null).cast(df.schema(n).dataType))
+              .otherwise(col(n)))
+        }
+        if (spec.leftJoin.isDefined && keys.nonEmpty)
+          v = v.where(col(PlanClassifier.RowCountCol) > 0)
         v = v.drop(spec.avgs.flatMap(n => Seq(s"__as_$n", s"__ac_$n")): _*)
         spec.havingSql.foreach(h => v = v.where(expr(h)))
         v.select(visibleSchema.fieldNames.map(col).toIndexedSeq: _*)
@@ -679,7 +747,13 @@ final class IncrementalExecutor(
     buffers.foreach { case (i, full) =>
       store.appendCarry(bufferName(i.spec.queryAlias), i.df, full)
     }
-    val newState = untouched.unionByName(mergedTouched)
+    // dead groups (left path) leave state: a later row for the same key
+    // starts from fresh partials, exactly as a recompute would
+    val mergedAlive =
+      if (spec.leftJoin.isDefined && keys.nonEmpty)
+        mergedTouched.where(col(PlanClassifier.RowCountCol) > 0)
+      else mergedTouched
+    val newState = untouched.unionByName(mergedAlive)
     if (needsAux) {
       store.write(aggStateName, newState)
       store.write(snapshotName, visible(newState))
@@ -727,18 +801,30 @@ final class IncrementalExecutor(
       .select(schema.fields.map(mergeCol).toSeq: _*)
   }
 
-  /** Append-only delta-join fast path for SnapshotDiff chains that are one
-    * inner join between two input relations with no retraction ever
-    * observed: run the step twice with the views rebound to the delta
-    * decomposition's terms —
+  /** Negate the additive partial columns (sum/count kinds) of a partials
+    * frame — the merge-side representation of a retraction term. min/max
+    * kinds never reach here: the classifier rejects them on the left-join
+    * path, and inner-tree terms are append-only.
+    */
+  private def negatePartials(df: DataFrame, kinds: Map[String, String]): DataFrame =
+    kinds.foldLeft(df) {
+      case (d, (n, k)) if (k == "sum" || k == "count") && d.columns.contains(n) =>
+        d.withColumn(n, (-col(n)).cast(d.schema(n).dataType))
+      case (d, _) => d
+    }
+
+  /** Append-only delta-join fast path for SnapshotDiff chains that are a
+    * tree of inner joins over n input relations with no retraction ever
+    * observed: run the chain once per input with the views rebound to the
+    * delta decomposition's terms —
     *
-    *   Δout = ΔA ⋈ B_full  ∪  A_old ⋈ ΔB
+    *   Δ(A₁⋈…⋈Aₙ) = ⋃ᵢ A₁ᵒˡᵈ ⋈ … ⋈ Aᵢ₋₁ᵒˡᵈ ⋈ ΔAᵢ ⋈ Aᵢ₊₁ᶠᵘˡˡ ⋈ … ⋈ Aₙᶠᵘˡˡ
     *
     * — and emit the union as appends. Per-run cost is O(slice ⋈ state)
     * with NO snapshot read and no full-history re-join; the recompute path
-    * is O(full ⋈ full) plus a full multiset diff every run. An inner join
-    * is monotone over appends, so the emitted rows equal exactly what the
-    * multiset diff would report.
+    * is O(full ⋈ full) plus a full multiset diff every run. An inner-join
+    * tree is multilinear over append deltas, so the emitted rows equal
+    * exactly what the multiset diff would report.
     *
     * Input buffers and the output snapshot are still maintained (snapshot
     * via O(slice) carry-append): the first retraction flips execution to
@@ -747,32 +833,31 @@ final class IncrementalExecutor(
     * migration.
     */
   private def runDeltaJoin(spec: PlanClassifier.JoinDelta): ExecResult = {
-    val ia = byAlias(spec.left).get
-    val ib = byAlias(spec.right).get
+    val loaded = spec.rels.map(r => byAlias(r).get)
     // buffers of ALL inputs (referenced or not) must keep accumulating —
     // a later retraction flip recomputes over them
     val olds = inputs.map(i =>
       i.spec.queryAlias -> store.read(bufferName(i.spec.queryAlias), i.df.schema)).toMap
-    val oldA = olds(spec.left)
-    val oldB = olds(spec.right)
-    val fullA = oldA.unionByName(ia.df)
-    val fullB = oldB.unionByName(ib.df)
 
     // spark.sql analyzes eagerly, so each pass captures its own bindings —
     // including any stateless pre-step views re-run over the pass's frames
     // (a stateless step is row-local: Δf(A) = f(ΔA)).
-    def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
-      aDf.drop("__seq").createOrReplaceTempView(spec.left)
-      bDf.drop("__seq").createOrReplaceTempView(spec.right)
+    def pass(frames: Seq[(String, DataFrame)]): DataFrame = {
+      frames.foreach { case (n, d) => d.drop("__seq").createOrReplaceTempView(n) }
       runStepsUntapped()
     }
-    val parts = Seq(
-      if (ia.spec.offsetInterval.isEmpty) None else Some(pass(ia.df, fullB)),
-      if (ib.spec.offsetInterval.isEmpty) None else Some(pass(oldA, ib.df))
-    ).flatten
-    // watermark-only run on both inputs: nothing can join, emit nothing
+    val parts = spec.rels.indices.flatMap { i =>
+      if (loaded(i).spec.offsetInterval.isEmpty) None
+      else Some(pass(spec.rels.zipWithIndex.map { case (r, j) =>
+        r -> (if (j < i) olds(r)
+              else if (j == i) loaded(j).df
+              else olds(r).unionByName(loaded(j).df))
+      }))
+    }
+    // watermark-only run on every input: nothing can join, emit nothing
     val delta = Snitch.tap(
-      parts.reduceOption(_.unionByName(_)).getOrElse(pass(ia.df, ib.df).limit(0)),
+      parts.reduceOption(_.unionByName(_)).getOrElse(
+        pass(spec.rels.map(r => r -> byAlias(r).get.df)).limit(0)),
       "output")
 
     if (delta.columns.contains(vocab.operationTypeColumn))
@@ -940,24 +1025,27 @@ final class IncrementalExecutor(
         i.df.drop("__seq").createOrReplaceTempView(spec.input)
         runStepsUntapped()
       case Some(jd) =>
-        val ia = byAlias(jd.left).get
-        val ib = byAlias(jd.right).get
-        val oldA = store.read(bufferName(jd.left), ia.df.schema)
-        val oldB = store.read(bufferName(jd.right), ib.df.schema)
-        def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
-          aDf.drop("__seq").createOrReplaceTempView(jd.left)
-          bDf.drop("__seq").createOrReplaceTempView(jd.right)
+        val loaded = jd.rels.map(r => byAlias(r).get)
+        val olds = jd.rels.map(r =>
+          r -> store.read(bufferName(r), byAlias(r).get.df.schema)).toMap
+        def pass(frames: Seq[(String, DataFrame)]): DataFrame = {
+          frames.foreach { case (n, d) =>
+            d.drop("__seq").createOrReplaceTempView(n)
+          }
           runStepsUntapped()
         }
-        val parts = Seq(
-          if (ia.spec.offsetInterval.isEmpty) None
-          else Some(pass(ia.df, oldB.unionByName(ib.df))),
-          if (ib.spec.offsetInterval.isEmpty) None else Some(pass(oldA, ib.df))
-        ).flatten
+        val parts = jd.rels.indices.flatMap { i =>
+          if (loaded(i).spec.offsetInterval.isEmpty) None
+          else Some(pass(jd.rels.zipWithIndex.map { case (r, j) =>
+            r -> (if (j < i) olds(r)
+                  else if (j == i) loaded(j).df
+                  else olds(r).unionByName(loaded(j).df))
+          }))
+        }
         parts match {
-          case Seq(p1, p2) => p1.unionByName(p2).dropDuplicates()
-          case Seq(p1)     => p1
-          case _           => pass(ia.df, ib.df).limit(0)
+          case Seq()   => pass(jd.rels.map(r => r -> byAlias(r).get.df)).limit(0)
+          case Seq(p1) => p1
+          case many    => many.reduce(_.unionByName(_)).dropDuplicates()
         }
     }
 

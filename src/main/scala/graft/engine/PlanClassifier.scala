@@ -74,17 +74,24 @@ object PlanClassifier {
     */
   final case class RankTouch(input: String, cols: Seq[String])
 
-  /** Proof that a SnapshotDiff chain is a single INNER join between two
-    * distinct input relations (each scanned exactly once) with a stateless
-    * select list. An inner join is monotone over appends — `(A∪ΔA)⋈(B∪ΔB)
-    * = A⋈B ∪ ΔA⋈(B∪ΔB) ∪ A⋈ΔB` — so while no input has ever carried a
-    * retraction the executor emits just the delta terms as appends:
-    * O(Δ ⋈ state) per run with NO snapshot read and no full-history
-    * re-join, instead of recompute-plus-multiset-diff over everything.
-    * Outer/semi/anti joins are excluded (a later match retracts earlier
-    * null-padded or anti rows — not append-only).
+  /** Proof that a SnapshotDiff chain is a tree of INNER joins over n ≥ 2
+    * distinct input relations (each scanned exactly once) with stateless
+    * derivations between. An inner-join tree is multilinear in each input
+    * multiset, so its delta decomposes into one term per input —
+    *
+    *   Δ(A₁⋈…⋈Aₙ) = ⋃ᵢ A₁ᵒˡᵈ ⋈ … ⋈ Aᵢ₋₁ᵒˡᵈ ⋈ ΔAᵢ ⋈ Aᵢ₊₁ᶠᵘˡˡ ⋈ … ⋈ Aₙᶠᵘˡˡ
+    *
+    * — and while no input has ever carried a retraction the executor emits
+    * just those terms as appends: O(Δ ⋈ state) per run with NO snapshot
+    * read and no full-history re-join, instead of
+    * recompute-plus-multiset-diff over everything. Outer/semi/anti joins
+    * are excluded (a later match retracts earlier null-padded or anti rows
+    * — not append-only).
+    *
+    * @param rels the tree's input relations in leaf order — the term
+    *   decomposition is taken in this order (any fixed order is exact)
     */
-  final case class JoinDelta(left: String, right: String)
+  final case class JoinDelta(rels: Vector[String])
 
   /** Proof that a SnapshotDiff chain is a single LEFT OUTER join of two
     * direct input relations in one step. Unlike an inner join, a left join
@@ -100,9 +107,11 @@ object PlanClassifier {
     *                                                   null-padded rows),
     *
     * O(slice ⋈ state) per run instead of recompute + full multiset diff.
-    * Restricted to one step with both join sides as direct (optionally
-    * aliased) relations so the ON condition can be evaluated against the
-    * raw input frames for the matched-state semi/anti joins.
+    * Both join sides must be direct (optionally aliased) relations so the
+    * ON condition can be evaluated against the raw input frames for the
+    * matched-state semi/anti joins; the join may sit in a pre-step
+    * consumed by stateless later steps under [[StepChains]]'s use-once
+    * discipline.
     *
     * @param conditionSql the ON predicate as SQL, referencing
     *   `leftAlias`/`rightAlias`
@@ -125,8 +134,8 @@ object PlanClassifier {
     * flips to the recompute path (a retraction can delete the last
     * occurrence of a distinct row).
     *
-    * @param input the single input relation; `join.get.left` when `join`
-    *   is set (the executor reads both relations from the join spec)
+    * @param input the single input relation; `join.get.rels.head` when
+    *   `join` is set (the executor reads all relations from the join spec)
     */
   final case class DistinctDelta(input: String, join: Option[JoinDelta] = None)
 
@@ -167,7 +176,26 @@ object PlanClassifier {
         * double division, so the executor checks the analyzed sum-partial
         * types and routes decimal inputs to the recompute path.
         */
-      hiddenAvgs: Seq[String] = Nil)
+      hiddenAvgs: Seq[String] = Nil,
+      /** When the aggregate sits above the chain's single LEFT OUTER join
+        * ([[LeftJoinDelta]] conditions): delta partials come from the left
+        * join's append terms MINUS its retraction terms (the null-padded
+        * rows replaced by real pairs), negated through the sum/count
+        * algebra. Requires every aggregate invertible (sum/count/avg) and
+        * carries a hidden [[RowCountCol]] count(*) partial so groups whose
+        * last row was retracted drop from the visible snapshot and state.
+        */
+      leftJoin: Option[LeftJoinDelta] = None,
+      /** sum column → its paired hidden non-null count column (left path
+        * only): a sum whose every contribution was subtracted away must
+        * read NULL (SQL's sum over no rows), not the numeric 0 the
+        * subtraction leaves behind.
+        */
+      sumNullCounts: Seq[(String, String)] = Nil)
+
+  /** Hidden count(*) partial maintained on [[AggMergeSpec.leftJoin]] chains:
+    * a group is alive iff its merged row count is positive. */
+  val RowCountCol: String = "__rc"
 
   /** Facts accumulated over every parsed step of the chain.
     * @param calendarTumble chain has a calendar (month/quarter/year) tumble
@@ -430,37 +458,46 @@ object PlanClassifier {
     * sum/count/min/max/avg, and every group key survives to the output. A
     * HAVING above the aggregate qualifies when its predicate reads only
     * OUTPUT columns (it is then applied post-merge). The chain may
-    * additionally hold ONE inner join below the aggregate when it resolves
-    * under [[StepChains]]'s discipline — the spec then carries the
+    * additionally hold an inner-join TREE below the aggregate when it
+    * resolves under [[StepChains]]'s discipline — the spec then carries the
     * [[JoinDelta]] and the executor aggregates the join's delta terms
-    * instead of the raw slices. Anything else — expressions over
-    * aggregates, aggregates in HAVING, the aggregate in an intermediate
-    * step, an outer join — returns None and keeps the recompute path.
+    * instead of the raw slices — or a single LEFT OUTER join
+    * ([[LeftJoinDelta]] conditions, sum/count/avg aggregates only), whose
+    * retraction terms subtract through the partials. Anything else —
+    * expressions over aggregates, aggregates in HAVING, the aggregate in an
+    * intermediate step — returns None and keeps the recompute path.
     */
   private def extractAggMerge(
       spark: SparkSession,
       steps: Seq[(Option[String], SqlRewriter.Rewritten)],
       f: Facts): Option[AggMergeSpec] = {
     val onlyAgg = f.plainAggs.size == 1 && f.rankSpecs.isEmpty &&
-      f.regularJoins <= 1 && !f.otherWindowFns && !f.distinctOrLimit &&
+      !f.otherWindowFns && !f.distinctOrLimit &&
       !f.hasSubquery && !steps.exists(_._2.timeVarying)
     val ks = f.plainAggs.headOption.flatten match {
       case Some(k) if onlyAgg => k
       case _                  => return None
     }
-    // With a join below the aggregate, the slice is not the delta — the
+    // With joins below the aggregate, the slice is not the delta — the
     // join's delta decomposition is, and it demands the same resolution
     // discipline as the plain delta-join path (CTE bodies unseeable ⇒
-    // unsound ⇒ no fast path).
-    val joinOpt: Option[JoinDelta] =
-      if (f.regularJoins == 0) None
+    // unsound ⇒ no fast path). An inner-join tree contributes append-only
+    // delta terms; a single LEFT join contributes append terms plus
+    // retraction terms, which the merge algebra can only subtract through
+    // sum/count partials (min/max are not invertible — [[build]] rejects
+    // them on the left path).
+    val (joinOpt, leftOpt): (Option[JoinDelta], Option[LeftJoinDelta]) =
+      if (f.regularJoins == 0) (None, None)
       else {
         val chains = new StepChains(spark, steps)
-        val resolved =
-          if (chains.hasCte) None else chains.resolveSingleInnerJoin()
-        resolved match {
-          case None => return None
-          case some => some
+        if (chains.hasCte) return None
+        chains.resolveInnerJoinTree() match {
+          case Some(jd) => (Some(jd), None)
+          case None =>
+            chains.resolveSingleLeftJoin() match {
+              case Some(lj) => (None, Some(lj))
+              case None     => return None
+            }
         }
       }
     val outIdx = steps.lastIndexWhere(_._1.isEmpty) match {
@@ -484,10 +521,14 @@ object PlanClassifier {
       case _ => None
     }
     def build(
-        flat: Seq[Either[String, (String, String)]]): Option[AggMergeSpec] = {
-      val aggs = flat.collect { case scala.util.Right((n, k)) if k != "avg" => (n, k) }
-      val avgs = flat.collect { case scala.util.Right((n, "avg")) => n }
+        flat: Seq[Either[String, (String, String, Expression)]]): Option[AggMergeSpec] = {
+      val aggs = flat.collect { case scala.util.Right((n, k, _)) if k != "avg" => (n, k) }
+      val avgs = flat.collect { case scala.util.Right((n, "avg", _)) => n }
       val keyCols = flat.collect { case scala.util.Left(k) => k }
+      // Left-join path: retraction terms subtract through the partials, so
+      // every aggregate must be invertible — sum/count/avg only.
+      if (leftOpt.isDefined && aggs.exists(kv => kv._2 == "min" || kv._2 == "max"))
+        return None
       if ((aggs.nonEmpty || avgs.nonEmpty) && keyCols.sorted == ks.sorted) {
         val visibleNames = (keyCols ++ aggs.map(_._1) ++ avgs).toSet
         // The post-merge filter evaluates against the merged frame: plain
@@ -544,9 +585,30 @@ object PlanClassifier {
         }
         val rewritten: Option[Option[Expression]] = having.map(rewriteHaving)
         if (rewritten.exists(_.isEmpty)) None
+        else if (leftOpt.isDefined &&
+          hidden.exists(h => h._2 == "min" || h._2 == "max")) None
         else {
           val havingExpr = rewritten.flatten
-          val needsPlan = avgs.nonEmpty || havingExpr.isDefined
+          // Left-join path aux partials: a hidden count(*) row-count so the
+          // executor can drop groups whose last row was retracted, and a
+          // paired non-null count per SUM so a sum whose every contribution
+          // was subtracted away reads NULL (SQL's empty-sum), not 0.
+          var sumNullCounts = Vector.empty[(String, String)]
+          if (leftOpt.isDefined) {
+            val sums = (flat.collect {
+              case scala.util.Right((n, "sum", fn)) => (n, fn)
+            }) ++ hidden.collect { case (n, "sum", fn) => (n, fn) }
+            sums.foreach { case (n, fn) =>
+              val nc = s"__nc_$n"
+              sumNullCounts :+= (n -> nc)
+              hidden :+= ((nc, "count",
+                fn.asInstanceOf[UnresolvedFunction].copy(nameParts = Seq("count"))))
+            }
+            hidden :+= ((RowCountCol, "count",
+              UnresolvedFunction(Seq("count"), Seq(Literal(1)), isDistinct = false)))
+          }
+          val needsPlan =
+            avgs.nonEmpty || havingExpr.isDefined || leftOpt.isDefined
           val partials =
             if (!needsPlan) None
             else Some(partialsPlanOf(
@@ -554,27 +616,28 @@ object PlanClassifier {
               avgs.toSet,
               hidden.map(h => Alias(h._3, h._1)()).toSeq))
           Some(AggMergeSpec(ks, aggs ++ hidden.map(h => (h._1, h._2)), avgs,
-            havingExpr.map(_.sql), partials, joinOpt, hiddenAvgNames))
+            havingExpr.map(_.sql), partials, joinOpt, hiddenAvgNames,
+            leftOpt, sumNullCounts))
         }
       } else None
     }
     unwrap(spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql)) match {
       case a: Aggregate =>
-        val entries: Seq[Option[Either[String, (String, String)]]] =
+        val entries: Seq[Option[Either[String, (String, String, Expression)]]] =
           a.aggregateExpressions.map {
             case attr: UnresolvedAttribute if ks.contains(attr.nameParts.last) =>
               Some(scala.util.Left(attr.nameParts.last))
             case Alias(_, n) if ks.contains(n) => Some(scala.util.Left(n))
-            case Alias(fn, n) => fnKind(fn).map(k => scala.util.Right(n -> k))
+            case Alias(fn, n) => fnKind(fn).map(k => scala.util.Right((n, k, fn)))
             case _            => None
           }
         if (!entries.forall(_.isDefined)) None else build(entries.flatten)
       // a global aggregate (`SELECT count(*), sum(v) FROM t`) parses as a
       // bare Project; single merged group, no keys
       case p: Project if ks.isEmpty =>
-        val entries: Seq[Option[Either[String, (String, String)]]] =
+        val entries: Seq[Option[Either[String, (String, String, Expression)]]] =
           p.projectList.map {
-            case Alias(fn, n) => fnKind(fn).map(k => scala.util.Right(n -> k))
+            case Alias(fn, n) => fnKind(fn).map(k => scala.util.Right((n, k, fn)))
             case _            => None
           }
         if (entries.nonEmpty && entries.forall(_.isDefined)) build(entries.flatten)
@@ -671,68 +734,124 @@ object PlanClassifier {
         all.sorted == (stepByAlias.keys.toSeq ++ inputs).sorted
     }
 
-    /** The chain's single INNER join (plain, USING, or NATURAL) — in any
-      * step — with both sides resolving through single-scan pre-steps to
-      * two DISTINCT input relations under the use-once discipline. None
-      * when the join is outer/semi/anti, duplicated, a disguised
-      * self-join, or the discipline fails.
+    /** The chain's INNER-join tree (plain, USING, or NATURAL joins, k ≥ 1
+      * of them, possibly spread across steps via aliased pre-steps) whose
+      * leaves resolve to n = k+1 DISTINCT input relations under the
+      * use-once discipline. None when any join is outer/semi/anti, any
+      * relation is scanned twice (self-joins), a non-join operator (UNION,
+      * aggregate below a join side, …) combines relations, or the
+      * discipline fails. Stateless wrappers (project/filter/sort/alias)
+      * between joins are row-local and pass through; the top-of-output
+      * Aggregate / Distinct / HAVING wrappers pass through too — the
+      * callers' Facts guards decide whether those are allowed, and their
+      * own fast paths account for them (agg-merge, distinct-delta).
       */
-    def resolveSingleInnerJoin(): Option[JoinDelta] = {
+    def resolveInnerJoinTree(): Option[JoinDelta] = {
       import org.apache.spark.sql.catalyst.plans.{Inner, NaturalJoin, UsingJoin}
-      val joins = plans.flatMap(_._2.collect { case j: Join => j })
-      if (joins.size != 1) return None
-      val j = joins.head
-      val inner = j.joinType match {
+      def isInner(j: Join): Boolean = j.joinType match {
         case Inner               => true
         case UsingJoin(Inner, _) => true
         case NaturalJoin(Inner)  => true
         case _                   => false
       }
-      if (!inner) return None
-      def relOf(p: LogicalPlan): Option[String] = p match {
+      val allJoins = plans.flatMap(_._2.collect { case j: Join => j })
+      if (allJoins.isEmpty || !allJoins.forall(isInner)) return None
+      def leaves(p: LogicalPlan, seen: Set[String]): Option[Vector[String]] =
+        p match {
+          case pr: Project         => leaves(pr.child, seen)
+          case fl: Filter          => leaves(fl.child, seen)
+          case s: Sort             => leaves(s.child, seen)
+          case sa: SubqueryAlias   => leaves(sa.child, seen)
+          case d: Distinct         => leaves(d.child, seen)
+          case a: Aggregate        => leaves(a.child, seen)
+          case h: UnresolvedHaving => leaves(h.child, seen)
+          case j: Join =>
+            for {
+              l <- leaves(j.left, seen)
+              r <- leaves(j.right, seen)
+            } yield l ++ r
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            val n = r.multipartIdentifier.last
+            if (seen(n)) None
+            else stepByAlias.get(n) match {
+              case Some(sp) => leaves(sp, seen + n)
+              case None     => Some(Vector(n))
+            }
+          case _ => None
+        }
+      for {
+        ls <- leaves(outPlan, Set.empty)
+        // every collected join sits in this single tree, every leaf distinct
+        if ls.size == allJoins.size + 1 && ls.distinct.size == ls.size
+        if soundUse(ls)
+      } yield JoinDelta(ls)
+    }
+
+    /** The chain's single LEFT OUTER join with an ON condition, both sides
+      * direct (optionally aliased) input relations each scanned exactly
+      * once — direct so the ON predicate can be evaluated against the raw
+      * input frames for the matched-state semi/anti joins. The join may sit
+      * in a pre-step consumed by stateless later steps, or under the output
+      * step's aggregate — the callers' Facts guards decide which.
+      */
+    def resolveSingleLeftJoin(): Option[LeftJoinDelta] = {
+      import org.apache.spark.sql.catalyst.plans.LeftOuter
+      val joins = plans.flatMap(_._2.collect { case j: Join => j })
+      if (joins.size != 1) return None
+      val j = joins.head
+      if (j.joinType != LeftOuter || j.condition.isEmpty) return None
+      def relAlias(p: LogicalPlan): Option[(String, String)] = p match {
+        case s: SubqueryAlias =>
+          s.child match {
+            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+              Some((r.multipartIdentifier.last, s.alias))
+            case _ => None
+          }
         case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          Some(r.multipartIdentifier.last)
-        case s: SubqueryAlias => relOf(s.child)
-        case _                => None
+          Some((r.multipartIdentifier.last, r.multipartIdentifier.last))
+        case _ => None
       }
       for {
-        a <- relOf(j.left).flatMap(terminal(_))
-        b <- relOf(j.right).flatMap(terminal(_))
+        (a, la) <- relAlias(j.left)
+        (b, rb) <- relAlias(j.right)
         if a != b && soundUse(Seq(a, b))
-      } yield JoinDelta(a, b)
+      } yield LeftJoinDelta(a, la, b, rb, j.condition.get.sql)
     }
   }
 
-  /** Detect the append-only delta-join shape: the chain holds a single
-    * INNER join (plain, USING, or NATURAL) — in the output step OR a
-    * pre-step (the executor re-runs the whole chain per delta term, and a
-    * stateless post-join step is row-local) — whose two sides resolve
-    * through chains of stateless single-scan pre-steps to two DISTINCT
+  /** Detect the append-only delta-join shape: the chain holds a tree of
+    * INNER joins (plain, USING, or NATURAL) — in the output step and/or
+    * pre-steps (the executor re-runs the whole chain per delta term, and a
+    * stateless post-join step is row-local) — whose leaves resolve
+    * through chains of stateless single-scan pre-steps to n DISTINCT
     * input relations, with the use-once discipline of [[StepChains]] and
     * nothing stateful anywhere: no aggregates, ranking, DISTINCT/LIMIT,
     * subqueries, time-varying literals, or CTEs (their bodies are not plan
     * children; classification over them is unsound — same rule as
-    * [[extractRankTouch]]). The join predicate itself is unrestricted: the
-    * delta decomposition holds for any inner θ-join.
+    * [[extractRankTouch]]). The join predicates themselves are
+    * unrestricted: the delta decomposition holds for any inner θ-join
+    * tree.
     */
   private def extractJoinDelta(
       spark: SparkSession,
       steps: Seq[(Option[String], SqlRewriter.Rewritten)],
       f: Facts): Option[JoinDelta] = {
-    val onlyJoin = f.regularJoins == 1 && f.plainAggs.isEmpty &&
+    val onlyJoin = f.regularJoins >= 1 && f.plainAggs.isEmpty &&
       f.rankSpecs.isEmpty && !f.otherWindowFns && !f.distinctOrLimit &&
       !f.hasSubquery && f.intervalUppers.isEmpty &&
       !steps.exists(_._2.timeVarying)
     if (!onlyJoin) return None
     val chains = new StepChains(spark, steps)
     if (chains.hasCte) return None
-    chains.resolveSingleInnerJoin()
+    chains.resolveInnerJoinTree()
   }
 
-  /** Detect the left-join delta shape (see [[LeftJoinDelta]]): one step,
-    * one LEFT OUTER join with an ON condition, both sides direct
-    * (optionally aliased) input relations each scanned exactly once,
-    * nothing else stateful — same exclusions as [[extractJoinDelta]].
+  /** Detect the left-join delta shape (see [[LeftJoinDelta]]): one LEFT
+    * OUTER join with an ON condition — in the output step or a pre-step
+    * consumed by stateless later steps — both sides direct (optionally
+    * aliased) input relations each scanned exactly once under
+    * [[StepChains]]'s use-once discipline, nothing else stateful — same
+    * exclusions as [[extractJoinDelta]].
     */
   private def extractLeftJoinDelta(
       spark: SparkSession,
@@ -741,35 +860,11 @@ object PlanClassifier {
     val onlyJoin = f.regularJoins == 1 && f.plainAggs.isEmpty &&
       f.rankSpecs.isEmpty && !f.otherWindowFns && !f.distinctOrLimit &&
       !f.hasSubquery && f.intervalUppers.isEmpty &&
-      !steps.exists(_._2.timeVarying) && steps.size == 1
+      !steps.exists(_._2.timeVarying)
     if (!onlyJoin) return None
-    val plan = spark.sessionState.sqlParser.parsePlan(steps.head._2.sql)
-    if (plan.exists(_.isInstanceOf[UnresolvedWith])) return None
-    val joins = plan.collect { case j: Join => j }
-    if (joins.size != 1) return None
-    val j = joins.head
-    import org.apache.spark.sql.catalyst.plans.LeftOuter
-    if (j.joinType != LeftOuter || j.condition.isEmpty) return None
-    def relAlias(p: LogicalPlan): Option[(String, String)] = p match {
-      case s: SubqueryAlias =>
-        s.child match {
-          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-            Some((r.multipartIdentifier.last, s.alias))
-          case _ => None
-        }
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        Some((r.multipartIdentifier.last, r.multipartIdentifier.last))
-      case _ => None
-    }
-    val allRels = plan.collect {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        r.multipartIdentifier.last
-    }
-    for {
-      (a, la) <- relAlias(j.left)
-      (b, rb) <- relAlias(j.right)
-      if a != b && allRels.sorted == Seq(a, b).sorted
-    } yield LeftJoinDelta(a, la, b, rb, j.condition.get.sql)
+    val chains = new StepChains(spark, steps)
+    if (chains.hasCte) return None
+    chains.resolveSingleLeftJoin()
   }
 
   /** Detect the append-only DISTINCT shape: the output step is one DISTINCT
@@ -786,7 +881,7 @@ object PlanClassifier {
       steps: Seq[(Option[String], SqlRewriter.Rewritten)],
       f: Facts): Option[DistinctDelta] = {
     val onlyDistinct = f.distincts == 1 && !f.limitOrSetOp &&
-      f.plainAggs.isEmpty && f.rankSpecs.isEmpty && f.regularJoins <= 1 &&
+      f.plainAggs.isEmpty && f.rankSpecs.isEmpty &&
       !f.otherWindowFns && !f.hasSubquery && f.intervalUppers.isEmpty &&
       !steps.exists(_._2.timeVarying)
     if (!onlyDistinct) return None
@@ -797,9 +892,9 @@ object PlanClassifier {
       case other   => other
     }
     if (!unwrap(chains.outPlan).isInstanceOf[Distinct]) return None
-    if (f.regularJoins == 1)
-      return chains.resolveSingleInnerJoin()
-        .map(jd => DistinctDelta(jd.left, Some(jd)))
+    if (f.regularJoins >= 1)
+      return chains.resolveInnerJoinTree()
+        .map(jd => DistinctDelta(jd.rels.head, Some(jd)))
     chains.outPlan.collect {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         r.multipartIdentifier.last

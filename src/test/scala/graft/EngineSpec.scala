@@ -1838,6 +1838,211 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("two-join chain delta path and recompute emit identical changelogs") {
+    import spark.implicits._
+    // Seeded random append-only slices on THREE inputs through the 2-step
+    // enrich-then-join chain (join in a pre-step, second join at the
+    // output — the n-ary tree delta path) versus a value-identical
+    // CTE-wrapped single-step variant (WITH bodies are never classified
+    // through → recompute). Run 4 retracts a run-1 order, covering the
+    // delta → net-and-recompute flip against the delta-maintained
+    // snapshot. Slices may be empty for any input.
+    val rnd = new scala.util.Random(41)
+    val dirF = tmp(); val dirC = tmp()
+    val qFastSteps = Seq(
+      Some("enriched") ->
+        """SELECT o.event_time AS event_time, o.order_id AS order_id,
+          |  o.quantity AS quantity, s.num_shipped AS num_shipped
+          |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin,
+      None ->
+        """SELECT e.event_time AS event_time, e.order_id AS order_id,
+          |  e.quantity AS quantity, e.num_shipped AS num_shipped,
+          |  tk.symbol AS symbol
+          |FROM enriched e JOIN tickers tk ON tk.price = e.num_shipped""".stripMargin)
+    val qSlowSteps = Seq(None ->
+      """WITH j AS (
+        |  SELECT o.event_time AS event_time, o.order_id AS order_id,
+        |    o.quantity AS quantity, s.num_shipped AS num_shipped, tk.symbol AS symbol
+        |  FROM orders o JOIN shipments s ON o.order_id = s.order_id
+        |  JOIN tickers tk ON tk.price = s.num_shipped)
+        |SELECT event_time, order_id, quantity, num_shipped, symbol FROM j""".stripMargin)
+    var offA = 0L; var offB = 0L; var offT = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 5).foreach { run =>
+      val nA0 = if (run == 1) 2 else rnd.nextInt(3)
+      val nB = if (run == 1) 1 + rnd.nextInt(2) else rnd.nextInt(3)
+      val nT = if (run == 1) 2 else rnd.nextInt(2)
+      val orders = (0 until nA0).map { i =>
+        OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(4), 10 * (1 + rnd.nextInt(5)))
+      }
+      if (run == 1) firstOrder = orders.head
+      val orderSlice =
+        if (run == 4)
+          orders :+ OrderRow(offA + nA0, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val ships = (0 until nB).map { i =>
+        Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(4), 5 * (1 + rnd.nextInt(4)))
+      }
+      // ticker prices land in the num_shipped value range so the second
+      // join produces rows
+      val ticks = (0 until nT).map { i =>
+        Ticker(offT + i, Op.Append, t(ts(run)), t(ts(run)),
+          ('A' + rnd.nextInt(3)).toChar.toString, 5 * (1 + rnd.nextInt(4)))
+      }
+      val nA = orderSlice.length
+      def stage(dir: java.nio.file.Path): (String, String, String) = {
+        val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+        val k = s"$dir/t$run.parquet"
+        if (nA > 0) writeSlice(orderSlice, o)
+        if (nB > 0) writeSlice(ships, s)
+        if (nT > 0) writeSlice(ticks, k)
+        (o, s, k)
+      }
+      val (oF, sF, kF) = stage(dirF); val (oC, sC, kC) = stage(dirC)
+      def drive(tag: String, dir: java.nio.file.Path,
+          o: String, s: String, k: String,
+          qs: Seq[(Option[String], String)], prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(qs: _*),
+          Vector(
+            mkInput("orders", if (nA > 0) o else null,
+              s"$dir/o1.parquet", nA, startOffset = offA, wms = Seq(ts(run))),
+            mkInput("shipments", if (nB > 0) s else null,
+              s"$dir/s1.parquet", nB, startOffset = offB, wms = Seq(ts(run))),
+            mkInput("tickers", if (nT > 0) k else null,
+              s"$dir/t1.parquet", nT, startOffset = offT, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, oF, sF, kF, qFastSteps, prevF))
+      prevC = Some(drive("c", dirC, oC, sC, kC, qSlowSteps, prevC))
+      offA += nA; offB += nB; offT += nT
+      val sel = Seq("offset", "op", "event_time", "order_id", "quantity",
+        "num_shipped", "symbol")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    // the random schedule must have produced three-way joined output
+    assert(nextOut("f") > 0)
+  }
+
+  test("agg above a left join: merge path and recompute, incl. group death") {
+    import spark.implicits._
+    // Scripted then random slices through a sum/count/avg aggregate keyed
+    // on a RIGHT-side column above a LEFT join (merge path: left-join
+    // delta terms ± through the partials) versus the value-identical
+    // `sum+0` recompute variant. Run 1 leaves every order unmatched (NULL
+    // group), run 2 matches them all — the NULL group dies, exercising the
+    // hidden row-count partial — and run 4 retracts a run-1 order,
+    // covering the merge → net-and-recompute flip.
+    val rnd = new scala.util.Random(59)
+    val dirF = tmp(); val dirC = tmp()
+    def q(sum: String) =
+      s"""SELECT o.event_time AS event_time, s.num_shipped AS ship_sz,
+         |  count(*) AS n, $sum AS q_total, avg(o.quantity) AS q_avg
+         |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id
+         |GROUP BY o.event_time, s.num_shipped""".stripMargin
+    val qFast = q("sum(o.quantity)")
+    val qSlow = q("sum(o.quantity) + 0")
+    var offA = 0L; var offB = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 5).foreach { run =>
+      val orders: Seq[OrderRow] = run match {
+        case 1 => Seq(
+          OrderRow(offA, Op.Append, t(ts(1)), t(ts(1)), 1, 10),
+          OrderRow(offA + 1, Op.Append, t(ts(1)), t(ts(1)), 2, 20))
+        case _ => (0 until rnd.nextInt(3)).map(i =>
+          OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)),
+            1 + rnd.nextInt(5), 10 * (1 + rnd.nextInt(4))))
+      }
+      if (run == 1) firstOrder = orders.head
+      val orderSlice =
+        if (run == 4)
+          orders :+ OrderRow(offA + orders.length, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val ships: Seq[Shipment] = run match {
+        case 1 => Nil
+        case 2 => Seq( // match BOTH run-1 orders: the NULL group dies
+          Shipment(offB, Op.Append, t(ts(2)), t(ts(2)), 1, 5),
+          Shipment(offB + 1, Op.Append, t(ts(2)), t(ts(2)), 2, 5))
+        case _ => (0 until rnd.nextInt(3)).map(i =>
+          Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)),
+            1 + rnd.nextInt(5), 5 * (1 + rnd.nextInt(3))))
+      }
+      val nA = orderSlice.length; val nB = ships.length
+      def stage(dir: java.nio.file.Path): (String, String) = {
+        val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+        if (run == 1) // schema-only fixture: schemaFile must always exist
+          writeSlice(Seq(Shipment(0, Op.Append, t(ts(1)), t(ts(1)), 999, 1)),
+            s"$dir/sschema.parquet")
+        if (nA > 0) writeSlice(orderSlice, o)
+        if (nB > 0) writeSlice(ships, s)
+        (o, s)
+      }
+      val (oF, sF) = stage(dirF); val (oC, sC) = stage(dirC)
+      def drive(tag: String, dir: java.nio.file.Path, o: String, s: String,
+          q: String, prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(
+            mkInput("orders", if (nA > 0) o else null,
+              s"$dir/o1.parquet", nA, startOffset = offA, wms = Seq(ts(run))),
+            mkInput("shipments", if (nB > 0) s else null,
+              s"$dir/sschema.parquet", nB, startOffset = offB, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, oF, sF, qFast, prevF))
+      prevC = Some(drive("c", dirC, oC, sC, qSlow, prevC))
+      offA += nA; offB += nB
+      val sel = Seq("offset", "op", "event_time", "ship_sz", "n", "q_total", "q_avg")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+      if (run == 1) {
+        // both orders unmatched: one NULL-keyed group appended
+        assert(outF.exists(r => r.isNullAt(3) && r.getLong(4) == 2L))
+      }
+      if (run == 2) {
+        // the NULL group died when its last row was retracted — the fast
+        // path must emit its -D exactly like the recompute diff
+        assert(outF.exists(r => r.getInt(1) == Op.Retract && r.isNullAt(3)),
+          s"expected NULL-group retraction in run 2: $outF")
+        assert(outF.exists(r => r.getInt(1) == Op.Append && !r.isNullAt(3)))
+      }
+    }
+    assert(nextOut("f") > 0)
+  }
+
   test("DISTINCT emits only never-seen rows across runs") {
     import spark.implicits._
     val dir = tmp()

@@ -213,15 +213,15 @@ class PlanClassifierSpec extends AnyFunSuite {
   test("a single inner join carries a delta-join spec") {
     assert(classify("SELECT a.id, b.v FROM a JOIN b ON a.id = b.id")
       .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
-      Some(PlanClassifier.JoinDelta("a", "b")))
+      Some(PlanClassifier.JoinDelta(Vector("a", "b"))))
     // aliased sides resolve through SubqueryAlias to the input relations
     assert(classify("SELECT x.id, y.v FROM a AS x JOIN b AS y ON x.id = y.id")
       .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
-      Some(PlanClassifier.JoinDelta("a", "b")))
+      Some(PlanClassifier.JoinDelta(Vector("a", "b"))))
     // the predicate is unrestricted — inner θ-joins decompose the same way
     assert(classify("SELECT a.id, b.v FROM a JOIN b ON a.id < b.id AND b.v > 0")
       .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
-      Some(PlanClassifier.JoinDelta("a", "b")))
+      Some(PlanClassifier.JoinDelta(Vector("a", "b"))))
   }
 
   test("delta-join spec is withheld for non-append-only or multi-scan shapes") {
@@ -230,8 +230,13 @@ class PlanClassifierSpec extends AnyFunSuite {
     assert(jd("SELECT a.id FROM a LEFT JOIN b ON a.id = b.id").isEmpty)
     // self-join: one relation scanned twice — old/delta split is ambiguous
     assert(jd("SELECT x.id FROM a AS x JOIN a AS y ON x.id = y.parent").isEmpty)
-    // three-way join
-    assert(jd("SELECT a.id FROM a JOIN b ON a.id = b.id JOIN c ON b.id = c.id").isEmpty)
+    // three-way inner tree decomposes into one delta term per input
+    assert(jd("SELECT a.id FROM a JOIN b ON a.id = b.id JOIN c ON b.id = c.id") ==
+      Some(PlanClassifier.JoinDelta(Vector("a", "b", "c"))))
+    // …but a repeated relation anywhere in the tree stays recompute
+    assert(jd("SELECT a.id FROM a JOIN b ON a.id = b.id JOIN a AS z ON b.id = z.id").isEmpty)
+    // an outer join anywhere poisons the whole tree
+    assert(jd("SELECT a.id FROM a JOIN b ON a.id = b.id LEFT JOIN c ON b.id = c.id").isEmpty)
     // aggregation above the join is its own (non-join) updating shape
     assert(jd("SELECT a.id, count(*) AS n FROM a JOIN b ON a.id = b.id GROUP BY a.id").isEmpty)
     // CTE bodies are not plan children — never classify through them
@@ -247,7 +252,7 @@ class PlanClassifierSpec extends AnyFunSuite {
       (Some("j"), SqlRewriter.rewrite("SELECT a.id, b.v FROM a JOIN b ON a.id = b.id", st, None)),
       (None, SqlRewriter.rewrite("SELECT id, v FROM j", st, None))))
       .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
-      Some(PlanClassifier.JoinDelta("a", "b")))
+      Some(PlanClassifier.JoinDelta(Vector("a", "b"))))
   }
 
   test("delta-join resolves through stateless single-scan pre-steps") {
@@ -259,7 +264,7 @@ class PlanClassifierSpec extends AnyFunSuite {
       Some("v") -> "SELECT id, quantity * 2 AS q2 FROM a WHERE quantity > 0",
       None -> "SELECT v.id, v.q2, b.x FROM v JOIN b ON v.id = b.id")
       .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
-      Some(PlanClassifier.JoinDelta("a", "b")))
+      Some(PlanClassifier.JoinDelta(Vector("a", "b"))))
     // both sides derived, two-deep on one side
     assert(chain(
       Some("v1") -> "SELECT id, quantity FROM a",
@@ -267,7 +272,7 @@ class PlanClassifierSpec extends AnyFunSuite {
       Some("w") -> "SELECT id, x FROM b",
       None -> "SELECT v2.id, w.x FROM v2 JOIN w ON v2.id = w.id")
       .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
-      Some(PlanClassifier.JoinDelta("a", "b")))
+      Some(PlanClassifier.JoinDelta(Vector("a", "b"))))
     // a pre-step consumed TWICE breaks the use-once discipline
     assert(chain(
       Some("v") -> "SELECT id FROM a",
@@ -305,7 +310,7 @@ class PlanClassifierSpec extends AnyFunSuite {
     def dd(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].distinctDelta
     assert(dd("SELECT DISTINCT a.id, b.v FROM a JOIN b ON a.id = b.id") ==
       Some(PlanClassifier.DistinctDelta("a",
-        Some(PlanClassifier.JoinDelta("a", "b")))))
+        Some(PlanClassifier.JoinDelta(Vector("a", "b"))))))
     // outer join under the DISTINCT: not append-only-monotone — recompute
     assert(dd("SELECT DISTINCT a.id, b.v FROM a LEFT JOIN b ON a.id = b.id").isEmpty)
     // a self-join disguise stays recompute
@@ -432,7 +437,7 @@ class PlanClassifierSpec extends AnyFunSuite {
     val m = sd(None -> ("SELECT a.id AS id, sum(b.v) AS s, count(*) AS n " +
       "FROM a JOIN b ON a.id = b.id GROUP BY a.id"))
     assert(m.aggMerge.isDefined)
-    assert(m.aggMerge.get.join == Some(PlanClassifier.JoinDelta("a", "b")))
+    assert(m.aggMerge.get.join == Some(PlanClassifier.JoinDelta(Vector("a", "b"))))
     assert(m.aggMerge.get.keys == Seq("id"))
     assert(m.aggMerge.get.aggs.toSet == Set("s" -> "sum", "n" -> "count"))
     // the aggregate tops the output step → group keys are the diff identity
@@ -441,16 +446,24 @@ class PlanClassifierSpec extends AnyFunSuite {
     assert(sd(
       Some("j") -> "SELECT a.id AS id, b.v AS v FROM a JOIN b ON a.id = b.id",
       None -> "SELECT id, sum(v) AS s FROM j GROUP BY id")
-      .aggMerge.exists(_.join == Some(PlanClassifier.JoinDelta("a", "b"))))
+      .aggMerge.exists(_.join == Some(PlanClassifier.JoinDelta(Vector("a", "b")))))
     // avg + HAVING above the join still qualifies
     val ah = sd(None -> ("SELECT a.id AS id, avg(b.v) AS av, sum(b.v) AS s " +
       "FROM a JOIN b ON a.id = b.id GROUP BY a.id HAVING s > 10"))
     assert(ah.aggMerge.exists(sp => sp.join.isDefined &&
       sp.avgs == Seq("av") && sp.havingSql.isDefined))
-    // outer join: delta not append-only — no merge spec, identity stays keyed
+    // LEFT join below: carries the left-join spec with subtraction aux —
+    // a hidden row count and a paired non-null count per sum
     val lj = sd(None -> ("SELECT a.id AS id, sum(b.v) AS s " +
       "FROM a LEFT JOIN b ON a.id = b.id GROUP BY a.id"))
-    assert(lj.aggMerge.isEmpty && lj.keys == Some(Seq("id")))
+    assert(lj.keys == Some(Seq("id")))
+    assert(lj.aggMerge.exists(sp => sp.join.isEmpty && sp.leftJoin.isDefined))
+    assert(lj.aggMerge.exists(_.sumNullCounts == Seq("s" -> "__nc_s")))
+    assert(lj.aggMerge.exists(_.aggs.toMap
+      .get(PlanClassifier.RowCountCol).contains("count")))
+    // …but min/max above a LEFT join are not invertible — recompute
+    assert(sd(None -> ("SELECT a.id AS id, max(b.v) AS m " +
+      "FROM a LEFT JOIN b ON a.id = b.id GROUP BY a.id")).aggMerge.isEmpty)
     // expression over the aggregate: no merge spec
     assert(sd(None -> ("SELECT a.id AS id, sum(b.v) + 0 AS s " +
       "FROM a JOIN b ON a.id = b.id GROUP BY a.id")).aggMerge.isEmpty)
