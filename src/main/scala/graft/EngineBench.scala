@@ -16,10 +16,13 @@ import graft.protocol._
   * flat as history accumulates, recompute grows with it.
   *
   * Usage: `sbt "runMain graft.EngineBench [nSlices] [rowsPerSlice]"`
-  * (defaults 30 × 20k). Prints one JSON line.
+  * (defaults 30 × 20k). `sbt "runMain graft.EngineBench join [n] [rows]"`
+  * runs the two-join-chain variant (n-ary join-tree delta path vs
+  * CTE-forced recompute) instead. Prints one JSON line.
   */
 object EngineBench {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("join")) { runJoinChain(args.drop(1)); return }
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
     val spark = SparkSession.builder().master("local[8]")
@@ -86,6 +89,122 @@ object EngineBench {
     val tRecompute = drive("recompute", qRecompute)
     val tMerge = drive("merge", qMerge)
     println(f"""{"metric":"engine_lifetime","slices":$nSlices,"rowsPerSlice":$rowsPer,"merge_sec":$tMerge%.1f,"recompute_sec":$tRecompute%.1f,"speedup":${tRecompute / tMerge}%.2f}""")
+    spark.stop()
+  }
+
+  /** Two-join chain (orders ⋈ shipments ⋈ tickers, the reference's
+    * enrich-then-join shape) over N append slices: the n-ary join-tree
+    * delta path re-joins only each slice against buffered state, so
+    * per-run cost stays flat; the CTE-forced recompute re-joins full
+    * history and multiset-diffs the whole snapshot every run. Tickers is a
+    * slice-1-only static dimension — later runs advance only its
+    * watermark, exercising the delta terms' old/full frame split.
+    */
+  private def runJoinChain(args: Array[String]): Unit = {
+    val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
+    val rowsPer = args.lift(1).map(_.toInt).getOrElse(5000)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-join-bench").toString
+    val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+
+    (1 to nSlices).foreach { s =>
+      val off0 = (s - 1).toLong * rowsPer
+      // orders: globally-unique order_id = offset
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"),
+        (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+          .cast("timestamp").as("event_time"),
+        (col("id") + off0).as("order_id"),
+        (pmod(col("id") * 31 + s, lit(100)) + 1).cast("long").as("quantity"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/o$s")
+      // shipments: each references one (possibly much older) order
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"),
+        (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+          .cast("timestamp").as("event_time"),
+        pmod(col("id") * 2654435761L + s, lit(off0 + rowsPer)).as("order_id"),
+        (pmod(col("id") * 17 + s, lit(50)) + 1).cast("long").as("num_shipped"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/s$s")
+    }
+    // tickers: static 50-row dimension, written once
+    spark.range(50).select(
+      col("id").as("offset"), lit(0).as("op"),
+      lit(t0ts).as("system_time"), lit(t0ts).as("event_time"),
+      concat(lit("k"), col("id")).as("symbol"),
+      (col("id") + 1).cast("long").as("price"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/tk")
+    def fileOf(d: String): String = {
+      val dir = new java.io.File(s"$base/slices/$d")
+      dir.listFiles.filter(_.getName.endsWith(".parquet")).head.getPath
+    }
+
+    val chainSteps = Vector(
+      SqlQueryStep(Some("enriched"),
+        """SELECT o.event_time AS event_time, o.order_id AS order_id,
+          |  o.quantity AS quantity, s.num_shipped AS num_shipped
+          |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin),
+      SqlQueryStep(None,
+        """SELECT e.event_time AS event_time, e.order_id AS order_id,
+          |  e.quantity AS quantity, tk.symbol AS symbol
+          |FROM enriched e JOIN tickers tk ON tk.price = e.num_shipped""".stripMargin))
+    val cteSteps = Vector(SqlQueryStep(None,
+      """WITH j AS (
+        |  SELECT o.event_time AS event_time, o.order_id AS order_id,
+        |    o.quantity AS quantity, tk.symbol AS symbol
+        |  FROM orders o JOIN shipments s ON o.order_id = s.order_id
+        |  JOIN tickers tk ON tk.price = s.num_shipped)
+        |SELECT event_time, order_id, quantity, symbol FROM j""".stripMargin))
+
+    def drive(tag: String, steps: Vector[SqlQueryStep]): Double = {
+      val t0 = System.nanoTime()
+      var prev: Option[String] = None
+      (1 to nSlices).foreach { s =>
+        val off0 = (s - 1).toLong * rowsPer
+        def in(alias: String, path: Option[String], schema: String,
+            interval: Option[OffsetInterval]): TransformRequestInput =
+          TransformRequestInput(
+            datasetId = s"did:$alias", datasetAlias = alias, queryAlias = alias,
+            vocab = DatasetVocabulary(),
+            offsetInterval = interval,
+            dataPaths = path.toVector, schemaFile = schema,
+            explicitWatermarks = Vector(RequestWatermark(
+              Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s),
+              Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s))))
+        val req = TransformRequest(
+          "did:out", "out", Instant.parse(f"2000-01-02T${s % 24}%02d:00:00Z"),
+          DatasetVocabulary(),
+          Transform(queries = steps),
+          Vector(
+            in("orders", Some(fileOf(s"o$s")), fileOf("o1"),
+              Some(OffsetInterval(off0, off0 + rowsPer - 1))),
+            in("shipments", Some(fileOf(s"s$s")), fileOf("s1"),
+              Some(OffsetInterval(off0, off0 + rowsPer - 1))),
+            in("tickers",
+              if (s == 1) Some(fileOf("tk")) else None, fileOf("tk"),
+              if (s == 1) Some(OffsetInterval(0, 49)) else None)),
+          nextOffset = 0, prevCheckpointPath = prev,
+          newCheckpointPath = s"$base/$tag/cp$s",
+          newDataPath = s"$base/$tag/out$s.parquet")
+        new TransformEngine(spark).executeTransform(req) match {
+          case _: TransformResponse.Success => ()
+          case other                        => sys.error(s"$tag run $s failed: $other")
+        }
+        prev = Some(s"$base/$tag/cp$s")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val tRecompute = drive("recompute", cteSteps)
+    val tDelta = drive("delta", chainSteps)
+    println(f"""{"metric":"engine_join_chain","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tDelta%.1f,"recompute_sec":$tRecompute%.1f,"speedup":${tRecompute / tDelta}%.2f}""")
     spark.stop()
   }
 }
