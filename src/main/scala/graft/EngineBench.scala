@@ -23,6 +23,7 @@ import graft.protocol._
 object EngineBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("join")) { runJoinChain(args.drop(1)); return }
+    if (args.headOption.contains("retract")) { runRetractState(args.drop(1)); return }
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
     val spark = SparkSession.builder().master("local[8]")
@@ -205,6 +206,94 @@ object EngineBench {
     val tRecompute = drive("recompute", cteSteps)
     val tDelta = drive("delta", chainSteps)
     println(f"""{"metric":"engine_join_chain","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tDelta%.1f,"recompute_sec":$tRecompute%.1f,"speedup":${tRecompute / tDelta}%.2f}""")
+    spark.stop()
+  }
+
+  /** Retract-heavy state growth: each slice appends `rowsPer` rows and
+    * retracts the previous slice's, so the LIVE multiset stays at
+    * `rowsPer` while raw history grows by 2×rowsPer per run. The
+    * retractive input's buffer tier-compacts to netted signed form
+    * ([[graft.operators.Changelog.compactSigned]]) — buffer bytes must
+    * plateau near the live set, not track history.
+    */
+  private def runRetractState(args: Array[String]): Unit = {
+    val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
+    val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-retract-bench").toString
+    val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+
+    // row formula is a pure function of (logical slice, id) so slice s can
+    // regenerate slice s-1's rows exactly as retracts
+    def rowsOf(s: Int, op: Int, off0: Long) =
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"), lit(op).as("op"),
+        lit(t0ts).as("system_time"),
+        (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+          .cast("timestamp").as("event_time"),
+        concat(lit("k"), pmod(col("id") * 2654435761L + s, lit(5000))).as("symbol"),
+        (pmod(col("id") * 31 + s, lit(1000)) + 1).cast("int").as("price"))
+    var off = 0L
+    val sliceLens = (1 to nSlices).map { s =>
+      val appends = rowsOf(s, 0, off)
+      val slice =
+        if (s == 1) appends
+        else appends.unionByName(rowsOf(s - 1, 1, off + rowsPer))
+      slice.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/s$s")
+      val n = if (s == 1) rowsPer.toLong else 2L * rowsPer
+      off += n
+      n
+    }
+    def fileOf(s: Int): String = {
+      val d = new java.io.File(s"$base/slices/s$s")
+      d.listFiles.filter(_.getName.endsWith(".parquet")).head.getPath
+    }
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.exists) 0L
+      else d.listFiles.filter(_.isFile).map(_.length).sum
+    }
+
+    val q = """SELECT max(event_time) as event_time, symbol,
+              |  count(*) as n, sum(price) as total
+              |FROM tickers GROUP BY symbol""".stripMargin
+    var prev: Option[String] = None
+    var off0 = 0L
+    val bytesPerRun = (1 to nSlices).map { s =>
+      val len = sliceLens(s - 1)
+      val req = TransformRequest(
+        "did:out", "out", Instant.parse(f"2000-01-02T${s % 24}%02d:00:00Z"),
+        DatasetVocabulary(),
+        Transform(queries = Vector(SqlQueryStep(None, q))),
+        Vector(TransformRequestInput(
+          datasetId = "did:t", datasetAlias = "tickers", queryAlias = "tickers",
+          vocab = DatasetVocabulary(),
+          offsetInterval = Some(OffsetInterval(off0, off0 + len - 1)),
+          dataPaths = Vector(fileOf(s)), schemaFile = fileOf(1),
+          explicitWatermarks = Vector(RequestWatermark(
+            Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s),
+            Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s))))),
+        nextOffset = 0, prevCheckpointPath = prev,
+        newCheckpointPath = s"$base/run/cp$s",
+        newDataPath = s"$base/run/out$s.parquet")
+      new TransformEngine(spark).executeTransform(req) match {
+        case _: TransformResponse.Success => ()
+        case other                        => sys.error(s"retract run $s failed: $other")
+      }
+      prev = Some(s"$base/run/cp$s")
+      off0 += len
+      dirBytes(s"$base/run/cp$s/buffer_tickers")
+    }
+    val rawRows = sliceLens.sum
+    val storedRows = spark.read.parquet(s"${prev.get}/buffer_tickers").count()
+    val mid = bytesPerRun(nSlices / 2 - 1); val fin = bytesPerRun.last
+    println(f"""{"metric":"engine_retract_state","slices":$nSlices,"rowsPerSlice":$rowsPer,"raw_history_rows":$rawRows,"stored_rows":$storedRows,"buffer_bytes_mid":$mid,"buffer_bytes_final":$fin,"final_vs_mid":${fin.toDouble / mid}%.2f}""")
     spark.stop()
   }
 }

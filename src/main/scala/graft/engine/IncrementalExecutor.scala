@@ -515,9 +515,19 @@ final class IncrementalExecutor(
     }
 
     // buffer = previous buffer ∪ slice exactly (never pruned here), so the
-    // carry-append path applies: O(slice) I/O, not an O(history) rewrite
+    // carry-append path applies: O(slice) I/O, not an O(history) rewrite.
+    // A retractive input's buffer is only ever consumed through
+    // netChangelog, so its tier merges compact to netted signed form —
+    // retract-heavy state bytes plateau at the live multiset.
     fulls.foreach { case (i, full) =>
-      store.appendCarry(bufferName(i.spec.queryAlias), i.df, full)
+      val compactor =
+        if (retractive.contains(i.spec.queryAlias))
+          Some((d: DataFrame) => Changelog.compactSigned(
+            d, i.spec.vocab.operationTypeColumn,
+            Seq(i.spec.vocab.offsetColumn, i.spec.vocab.systemTimeColumn, "__seq")))
+        else None
+      store.appendCarry(bufferName(i.spec.queryAlias), i.df, full,
+        compact = compactor)
     }
     store.write(snapshotName,
       if (activeTouch.isDefined) untouched.unionByName(snapshot) else snapshot)

@@ -65,17 +65,23 @@ final class StateStore(
     * then size-tiered compaction ([[compactTiers]]) merges any tier holding
     * `mergeFactor`+ files, so a long-lived carry chain's FILE COUNT grows
     * O(mergeFactor × log(history)) instead of linearly per run (round-3
-    * VERDICT item 7). Total bytes still track retained history — that is
-    * the retention contract itself: raw buffers are what lets a future
-    * retraction flip a merge-path chain onto the generic recompute, so they
-    * can only be dropped if retractions were declared impossible, which the
-    * protocol cannot promise.
+    * VERDICT item 7). Total bytes track retained history — the retention
+    * contract itself: raw buffers are what lets a future retraction flip a
+    * merge-path chain onto the generic recompute, so they can only be
+    * dropped if retractions were declared impossible, which the protocol
+    * cannot promise. EXCEPT when `compact` is supplied: a buffer whose
+    * every consumer nets it first (a retractive input's history) may be
+    * tier-compacted to netted signed form
+    * ([[graft.operators.Changelog.compactSigned]]) — the compactor is
+    * applied to each tier merge, so retract-heavy state BYTES plateau at
+    * the live multiset instead of tracking raw history.
     */
   def appendCarry(
       name: String,
       slice: DataFrame,
       full: => DataFrame,
-      mergeFactor: Int = 4): Unit = {
+      mergeFactor: Int = 4,
+      compact: Option[DataFrame => DataFrame] = None): Unit = {
     val prev = prevDir.map(d => Paths.get(d, name)).filter(Files.exists(_))
     prev match {
       case None => write(name, full)
@@ -103,7 +109,7 @@ final class StateStore(
           }
         }
         slice.write.mode("append").parquet(target.toString)
-        compactTiers(target, mergeFactor)
+        compactTiers(target, mergeFactor, compact)
     }
   }
 
@@ -122,7 +128,10 @@ final class StateStore(
     * Merged rewrites happen in a sibling temp dir first, so the state dir
     * always holds a complete copy of every row.
     */
-  private def compactTiers(dir: java.nio.file.Path, mergeFactor: Int): Unit = {
+  private def compactTiers(
+      dir: java.nio.file.Path,
+      mergeFactor: Int,
+      compact: Option[DataFrame => DataFrame] = None): Unit = {
     require(mergeFactor >= 2, s"mergeFactor must be >= 2, got $mergeFactor")
     var changed = true
     while (changed) {
@@ -138,7 +147,8 @@ final class StateStore(
         .find(_._2.size >= mergeFactor)
         .foreach { case (_, tierFiles) =>
           val tmp = dir.resolveSibling(dir.getFileName.toString + ".merge-tmp")
-          spark.read.parquet(tierFiles.map(_._1.toString): _*)
+          val raw = spark.read.parquet(tierFiles.map(_._1.toString): _*)
+          compact.map(f => f(raw)).getOrElse(raw)
             .coalesce(1)
             .write.mode("overwrite").parquet(tmp.toString)
           val merged = {

@@ -91,6 +91,41 @@ object Changelog {
       .unionByName(unpack("new", Op.CorrectTo, col("old").isNotNull && col("new").isNotNull))
   }
 
+  /** Compact a changelog multiset to netted SIGNED form: identical rows
+    * (metadata excluded) net their +/− ops and survivors re-expand as |net|
+    * Append rows (net > 0) or Retract rows (net < 0) carrying min()
+    * metadata representatives. Unlike a read-side net (which drops
+    * non-positive groups once it sees the whole multiset), negative counts
+    * are PRESERVED as retract rows, which makes this a state-compaction
+    * homomorphism: net(compactSigned(A) ∪ B) = net(A ∪ B) for any later
+    * slice B — so tier compaction may apply it to any subset of a buffer's
+    * part files. Bounds retract-heavy buffer state to the LIVE multiset
+    * (plus unmatched retracts) instead of raw history.
+    *
+    * Metadata caveat: a group that nets to ZERO inside the compacted subset
+    * is dropped together with its min() representative, so a row fully
+    * retracted and later re-appended carries the RE-APPEND's metadata
+    * rather than the cancelled predecessor's. That is semantically sound —
+    * the predecessor was wholly retracted, and netted metadata is already a
+    * synthetic representative (see the read-side net) — but it means meta
+    * columns are only stable for groups that never transit through zero.
+    */
+  def compactSigned(df: DataFrame, opCol: String, metaCols: Seq[String]): DataFrame = {
+    if (!df.columns.contains(opCol)) return df
+    val meta = metaCols.distinct.filter(df.columns.contains)
+    val userCols = df.columns.filterNot(c => c == opCol || meta.contains(c)).toSeq
+    val aggExprs = sum(when(col(opCol).isin(Op.Append, Op.CorrectTo), 1L)
+      .otherwise(-1L)).as("__net") +: meta.map(c => min(col(c)).as(c))
+    df.groupBy(userCols.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .where(col("__net") =!= 0)
+      .withColumn(opCol, explode(transform(
+        sequence(lit(1), abs(col("__net"))),
+        _ => when(col("__net") > 0, lit(Op.Append)).otherwise(lit(Op.Retract)))))
+      .drop("__net")
+      .select(df.columns.map(col): _*)
+  }
+
   /** Multiset diff of two snapshots with no row identity: rows are paired by
     * full value equality with multiplicity. Emits (newCount − oldCount)
     * appends or (oldCount − newCount) retracts per distinct row — the

@@ -54,4 +54,43 @@ class ChangelogSpec extends AnyFunSuite {
       ("A", 1, Op.CorrectFrom),
       ("A", 9, Op.CorrectTo)))
   }
+
+  test("compactSigned is a netting homomorphism over seeded random changelogs") {
+    // net(compactSigned(A) ∪ B) must equal net(A ∪ B) for any split — the
+    // property that makes it safe to apply to ANY subset of a buffer's part
+    // files during tier compaction. Retracts may outnumber appends (negative
+    // groups survive as Retract rows) and meta carries min representatives.
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        rnd.nextInt(4) match {
+          case 0 => Op.Retract
+          case 1 => Op.CorrectFrom
+          case 2 => Op.CorrectTo
+          case _ => Op.Append
+        },
+        1 + rnd.nextInt(3), s"k${rnd.nextInt(6)}", rnd.nextInt(3))
+    }
+    // Meta representatives are compared EXCLUDING groups that transit
+    // through zero (compactSigned's documented caveat: a fully-cancelled
+    // group loses its min() carrier, so a later re-append gets a fresh
+    // representative) — the VALUE/op multiset must match exactly.
+    val meta = Seq("offset")
+    def net(df: org.apache.spark.sql.DataFrame) =
+      Changelog.compactSigned(df, "op", meta)
+        .orderBy("day", "key", "value", "op")
+        .select("op", "day", "key", "value")
+        .collect().toSeq
+    (0 to 200 by 50).foreach { split =>
+      val a = rows.take(split).toDF("offset", "op", "day", "key", "value")
+      val b = rows.drop(split).toDF("offset", "op", "day", "key", "value")
+      val compactedThenRest = Changelog.compactSigned(a, "op", meta).unionByName(b)
+      val rawUnion = a.unionByName(b)
+      assert(net(compactedThenRest) == net(rawUnion), s"split at $split diverged")
+    }
+    // idempotence: compacting a compacted frame is a no-op multiset
+    val all = rows.toDF("offset", "op", "day", "key", "value")
+    assert(net(Changelog.compactSigned(all, "op", meta)) == net(all))
+  }
 }
