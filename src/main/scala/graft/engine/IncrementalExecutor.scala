@@ -48,7 +48,19 @@ final class IncrementalExecutor(
     inputs: Seq[LoadedInput],
     steps: Seq[(Option[String], SqlRewriter.Rewritten)],
     vocab: DatasetVocabulary,
-    temporalTables: Map[String, Vector[String]] = Map.empty
+    temporalTables: Map[String, Vector[String]] = Map.empty,
+    /** Opt-in (transform.engine = "spark-streaming"): execute the relational
+      * work through Structured Streaming — parquet stream sources over the
+      * staged frames, `Trigger.AvailableNow`, foreachBatch parquet sink —
+      * while the engine keeps its explicit watermark algebra, state, and
+      * offset/sink machinery, so output slices are byte-identical to batch
+      * execution. Supported for stateless and tumbling-window shapes (the
+      * aggregation runs in complete output mode; emission gating stays with
+      * the ledger because Spark's own watermark semantics cannot honor
+      * request-supplied explicit watermarks — SURVEY §7.2); anything else
+      * is InvalidQuery, never a silent fallback.
+      */
+    streamingMode: Boolean = false
 ) {
 
   import IncrementalExecutor._
@@ -85,7 +97,19 @@ final class IncrementalExecutor(
   private def byAlias(a: String): Option[LoadedInput] =
     inputs.find(_.spec.queryAlias == a)
 
-  def run(): ExecResult = mode match {
+  def run(): ExecResult = {
+    if (streamingMode) mode match {
+      case PlanClassifier.Mode.Stateless => ()
+      case w: PlanClassifier.Mode.Windowed if w.upperMillis == 0 => ()
+      case _ =>
+        throw new InvalidQueryException(
+          "streaming execution mode (engine = spark-streaming) supports " +
+            "stateless and tumbling-window transforms only")
+    }
+    runMode()
+  }
+
+  private def runMode(): ExecResult = mode match {
     case PlanClassifier.Mode.Stateless       => runStateless()
     case PlanClassifier.Mode.AsOfJoin        => runAsOf(windowed = false)
     case PlanClassifier.Mode.AsOfWindowed    => runAsOf(windowed = true)
@@ -131,18 +155,21 @@ final class IncrementalExecutor(
     */
   private def runStateless(): ExecResult =
     try {
-      inputs.foreach(i => i.df.createOrReplaceTempView(i.spec.queryAlias))
+      if (streamingMode) inputs.foreach(i => streamView(i.spec.queryAlias, i.df))
+      else inputs.foreach(i => i.df.createOrReplaceTempView(i.spec.queryAlias))
       var out: DataFrame = null
       steps.zipWithIndex.foreach { case ((alias, rw), i) =>
         val injected = injectSeq(spark.sessionState.sqlParser.parsePlan(rw.sql))
-        val df = Snitch.tap(
-          org.apache.spark.sql.GraftPlanExec.ofRows(spark, injected),
-          alias.getOrElse("output"))
+        val planned = org.apache.spark.sql.GraftPlanExec.ofRows(spark, injected)
+        val df =
+          if (streamingMode) planned
+          else Snitch.tap(planned, alias.getOrElse("output"))
         alias.foreach(df.createOrReplaceTempView)
         if (i == outputIdx) out = df
       }
       require(out.columns.contains("__seq"), "__seq did not survive projection")
       out.queryExecution.assertAnalyzed()
+      if (streamingMode) out = materializeStreaming(out, complete = false)
       val tiebreak = out.schema.fields
         .filter(fd => fd.name != "__seq" &&
           org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(fd.dataType))
@@ -153,10 +180,17 @@ final class IncrementalExecutor(
       // A genuinely bad query fails again in the fallback and surfaces its
       // own AnalysisException; only injection-specific failures are masked.
       case scala.util.control.NonFatal(_) =>
-        inputs.foreach(i =>
-          i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias))
-        val result = runSteps(steps)
-        ExecResult(result, minWm(inputs), None, None, ledger.retractiveInputs)
+        if (streamingMode) {
+          inputs.foreach(i =>
+            streamView(i.spec.queryAlias, i.df.drop("__seq")))
+          val result = materializeStreaming(runStepsUntapped(), complete = false)
+          ExecResult(result, minWm(inputs), None, None, ledger.retractiveInputs)
+        } else {
+          inputs.foreach(i =>
+            i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias))
+          val result = runSteps(steps)
+          ExecResult(result, minWm(inputs), None, None, ledger.retractiveInputs)
+        }
     }
 
   /** Append `__seq` to each projection of a stateless plan (skipping ones
@@ -221,10 +255,47 @@ final class IncrementalExecutor(
           semiOnTouched(netted, i, t.cols, "left_semi")
         case _ => netted
       }
-      view.createOrReplaceTempView(i.spec.queryAlias)
+      if (streamingMode) streamView(i.spec.queryAlias, view)
+      else view.createOrReplaceTempView(i.spec.queryAlias)
       i -> full
     }
     (fulls, retractive)
+  }
+
+  // ── Streaming execution (opt-in; see constructor doc) ─────────────────
+  /** Register `df` under `alias` as a STREAMING temp view: stage the frame
+    * to a temp parquet dir and open a file-stream source over it with the
+    * same schema.
+    */
+  private def streamView(alias: String, df: DataFrame): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(df.schema).parquet(dir).createOrReplaceTempView(alias)
+  }
+
+  /** Run a streaming frame to completion under `Trigger.AvailableNow` via a
+    * foreachBatch parquet sink and return the materialized batch frame —
+    * distributed end to end, no driver buffering. `complete = true` for
+    * aggregations (each batch overwrites; the final batch holds the full
+    * result), false for stateless append streams.
+    */
+  private def materializeStreaming(df: DataFrame, complete: Boolean): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-stream-cp").toString
+    val schema = df.schema
+    val q = df.writeStream
+      .outputMode(if (complete) "complete" else "append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(if (complete) "overwrite" else "append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    val hasParts = Option(new java.io.File(out).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasParts) spark.read.schema(schema).parquet(out)
+    else TransformEngine.emptyDf(spark, schema)
   }
 
   /** Null-safe semi/anti join of `df` against the distinct `cols` values of
@@ -291,7 +362,9 @@ final class IncrementalExecutor(
   // ── Windowed: tumbling agg / interval join with watermark gating ──────
   private def runWindowed(upperMs: Long): ExecResult = {
     val (fulls, retractive) = bufferedFulls()
-    val resultAll = runSteps(steps)
+    val resultAll =
+      if (streamingMode) materializeStreaming(runStepsUntapped(), complete = true)
+      else runSteps(steps)
 
     val reported = minWm(inputs).map(_.minusMillis(upperMs))
     val emitted = gateByWindowEnd(resultAll, reported)

@@ -75,7 +75,10 @@ final class TransformEngine(spark: SparkSession) {
 
       val exec = new IncrementalExecutor(
         spark, store, ledger, inputs, steps, req.vocab,
-        req.transform.temporalTables.map(t => t.name -> t.primaryKey).toMap)
+        req.transform.temporalTables.map(t => t.name -> t.primaryKey).toMap,
+        // opt-in Structured Streaming execution (PROTOCOL.md §3.4): same
+        // request/response contract, byte-identical slices
+        streamingMode = req.transform.engine.equalsIgnoreCase("spark-streaming"))
       val out = exec.run()
 
       // ── Validate output columns (reference TransformEngine.scala:269-308)

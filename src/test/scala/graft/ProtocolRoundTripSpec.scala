@@ -122,6 +122,167 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     assert(o2(0).getAs[Timestamp]("event_time") == t(ts(2)))
   }
 
+  test("streaming execution mode produces byte-identical slices across a chain") {
+    // transform.engine = "spark-streaming" routes the relational work
+    // through Structured Streaming (Trigger.AvailableNow, complete-mode
+    // aggregation, foreachBatch parquet sink) while the engine keeps its
+    // explicit watermark algebra and offset/sink machinery — so the SAME
+    // two-run tumbling chain must write bit-for-bit identical output
+    // slices and checkpoint ledgers under either engine value.
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto-stream")
+    val in1 = s"$dir/in1.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1, 1)), "A", 10),
+        Ticker(1, 0, t(ts(1)), t(ts(1, 2)), "A", 12),
+        Ticker(2, 0, t(ts(1)), t(ts(2, 1)), "A", 20))).toDF(), in1)
+
+    def request(engine: String, tag: String, num: Int,
+        dataRows: Option[(String, Int, Int)], wm: String,
+        prevCp: Option[String]): String = {
+      val slice = dataRows.map { case (path, s, e) =>
+        s"""|  offsetInterval:
+            |    start: $s
+            |    end: $e
+            |  dataPaths:
+            |  - "$path"""".stripMargin
+      }.getOrElse("  dataPaths: []")
+      s"""|datasetId: "did:odf:out"
+          |datasetAlias: out
+          |systemTime: "2000-01-1${num}T00:00:00Z"
+          |nextOffset: ${num - 1}
+          |transform:
+          |  kind: Sql
+          |  engine: $engine
+          |  query: |
+          |    SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+          |      symbol, min(price) as `min`, max(price) as `max`
+          |    FROM tickers
+          |    GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol
+          |queryInputs:
+          |- datasetId: "did:odf:in"
+          |  queryAlias: tickers
+          |$slice
+          |  schemaFile: "$in1"
+          |  explicitWatermarks:
+          |  - systemTime: "$wm"
+          |    eventTime: "$wm"
+          |${prevCp.map(p => s"prevCheckpointPath: \"$p\"").getOrElse("")}
+          |newCheckpointPath: "$dir/$tag/cp$num"
+          |newDataPath: "$dir/$tag/out$num.parquet"
+          |""".stripMargin
+    }
+
+    // Byte-identity is asserted IN-PROCESS: parquet-mr serializes each
+    // column chunk's encodings from a HashSet<Encoding>, and enum hash
+    // codes are identity-based, so the list ORDER varies per JVM — two
+    // separate processes never guarantee bit-equal footers even for
+    // batch-vs-batch. Within one JVM the whole pipeline is deterministic,
+    // which is the meaningful claim: the streaming executor feeds the SAME
+    // sink machinery the same rows in the same order.
+    def chainInProcess(engine: String, tag: String): Unit = {
+      import graft.engine.TransformEngine
+      def req(num: Int, oi: Option[OffsetInterval], wm: Instant,
+          prev: Option[String]) = TransformRequest(
+        "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+        Transform(engine = engine, queries = Vector(SqlQueryStep(None,
+          """SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+            |  symbol, min(price) as `min`, max(price) as `max`
+            |FROM tickers
+            |GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol""".stripMargin))),
+        Vector(TransformRequestInput(
+          datasetId = "did:odf:in", datasetAlias = "tickers",
+          queryAlias = "tickers", offsetInterval = oi,
+          dataPaths = if (oi.isDefined) Vector(in1) else Vector.empty,
+          schemaFile = in1,
+          explicitWatermarks = Vector(RequestWatermark(wm, wm)))),
+        nextOffset = num - 1, prevCheckpointPath = prev,
+        newCheckpointPath = s"$dir/$tag/cp$num",
+        newDataPath = s"$dir/$tag/out$num.parquet")
+      val e = new TransformEngine(spark)
+      assert(e.executeTransform(req(1, Some(OffsetInterval(0, 2)),
+        ts(2), None)).isInstanceOf[TransformResponse.Success])
+      assert(e.executeTransform(req(2, None, ts(4),
+        Some(s"$dir/$tag/cp1"))).isInstanceOf[TransformResponse.Success])
+    }
+    chainInProcess("spark", "batch")
+    chainInProcess("spark-streaming", "stream")
+    (1 to 2).foreach { n =>
+      val batch = Files.readAllBytes(Paths.get(s"$dir/batch/out$n.parquet"))
+      val stream = Files.readAllBytes(Paths.get(s"$dir/stream/out$n.parquet"))
+      assert(java.util.Arrays.equals(batch, stream),
+        s"run-$n output slices are not byte-identical " +
+          s"(batch ${batch.length}B, streaming ${stream.length}B)")
+      assert(
+        Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+          Files.readString(Paths.get(s"$dir/stream/cp$n/ledger.json")))
+    }
+
+    // stateless shapes run through the streaming engine too (append mode,
+    // __seq arrival-order emission preserved → identical offsets)
+    def mapRun(engine: String, tag: String): Unit = {
+      import graft.engine.TransformEngine
+      val resp = new TransformEngine(spark).executeTransform(TransformRequest(
+        "did:odf:out", "out", ts(11), DatasetVocabulary(),
+        Transform(engine = engine, queries = Vector(SqlQueryStep(None,
+          "SELECT event_time, symbol, price * 2 AS dbl FROM tickers"))),
+        Vector(TransformRequestInput(
+          datasetId = "did:odf:in", datasetAlias = "tickers",
+          queryAlias = "tickers", offsetInterval = Some(OffsetInterval(0, 2)),
+          dataPaths = Vector(in1), schemaFile = in1,
+          explicitWatermarks = Vector(RequestWatermark(ts(2), ts(2))))),
+        nextOffset = 0, prevCheckpointPath = None,
+        newCheckpointPath = s"$dir/$tag/cpm",
+        newDataPath = s"$dir/$tag/map.parquet"))
+      assert(resp == TransformResponse.Success(
+        Some(OffsetInterval(0, 2)), Some(ts(2))))
+    }
+    mapRun("spark", "batch"); mapRun("spark-streaming", "stream")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(s"$dir/batch/map.parquet")),
+      Files.readAllBytes(Paths.get(s"$dir/stream/map.parquet"))),
+      "stateless streaming slice is not byte-identical to batch")
+
+    // and the PROCESS-level protocol path serves the streaming engine end
+    // to end: same request YAML, engine switched, same response values
+    val s1 = runProcess("transform",
+      request("spark-streaming", "pstream", 1, Some((in1, 0, 2)),
+        "2000-01-02T00:00:00Z", None), dir, "pstream-1")
+    assert(s1.contains("kind: Success"), s1)
+    assert(s1.contains("start: 0") && s1.contains("end: 0"), s1)
+    assert(s1.contains("newWatermark: 2000-01-02T00:00:00Z"), s1)
+    val po = spark.read.parquet(s"$dir/pstream/out1.parquet").collect()
+    assert(po.length == 1 && po(0).getAs[Int]("min") == 10
+      && po(0).getAs[Int]("max") == 12)
+    // and an unsupported shape under the streaming engine is rejected, not
+    // silently run in batch
+    val bad = runProcess("transform",
+      s"""|datasetId: "did:odf:out"
+          |datasetAlias: out
+          |systemTime: "2000-01-15T00:00:00Z"
+          |nextOffset: 0
+          |transform:
+          |  kind: Sql
+          |  engine: spark-streaming
+          |  query: "SELECT event_time, symbol, count(*) AS n FROM tickers GROUP BY event_time, symbol"
+          |queryInputs:
+          |- datasetId: "did:odf:in"
+          |  queryAlias: tickers
+          |  offsetInterval:
+          |    start: 0
+          |    end: 2
+          |  dataPaths:
+          |  - "$in1"
+          |  schemaFile: "$in1"
+          |newCheckpointPath: "$dir/bad/cp1"
+          |newDataPath: "$dir/bad/out1.parquet"
+          |""".stripMargin, dir, "bad")
+    assert(bad.contains("kind: InvalidQuery"), bad)
+    assert(bad.contains("streaming execution mode"), bad)
+  }
+
   test("tar pack/unpack round-trips nested checkpoint trees, system-tar readable") {
     val src = Files.createTempDirectory("graft-tar-src")
     Files.writeString(src.resolve("ledger.json"), """{"n":1}""")
