@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanExec}
+import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow, UnsafeProjection}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
 import org.apache.spark.storage.StorageLevel
@@ -22,8 +23,10 @@ import org.apache.spark.storage.StorageLevel
   *     listeners (Snitch) observe the step metrics here and the persisted
   *     plan materializes while task ids still equal partition ids;
   *  3. pass B: re-scan the persisted partitions via
-  *     `rdd.mapPartitionsWithIndex`, adding the exclusive prefix of earlier
-  *     partitions' counts to a local running counter. The index parameter is
+  *     `queryExecution.toRdd.mapPartitionsWithIndex` — InternalRow in,
+  *     UnsafeProjection out, so rows never round-trip through external
+  *     `Row` objects — adding the exclusive prefix of earlier partitions'
+  *     counts to a local running counter. The index parameter is
   *     the RDD partition id even when a downstream `coalesce(1)` (the
   *     single-file sink) packs every partition into one task —
   *     `TaskContext.getPartitionId()` would collapse to 0 there and hand
@@ -64,7 +67,7 @@ object OffsetAssigner {
     // Size the base array from the RDD's REAL partition count, not the max
     // observed id: empty partitions report no count row, but pass B's
     // closure still evaluates bases(pid) for them.
-    val rdd = sorted.rdd
+    val rdd = sorted.queryExecution.toRdd
     val counts: Map[Int, Long] = sorted
       .groupBy(spark_partition_id().as("__pid")).count()
       .collect()
@@ -79,16 +82,23 @@ object OffsetAssigner {
     }
     val bBases = spark.sparkContext.broadcast(bases)
 
-    // pass B: local row index + broadcast base of earlier partitions
+    // pass B: local row index + broadcast base of earlier partitions, all
+    // in Tungsten representation — JoinedRow(input, offset) through one
+    // UnsafeProjection per partition, no external-Row materialization. The
+    // projection's buffer row is reused per partition; downstream consumers
+    // (projection + single-file parquet sink) are narrow and row-at-a-time.
     val outSchema = sorted.schema.add(StructField(offsetName, LongType, nullable = false))
     val withOffsets = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(outSchema)
+      val extra = new SpecificInternalRow(Seq(LongType))
+      val joined = new JoinedRow
       var off = bBases.value(pid)
       it.map { r =>
-        val row = Row.fromSeq(r.toSeq :+ off)
+        extra.setLong(0, off)
         off += 1
-        row
+        proj(joined(r, extra)): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    (spark.createDataFrame(withOffsets, outSchema), Seq(pre, sorted))
+    (GraftPlanExec.ofInternalRows(spark, withOffsets, outSchema), Seq(pre, sorted))
   }
 }

@@ -20,4 +20,15 @@ object GraftPlanExec {
   /** Unwrap a Column to its Catalyst Expression. */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Create a DataFrame over an RDD of InternalRow without the external-Row
+    * round trip (`internalCreateDataFrame` is private[sql]) — keeps
+    * RDD-level passes like the offset assigner's prefix-sum inside
+    * Tungsten's unsafe representation.
+    */
+  def ofInternalRows(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }
