@@ -24,6 +24,13 @@ image-build: engine-assembly
 test:
 	sbt test
 
+# Runs image/docker-entrypoint.sh (the container's exact launch path)
+# against the assembled jar without docker: waits for 2884/2885, serves one
+# raw query over gRPC and one over framed YAML.
+.PHONY: image-smoke
+image-smoke: engine-assembly
+	sbt "Test/runMain graft.ImageSmoke"
+
 .PHONY: clean
 clean:
 	rm -rf image/tmp

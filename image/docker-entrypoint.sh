@@ -9,6 +9,10 @@ set -e
 
 : "${SPARK_GRAFT_CPUS:=$(nproc)}"
 : "${SPARK_DRIVER_MEM:=8g}"
+# Overridable so `make image-smoke` can exercise this exact script against
+# a locally-assembled jar without docker (Makefile target).
+: "${ENGINE_JAR:=/opt/engine/bin/engine.spark.jar}"
+: "${SPARK_JARS_DIR:=/opt/spark/jars}"
 export SPARK_GRAFT_CPUS
 
 exec java \
@@ -29,5 +33,5 @@ exec java \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.sql.icu.caseMappings.enabled=false \
-  -cp "/opt/spark/jars/*:/opt/engine/bin/engine.spark.jar" \
+  -cp "$SPARK_JARS_DIR/*:$ENGINE_JAR" \
   graft.server.EngineServer "$@"
