@@ -814,6 +814,14 @@ final class IncrementalExecutor(
             when(col(nc) === 0, lit(null).cast(df.schema(n).dataType))
               .otherwise(col(n)))
         }
+        // Expression columns: evaluated over the merged frame (hidden
+        // partials + final key/agg/avg values, post NULL fix-ups) in
+        // select-list order so lateral references see final values; cast
+        // to the original analyzed type. Exact — the partials fully
+        // determine every aggregate operand at its original type.
+        spec.exprCols.foreach { case (n, sqlText) =>
+          v = v.withColumn(n, expr(sqlText).cast(visibleSchema(n).dataType))
+        }
         if (spec.leftJoin.isDefined && keys.nonEmpty)
           v = v.where(col(PlanClassifier.RowCountCol) > 0)
         v = v.drop(spec.avgs.flatMap(n => Seq(s"__as_$n", s"__ac_$n")): _*)

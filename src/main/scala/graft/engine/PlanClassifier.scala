@@ -191,7 +191,18 @@ object PlanClassifier {
         * read NULL (SQL's sum over no rows), not the numeric 0 the
         * subtraction leaves behind.
         */
-      sumNullCounts: Seq[(String, String)] = Nil)
+      sumNullCounts: Seq[(String, String)] = Nil,
+      /** Output columns that are EXPRESSIONS over mergeable aggregate calls
+        * and/or group keys — `sum(a)/sum(b) AS ratio`, `cast(count(*) AS
+        * INT) AS n` — rewritten so every aggregate CALL references a hidden
+        * partial (`__hv_<i>`, or `__as_/__ac_` division for avg) carried in
+        * [[aggs]]. `(name, post-merge SQL)` in select-list order; the
+        * executor evaluates each over the merged frame and casts to the
+        * original analyzed column type. Exact because the partials fully
+        * determine every aggregate value and the surrounding expression is
+        * evaluated over operands of identical types to the recompute path.
+        */
+      exprCols: Seq[(String, String)] = Nil)
 
   /** Hidden count(*) partial maintained on [[AggMergeSpec.leftJoin]] chains:
     * a group is alive iff its merged row count is positive. */
@@ -522,15 +533,20 @@ object PlanClassifier {
     }
     def build(
         flat: Seq[Either[String, (String, String, Expression)]]): Option[AggMergeSpec] = {
-      val aggs = flat.collect { case scala.util.Right((n, k, _)) if k != "avg" => (n, k) }
+      val aggs = flat.collect {
+        case scala.util.Right((n, k, _)) if k != "avg" && k != "expr" => (n, k)
+      }
       val avgs = flat.collect { case scala.util.Right((n, "avg", _)) => n }
+      val exprsRaw = flat.collect { case scala.util.Right((n, "expr", e)) => (n, e) }
       val keyCols = flat.collect { case scala.util.Left(k) => k }
       // Left-join path: retraction terms subtract through the partials, so
       // every aggregate must be invertible — sum/count/avg only.
       if (leftOpt.isDefined && aggs.exists(kv => kv._2 == "min" || kv._2 == "max"))
         return None
-      if ((aggs.nonEmpty || avgs.nonEmpty) && keyCols.sorted == ks.sorted) {
-        val visibleNames = (keyCols ++ aggs.map(_._1) ++ avgs).toSet
+      if ((aggs.nonEmpty || avgs.nonEmpty || exprsRaw.nonEmpty) &&
+        keyCols.sorted == ks.sorted) {
+        val visibleNames =
+          (keyCols ++ aggs.map(_._1) ++ avgs ++ exprsRaw.map(_._1)).toSet
         // The post-merge filter evaluates against the merged frame: plain
         // output-column references and scalar functions over them pass
         // through unchanged; a mergeable aggregate CALL that is not
@@ -548,7 +564,7 @@ object PlanClassifier {
         var hidden = Vector.empty[(String, String, Expression)]
         var hiddenAvgNames = Vector.empty[String]
         var avgSeen = Map.empty[String, String]
-        def rewriteHaving(e: Expression): Option[Expression] = e match {
+        def rewrite(e: Expression, allowed: Set[String]): Option[Expression] = e match {
           case _: SubqueryExpression => None
           case fn: UnresolvedFunction if isAggregateFn(fn.nameParts.last) =>
             fnKind(fn).map {
@@ -574,17 +590,35 @@ object PlanClassifier {
                     UnresolvedAttribute(name)
                   }
             }
+          // evaluated once per group post-merge instead of per input row —
+          // only sound for deterministic expressions
+          case fn: UnresolvedFunction
+              if nondeterministicFns.contains(fn.nameParts.last.toLowerCase) =>
+            None
           case at: UnresolvedAttribute =>
-            if (at.nameParts.length == 1 && visibleNames.contains(at.nameParts.head))
+            if (at.nameParts.length == 1 && allowed.contains(at.nameParts.head))
               Some(at)
             else None
           case other =>
-            val kids = other.children.map(rewriteHaving)
+            val kids = other.children.map(rewrite(_, allowed))
             if (kids.exists(_.isEmpty)) None
             else Some(other.withNewChildren(kids.map(_.get)))
         }
-        val rewritten: Option[Option[Expression]] = having.map(rewriteHaving)
-        if (rewritten.exists(_.isEmpty)) None
+        // Select-list expression columns: rewrite each over keys, earlier
+        // visible columns (lateral aliases resolve post-merge, where those
+        // columns hold their final values), and hidden partials.
+        var exprAllowed = (keyCols ++ aggs.map(_._1) ++ avgs).toSet
+        var exprCols = Vector.empty[(String, String)]
+        var exprFailed = false
+        exprsRaw.foreach { case (n, raw) =>
+          rewrite(raw, exprAllowed) match {
+            case Some(r) => exprCols :+= ((n, r.sql)); exprAllowed += n
+            case None    => exprFailed = true
+          }
+        }
+        val rewritten: Option[Option[Expression]] =
+          having.map(rewrite(_, visibleNames))
+        if (exprFailed || rewritten.exists(_.isEmpty)) None
         else if (leftOpt.isDefined &&
           hidden.exists(h => h._2 == "min" || h._2 == "max")) None
         else {
@@ -608,16 +642,18 @@ object PlanClassifier {
               UnresolvedFunction(Seq("count"), Seq(Literal(1)), isDistinct = false)))
           }
           val needsPlan =
-            avgs.nonEmpty || havingExpr.isDefined || leftOpt.isDefined
+            avgs.nonEmpty || havingExpr.isDefined || leftOpt.isDefined ||
+              exprCols.nonEmpty
           val partials =
             if (!needsPlan) None
             else Some(partialsPlanOf(
               spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql),
               avgs.toSet,
-              hidden.map(h => Alias(h._3, h._1)()).toSeq))
+              hidden.map(h => Alias(h._3, h._1)()).toSeq,
+              exprCols.map(_._1).toSet))
           Some(AggMergeSpec(ks, aggs ++ hidden.map(h => (h._1, h._2)), avgs,
             havingExpr.map(_.sql), partials, joinOpt, hiddenAvgNames,
-            leftOpt, sumNullCounts))
+            leftOpt, sumNullCounts, exprCols))
         }
       } else None
     }
@@ -628,7 +664,9 @@ object PlanClassifier {
             case attr: UnresolvedAttribute if ks.contains(attr.nameParts.last) =>
               Some(scala.util.Left(attr.nameParts.last))
             case Alias(_, n) if ks.contains(n) => Some(scala.util.Left(n))
-            case Alias(fn, n) => fnKind(fn).map(k => scala.util.Right((n, k, fn)))
+            case Alias(fn, n) =>
+              Some(fnKind(fn).map(k => scala.util.Right((n, k, fn)))
+                .getOrElse(scala.util.Right((n, "expr", fn))))
             case _            => None
           }
         if (!entries.forall(_.isDefined)) None else build(entries.flatten)
@@ -637,7 +675,9 @@ object PlanClassifier {
       case p: Project if ks.isEmpty =>
         val entries: Seq[Option[Either[String, (String, String, Expression)]]] =
           p.projectList.map {
-            case Alias(fn, n) => fnKind(fn).map(k => scala.util.Right((n, k, fn)))
+            case Alias(fn, n) =>
+              Some(fnKind(fn).map(k => scala.util.Right((n, k, fn)))
+                .getOrElse(scala.util.Right((n, "expr", fn))))
             case _            => None
           }
         if (entries.nonEmpty && entries.forall(_.isDefined)) build(entries.flatten)
@@ -646,19 +686,35 @@ object PlanClassifier {
     }
   }
 
+  /** Functions whose value differs per evaluation — an expression column is
+    * evaluated once per group post-merge instead of per-plan, so these make
+    * the fast path diverge from recompute (which is itself nondeterministic
+    * for them; neither path is "right", so neither should be silently
+    * substituted for the other). Time functions are handled upstream: the
+    * rewriter pins `now()`/`current_timestamp` to the request's systemTime
+    * and marks the step timeVarying, which disables the merge path entirely.
+    */
+  private val nondeterministicFns: Set[String] = Set(
+    "rand", "randn", "random", "uuid", "shuffle",
+    "monotonically_increasing_id", "spark_partition_id", "input_file_name")
+
   /** The output step's plan rewritten to produce MERGE PARTIALS: ORDER BY
     * dropped (state needs no order), HAVING dropped (applied post-merge),
     * each `avg(x) AS n` split into `sum(x) AS __as_n, count(x) AS __ac_n`,
-    * plus `extra` hidden aggregate columns (the `__hv_<i>` partials a
-    * rewritten HAVING references) appended to the select list. Only the
-    * top aggregate/projection is rewritten — wrappers are descended,
-    * subtrees below are untouched.
+    * expression columns in `drop` removed (recomputed post-merge from their
+    * hidden partials), plus `extra` hidden aggregate columns (the
+    * `__hv_<i>` partials a rewritten HAVING or expression column
+    * references) appended to the select list. Only the top
+    * aggregate/projection is rewritten — wrappers are descended, subtrees
+    * below are untouched.
     */
   private def partialsPlanOf(
       p: LogicalPlan,
       avgs: Set[String],
-      extra: Seq[NamedExpression] = Nil): LogicalPlan = {
+      extra: Seq[NamedExpression] = Nil,
+      drop: Set[String] = Set.empty): LogicalPlan = {
     def split(ne: NamedExpression): Seq[NamedExpression] = ne match {
+      case Alias(_, n) if drop.contains(n) => Seq()
       case Alias(fn: UnresolvedFunction, n) if avgs.contains(n) =>
         Seq(
           Alias(fn.copy(nameParts = Seq("sum")), s"__as_$n")(),
@@ -666,10 +722,12 @@ object PlanClassifier {
       case other => Seq(other)
     }
     p match {
-      case w: UnresolvedWith   => w.copy(child = partialsPlanOf(w.child, avgs, extra))
-      case s: SubqueryAlias    => s.copy(child = partialsPlanOf(s.child, avgs, extra))
-      case s: Sort             => partialsPlanOf(s.child, avgs, extra)
-      case h: UnresolvedHaving => partialsPlanOf(h.child, avgs, extra)
+      case w: UnresolvedWith =>
+        w.copy(child = partialsPlanOf(w.child, avgs, extra, drop))
+      case s: SubqueryAlias =>
+        s.copy(child = partialsPlanOf(s.child, avgs, extra, drop))
+      case s: Sort             => partialsPlanOf(s.child, avgs, extra, drop)
+      case h: UnresolvedHaving => partialsPlanOf(h.child, avgs, extra, drop)
       case a: Aggregate =>
         a.copy(aggregateExpressions = a.aggregateExpressions.flatMap(split) ++ extra)
       case pr: Project =>

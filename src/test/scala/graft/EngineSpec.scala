@@ -985,15 +985,17 @@ class EngineSpec extends AnyFunSuite {
     import spark.implicits._
     // Seeded random append-only slices driven through two chains: the
     // mergeable shape (incremental merge) and a value-identical but
-    // ineligible shape (`sum(price) + 0` — recompute). Emitted slices must
-    // match row-for-row including offsets every run.
+    // ineligible shape (stddev_pop is non-mergeable, and `* 0` erases its
+    // value — recompute). Emitted slices must match row-for-row including
+    // offsets every run.
     val rnd = new scala.util.Random(42)
     val dirF = tmp(); val dirC = tmp()
     val qFast = """SELECT max(event_time) as event_time, symbol,
                   |  count(*) as n, sum(price) as total
                   |FROM tickers GROUP BY symbol""".stripMargin
     val qSlow = """SELECT max(event_time) as event_time, symbol,
-                  |  count(*) as n, sum(price) + 0 as total
+                  |  count(*) as n,
+                  |  CAST(sum(price) + stddev_pop(price) * 0 AS BIGINT) as total
                   |FROM tickers GROUP BY symbol""".stripMargin
     var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
     var prevF: Option[String] = None; var prevC: Option[String] = None
@@ -1078,7 +1080,7 @@ class EngineSpec extends AnyFunSuite {
                   |  sum(price) as total
                   |FROM tickers GROUP BY symbol HAVING avg(price) > 25""".stripMargin
     val qSlow = """SELECT max(event_time) as event_time, symbol,
-                  |  sum(price) as total, avg(price) + 0 as shadow
+                  |  sum(price) as total, stddev_pop(price) as shadow
                   |FROM tickers GROUP BY symbol HAVING avg(price) > 25""".stripMargin
     var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
     var prevF: Option[String] = None; var prevC: Option[String] = None
@@ -1113,6 +1115,68 @@ class EngineSpec extends AnyFunSuite {
       prevC = Some(drive("c", dirC, inC, qSlow, prevC))
       off += n
       val sel = Seq("offset", "op", "event_time", "symbol", "total")
+      val outF = readOut(s"$dirF/out$run.parquet").orderBy("offset")
+        .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+      val outC = readOut(s"$dirC/out$run.parquet").orderBy("offset")
+        .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    // the fast engine really took the merge path before the flip
+    assert(Files.exists(Paths.get(s"$dirF/cp1/agg_partials")))
+  }
+
+  test("expression columns over aggregates merge identically to recompute") {
+    import spark.implicits._
+    // `sum/count` ratios, CAST arithmetic, and a lateral alias reference —
+    // all evaluated post-merge from hidden partials — against a
+    // value-identical recompute shape (stddev_pop shadow forces it). Run 4
+    // carries a retraction: the merge → recompute flip must diff against
+    // the expression-bearing visible snapshot the merge runs wrote.
+    val rnd = new scala.util.Random(67)
+    val dirF = tmp(); val dirC = tmp()
+    val cols = """  sum(price) / count(*) AS ratio,
+                 |  CAST(count(*) * 2 AS BIGINT) AS n2,
+                 |  sum(price) AS total, total + 1 AS t1""".stripMargin
+    val qFast = s"""SELECT max(event_time) as event_time, symbol,
+                   |$cols
+                   |FROM tickers GROUP BY symbol HAVING sum(price) > 40""".stripMargin
+    val qSlow = s"""SELECT max(event_time) as event_time, symbol,
+                   |$cols, stddev_pop(price) AS shadow
+                   |FROM tickers GROUP BY symbol HAVING sum(price) > 40""".stripMargin
+    var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var run1Head: Option[EngineFixtures.Ticker] = None
+    (1 to 5).foreach { run =>
+      val nRows = 1 + rnd.nextInt(5)
+      val appends = (0 until nRows).map { i =>
+        Ticker(off + i, Op.Append, t(ts(run)), t(ts(run)),
+          ("A".head + rnd.nextInt(4)).toChar.toString, 1 + rnd.nextInt(50))
+      }
+      if (run == 1) run1Head = Some(appends.head)
+      val slices = appends ++ (if (run == 4) Seq(run1Head.get.copy(
+        offset = off + nRows, op = Op.Retract, system_time = t(ts(run))))
+      else Nil)
+      val n = slices.length
+      val inF = s"$dirF/in$run.parquet"; val inC = s"$dirC/in$run.parquet"
+      writeSlice(slices, inF); writeSlice(slices, inC)
+      def drive(tag: String, dir: java.nio.file.Path, in: String, q: String,
+          prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(mkInput("tickers", in, in, n, startOffset = off,
+            wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, inF, qFast, prevF))
+      prevC = Some(drive("c", dirC, inC, qSlow, prevC))
+      off += n
+      val sel = Seq("offset", "op", "event_time", "symbol", "ratio", "n2",
+        "total", "t1")
       val outF = readOut(s"$dirF/out$run.parquet").orderBy("offset")
         .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
       val outC = readOut(s"$dirC/out$run.parquet").orderBy("offset")
@@ -1248,7 +1312,7 @@ class EngineSpec extends AnyFunSuite {
                   |  avg(price) as ap, sum(price) as total
                   |FROM tickers GROUP BY symbol HAVING total > 60""".stripMargin
     val qSlow = """SELECT max(event_time) as event_time, symbol,
-                  |  avg(price) + 0 as ap, sum(price) as total
+                  |  avg(price) + stddev_pop(price) * 0 as ap, sum(price) as total
                   |FROM tickers GROUP BY symbol HAVING total > 60""".stripMargin
     var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
     var prevF: Option[String] = None; var prevC: Option[String] = None
@@ -1556,7 +1620,7 @@ class EngineSpec extends AnyFunSuite {
          |FROM orders o JOIN shipments s ON o.order_id = s.order_id
          |GROUP BY o.order_id""".stripMargin
     val qFast = q("sum(s.num_shipped)")
-    val qSlow = q("sum(s.num_shipped) + 0")
+    val qSlow = q("CAST(sum(s.num_shipped) + stddev_pop(s.num_shipped) * 0 AS BIGINT)")
     var offA = 0L; var offB = 0L
     var nextOut = Map("f" -> 0L, "c" -> 0L)
     var prevF: Option[String] = None; var prevC: Option[String] = None

@@ -132,9 +132,6 @@ class PlanClassifierSpec extends AnyFunSuite {
   }
 
   test("non-decomposable aggregates keep the recompute path") {
-    // expression OVER an aggregate is not mergeable
-    assert(classify("SELECT symbol, sum(price) + 1 AS s FROM t GROUP BY symbol")
-      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
     // DISTINCT aggregates are not mergeable
     assert(classify("SELECT symbol, count(DISTINCT price) AS n FROM t GROUP BY symbol")
       .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
@@ -149,6 +146,53 @@ class PlanClassifierSpec extends AnyFunSuite {
       """WITH a AS (SELECT symbol, sum(price) AS s FROM t GROUP BY symbol)
         |SELECT symbol, s FROM a WHERE s > 5""".stripMargin)
       .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+  }
+
+  test("expressions over mergeable aggregates ride hidden partials") {
+    // `sum(a)/sum(b)` and friends merge: each aggregate CALL becomes a
+    // hidden __hv partial and the expression is evaluated post-merge.
+    val m = classify(
+      """SELECT symbol, sum(price) / count(*) AS ratio,
+        |  CAST(sum(price) + 1 AS INT) AS s1
+        |FROM t GROUP BY symbol""".stripMargin)
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge
+    assert(m.isDefined)
+    assert(m.get.exprCols.map(_._1) == Seq("ratio", "s1"))
+    // identical calls share one hidden partial
+    assert(m.get.aggs.count(_._2 == "sum") == 1)
+    assert(m.get.partialsPlan.isDefined)
+    // avg inside an expression rides division partials (and the decimal
+    // guard, via hiddenAvgs)
+    val a = classify(
+      "SELECT symbol, avg(price) * 2 AS ap2 FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge
+    assert(a.exists(_.hiddenAvgs.nonEmpty))
+    // expressions may reference earlier visible columns (lateral aliases
+    // hold their final values post-merge)
+    assert(classify(
+      "SELECT symbol, sum(price) AS s, s + 1 AS s1 FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge
+      .exists(_.exprCols == Seq("s1" -> "(s + 1)")))
+    // a non-mergeable aggregate inside the expression keeps recompute
+    assert(classify(
+      "SELECT symbol, stddev_pop(price) + 0 AS sd FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+    // nondeterministic functions are evaluated once post-merge, not per
+    // plan — never fast-pathed
+    assert(classify(
+      "SELECT symbol, sum(price) * rand() AS r FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+    // qualified column references inside the expression are not resolvable
+    // post-merge (the merged frame has output names only) — recompute
+    assert(classify(
+      "SELECT symbol, sum(price) + length(t.symbol) AS x FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge.isEmpty)
+    // min/max inside expressions stay off the LEFT-join path (handled via
+    // hidden-kind check) — inner/global shapes may carry them
+    assert(classify(
+      "SELECT symbol, max(price) - min(price) AS spread FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff].aggMerge
+      .exists(_.aggs.map(_._2).sorted == Seq("max", "min")))
   }
 
   test("avg decomposes to sum+count partials in the merge spec") {
@@ -464,9 +508,11 @@ class PlanClassifierSpec extends AnyFunSuite {
     // …but min/max above a LEFT join are not invertible — recompute
     assert(sd(None -> ("SELECT a.id AS id, max(b.v) AS m " +
       "FROM a LEFT JOIN b ON a.id = b.id GROUP BY a.id")).aggMerge.isEmpty)
-    // expression over the aggregate: no merge spec
+    // expression over the aggregate: rides a hidden partial, still carries
+    // the join spec
     assert(sd(None -> ("SELECT a.id AS id, sum(b.v) + 0 AS s " +
-      "FROM a JOIN b ON a.id = b.id GROUP BY a.id")).aggMerge.isEmpty)
+      "FROM a JOIN b ON a.id = b.id GROUP BY a.id")).aggMerge
+      .exists(sp => sp.join.isDefined && sp.exprCols.map(_._1) == Seq("s")))
     // an input scanned outside the join chain breaks the use-once discipline
     assert(sd(
       Some("w") -> "SELECT id FROM a",
