@@ -555,6 +555,55 @@ object SparkEntry {
           t(s, dir, "embeddings"), "vec_id", "embedding")
         .where(col("quant_err") > 0)
         .orderBy(col("vec_id"))
+    }),
+
+    // ── Deterministic corpus shuffle: seeded global training order without
+    // a single-partition global window. Rows order by a seeded md5 key;
+    // positions are assigned two-level — a hex-prefix bucket (the numeric
+    // prefix of the key, so (bucket, key) order ≡ key order), local ranks
+    // per bucket, plus broadcast per-bucket base offsets from a running sum
+    // over the ≤65536-row bucket-count frame (model-sized by construction —
+    // the only single-partition step touches bucket counts, never rows).
+    // At 100 TB this is the standard sort-position assignment: one shuffle
+    // by bucket, O(rows) work, O(buckets) driver-side state.
+    "q39_corpus_shuffle" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        md5(concat(lit("shuf:42:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      val withB = d.withColumn("b",
+        conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long"))
+      val bases = withB.groupBy("b").agg(count(lit(1)).as("c"))
+        .withColumn("base", sum(col("c")).over(Window.orderBy("b")) - col("c"))
+        .select("b", "base")
+      withB
+        .withColumn("lr", row_number().over(
+          Window.partitionBy("b").orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+        .join(broadcast(bases), "b")
+        .select(col("doc_id"), col("shuffle_key"),
+          (col("base") + col("lr")).as("position"))
+        .orderBy(col("position"))
+    }),
+
+    // ── Context-window chunking: overlapping 16-token windows at stride 8
+    // per document — the standard pretraining/RAG chunker. Pure map +
+    // explode (≈2× row blowup at this window/stride), no shuffle; chunk
+    // text is reassembled from the token slice so downstream operators
+    // (dedup, quality) can run per-chunk.
+    "q40_chunk_windows" -> ((s, dir) => {
+      val win = 16; val stride = 8
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            floor((size(col("toks")) - 1) / stride).cast("int"))).as("i"))
+        .select(col("doc_id"),
+          col("i").cast("long").as("chunk_idx"),
+          (col("i") * stride).cast("long").as("start_tok"),
+          least(lit(win), size(col("toks")) - col("i") * stride)
+            .cast("long").as("n_tokens"),
+          concat_ws(" ", slice(col("toks"), col("i") * stride + 1, lit(win)))
+            .as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
 
@@ -1218,6 +1267,30 @@ object SparkEntry {
         |        list_transform(v, x -> x - floor(x * scale + 0.5) / scale))
         |    END AS quant_err
         |  FROM s)
-        |SELECT * FROM o WHERE quant_err > 0 ORDER BY vec_id""".stripMargin
+        |SELECT * FROM o WHERE quant_err > 0 ORDER BY vec_id""".stripMargin,
+
+    "q39_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  md5('shuf:42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('shuf:42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS position
+        |FROM documents ORDER BY position""".stripMargin,
+
+    "q40_chunk_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, CAST((len(toks)-1)//8 AS BIGINT))) AS i
+        |  FROM d WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i*8 AS BIGINT) AS start_tok,
+        |  CAST(least(16, len(toks) - i*8) AS BIGINT) AS n_tokens,
+        |  list_aggregate(toks[(i*8+1):(i*8+16)], 'string_agg', ' ') AS chunk
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }
