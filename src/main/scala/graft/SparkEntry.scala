@@ -604,6 +604,49 @@ object SparkEntry {
           concat_ws(" ", slice(col("toks"), col("i") * stride + 1, lit(win)))
             .as("chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ── Frequency-based boilerplate removal (CCNet-style): drop EVERY copy
+    // of any 8-token unit whose corpus-wide count is ≥ 3 and reassemble —
+    // the complement of q37's keep-first positional dedup. Explode →
+    // map-side-combinable count agg → shuffle join back → per-doc rollup.
+    "q41_boilerplate" -> ((s, dir) => {
+      graft.operators.Dedup.boilerplateRemoveDf(
+          t(s, dir, "documents"), "doc_id", "text", chunkTokens = 8, minFreq = 3L)
+        .where(col("n_kept") < col("n_total"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Weighted source-mixture sampling: keep the LARGEST corpus whose
+    // source proportions match target mixture weights (upweight the first
+    // five sources 3:1) — the binding source (scarcest relative to its
+    // target share) keeps 100%, every other source downsamples to match,
+    // via a deterministic md5 gate in exact basis-point integer
+    // arithmetic. out_total = min_s ⌊cnt_s·Σw/w_s⌋;
+    // rate_bp(s) = out_total·w_s·10000 / (Σw·cnt_s). At 100 TB the rate
+    // table is one model-sized (|sources|-row) aggregate broadcast back
+    // over the scan — a pure filter, no data-sized shuffle.
+    "q42_source_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        lit(3L)).otherwise(lit(1L))
+      val base = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .withColumn("w", w)
+      val counts = base.crossJoin(broadcast(base.agg(sum(col("w")).as("sumw"))))
+      val outTotal = counts.agg(
+        min(expr("cnt * sumw DIV w")).as("out_total"))
+      val rates = counts.crossJoin(broadcast(outTotal))
+        .select(col("source"),
+          least(lit(10000L), expr("out_total * w * 10000 DIV (sumw * cnt)"))
+            .as("rate_bp"))
+      val gate = pmod(
+        conv(substring(md5(concat(lit("mix:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(10000L))
+      docs.join(broadcast(rates), "source")
+        .where(gate < col("rate_bp"))
+        .select(col("doc_id"), col("source"), col("rate_bp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1291,6 +1334,49 @@ object SparkEntry {
         |  CAST(i*8 AS BIGINT) AS start_tok,
         |  CAST(least(16, len(toks) - i*8) AS BIGINT) AS n_tokens,
         |  list_aggregate(toks[(i*8+1):(i*8+16)], 'string_agg', ' ') AS chunk
-        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q41_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, CAST((len(toks)-1)//8 AS BIGINT))) AS i
+        |  FROM d WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, i AS idx,
+        |    list_aggregate(toks[(i*8+1):(i*8+8)], 'string_agg', ' ') AS chunk
+        |  FROM u),
+        |f AS (
+        |  SELECT chunk, count(*) AS freq FROM c GROUP BY chunk),
+        |o AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(count(*) FILTER (WHERE freq < 3) AS BIGINT) AS n_kept,
+        |    coalesce(string_agg(chunk, ' ' ORDER BY idx)
+        |      FILTER (WHERE freq < 3), '') AS cleaned_text
+        |  FROM c JOIN f USING (chunk) GROUP BY doc_id)
+        |SELECT * FROM o WHERE n_kept < n_total ORDER BY doc_id""".stripMargin,
+
+    "q42_source_mixture" ->
+      """WITH base AS (
+        |  SELECT source, count(*) AS cnt,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |      THEN 3 ELSE 1 END AS w
+        |  FROM documents GROUP BY source),
+        |counts AS (
+        |  SELECT * FROM base, (SELECT sum(w) AS sumw FROM base)),
+        |o AS (
+        |  SELECT min((cnt * sumw) // w) AS out_total FROM counts),
+        |r AS (
+        |  SELECT source,
+        |    least(10000, (out_total * w * 10000) // (sumw * cnt)) AS rate_bp
+        |  FROM counts, o)
+        |SELECT doc_id, source, CAST(rate_bp AS BIGINT) AS rate_bp
+        |FROM documents JOIN r USING (source)
+        |WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < rate_bp
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -358,4 +358,57 @@ object Dedup {
             s => s.getField("chunk")),
           " ").as("cleaned_text"))
   }
+
+  /** Frequency-based boilerplate removal (CCNet-style): split each document
+    * into consecutive `chunkTokens`-token units, drop EVERY copy of any unit
+    * whose corpus-wide occurrence count is ≥ `minFreq`, and reassemble the
+    * survivors in order. Differs from [[paragraphDedupDf]] in the removal
+    * rule — positional dedup keeps the first copy of a repeated unit, while
+    * boilerplate removal treats high-frequency units (navigation chrome,
+    * license headers, cookie banners) as noise and removes all of them.
+    *
+    * Scale shape: explode → unit-count hash aggregate (map-side combinable —
+    * a unit repeated millions of times partial-aggregates before the
+    * shuffle) → shuffle join back on the unit → per-doc rollup. The
+    * frequency table is NOT broadcast: at corpus scale the distinct-unit
+    * set is data-sized, so the join shuffles both sides on the unit hash.
+    *
+    * @return (idCol, n_total, n_kept, cleaned_text); zero-token documents
+    *   produce no output row.
+    */
+  def boilerplateRemoveDf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 8,
+      minFreq: Long = 3L
+  ): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    // persisted for the same reason as paragraphDedupDf: the tokenize→chunk
+    // explode feeds both the frequency aggregate and the join probe
+    val units = df
+      .select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("__toks")) - 1) / chunkTokens).cast("int")),
+          i => array_join(slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+          .as(Seq("idx", "chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freqs = units
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("__freq"))
+    units.join(freqs, "chunk")
+      .withColumn("__kept", col("__freq") < minFreq)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__kept"),
+              struct(col("idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("cleaned_text"))
+  }
 }

@@ -231,6 +231,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m(2L) == ((2L, 2L, "unique words only here")))
   }
 
+  test("boilerplate removal drops EVERY copy of an over-frequent chunk") {
+    import spark.implicits._
+    val boiler = "all rights reserved"   // 3-token chunk in three docs
+    val docs = Seq(
+      (0L, s"alpha beta gamma $boiler"),
+      (1L, s"$boiler delta echo"),
+      (2L, s"unique words only $boiler"),
+      (3L, "twice seen chunk stays put")  // freq < minFreq chunks survive
+    ).toDF("doc_id", "text")
+    val m = Dedup.boilerplateRemoveDf(docs, "doc_id", "text",
+        chunkTokens = 3, minFreq = 3L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // unlike keep-first dedup, doc 0's copy goes too
+    assert(m(0L) == ((2L, 1L, "alpha beta gamma")))
+    assert(m(1L) == ((2L, 1L, "delta echo")))
+    assert(m(2L) == ((2L, 1L, "unique words only")))
+    assert(m(3L) == ((2L, 2L, "twice seen chunk stays put")))
+  }
+
   test("null and token-less docs pass through dedup kernels without NPE") {
     import spark.implicits._
     val docs = Seq(
