@@ -554,8 +554,11 @@ final class IncrementalExecutor(
       inputs.find(_.spec.queryAlias == t.input).map(_ => t))
     var (fulls, retractive) = bufferedFulls(activeTouch)
     var snapshot = runSteps(steps)
+    // keys, when promised, must survive to the output; a keyless (multiset
+    // diff) chain can still narrow — the diff pairs rows within touched
+    // partitions only, untouched rows are carried unread either way.
     activeTouch = activeTouch.filter(t =>
-      keys.exists(_.forall(snapshot.columns.contains)) &&
+      keys.forall(_.forall(snapshot.columns.contains)) &&
         t.cols.forall(snapshot.columns.contains))
     if (touch.isDefined && activeTouch.isEmpty) {
       val rebuilt = bufferedFulls(None)

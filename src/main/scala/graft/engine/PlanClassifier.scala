@@ -450,11 +450,14 @@ object PlanClassifier {
           "in one transform")
       Mode.Windowed(f.intervalUppers.max)
     } else if (f.snapshotFacts) {
-      val keys = snapshotKeys(f, aggTopsOutputStep(spark, steps))
+      val aggTops = aggTopsOutputStep(spark, steps)
+      val keys = snapshotKeys(f, aggTops)
+        .orElse(nestedAggKeys(spark, steps, f, aggTops))
       Mode.SnapshotDiff(keys,
         extractAggMerge(spark, steps, f),
         extractRankTouch(spark, steps, f, keys)
-          .orElse(extractAggTouch(spark, steps, f)),
+          .orElse(extractAggTouch(spark, steps, f))
+          .orElse(extractGroupTouch(spark, steps, f)),
         extractJoinDelta(spark, steps, f),
         extractDistinctDelta(spark, steps, f),
         extractLeftJoinDelta(spark, steps, f))
@@ -1046,6 +1049,89 @@ object PlanClassifier {
           .filter(t => chains.soundUse(Seq(t)))
           .map(RankTouch(_, ks))
       case _ => None
+    }
+  }
+
+  /** Touched-group narrowing for MULTI-stateful single-input chains —
+    * nested aggregations (GROUP BY over GROUP BY), rankings over
+    * aggregates, and mixes — where EVERY stateful operator partitions by a
+    * superset of one common non-empty column set. Restricted to the common
+    * columns each aggregation/ranking is partition-local and everything
+    * between is row-local, so output rows of a partition depend only on
+    * that partition's input rows: the executor recomputes and diffs only
+    * the partitions the new slice touches and carries the rest —
+    * O(touched-partition history), not O(full history), per run, for
+    * shapes the per-key merge algebra cannot express. Same provenance
+    * discipline as [[extractRankTouch]]: the common columns must be RAW
+    * input columns never re-aliased in any step, single input relation
+    * under use-once, no CTEs, subqueries, or time-varying literals.
+    */
+  private def extractGroupTouch(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts): Option[RankTouch] = {
+    val eligible = f.plainAggs.size + f.rankSpecs.size >= 2 &&
+      f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit &&
+      !f.hasSubquery && f.intervalUppers.isEmpty &&
+      !steps.exists(_._2.timeVarying)
+    if (!eligible) return None
+    val keySets: List[Seq[String]] =
+      f.plainAggs.map(_.getOrElse(return None)) ++
+        f.rankSpecs.map(_._2.getOrElse(return None))
+    if (keySets.exists(_.isEmpty)) return None // a global stage sees all rows
+    val common = keySets.map(_.toSet).reduce(_ intersect _)
+    val cols = keySets.head.filter(common) // deterministic column order
+    if (cols.isEmpty) return None
+    val chains = new StepChains(spark, steps)
+    if (chains.hasCte) return None
+    val redefined = chains.plans.exists(_._2.exists(_.expressions.exists(_.exists {
+      case Alias(_, n) => common.contains(n)
+      case _           => false
+    })))
+    if (redefined) return None
+    chains.outPlan.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    } match {
+      case Seq(only) =>
+        chains.terminal(only)
+          .filter(t => chains.soundUse(Seq(t)))
+          .map(RankTouch(_, cols))
+      case _ => None
+    }
+  }
+
+  /** Diff identity for a nested-aggregation chain (2+ plain aggregates, no
+    * rankings, joins, or DISTINCT/LIMIT): when the OUTPUT step's top is
+    * itself an aggregate the result has exactly one row per outer group
+    * whatever the inner stateful steps did, so the outer GROUP BY keys are
+    * a sound keyed-diff identity (Some(Nil) for a global outer aggregate —
+    * a single row).
+    */
+  private def nestedAggKeys(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts,
+      aggAtOutputTop: Boolean): Option[Seq[String]] = {
+    val nested = f.plainAggs.size >= 2 && f.rankSpecs.isEmpty &&
+      f.regularJoins == 0 && !f.otherWindowFns && !f.distinctOrLimit &&
+      aggAtOutputTop
+    if (!nested) return None
+    val outIdx = steps.lastIndexWhere(_._1.isEmpty) match {
+      case -1 => steps.length - 1
+      case i  => i
+    }
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case w: UnresolvedWith   => unwrap(w.child)
+      case s: SubqueryAlias    => unwrap(s.child)
+      case s: Sort             => unwrap(s.child)
+      case h: UnresolvedHaving => unwrap(h.child)
+      case other               => other
+    }
+    unwrap(spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql)) match {
+      case a: Aggregate                                     => mapGroupKeys(a)
+      case p: Project if p.projectList.exists(containsAggFn) => Some(Nil)
+      case _                                                => None
     }
   }
 

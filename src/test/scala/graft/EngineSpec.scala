@@ -1252,6 +1252,75 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("nested aggregation: narrowed and full recompute emit identical changelogs") {
+    import spark.implicits._
+    // GROUP BY over GROUP BY — no merge algebra exists for the nested
+    // shape, so both queries recompute; qFast's shared raw `symbol` column
+    // activates the touched-partition narrowing (both stages partition by
+    // it), while qSlow's inner `symbol AS sym` rename (same raw values,
+    // re-defined name) withholds it. Seeded slices with retractions on
+    // runs 3 and 5 — narrowed and full recompute must emit identical
+    // changelogs throughout.
+    val rnd = new scala.util.Random(43)
+    val dirF = tmp(); val dirC = tmp()
+    val qFast = """SELECT symbol, max(event_time) AS event_time,
+                  |  max(s) AS mx, count(*) AS n_groups
+                  |FROM (SELECT symbol, event_time, sum(price) AS s
+                  |      FROM tickers GROUP BY symbol, event_time)
+                  |GROUP BY symbol""".stripMargin
+    val qSlow = """SELECT sym, max(event_time) AS event_time,
+                  |  max(s) AS mx, count(*) AS n_groups
+                  |FROM (SELECT symbol AS sym, event_time, sum(price) AS s
+                  |      FROM tickers GROUP BY symbol, event_time)
+                  |GROUP BY sym""".stripMargin
+    var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var history = Vector.empty[EngineFixtures.Ticker]
+    (1 to 6).foreach { run =>
+      val nRows = 1 + rnd.nextInt(4)
+      val appends = (0 until nRows).map { i =>
+        Ticker(off + i, Op.Append, t(ts(run)), t(ts(1 + rnd.nextInt(3))),
+          ("A".head + rnd.nextInt(3)).toChar.toString, 1 + rnd.nextInt(50))
+      }
+      val retracts =
+        if (run == 3 || run == 5) {
+          val victim = history(rnd.nextInt(history.size))
+          history = history.filterNot(_ == victim)
+          Seq(victim.copy(offset = off + nRows, op = Op.Retract,
+            system_time = t(ts(run))))
+        } else Nil
+      history ++= appends
+      val slices = appends ++ retracts
+      val n = slices.length
+      val inF = s"$dirF/in$run.parquet"; val inC = s"$dirC/in$run.parquet"
+      writeSlice(slices, inF); writeSlice(slices, inC)
+      def drive(tag: String, dir: java.nio.file.Path, in: String, q: String,
+          prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(mkInput("tickers", in, in, n, startOffset = off,
+            wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, inF, qFast, prevF))
+      prevC = Some(drive("c", dirC, inC, qSlow, prevC))
+      off += n
+      import org.apache.spark.sql.functions.col
+      val sel = Seq("offset", "op", "symbol", "mx", "n_groups")
+      val outF = readOut(s"$dirF/out$run.parquet").orderBy("offset")
+        .select(sel.map(col): _*).collect().toSeq
+      val outC = readOut(s"$dirC/out$run.parquet").orderBy("offset")
+        .withColumnRenamed("sym", "symbol")
+        .select(sel.map(col): _*).collect().toSeq
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+  }
+
   test("decimal avg in HAVING keeps the recompute path (division gate)") {
     import spark.implicits._
     // avg over decimal rounds to scale s+4; a sum/count division follows

@@ -254,6 +254,56 @@ class PlanClassifierSpec extends AnyFunSuite {
         Some(PlanClassifier.AggMergeSpec(Nil, Seq("n" -> "count")))))
   }
 
+  test("nested aggregation narrows to the common grouping columns, keyed by the outer") {
+    val m = classify(
+      "SELECT symbol, max(s) AS mx FROM (SELECT symbol, id, sum(price) AS s " +
+        "FROM t GROUP BY symbol, id) GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff]
+    assert(m.keys == Some(Seq("symbol")))
+    assert(m.rankTouch == Some(PlanClassifier.RankTouch("t", Seq("symbol"))))
+    assert(m.aggMerge.isEmpty) // merge algebra has no nested form — touch only
+    // the two-step spelling resolves through the pre-step alias identically
+    val m2 = PlanClassifier.classify(spark, Seq(
+      (Some("inner_daily"), SqlRewriter.rewrite(
+        "SELECT symbol, id, sum(price) AS s FROM t GROUP BY symbol, id", st, None)),
+      (None, SqlRewriter.rewrite(
+        "SELECT symbol, max(s) AS mx FROM inner_daily GROUP BY symbol", st, None))))
+      .asInstanceOf[Mode.SnapshotDiff]
+    assert(m2.keys == Some(Seq("symbol")))
+    assert(m2.rankTouch == Some(PlanClassifier.RankTouch("t", Seq("symbol"))))
+  }
+
+  test("nested aggregation with a global outer stage keeps the full diff") {
+    // outer global aggregate sees every inner group: nothing to narrow,
+    // but the single-row output still keys the diff
+    val m = classify(
+      "SELECT max(s) AS mx FROM (SELECT symbol, sum(price) AS s " +
+        "FROM t GROUP BY symbol)")
+      .asInstanceOf[Mode.SnapshotDiff]
+    assert(m.rankTouch.isEmpty)
+    assert(m.keys == Some(Nil))
+  }
+
+  test("group touch is withheld when a stage re-defines a common column") {
+    // inner aliases a derived value to the outer's grouping name: the raw
+    // slice's `sym` values say nothing about touched output partitions
+    val m = classify(
+      "SELECT sym, max(s) AS mx FROM (SELECT upper(symbol) AS sym, id, " +
+        "sum(price) AS s FROM t GROUP BY upper(symbol), id) GROUP BY sym")
+      .asInstanceOf[Mode.SnapshotDiff]
+    assert(m.rankTouch.isEmpty)
+  }
+
+  test("rank over an aggregate narrows on the shared partition columns") {
+    val m = classify(
+      "SELECT symbol, id, s, rn FROM (SELECT symbol, id, s, row_number() " +
+        "OVER (PARTITION BY symbol ORDER BY s DESC) AS rn FROM (" +
+        "SELECT symbol, id, sum(price) AS s FROM t GROUP BY symbol, id)) " +
+        "WHERE rn <= 2")
+      .asInstanceOf[Mode.SnapshotDiff]
+    assert(m.rankTouch == Some(PlanClassifier.RankTouch("t", Seq("symbol"))))
+  }
+
   test("a single inner join carries a delta-join spec") {
     assert(classify("SELECT a.id, b.v FROM a JOIN b ON a.id = b.id")
       .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
