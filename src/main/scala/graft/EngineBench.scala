@@ -18,12 +18,15 @@ import graft.protocol._
   * Usage: `sbt "runMain graft.EngineBench [nSlices] [rowsPerSlice]"`
   * (defaults 30 × 20k). `sbt "runMain graft.EngineBench join [n] [rows]"`
   * runs the two-join-chain variant (n-ary join-tree delta path vs
-  * CTE-forced recompute) instead. Prints one JSON line.
+  * CTE-forced recompute); `retract` the state-bytes plateau variant;
+  * `nested` the nested-aggregation touched-partition variant. Prints one
+  * JSON line.
   */
 object EngineBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("join")) { runJoinChain(args.drop(1)); return }
     if (args.headOption.contains("retract")) { runRetractState(args.drop(1)); return }
+    if (args.headOption.contains("nested")) { runNestedAgg(args.drop(1)); return }
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
     val spark = SparkSession.builder().master("local[8]")
@@ -206,6 +209,93 @@ object EngineBench {
     val tRecompute = drive("recompute", cteSteps)
     val tDelta = drive("delta", chainSteps)
     println(f"""{"metric":"engine_join_chain","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tDelta%.1f,"recompute_sec":$tRecompute%.1f,"speedup":${tRecompute / tDelta}%.2f}""")
+    spark.stop()
+  }
+
+  /** Nested aggregation (GROUP BY over GROUP BY) over N append slices
+    * where each slice touches only ~10% of the key space: the narrowed
+    * path recomputes only the touched partitions' buffered history, so
+    * per-run cost follows the touched slice, while the withheld variant
+    * (inner `symbol AS sym` rename — same raw values, re-defined name)
+    * recomputes and multiset-diffs full history every run.
+    */
+  private def runNestedAgg(args: Array[String]): Unit = {
+    val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
+    val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-nested-bench").toString
+
+    (1 to nSlices).foreach { s =>
+      val off0 = (s - 1).toLong * rowsPer
+      // key space: 1M symbols in ten 100k-wide bands; slice s only touches
+      // band s%10 — untouched bands' output partitions must be neither
+      // recomputed nor re-diffed (the snapshot is output-cardinality-sized,
+      // so the diff side is where O(history) recompute hurts most)
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"),
+        lit(0).as("op"),
+        lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")).as("system_time"),
+        (lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+          + expr(s"make_interval(0,0,0,0,0,0,${s % 7})")).cast("timestamp").as("event_time"),
+        concat(lit("k"),
+          pmod(col("id") * 2654435761L + s, lit(100000)) + (s % 10) * 100000).as("symbol"),
+        (pmod(col("id") * 31 + s, lit(1000)) + 1).cast("int").as("price"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/s$s")
+    }
+    def fileOf(s: Int): String = {
+      val d = new java.io.File(s"$base/slices/s$s")
+      d.listFiles.filter(_.getName.endsWith(".parquet")).head.getPath
+    }
+
+    def drive(tag: String, q: String): Double = {
+      val t0 = System.nanoTime()
+      var prev: Option[String] = None
+      (1 to nSlices).foreach { s =>
+        val req = TransformRequest(
+          "did:out", "out", Instant.parse(f"2000-01-02T${s % 24}%02d:00:00Z"),
+          DatasetVocabulary(),
+          Transform(queries = Vector(SqlQueryStep(None, q))),
+          Vector(TransformRequestInput(
+            datasetId = "did:t", datasetAlias = "tickers", queryAlias = "tickers",
+            vocab = DatasetVocabulary(),
+            offsetInterval = Some(OffsetInterval(
+              (s - 1).toLong * rowsPer, s.toLong * rowsPer - 1)),
+            dataPaths = Vector(fileOf(s)), schemaFile = fileOf(s),
+            explicitWatermarks = Vector(RequestWatermark(
+              Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s),
+              Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s))))),
+          nextOffset = 0, prevCheckpointPath = prev,
+          newCheckpointPath = s"$base/$tag/cp$s",
+          newDataPath = s"$base/$tag/out$s.parquet")
+        new TransformEngine(spark).executeTransform(req) match {
+          case _: TransformResponse.Success => ()
+          case other                        => sys.error(s"$tag run $s failed: $other")
+        }
+        prev = Some(s"$base/$tag/cp$s")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val qNarrow = """SELECT symbol, max(event_time) AS event_time,
+                    |  max(s) AS mx, count(*) AS n_days
+                    |FROM (SELECT symbol, event_time, sum(price) AS s
+                    |      FROM tickers GROUP BY symbol, event_time)
+                    |GROUP BY symbol""".stripMargin
+    val qWide = """SELECT sym AS symbol, max(event_time) AS event_time,
+                  |  max(s) AS mx, count(*) AS n_days
+                  |FROM (SELECT symbol AS sym, event_time, sum(price) AS s
+                  |      FROM tickers GROUP BY symbol, event_time)
+                  |GROUP BY sym""".stripMargin
+
+    val tWide = drive("wide", qWide)
+    val tNarrow = drive("narrow", qNarrow)
+    println(f"""{"metric":"engine_nested_agg","slices":$nSlices,"rowsPerSlice":$rowsPer,"narrow_sec":$tNarrow%.1f,"wide_sec":$tWide%.1f,"speedup":${tWide / tNarrow}%.2f}""")
     spark.stop()
   }
 
