@@ -647,6 +647,49 @@ object SparkEntry {
         .where(gate < col("rate_bp"))
         .select(col("doc_id"), col("source"), col("rate_bp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── SimHash near-dup pairs (Manku et al. WWW'07 split scheme): all
+    // pairs within Hamming distance 3 of the 60-bit simhash, via 4-band
+    // bucketing over DISTINCT signatures — exact (pigeonhole: ≤3 differing
+    // bits can touch ≤3 of 4 bands), never the O(n²) scan the oracle runs.
+    "q43_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDupDf(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── Tokenizer vocabulary coverage: top-200 tokens by frequency with
+    // integer-exact cumulative corpus coverage in basis points — the
+    // vocab-construction / coverage-curve report. Corpus-sized work is one
+    // map-side-combinable count aggregate + TakeOrdered(200); the rank and
+    // running-sum windows see only the 200 survivors (bounded at any
+    // corpus scale), never a data-sized single-partition sort.
+    "q44_vocab_coverage" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("__tot"))
+      counts.orderBy(col("cnt").desc, col("token")).limit(200)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+        .withColumn("__cum", sum(col("cnt")).over(
+          Window.orderBy(col("cnt").desc, col("token"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("token"), col("cnt"),
+          expr("__cum * 10000 DIV __tot").as("cum_bp"))
+        .orderBy(col("rank"))
+    }),
+
+    // ── Semantic dedup (SemDeDup): cluster embeddings to IVF cells, drop
+    // any vector with a lower-id same-cell neighbor at cosine ≥ 0.4 —
+    // O(Σ cell²) intra-cell pairs, never corpus-wide O(n²). The sampled
+    // centroid build is replayed bit-exactly by the oracle.
+    "q45_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, stride = 23)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1377,6 +1420,75 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(rate_bp AS BIGINT) AS rate_bp
         |FROM documents JOIN r USING (source)
         |WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < rate_bp
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q43_simhash_neardup" -> {
+      // The q15 simhash replay, then the brute-force O(n²) Hamming scan the
+      // banded Spark operator must match exactly.
+      val bitSums = (0 until graft.operators.Dedup.SimhashBits)
+        .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val assemble = (0 until graft.operators.Dedup.SimhashBits)
+        .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3
+         |    THEN list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+         |                        for i in generate_series(1, len(toks)-2)])
+         |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+         |  FROM d WHERE len(toks) > 0),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h
+         |  FROM s),
+         |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b)
+         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    "q44_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+        |tot AS (SELECT SUM(cnt) AS t FROM c),
+        |top AS (
+        |  SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        |  FROM c ORDER BY cnt DESC, token LIMIT 200)
+        |SELECT rank, token, cnt,
+        |  CAST((SUM(cnt) OVER (ORDER BY rank) * 10000) // (SELECT t FROM tot) AS BIGINT) AS cum_bp
+        |FROM top ORDER BY rank""".stripMargin,
+
+    "q45_semantic_dedup" ->
+      // Mirrors ivfBuildSampled(stride=23) + the intra-cell SemDeDup scan:
+      // same assignment tie-break and division shape as the q18 oracle.
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ctr AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 23 = 0),
+        |asg AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT e.vec_id, e.v, ctr.cell_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_inner_product(e.v, ctr.cv)
+        |          / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(ctr.cv, ctr.cv))) DESC,
+        |        ctr.cell_id) AS rn
+        |    FROM e CROSS JOIN ctr)
+        |  WHERE rn = 1),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.v, b.v)
+        |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4)
+        |SELECT asg.vec_id, asg.cell_id, (d.vec_id IS NULL) AS kept
+        |FROM asg LEFT JOIN drp d ON asg.vec_id = d.vec_id
+        |ORDER BY asg.vec_id""".stripMargin
   )
 }

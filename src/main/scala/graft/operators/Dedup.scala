@@ -305,6 +305,73 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs via band-bucketed candidate generation
+    * (Charikar'02 / Manku et al. WWW'07 table-split scheme): every document
+    * pair whose 60-bit simhash signatures differ in at most `maxHamming`
+    * bits, found WITHOUT the O(n²) cross join.
+    *
+    * Exactness: with `bands` equal splits of the signature and
+    * `maxHamming < bands`, a qualifying pair's differing bits can touch at
+    * most `maxHamming` splits, so at least one split matches exactly
+    * (pigeonhole) — banding recalls every qualifying pair; the Hamming
+    * filter then discards false candidates. The result is identical to the
+    * brute-force O(n²) scan the DuckDB oracle runs.
+    *
+    * Scale shape (the 100 TB path, two-level): (1) collapse documents to
+    * DISTINCT signatures first — web-corpus exact-duplicate swarms hit one
+    * signature row each instead of quadratic fanout inside the candidate
+    * join; (2) the banded self-join runs over distinct signatures
+    * (one shuffle on the (band,split-value) key, AQE for hot splits);
+    * (3) same-signature doc pairs come from a separate equi self-join on
+    * the full signature, and candidate signature pairs expand back to doc
+    * pairs through two output-sized joins. Nothing is ever quadratic in
+    * documents — only in the (inherently pairwise) output.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b, one row per
+    *   qualifying pair
+    */
+  def simhashNearDupDf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4
+  ): DataFrame = {
+    require(SimhashBits % bands == 0, s"bands must divide $SimhashBits")
+    require(maxHamming < bands,
+      "banded candidate generation is exact only when maxHamming < bands")
+    val bandBits = SimhashBits / bands
+    val sigDocs = simhashDf(df, idCol, textCol)
+
+    val sigs = sigDocs.select(col("simhash")).distinct()
+    val banded = sigs.select(col("simhash"),
+      explode(array((0 until bands).map { bi =>
+        shiftrightunsigned(col("simhash"), bi * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))
+          .bitwiseOR(lit(bi.toLong << 32)) // tag with band index
+      }: _*)).as("__bk"))
+    val candSigs = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.__bk") === col("y.__bk") && col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("__sa"), col("y.simhash").as("__sb"))
+      .where(hamming64(col("__sa"), col("__sb")) <= maxHamming)
+      .distinct() // signature pairs may collide in several bands
+
+    val same = sigDocs.alias("p")
+      .join(sigDocs.alias("q"),
+        col("p.simhash") === col("q.simhash") &&
+          col(s"p.$idCol") < col(s"q.$idCol"))
+      .select(col(s"p.$idCol").as("id_a"), col(s"q.$idCol").as("id_b"),
+        lit(0L).as("hamming"))
+    val cross = candSigs
+      .join(sigDocs.select(col(idCol).as("__ida"), col("simhash").as("__sa")), "__sa")
+      .join(sigDocs.select(col(idCol).as("__idb"), col("simhash").as("__sb")), "__sb")
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        hamming64(col("__sa"), col("__sb")).cast("long").as("hamming"))
+    same.unionByName(cross)
+  }
+
   /** Paragraph/chunk-level dedup: split each document into consecutive
     * `chunkTokens`-token units, keep only the globally FIRST occurrence of
     * each distinct unit (ordered by document id, then position), and

@@ -313,6 +313,49 @@ object Similarity {
     ivfProbe(queries, ivfBuildKMeans(corpus, idCol, vecCol, nCells),
       idCol, vecCol, k, nProbe)
 
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then score cosine
+    * similarity ONLY within each cluster — a document is dropped when a
+    * lower-id same-cluster neighbor sits at cosine ≥ `threshold`. The
+    * cluster pass turns the O(n²) all-pairs scan into O(Σ cellᵢ²), the
+    * published trick that makes embedding dedup feasible at corpus scale.
+    *
+    * Build here is the deterministic sampled-centroid IVF
+    * ([[ivfBuildSampled]]) so the DuckDB oracle replays the exact cell
+    * assignment; swap in [[ivfBuildKMeans]] for data-adaptive cells when
+    * bit-replay is not required. The intra-cell pair join shuffles once on
+    * the cell id; pair scoring reuses the codegen'd dot product and the
+    * oracle's division shape, so the kept/dropped decision is
+    * bit-identical in both engines.
+    *
+    * @return one row per corpus vector: (idCol, cell_id, kept) — kept =
+    *   no lower-id same-cell neighbor with cosine ≥ threshold
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      stride: Long
+  ): DataFrame = {
+    val index = ivfBuildSampled(corpus, idCol, vecCol, stride)
+    val asg = index.assignments // (neighbor_id, __cv, __cn, __cell)
+    val a = asg.select(col("__cell"), col("neighbor_id").as("id_a"),
+      col("__cv").as("__va"), col("__cn").as("__na"))
+    val b = asg.select(col("__cell"), col("neighbor_id").as("id_b"),
+      col("__cv").as("__vb"), col("__cn").as("__nb"))
+    val dropped = a.join(b, Seq("__cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(dotF(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+        >= threshold)
+      .select(col("id_b").as("__drop"))
+      .distinct()
+    asg.select(col("neighbor_id").as(idCol), col("__cell").as("cell_id"))
+      .join(dropped.withColumn("__d", lit(1)),
+        col(idCol) === col("__drop"), "left")
+      .select(col(idCol), col("cell_id"), col("__d").isNull.as("kept"))
+  }
+
   /** Rademacher hyperplane sign for (plane b, dimension j): +1 when the
     * first hex digit of md5("rhp:b:j") is even. md5-derived so any engine
     * with md5 regenerates the identical matrix (the DuckDB oracle does).

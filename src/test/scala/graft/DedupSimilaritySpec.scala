@@ -317,4 +317,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(rows == Map("a.example.org" -> ((3L, 2L)), "b.io" -> ((1L, 1L))))
   }
+
+  test("simhashNearDup: banded pairs equal the brute-force hamming scan") {
+    val docs = graft.core.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val banded = Dedup.simhashNearDupDf(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = Dedup.simhashDf(docs, "doc_id", "text")
+    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming64(col("sa"), col("sb")).cast("long").as("h"))
+      .where(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty) // testdata plants near-dups; a vacuous pass hides breakage
+  }
+
+  test("simhashNearDup: exact-duplicate swarm emits each pair exactly once") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, base),       // identical: one signature
+      (3L, "completely unrelated words about archery and winter stars")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupDf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.size == pairs.toSet.size) // no duplicate rows
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(pairs.forall(_._3 == 0L))
+  }
+
+  test("semanticDedup drops exactly the lower-id-dominated same-cell vectors") {
+    val e = graft.core.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding", 0.4, 23)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // brute-force replay on the driver (500 vectors): same fold order as
+    // the codegen'd dot product — sequential double accumulation
+    val vecs = e.collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    val centroids = vecs.filter(_._1 % 23 == 0).toSeq.sortBy(_._1)
+    def cell(v: Array[Float]): Long = {
+      var bestId = -1L; var bestSim = Double.NegativeInfinity
+      for ((cid, cv) <- centroids) {
+        val s = cos(v, cv)
+        if (s > bestSim) { bestSim = s; bestId = cid }
+      }
+      bestId
+    }
+    val cells = vecs.map { case (id, v) => id -> cell(v) }
+    assert(out.size == vecs.size)
+    for ((id, (cellId, kept)) <- out) {
+      assert(cellId == cells(id), s"cell mismatch for $id")
+      val dominated = cells.exists { case (oid, oc) =>
+        oid < id && oc == cellId && cos(vecs(oid), vecs(id)) >= 0.4
+      }
+      assert(kept == !dominated, s"kept mismatch for $id")
+    }
+    assert(out.exists(!_._2._2)) // threshold chosen so drops actually occur
+  }
 }
