@@ -690,6 +690,175 @@ object SparkEntry {
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, stride = 23)
         .orderBy(col("vec_id"))
+    }),
+
+    // ── Six-table star join (TPC-H Q5 shape): local-supplier revenue by
+    // region and order year. The fact table joins orders on its shuffle key;
+    // nation/region are broadcast (model-sized dims — never shuffled); the
+    // customer-nation = supplier-nation predicate rides the supplier join.
+    // At 100 TB this is the canonical star shape: one fact-sized shuffle per
+    // non-broadcastable edge, dims resolved map-side.
+    "q46_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(
+          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            / lit(1e6)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("order_year"))
+    }),
+
+    // ── Source-pair corpus overlap: 3-gram-shingle Jaccard between every
+    // source pair, in exact basis points. The corpus-sized work is one
+    // DISTINCT (source, shingle) projection; the self-join key is the
+    // shingle, whose per-key fan-out is bounded by |sources| (each source
+    // contributes a shingle at most once after DISTINCT) — so the join
+    // never quadratic-blows even on corpus-universal shingles. Output is
+    // |sources|² rows — model-sized at any corpus scale.
+    "q47_source_jaccard" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("source"), Text.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("source"), explode(Text.shingles(col("toks"), 3)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("sz", "sz_a")), "src_a")
+        .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("sz", "sz_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          expr("n_common * 10000 DIV (sz_a + sz_b - n_common)").as("jaccard_bp"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // ── Document-frequency table (the IDF build): per-token df over
+    // DISTINCT (doc, token) plus integer-exact corpus share. One explode +
+    // two map-side-combinable aggregates; the doc-count scalar is broadcast.
+    // Floating-point log() is deliberately absent — libm last-ulp behavior
+    // differs across engines, so the table carries exact (df, df_bp) and
+    // leaves the log to the consumer.
+    "q48_idf_table" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      docs.select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 5)
+        .crossJoin(broadcast(nDocs))
+        .select(col("token"), col("df"), col("n_docs"),
+          expr("df * 10000 DIV n_docs").as("df_bp"))
+        .orderBy(col("token"))
+    }),
+
+    // ── Length-weighted sampling: keep probability proportional to doc
+    // length (the token-budget-proportional sampler — long docs carry more
+    // training tokens per row). Deterministic md5 gate against an integer
+    // rate; the corpus max is one broadcast scalar; the pass is a pure
+    // filter — no data-sized shuffle at any scale.
+    "q49_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mx = docs.agg(max(col("n_chars")).as("max_chars"))
+      val gate = pmod(
+        conv(substring(md5(concat(lit("wsmp:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(10000L))
+      docs.crossJoin(broadcast(mx))
+        .withColumn("rate_bp", expr("n_chars * 10000 DIV max_chars"))
+        .where(gate < col("rate_bp"))
+        .select(col("doc_id"), col("n_chars"), col("rate_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Quality-filter funnel: survivor counts through the staged cleaning
+    // cascade (length → token count → stopword density → language-metadata
+    // agreement) — the standard corpus-curation report. One scan, five
+    // conditional sums, a 5-row stack; integer thresholds only.
+    "q50_quality_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), Text.tokens(col("text")).as("toks"))
+        .select(col("lang"), col("n_chars"),
+          size(col("toks")).cast("long").as("n_tok"),
+          Text.stopwordCount(col("toks")).as("n_stop"),
+          Text.langIdFromTokens(col("toks")).as("lang_pred"))
+      val f = d.select(
+        (col("n_chars") >= 200).as("s1"),
+        col("n_tok").geq(40).as("p2"),
+        (col("n_stop") * 20 >= col("n_tok")).as("p3"),
+        (col("lang_pred") === col("lang")).as("p4"))
+        .select(col("s1"), (col("s1") && col("p2")).as("s2"),
+          (col("s1") && col("p2") && col("p3")).as("s3"),
+          (col("s1") && col("p2") && col("p3") && col("p4")).as("s4"))
+        .agg(count(lit(1)).as("c0"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("c2"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("c3"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("c4"))
+      f.select(expr(
+          "stack(5, 0L, c0, 1L, c1, 2L, c2, 3L, c3, 4L, c4) AS (stage, n_docs)"))
+        .orderBy(col("stage"))
+    }),
+
+    // ── Power-of-two length histogram per source (the corpus length-
+    // distribution report). The bucket is the bit length of n_chars —
+    // exact integer arithmetic via bin(), no float log2 whose boundary
+    // rounding could differ across engines. One map-side-combinable
+    // aggregate; output is O(sources × 64).
+    "q51_length_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"),
+          length(bin(col("n_chars"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+
+    // ── Exact per-language length percentiles (p50/p90/p99, discrete):
+    // value at row ⌈p·n⌉ of the per-language sort — row_number arithmetic
+    // written identically on both sides, so no reliance on any engine's
+    // quantile interpolation. The sort is partitioned by language; at
+    // 100 TB the skew ceiling is the largest single language, the standard
+    // bound for exact (non-sketch) percentiles.
+    "q52_length_percentiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .groupBy(col("lang"))
+        .agg(
+          max(col("n")).as("n_docs"),
+          max(when(col("rn") === expr("(n * 50 + 99) DIV 100"), col("n_chars"))).as("p50"),
+          max(when(col("rn") === expr("(n * 90 + 99) DIV 100"), col("n_chars"))).as("p90"),
+          max(when(col("rn") === expr("(n * 99 + 99) DIV 100"), col("n_chars"))).as("p99"))
+        .orderBy(col("lang"))
+    }),
+
+    // ── Exact-duplicate rate by source: share of docs whose full text
+    // appears more than once corpus-wide, in basis points — the per-source
+    // quality signal that decides re-crawl priorities. Two hash aggregates
+    // over md5(text) (never the text itself on the wire twice).
+    "q53_dup_rate_by_source" -> ((s, dir) => {
+      val h = t(s, dir, "documents").select(col("source"), md5(col("text")).as("h"))
+      val dupHashes = h.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1).select(col("h"))
+      h.join(dupHashes.withColumn("is_dup", lit(1L)), Seq("h"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          expr("n_dup * 10000 DIV n_docs").as("dup_bp"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1489,6 +1658,135 @@ object SparkEntry {
         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4)
         |SELECT asg.vec_id, asg.cell_id, (d.vec_id IS NULL) AS kept
         |FROM asg LEFT JOIN drp d ON asg.vec_id = d.vec_id
-        |ORDER BY asg.vec_id""".stripMargin
+        |ORDER BY asg.vec_id""".stripMargin,
+
+    "q46_star_join" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 1e6 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q47_source_jaccard" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |                        for i in generate_series(1, len(toks)-2)])
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM d WHERE len(toks) > 0),
+        |u AS (SELECT DISTINCT source, unnest(sh) AS sh FROM s),
+        |z AS (SELECT source, COUNT(*) AS sz FROM u GROUP BY source),
+        |i AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        |  FROM u a JOIN u b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |  CAST(n_common * 10000 // (za.sz + zb.sz - n_common) AS BIGINT) AS jaccard_bp
+        |FROM i JOIN z za ON src_a = za.source JOIN z zb ON src_b = zb.source
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q48_idf_table" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS toks
+        |  FROM documents),
+        |e AS (SELECT unnest(toks) AS token FROM d),
+        |c AS (SELECT token, COUNT(*) AS df FROM e GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT token, df, n_docs, CAST(df * 10000 // n_docs AS BIGINT) AS df_bp
+        |FROM c CROSS JOIN n
+        |WHERE df >= 5
+        |ORDER BY token""".stripMargin,
+
+    "q49_weighted_sample" ->
+      """WITH m AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+        |SELECT doc_id, n_chars, CAST(n_chars * 10000 // max_chars AS BIGINT) AS rate_bp
+        |FROM documents CROSS JOIN m
+        |WHERE CAST(concat('0x', substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        |      < n_chars * 10000 // max_chars
+        |ORDER BY doc_id""".stripMargin,
+
+    "q50_quality_funnel" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang, n_chars, len(toks) AS n_tok,
+        |    len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','at','by','from'))) AS n_stop,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('el','los','de','que','y','las'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','les','et','des','une','est'))) AS s_fr,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ein','mit'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','有','我'))) AS s_zh
+        |  FROM d),
+        |f AS (
+        |  SELECT lang, n_chars, n_tok, n_stop,
+        |    CASE WHEN s_zh > greatest(s_en, s_es, s_fr, s_de) THEN 'zh'
+        |         WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+        |         WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+        |         WHEN s_es > s_en THEN 'es'
+        |         ELSE 'en' END AS lang_pred
+        |  FROM sc),
+        |g AS (
+        |  SELECT (n_chars >= 200) AS s1,
+        |    (n_chars >= 200 AND n_tok >= 40) AS s2,
+        |    (n_chars >= 200 AND n_tok >= 40 AND n_stop * 20 >= n_tok) AS s3,
+        |    (n_chars >= 200 AND n_tok >= 40 AND n_stop * 20 >= n_tok AND lang_pred = lang) AS s4
+        |  FROM f),
+        |a AS (
+        |  SELECT COUNT(*) AS c0,
+        |    SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS c2,
+        |    SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS c3,
+        |    SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS c4
+        |  FROM g)
+        |SELECT CAST(0 AS BIGINT) AS stage, CAST(c0 AS BIGINT) AS n_docs FROM a
+        |UNION ALL SELECT 1, CAST(c1 AS BIGINT) FROM a
+        |UNION ALL SELECT 2, CAST(c2 AS BIGINT) FROM a
+        |UNION ALL SELECT 3, CAST(c3 AS BIGINT) FROM a
+        |UNION ALL SELECT 4, CAST(c4 AS BIGINT) FROM a
+        |ORDER BY stage""".stripMargin,
+
+    "q51_length_histogram" ->
+      """SELECT source, CAST(length(bin(n_chars)) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q52_length_percentiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT lang, MAX(n) AS n_docs,
+        |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+        |  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS p90,
+        |  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99
+        |FROM r
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q53_dup_rate_by_source" ->
+      """WITH h AS (SELECT source, md5(text) AS h FROM documents),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING COUNT(*) > 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+        |FROM h LEFT JOIN dup ON h.h = dup.h
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
   )
 }
