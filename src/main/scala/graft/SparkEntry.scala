@@ -724,11 +724,15 @@ object SparkEntry {
     // never quadratic-blows even on corpus-universal shingles. Output is
     // |sources|² rows — model-sized at any corpus scale.
     "q47_source_jaccard" -> ((s, dir) => {
+      // Shingle + DISTINCT once; the persisted frame feeds the size
+      // aggregate and both sides of the self-join (3 consumers — without
+      // the persist the tokenize+explode+DISTINCT shuffle runs 3×).
       val sh = t(s, dir, "documents")
         .select(col("source"), Text.tokens(col("text")).as("toks"))
         .where(size(col("toks")) > 0)
         .select(col("source"), explode(Text.shingles(col("toks"), 3)).as("sh"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
       sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
