@@ -695,27 +695,13 @@ final class IncrementalExecutor(
     // merged in with their sum/count partials negated.
     val sliceAgg = (spec.join, spec.leftJoin) match {
       case (Some(jd), _) =>
-        val loaded = jd.rels.map(r => byAlias(r).get)
-        val olds = jd.rels.map(r =>
-          r -> store.read(bufferName(r), byAlias(r).get.df.schema)).toMap
-        def pass(frames: Seq[(String, DataFrame)]): DataFrame = {
-          frames.foreach { case (n, d) =>
-            d.drop("__seq").createOrReplaceTempView(n)
-          }
-          partials()
-        }
-        val parts = jd.rels.indices.flatMap { i =>
-          if (loaded(i).spec.offsetInterval.isEmpty) None
-          else Some(pass(jd.rels.zipWithIndex.map { case (r, j) =>
-            r -> (if (j < i) olds(r)
-                  else if (j == i) loaded(j).df
-                  else olds(r).unionByName(loaded(j).df))
-          }))
-        }
+        val (positions, passFn) =
+          joinDeltaBinding(jd, spec.partialsPlan, tap = true, () => partials())
+        val (parts, emptyFrame) = joinDeltaTerms(positions, passFn)
         parts
           .reduceOption((a, b) => mergePartials(a, b, keys, kinds, a.schema, "full_outer"))
           // watermark-only run: no delta terms — empty partials frame
-          .getOrElse(pass(jd.rels.map(r => r -> byAlias(r).get.df)).limit(0))
+          .getOrElse(emptyFrame())
       case (None, Some(lj)) =>
         val ia = byAlias(lj.left).get
         val ib = byAlias(lj.right).get
@@ -927,31 +913,20 @@ final class IncrementalExecutor(
     * migration.
     */
   private def runDeltaJoin(spec: PlanClassifier.JoinDelta): ExecResult = {
-    val loaded = spec.rels.map(r => byAlias(r).get)
+    // spark.sql analyzes eagerly, so each pass captures its own bindings —
+    // including any stateless pre-step views re-run over the pass's frames
+    // (a stateless step is row-local: Δf(A) = f(ΔA)).
+    val (positions, passFn) =
+      joinDeltaBinding(spec, None, tap = false, () => runStepsUntapped())
+    val (parts, emptyFrame) = joinDeltaTerms(positions, passFn)
     // buffers of ALL inputs (referenced or not) must keep accumulating —
     // a later retraction flip recomputes over them
     val olds = inputs.map(i =>
       i.spec.queryAlias -> store.read(bufferName(i.spec.queryAlias), i.df.schema)).toMap
 
-    // spark.sql analyzes eagerly, so each pass captures its own bindings —
-    // including any stateless pre-step views re-run over the pass's frames
-    // (a stateless step is row-local: Δf(A) = f(ΔA)).
-    def pass(frames: Seq[(String, DataFrame)]): DataFrame = {
-      frames.foreach { case (n, d) => d.drop("__seq").createOrReplaceTempView(n) }
-      runStepsUntapped()
-    }
-    val parts = spec.rels.indices.flatMap { i =>
-      if (loaded(i).spec.offsetInterval.isEmpty) None
-      else Some(pass(spec.rels.zipWithIndex.map { case (r, j) =>
-        r -> (if (j < i) olds(r)
-              else if (j == i) loaded(j).df
-              else olds(r).unionByName(loaded(j).df))
-      }))
-    }
     // watermark-only run on every input: nothing can join, emit nothing
     val delta = Snitch.tap(
-      parts.reduceOption(_.unionByName(_)).getOrElse(
-        pass(spec.rels.map(r => r -> byAlias(r).get.df)).limit(0)),
+      parts.reduceOption(_.unionByName(_)).getOrElse(emptyFrame()),
       "output")
 
     if (delta.columns.contains(vocab.operationTypeColumn))
@@ -1119,25 +1094,11 @@ final class IncrementalExecutor(
         i.df.drop("__seq").createOrReplaceTempView(spec.input)
         runStepsUntapped()
       case Some(jd) =>
-        val loaded = jd.rels.map(r => byAlias(r).get)
-        val olds = jd.rels.map(r =>
-          r -> store.read(bufferName(r), byAlias(r).get.df.schema)).toMap
-        def pass(frames: Seq[(String, DataFrame)]): DataFrame = {
-          frames.foreach { case (n, d) =>
-            d.drop("__seq").createOrReplaceTempView(n)
-          }
-          runStepsUntapped()
-        }
-        val parts = jd.rels.indices.flatMap { i =>
-          if (loaded(i).spec.offsetInterval.isEmpty) None
-          else Some(pass(jd.rels.zipWithIndex.map { case (r, j) =>
-            r -> (if (j < i) olds(r)
-                  else if (j == i) loaded(j).df
-                  else olds(r).unionByName(loaded(j).df))
-          }))
-        }
+        val (positions, passFn) =
+          joinDeltaBinding(jd, None, tap = false, () => runStepsUntapped())
+        val (parts, emptyFrame) = joinDeltaTerms(positions, passFn)
         parts match {
-          case Seq()   => pass(jd.rels.map(r => r -> byAlias(r).get.df)).limit(0)
+          case Seq()   => emptyFrame()
           case Seq(p1) => p1
           case many    => many.reduce(_.unionByName(_)).dropDuplicates()
         }
@@ -1246,6 +1207,114 @@ final class IncrementalExecutor(
       if (i == outputIdx) out = df
     }
     out
+  }
+
+  private lazy val inputRelNames: Set[String] = inputs.map(_.spec.queryAlias).toSet
+
+  /** INPUT-relation scan sites across the chain, in execution order (steps
+    * in sequence, leaves left-to-right within each plan) — the same
+    * traversal [[runStepsOccBound]]'s rewrite walks, so position k here is
+    * the site bound to frame k there. `outPlanOverride` substitutes the
+    * output step's plan (the agg path's partials plan).
+    */
+  private def occurrenceSites(
+      outPlanOverride: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+      : Vector[String] =
+    steps.zipWithIndex.flatMap { case ((_, rw), i) =>
+      val p =
+        if (i == outputIdx && outPlanOverride.isDefined) outPlanOverride.get
+        else spark.sessionState.sqlParser.parsePlan(rw.sql)
+      p.collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if inputRelNames(r.multipartIdentifier.last) =>
+          r.multipartIdentifier.last
+      }
+    }.toVector
+
+  /** Execute the chain with input scan site k reading occFrames(k): the
+    * relation node is replaced by the frame's logical plan under a
+    * SubqueryAlias carrying the original name, so qualified references
+    * (`a.x` and user aliases above) still resolve. Self-join delta passes
+    * need this — two sites of one relation must see DIFFERENT frames in
+    * one pass, which name-keyed temp views cannot express. Pre-step alias
+    * views register as usual; leaf order matches [[occurrenceSites]]
+    * (collect is preorder, transformUp postorder, but relation nodes are
+    * leaves, so their left-to-right sequence is identical).
+    */
+  private def runStepsOccBound(
+      occFrames: Vector[DataFrame],
+      outPlanOverride: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+      tap: Boolean): DataFrame = {
+    var k = -1
+    var out: DataFrame = null
+    steps.zipWithIndex.foreach { case ((alias, rw), i) =>
+      val base =
+        if (i == outputIdx && outPlanOverride.isDefined) outPlanOverride.get
+        else spark.sessionState.sqlParser.parsePlan(rw.sql)
+      val rebound = base.transformUp {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if inputRelNames(r.multipartIdentifier.last) =>
+          k += 1
+          org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+            r.multipartIdentifier.last, occFrames(k).queryExecution.logical)
+      }
+      val df0 = org.apache.spark.sql.GraftPlanExec.ofRows(spark, rebound)
+      val df = if (tap) Snitch.tap(df0, alias.getOrElse("output")) else df0
+      alias.foreach(df.createOrReplaceTempView)
+      if (i == outputIdx) out = df
+    }
+    out
+  }
+
+  /** Positions + per-pass runner for a [[PlanClassifier.JoinDelta]]'s
+    * telescoping. Distinct leaf names bind by temp view and re-run the
+    * chain via `runNamed` (the caller's existing execution); a self-join
+    * (repeated leaf name) enumerates the chain's scan sites and rebinds
+    * each per occurrence — the inner-join tree is multilinear over SITES,
+    * so the same old/Δ/full telescoping applies position-wise unchanged.
+    */
+  private def joinDeltaBinding(
+      jd: PlanClassifier.JoinDelta,
+      outPlanOverride: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+      tap: Boolean,
+      runNamed: () => DataFrame): (Vector[String], Vector[DataFrame] => DataFrame) =
+    if (jd.rels.distinct.size == jd.rels.size)
+      (jd.rels, frames => {
+        jd.rels.zip(frames).foreach { case (n, d) =>
+          d.drop("__seq").createOrReplaceTempView(n)
+        }
+        runNamed()
+      })
+    else {
+      val occs = occurrenceSites(outPlanOverride)
+      require(occs.sorted == jd.rels.sorted,
+        s"scan-site enumeration $occs does not match classified leaves ${jd.rels}")
+      (occs,
+        frames => runStepsOccBound(frames.map(_.drop("__seq")), outPlanOverride, tap))
+    }
+
+  /** Run the telescoping over the binding's positions: pass i binds
+    * position j<i to its old buffer, j==i to the new slice, j>i to
+    * old ∪ slice; positions whose input carried no slice contribute no
+    * term. Returns the term frames plus a schema-correct empty-frame thunk
+    * for watermark-only runs.
+    */
+  private def joinDeltaTerms(
+      positions: Vector[String],
+      passFn: Vector[DataFrame] => DataFrame)
+      : (Seq[DataFrame], () => DataFrame) = {
+    val loaded = positions.map(r => byAlias(r).get)
+    val olds = positions.distinct.map(r =>
+      r -> store.read(bufferName(r), byAlias(r).get.df.schema)).toMap
+    val parts = positions.indices.flatMap { i =>
+      if (loaded(i).spec.offsetInterval.isEmpty) None
+      else Some(passFn(positions.indices.map { j =>
+        if (j < i) olds(positions(j))
+        else if (j == i) loaded(j).df
+        else olds(positions(j)).unionByName(loaded(j).df)
+      }.toVector))
+    }
+    (parts, () => passFn(positions.map(p => byAlias(p).get.df)).limit(0))
   }
 
   private def minWm(ins: Seq[LoadedInput]): Option[Instant] =

@@ -797,11 +797,13 @@ object PlanClassifier {
 
     /** The chain's INNER-join tree (plain, USING, or NATURAL joins, k ≥ 1
       * of them, possibly spread across steps via aliased pre-steps) whose
-      * leaves resolve to n = k+1 DISTINCT input relations under the
-      * use-once discipline. None when any join is outer/semi/anti, any
-      * relation is scanned twice (self-joins), a non-join operator (UNION,
-      * aggregate below a join side, …) combines relations, or the
-      * discipline fails. Stateless wrappers (project/filter/sort/alias)
+      * leaves resolve to n = k+1 input-relation SCAN SITES under the
+      * use-once discipline — a relation may appear at several sites
+      * (self-join): the tree is multilinear over sites, not names, and the
+      * executor binds repeated names per occurrence. None when any join is
+      * outer/semi/anti, a step alias is consumed twice, a non-join
+      * operator (UNION, aggregate below a join side, …) combines
+      * relations, or the discipline fails. Stateless wrappers (project/filter/sort/alias)
       * between joins are row-local and pass through; the top-of-output
       * Aggregate / Distinct / HAVING wrappers pass through too — the
       * callers' Facts guards decide whether those are allowed, and their
@@ -833,17 +835,22 @@ object PlanClassifier {
             } yield l ++ r
           case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
             val n = r.multipartIdentifier.last
-            if (seen(n)) None
-            else stepByAlias.get(n) match {
-              case Some(sp) => leaves(sp, seen + n)
+            stepByAlias.get(n) match {
+              // step aliases stay use-once (re-consumption would make the
+              // chain non-multilinear in the step's scans); a repeated
+              // INPUT relation is fine — each scan site is an independent
+              // leaf position of the multilinear tree, and the executor
+              // binds self-join sites per occurrence (runDeltaJoin)
+              case Some(sp) => if (seen(n)) None else leaves(sp, seen + n)
               case None     => Some(Vector(n))
             }
           case _ => None
         }
       for {
         ls <- leaves(outPlan, Set.empty)
-        // every collected join sits in this single tree, every leaf distinct
-        if ls.size == allJoins.size + 1 && ls.distinct.size == ls.size
+        // every collected join sits in this single tree; leaves may repeat
+        // a relation (self-join) but the scan-site multiset must balance
+        if ls.size == allJoins.size + 1
         if soundUse(ls)
       } yield JoinDelta(ls)
     }

@@ -2075,6 +2075,143 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("self-join delta path and recompute emit identical changelogs") {
+    import spark.implicits._
+    // Seeded random append-only slices through a single-relation SELF-join
+    // (two scan sites of `orders` — the per-occurrence telescoping, since
+    // one view name cannot carry old and delta frames in the same pass)
+    // versus the value-identical CTE-wrapped variant (recompute). Run 4
+    // retracts a run-1 order, covering the delta → net-and-recompute flip
+    // against the delta-maintained snapshot.
+    val rnd = new scala.util.Random(43)
+    val dirF = tmp(); val dirC = tmp()
+    val qFast =
+      """SELECT x.event_time AS event_time, x.order_id AS order_id,
+        |  x.quantity AS q1, y.quantity AS q2
+        |FROM orders x JOIN orders y ON x.order_id = y.order_id""".stripMargin
+    val qSlow =
+      """WITH j AS (
+        |  SELECT x.event_time AS event_time, x.order_id AS order_id,
+        |    x.quantity AS q1, y.quantity AS q2
+        |  FROM orders x JOIN orders y ON x.order_id = y.order_id)
+        |SELECT event_time, order_id, q1, q2 FROM j""".stripMargin
+    var off = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 5).foreach { run =>
+      val n0 = if (run == 1) 2 else rnd.nextInt(3)
+      val orders = (0 until n0).map { i =>
+        OrderRow(off + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 10 * (1 + rnd.nextInt(5)))
+      }
+      if (run == 1) firstOrder = orders.head
+      val slice =
+        if (run == 4)
+          orders :+ OrderRow(off + n0, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val n = slice.length
+      def drive(tag: String, dir: java.nio.file.Path, q: String,
+          prev: Option[String]): String = {
+        val p = s"$dir/o$run.parquet"
+        if (n > 0) writeSlice(slice, p)
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(mkInput("orders", if (n > 0) p else null,
+            s"$dir/o1.parquet", n, startOffset = off, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, qFast, prevF))
+      prevC = Some(drive("c", dirC, qSlow, prevC))
+      off += n
+      val sel = Seq("offset", "op", "event_time", "order_id", "q1", "q2")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    assert(nextOut("f") > 0)
+  }
+
+  test("agg above a self-join: merge path and recompute emit identically") {
+    import spark.implicits._
+    // sum/count aggregate keyed on the left occurrence's column above the
+    // self-join — the agg-merge path's partials ride the per-occurrence
+    // join delta terms. CTE variant recomputes. Run 3 retracts.
+    val rnd = new scala.util.Random(47)
+    val dirF = tmp(); val dirC = tmp()
+    val qFast =
+      """SELECT x.event_time AS event_time, x.order_id AS order_id,
+        |  count(*) AS n, sum(y.quantity) AS q_sum
+        |FROM orders x JOIN orders y ON x.order_id = y.order_id
+        |GROUP BY x.event_time, x.order_id""".stripMargin
+    val qSlow =
+      """WITH j AS (
+        |  SELECT x.event_time AS event_time, x.order_id AS order_id,
+        |    y.quantity AS qy
+        |  FROM orders x JOIN orders y ON x.order_id = y.order_id)
+        |SELECT event_time, order_id, count(*) AS n, sum(qy) AS q_sum
+        |FROM j GROUP BY event_time, order_id""".stripMargin
+    var off = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 4).foreach { run =>
+      val n0 = if (run == 1) 3 else rnd.nextInt(3)
+      val orders = (0 until n0).map { i =>
+        OrderRow(off + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(2), 10 * (1 + rnd.nextInt(4)))
+      }
+      if (run == 1) firstOrder = orders.head
+      val slice =
+        if (run == 3)
+          orders :+ OrderRow(off + n0, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val n = slice.length
+      def drive(tag: String, dir: java.nio.file.Path, q: String,
+          prev: Option[String]): String = {
+        val p = s"$dir/o$run.parquet"
+        if (n > 0) writeSlice(slice, p)
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(mkInput("orders", if (n > 0) p else null,
+            s"$dir/o1.parquet", n, startOffset = off, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, qFast, prevF))
+      prevC = Some(drive("c", dirC, qSlow, prevC))
+      off += n
+      val sel = Seq("offset", "op", "event_time", "order_id", "n", "q_sum")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    assert(nextOut("f") > 0)
+  }
+
   test("agg above a left join: merge path and recompute, incl. group death") {
     import spark.implicits._
     // Scripted then random slices through a sum/count/avg aggregate keyed

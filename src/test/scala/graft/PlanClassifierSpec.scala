@@ -322,13 +322,17 @@ class PlanClassifierSpec extends AnyFunSuite {
     def jd(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].joinDelta
     // outer join: a later match must retract the null-padded row
     assert(jd("SELECT a.id FROM a LEFT JOIN b ON a.id = b.id").isEmpty)
-    // self-join: one relation scanned twice — old/delta split is ambiguous
-    assert(jd("SELECT x.id FROM a AS x JOIN a AS y ON x.id = y.parent").isEmpty)
+    // self-join: one relation at two scan SITES — the tree is multilinear
+    // over sites, so the telescoping applies per occurrence (bound by the
+    // executor's per-site rewrite, not by view name)
+    assert(jd("SELECT x.id FROM a AS x JOIN a AS y ON x.id = y.parent") ==
+      Some(PlanClassifier.JoinDelta(Vector("a", "a"))))
     // three-way inner tree decomposes into one delta term per input
     assert(jd("SELECT a.id FROM a JOIN b ON a.id = b.id JOIN c ON b.id = c.id") ==
       Some(PlanClassifier.JoinDelta(Vector("a", "b", "c"))))
-    // …but a repeated relation anywhere in the tree stays recompute
-    assert(jd("SELECT a.id FROM a JOIN b ON a.id = b.id JOIN a AS z ON b.id = z.id").isEmpty)
+    // repeated relation deeper in a tree: one term per scan site
+    assert(jd("SELECT a.id FROM a JOIN b ON a.id = b.id JOIN a AS z ON b.id = z.id") ==
+      Some(PlanClassifier.JoinDelta(Vector("a", "b", "a"))))
     // an outer join anywhere poisons the whole tree
     assert(jd("SELECT a.id FROM a JOIN b ON a.id = b.id LEFT JOIN c ON b.id = c.id").isEmpty)
     // aggregation above the join is its own (non-join) updating shape
@@ -347,6 +351,14 @@ class PlanClassifierSpec extends AnyFunSuite {
       (None, SqlRewriter.rewrite("SELECT id, v FROM j", st, None))))
       .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
       Some(PlanClassifier.JoinDelta(Vector("a", "b"))))
+    // a STEP alias consumed twice is still recompute — the step executes
+    // once, so the chain is quadratic (not multilinear) in its scans and
+    // the per-site telescoping does not apply
+    assert(PlanClassifier.classify(spark, Seq(
+      (Some("v"), SqlRewriter.rewrite("SELECT id, quantity FROM a", st, None)),
+      (None, SqlRewriter.rewrite(
+        "SELECT x.id FROM v x JOIN v y ON x.id = y.quantity", st, None))))
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
   }
 
   test("delta-join resolves through stateless single-scan pre-steps") {
@@ -377,11 +389,13 @@ class PlanClassifierSpec extends AnyFunSuite {
       Some("w") -> "SELECT id FROM v",
       None -> "SELECT w.id FROM w JOIN v ON w.id = v.id")
       .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
-    // both sides terminating at the SAME input is a self-join in disguise
+    // both sides terminating at the SAME input: a self-join through a
+    // pre-step — two scan sites of `a`, one telescoping term each
     assert(chain(
       Some("v") -> "SELECT id FROM a",
       None -> "SELECT v.id FROM v JOIN a AS x ON v.id = x.id")
-      .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
+      Some(PlanClassifier.JoinDelta(Vector("a", "a"))))
   }
 
   test("distinct-delta resolves through stateless single-scan pre-steps") {
@@ -407,8 +421,10 @@ class PlanClassifierSpec extends AnyFunSuite {
         Some(PlanClassifier.JoinDelta(Vector("a", "b"))))))
     // outer join under the DISTINCT: not append-only-monotone — recompute
     assert(dd("SELECT DISTINCT a.id, b.v FROM a LEFT JOIN b ON a.id = b.id").isEmpty)
-    // a self-join disguise stays recompute
-    assert(dd("SELECT DISTINCT x.id FROM a x JOIN a y ON x.id = y.id").isEmpty)
+    // a self-join under the DISTINCT: per-site delta terms apply
+    assert(dd("SELECT DISTINCT x.id FROM a x JOIN a y ON x.id = y.id") ==
+      Some(PlanClassifier.DistinctDelta("a",
+        Some(PlanClassifier.JoinDelta(Vector("a", "a"))))))
   }
 
   test("HAVING over a non-projected mergeable aggregate gets a hidden partial") {
