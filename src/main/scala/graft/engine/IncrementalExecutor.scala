@@ -122,6 +122,17 @@ final class IncrementalExecutor(
       // paths interleave safely. The rank-touch narrowing is valid for
       // retractive inputs too (netting commutes with the partition filter).
       d match {
+        // Invertible aggregate chains (sum/count/avg, no joins) stay on
+        // the merge path through input retractions: the retracted rows'
+        // partials subtract through the merge algebra — Flink's
+        // accumulator retract() contract — so a retract-heavy dataset
+        // never pays the O(history) recompute. Gated on the chain not
+        // reading the op column (the recompute path nets ops away before
+        // running the chain; the signed split must match that view).
+        case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _, _)
+            if retractiveNow.nonEmpty && spec.invertible &&
+              !stepsReferenceOp && hiddenAvgsDivisible(spec) =>
+          runIncrementalAgg(spec)
         case _ if retractiveNow.nonEmpty =>
           runSnapshotDiff(d.keys, d.rankTouch)
         case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _, _)
@@ -233,6 +244,25 @@ final class IncrementalExecutor(
         !i.df.where(col(opCol).isin(Op.Retract, Op.CorrectFrom)).isEmpty)
     if (seen) Some(alias) else None
   }.toSet
+
+  /** True when any step's plan explicitly references an input's operation
+    * column by name. Such chains see different op values under the signed
+    * slice split (retraction rows keep op=1/2) than under net-and-recompute
+    * (which rewrites survivors to op=0), so they are excluded from the
+    * retraction-riding merge path. A bare `*` is fine: it forwards the
+    * column without the aggregate reading it.
+    */
+  private lazy val stepsReferenceOp: Boolean = {
+    val opNames = inputs.map(_.spec.vocab.operationTypeColumn).toSet
+    steps.exists { case (_, rw) =>
+      spark.sessionState.sqlParser.parsePlan(rw.sql).collectFirst {
+        case p if p.expressions.exists(_.collectFirst {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                  if opNames.contains(a.nameParts.last) => ()
+            }.nonEmpty) => ()
+      }.nonEmpty
+    }
+  }
 
   /** @param touch when set, the named input's registered view is narrowed
     *   with a (broadcast) semi-join to the partition-key values present in
@@ -753,7 +783,46 @@ final class IncrementalExecutor(
         parts
           .reduceOption((a, b) => mergePartials(a, b, keys, kinds, a.schema, "full_outer"))
           .getOrElse(pass(ia.df, ib.df).limit(0))
-      case (None, None) => partials()
+      case (None, None) =>
+        // Signed slice split for invertible chains: aggregate the slice's
+        // append/correct-to rows and its retract/correct-from rows in two
+        // passes of the same chain and subtract the latter's partials —
+        // linear stateless derivations distribute over the split, so the
+        // merged frame equals the partials of the netted slice. Retraction
+        // rows are bound with their op column cleared to Append so any
+        // `*`-forwarding step sees the same values netting would produce.
+        if (retractiveNow.isEmpty) partials()
+        else {
+          val negNow = inputs.filter { i =>
+            val oc = i.spec.vocab.operationTypeColumn
+            retractiveNow.contains(i.spec.queryAlias) &&
+              i.df.columns.contains(oc) &&
+              !i.df.where(col(oc).isin(Op.Retract, Op.CorrectFrom)).isEmpty
+          }.map(_.spec.queryAlias).toSet
+          if (negNow.isEmpty) partials()
+          else {
+            def pass(sign: Boolean): DataFrame = {
+              inputs.foreach { i =>
+                val oc = i.spec.vocab.operationTypeColumn
+                val base = i.df.drop("__seq")
+                val v =
+                  if (!negNow.contains(i.spec.queryAlias)) {
+                    if (sign) base else base.limit(0)
+                  } else if (sign)
+                    base.where(col(oc).isin(Op.Append, Op.CorrectTo) ||
+                      col(oc).isNull)
+                  else
+                    base.where(col(oc).isin(Op.Retract, Op.CorrectFrom))
+                      .withColumn(oc, lit(Op.Append))
+                v.createOrReplaceTempView(i.spec.queryAlias)
+              }
+              partials()
+            }
+            val pos = pass(true)
+            val neg = negatePartials(pass(false), kinds)
+            mergePartials(pos, neg, keys, kinds, pos.schema, "full_outer")
+          }
+        }
     }
     // Analysis-only frame of the ORIGINAL output step — supplies the
     // visible column order and avg result types; never executed.
@@ -811,7 +880,7 @@ final class IncrementalExecutor(
         spec.exprCols.foreach { case (n, sqlText) =>
           v = v.withColumn(n, expr(sqlText).cast(visibleSchema(n).dataType))
         }
-        if (spec.leftJoin.isDefined && keys.nonEmpty)
+        if ((spec.leftJoin.isDefined || spec.invertible) && keys.nonEmpty)
           v = v.where(col(PlanClassifier.RowCountCol) > 0)
         v = v.drop(spec.avgs.flatMap(n => Seq(s"__as_$n", s"__ac_$n")): _*)
         spec.havingSql.foreach(h => v = v.where(expr(h)))
@@ -827,10 +896,10 @@ final class IncrementalExecutor(
     buffers.foreach { case (i, full) =>
       store.appendCarry(bufferName(i.spec.queryAlias), i.df, full)
     }
-    // dead groups (left path) leave state: a later row for the same key
-    // starts from fresh partials, exactly as a recompute would
+    // dead groups (left + invertible paths) leave state: a later row for
+    // the same key starts from fresh partials, exactly as a recompute would
     val mergedAlive =
-      if (spec.leftJoin.isDefined && keys.nonEmpty)
+      if ((spec.leftJoin.isDefined || spec.invertible) && keys.nonEmpty)
         mergedTouched.where(col(PlanClassifier.RowCountCol) > 0)
       else mergedTouched
     val newState = untouched.unionByName(mergedAlive)
@@ -845,7 +914,11 @@ final class IncrementalExecutor(
       None,
       emissionOrder = Some(keys.map(col(_).asc) :+
         col(vocab.operationTypeColumn).asc),
-      retractiveInputs = ledger.retractiveInputs)
+      // retractiveNow, not the stale ledger set: the invertible path rides
+      // retractions without flipping, but the ledger must still record them
+      // so later runs' retractiveNow sees buffered retractions it cannot
+      // re-scan.
+      retractiveInputs = retractiveNow)
   }
 
   /** Pairwise merge of two partials frames on the group keys with the

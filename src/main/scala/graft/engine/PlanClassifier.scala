@@ -202,10 +202,22 @@ object PlanClassifier {
         * determine every aggregate value and the surrounding expression is
         * evaluated over operands of identical types to the recompute path.
         */
-      exprCols: Seq[(String, String)] = Nil)
+      exprCols: Seq[(String, String)] = Nil,
+      /** True for join-free chains whose every aggregate (visible and
+        * hidden) is invertible — sum/count/avg, no min/max. Such a spec
+        * carries the same hidden [[RowCountCol]] + per-sum non-null-count
+        * partials as the left-join path, so the executor can stay on the
+        * merge path when an INPUT retraction arrives: the retracted rows'
+        * partials are aggregated separately and subtracted through the
+        * merge algebra (exactly Flink's accumulator `retract()` contract),
+        * instead of flipping to the O(history) net-and-recompute path
+        * forever. min/max chains keep the flip — they are not invertible.
+        */
+      invertible: Boolean = false)
 
-  /** Hidden count(*) partial maintained on [[AggMergeSpec.leftJoin]] chains:
-    * a group is alive iff its merged row count is positive. */
+  /** Hidden count(*) partial maintained on [[AggMergeSpec.leftJoin]] and
+    * [[AggMergeSpec.invertible]] chains: a group is alive iff its merged
+    * row count is positive. */
   val RowCountCol: String = "__rc"
 
   /** Facts accumulated over every parsed step of the chain.
@@ -626,12 +638,22 @@ object PlanClassifier {
           hidden.exists(h => h._2 == "min" || h._2 == "max")) None
         else {
           val havingExpr = rewritten.flatten
-          // Left-join path aux partials: a hidden count(*) row-count so the
-          // executor can drop groups whose last row was retracted, and a
-          // paired non-null count per SUM so a sum whose every contribution
-          // was subtracted away reads NULL (SQL's empty-sum), not 0.
+          // A join-free chain with only sum/count/avg aggregates is
+          // invertible: input retractions subtract exactly through the
+          // merge algebra, so the executor never has to flip to the
+          // O(history) recompute path. It carries the same aux partials
+          // as the left-join path (which already subtracts its internally
+          // generated retraction terms).
+          val invertible = joinOpt.isEmpty && leftOpt.isEmpty &&
+            !aggs.exists(kv => kv._2 == "min" || kv._2 == "max") &&
+            !hidden.exists(h => h._2 == "min" || h._2 == "max")
+          // Aux partials (left-join + invertible paths): a hidden count(*)
+          // row-count so the executor can drop groups whose last row was
+          // retracted, and a paired non-null count per SUM so a sum whose
+          // every contribution was subtracted away reads NULL (SQL's
+          // empty-sum), not 0.
           var sumNullCounts = Vector.empty[(String, String)]
-          if (leftOpt.isDefined) {
+          if (leftOpt.isDefined || invertible) {
             val sums = (flat.collect {
               case scala.util.Right((n, "sum", fn)) => (n, fn)
             }) ++ hidden.collect { case (n, "sum", fn) => (n, fn) }
@@ -646,7 +668,7 @@ object PlanClassifier {
           }
           val needsPlan =
             avgs.nonEmpty || havingExpr.isDefined || leftOpt.isDefined ||
-              exprCols.nonEmpty
+              exprCols.nonEmpty || invertible
           val partials =
             if (!needsPlan) None
             else Some(partialsPlanOf(
@@ -656,7 +678,7 @@ object PlanClassifier {
               exprCols.map(_._1).toSet))
           Some(AggMergeSpec(ks, aggs ++ hidden.map(h => (h._1, h._2)), avgs,
             havingExpr.map(_.sql), partials, joinOpt, hiddenAvgNames,
-            leftOpt, sumNullCounts, exprCols))
+            leftOpt, sumNullCounts, exprCols, invertible))
         }
       } else None
     }

@@ -981,6 +981,169 @@ class EngineSpec extends AnyFunSuite {
       ("A", Op.CorrectFrom, 1L, 3L), ("A", Op.CorrectTo, 2L, 5L)))
   }
 
+  test("invertible aggregate rides retractions on the merge path") {
+    import spark.implicits._
+    val dir = tmp()
+    // sum/count/avg only (no min/max, no joins) → the spec is invertible:
+    // retractions subtract through the merge algebra instead of flipping
+    // to recompute. Covered: a correction pair, full group death (-D), and
+    // rebirth from fresh partials. The agg_partials state file existing in
+    // every retractive run's checkpoint proves the merge path ran (the
+    // recompute path writes only the visible snapshot).
+    val q = """SELECT event_time, symbol, count(*) as n, sum(price) as total,
+              |  avg(price) as mean
+              |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    def drive(run: Int, rows: Seq[Ticker], nextOff: Long): Seq[(String, Int, Long, Long, Double)] = {
+      val in = s"$dir/in$run.parquet"
+      writeSlice(rows, in)
+      runT(TransformRequest(
+        "did:out", "out", ts(run + 10), DatasetVocabulary(),
+        transform(None -> q),
+        Vector(mkInput("tickers", in, in, rows.length,
+          startOffset = rows.head.offset, wms = Seq(ts(run)))),
+        nextOffset = nextOff,
+        prevCheckpointPath = if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+        newCheckpointPath = s"$dir/cp$run", newDataPath = s"$dir/out$run.parquet"))
+      readOut(s"$dir/out$run.parquet").orderBy("offset").collect().toSeq
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"),
+          r.getAs[Long]("n"), r.getAs[Long]("total"), r.getAs[Double]("mean")))
+    }
+    val o1 = drive(1, Seq(
+      Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, Op.Append, t(ts(1)), t(ts(1)), "A", 4),
+      Ticker(2, Op.Append, t(ts(1)), t(ts(1)), "B", 20)), 0)
+    assert(o1 == Seq(("A", Op.Append, 2L, 14L, 7.0), ("B", Op.Append, 1L, 20L, 20.0)))
+
+    // run 2: retract A@4 (payload replayed), append B@5 — corrections only
+    val o2 = drive(2, Seq(
+      Ticker(3, Op.Retract, t(ts(2)), t(ts(1)), "A", 4),
+      Ticker(4, Op.Append, t(ts(2)), t(ts(1)), "B", 5)), 2)
+    assert(o2 == Seq(
+      ("A", Op.CorrectFrom, 2L, 14L, 7.0), ("A", Op.CorrectTo, 1L, 10L, 10.0),
+      ("B", Op.CorrectFrom, 1L, 20L, 20.0), ("B", Op.CorrectTo, 2L, 25L, 12.5)))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/cp2/agg_partials")),
+      "retractive run left the merge path")
+
+    // run 3: retract A's last row — the group dies with a -D
+    val o3 = drive(3, Seq(
+      Ticker(5, Op.Retract, t(ts(3)), t(ts(1)), "A", 10)), 6)
+    assert(o3 == Seq(("A", Op.Retract, 1L, 10L, 10.0)))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/cp3/agg_partials")))
+
+    // run 4: A returns — fresh partials, not the dead group's zeros
+    val o4 = drive(4, Seq(
+      Ticker(6, Op.Append, t(ts(4)), t(ts(1)), "A", 7)), 7)
+    assert(o4 == Seq(("A", Op.Append, 1L, 7L, 7.0)))
+  }
+
+  test("invertible aggregate: a sum retracted down to NULL contributions reads NULL") {
+    import spark.implicits._
+    val dir = tmp()
+    // After the retraction the group still holds one row, but that row's
+    // sum contribution is NULL — SQL's sum must read NULL, not the 0 the
+    // subtraction leaves. The hidden per-sum non-null count carries this.
+    val q = """SELECT event_time, symbol, count(*) as n,
+              |  sum(nullif(price, 999)) as total
+              |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    val in1 = s"$dir/in1.parquet"
+    writeSlice(Seq(
+      Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 5),
+      Ticker(1, Op.Append, t(ts(1)), t(ts(1)), "A", 999)), in1)
+    runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in1, in1, 2, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    val o1 = readOut(s"$dir/out1.parquet").collect()
+    assert(o1.map(r => (r.getAs[Long]("n"), r.getAs[Long]("total"))).toSeq ==
+      Seq((2L, 5L)))
+
+    val in2 = s"$dir/in2.parquet"
+    writeSlice(Seq(
+      Ticker(2, Op.Retract, t(ts(2)), t(ts(1)), "A", 5)), in2)
+    runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(mkInput("tickers", in2, in2, 1, startOffset = 2, wms = Seq(ts(2)))),
+      nextOffset = 2, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    val o2 = readOut(s"$dir/out2.parquet").orderBy("offset").collect()
+    assert(o2.map(r => (r.getAs[Int]("op"), r.getAs[Long]("n"),
+      if (r.isNullAt(r.fieldIndex("total"))) null else r.getAs[Long]("total"))).toSeq ==
+      Seq((Op.CorrectFrom, 2L, 5L), (Op.CorrectTo, 1L, null)))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/cp2/agg_partials")),
+      "retractive run left the merge path")
+  }
+
+  test("signed merge and recompute emit identical changelogs under retractions") {
+    import spark.implicits._
+    // Seeded random slices with appends AND retractions of still-live rows
+    // every run, driven through the invertible shape (signed merge path —
+    // never flips) and a value-identical ineligible shape (stddev_pop*0 →
+    // recompute every run). Emitted slices must match row-for-row
+    // including offsets on every run.
+    val rnd = new scala.util.Random(4242)
+    val dirF = tmp(); val dirC = tmp()
+    val qFast = """SELECT event_time, symbol, count(*) as n, sum(price) as total,
+                  |  avg(price) as mean
+                  |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    val qSlow = """SELECT event_time, symbol, count(*) as n,
+                  |  CAST(sum(price) + stddev_pop(price) * 0 AS BIGINT) as total,
+                  |  avg(price) as mean
+                  |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var live = Vector.empty[Ticker]
+    (1 to 6).foreach { run =>
+      val nApp = if (run == 1) 4 else 1 + rnd.nextInt(3)
+      val appends = (0 until nApp).map { i =>
+        Ticker(off + i, Op.Append, t(ts(run)), t(ts(1)),
+          ("A".head + rnd.nextInt(3)).toChar.toString, 1 + rnd.nextInt(100))
+      }
+      val nRet = if (run >= 2 && live.nonEmpty) rnd.nextInt(live.size + 1) else 0
+      val shuffled = rnd.shuffle(live)
+      val retractRows = shuffled.take(nRet).zipWithIndex.map { case (p, i) =>
+        p.copy(offset = off + nApp + i, op = Op.Retract,
+          system_time = t(ts(run)))
+      }
+      live = shuffled.drop(nRet) ++ appends
+      val slice = appends ++ retractRows
+      val inF = s"$dirF/in$run.parquet"; val inC = s"$dirC/in$run.parquet"
+      writeSlice(slice, inF); writeSlice(slice, inC)
+      def drive(tag: String, dir: java.nio.file.Path, in: String, q: String,
+          prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(mkInput("tickers", in, in, slice.length, startOffset = off,
+            wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, inF, qFast, prevF))
+      prevC = Some(drive("c", dirC, inC, qSlow, prevC))
+      off += slice.length
+      val cols = Seq("offset", "op", "event_time", "symbol", "n", "total", "mean")
+      val outF = readOut(s"$dirF/out$run.parquet").orderBy("offset")
+        .select(cols.head, cols.tail: _*).collect().toSeq
+      val outC = readOut(s"$dirC/out$run.parquet").orderBy("offset")
+        .select(cols.head, cols.tail: _*).collect().toSeq
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+      if (run >= 2)
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dirF/cp$run/agg_partials")),
+          s"run $run left the merge path")
+    }
+    assert(nextOut("f") > 0)
+  }
+
   test("aggregate fast path and recompute path emit identical changelogs") {
     import spark.implicits._
     // Seeded random append-only slices driven through two chains: the

@@ -113,11 +113,17 @@ class PlanClassifierSpec extends AnyFunSuite {
   }
 
   test("non-windowed GROUP BY keys the diff on the group columns") {
-    assert(classify(
-      "SELECT symbol, count(*) AS n FROM t GROUP BY symbol") ==
-      Mode.SnapshotDiff(Some(Seq("symbol")),
-        Some(PlanClassifier.AggMergeSpec(Seq("symbol"), Seq("n" -> "count"))),
-        Some(PlanClassifier.RankTouch("t", Seq("symbol")))))
+    val m = classify(
+      "SELECT symbol, count(*) AS n FROM t GROUP BY symbol")
+      .asInstanceOf[Mode.SnapshotDiff]
+    assert(m.keys == Some(Seq("symbol")))
+    assert(m.rankTouch == Some(PlanClassifier.RankTouch("t", Seq("symbol"))))
+    val spec = m.aggMerge.get
+    assert(spec.keys == Seq("symbol"))
+    // invertible (sum/count only) → hidden row-count partial + aux plan
+    assert(spec.aggs ==
+      Seq("n" -> "count", PlanClassifier.RowCountCol -> "count"))
+    assert(spec.invertible && spec.partialsPlan.isDefined)
   }
 
   test("decomposable aggregate shapes carry an incremental-merge spec") {
@@ -200,7 +206,8 @@ class PlanClassifierSpec extends AnyFunSuite {
       .asInstanceOf[Mode.SnapshotDiff].aggMerge
     assert(m.isDefined)
     assert(m.get.keys == Seq("symbol"))
-    assert(m.get.aggs == Seq("n" -> "count"))
+    assert(m.get.aggs ==
+      Seq("n" -> "count", PlanClassifier.RowCountCol -> "count"))
     assert(m.get.avgs == Seq("ap"))
     assert(m.get.partialsPlan.isDefined)
     // global avg too
@@ -226,8 +233,12 @@ class PlanClassifierSpec extends AnyFunSuite {
     val m = classify(
       """WITH f AS (SELECT symbol, price FROM t WHERE price > 0)
         |SELECT symbol, sum(price) AS s FROM f GROUP BY symbol""".stripMargin)
-    assert(m.asInstanceOf[Mode.SnapshotDiff].aggMerge ==
-      Some(PlanClassifier.AggMergeSpec(Seq("symbol"), Seq("s" -> "sum"))))
+    val spec = m.asInstanceOf[Mode.SnapshotDiff].aggMerge.get
+    assert(spec.keys == Seq("symbol"))
+    assert(spec.aggs == Seq("s" -> "sum", "__nc_s" -> "count",
+      PlanClassifier.RowCountCol -> "count"))
+    assert(spec.sumNullCounts == Seq("s" -> "__nc_s"))
+    assert(spec.invertible && spec.partialsPlan.isDefined)
   }
 
   test("a GROUP BY hidden inside a CTE definition is still stateful") {
@@ -249,9 +260,13 @@ class PlanClassifierSpec extends AnyFunSuite {
   }
 
   test("global aggregate in a bare SELECT is a single-group diff") {
-    assert(classify("SELECT count(*) AS n FROM t") ==
-      Mode.SnapshotDiff(Some(Nil),
-        Some(PlanClassifier.AggMergeSpec(Nil, Seq("n" -> "count")))))
+    val m = classify("SELECT count(*) AS n FROM t").asInstanceOf[Mode.SnapshotDiff]
+    assert(m.keys == Some(Nil))
+    val spec = m.aggMerge.get
+    assert(spec.keys == Nil)
+    assert(spec.aggs ==
+      Seq("n" -> "count", PlanClassifier.RowCountCol -> "count"))
+    assert(spec.invertible)
   }
 
   test("nested aggregation narrows to the common grouping columns, keyed by the outer") {
@@ -432,15 +447,18 @@ class PlanClassifierSpec extends AnyFunSuite {
     val spec = am("SELECT symbol, sum(price) AS total FROM t " +
       "GROUP BY symbol HAVING count(*) > 2")
     assert(spec.isDefined)
-    assert(spec.get.aggs.toMap == Map("total" -> "sum", "__hv_0" -> "count"))
+    assert(spec.get.aggs.toMap == Map("total" -> "sum", "__hv_0" -> "count",
+      "__nc_total" -> "count", PlanClassifier.RowCountCol -> "count"))
     assert(spec.get.havingSql.exists(_.contains("__hv_0")))
     // the same call appearing twice reuses one hidden partial
     val twice = am("SELECT symbol, sum(price) AS total FROM t " +
       "GROUP BY symbol HAVING count(*) > 2 AND count(*) < 100")
-    assert(twice.exists(_.aggs.count(_._2 == "count") == 1))
+    assert(twice.exists(_.aggs.count(_._1.startsWith("__hv_")) == 1))
     // scalar functions over output columns are post-merge-evaluable
     assert(am("SELECT symbol, sum(price) AS total FROM t " +
-      "GROUP BY symbol HAVING abs(total) > 5").exists(_.aggs.size == 1))
+      "GROUP BY symbol HAVING abs(total) > 5")
+      .exists(s => !s.aggs.exists(_._1.startsWith("__hv_")) &&
+        s.aggs.toMap.get("total").contains("sum")))
     // non-mergeable aggregates in HAVING keep the recompute path
     assert(am("SELECT symbol, sum(price) AS total FROM t " +
       "GROUP BY symbol HAVING stddev(price) > 1").isEmpty)
@@ -451,24 +469,29 @@ class PlanClassifierSpec extends AnyFunSuite {
     val spec = am("SELECT symbol, sum(price) AS total FROM t " +
       "GROUP BY symbol HAVING avg(price) > 3")
     assert(spec.exists(_.hiddenAvgs == Seq("__hva_0")))
+    // hidden sums get paired non-null counts + the row-count (invertible)
     assert(spec.exists(_.aggs.toMap == Map(
-      "total" -> "sum", "__as___hva_0" -> "sum", "__ac___hva_0" -> "count")))
+      "total" -> "sum", "__as___hva_0" -> "sum", "__ac___hva_0" -> "count",
+      "__nc_total" -> "count", "__nc___as___hva_0" -> "count",
+      PlanClassifier.RowCountCol -> "count")))
     assert(spec.get.havingSql.exists(h =>
       h.contains("__as___hva_0") && h.contains("__ac___hva_0")))
     // a repeated avg call shares one partial pair
     val twice = am("SELECT symbol, sum(price) AS total FROM t " +
       "GROUP BY symbol HAVING avg(price) > 3 AND avg(price) < 100")
-    assert(twice.exists(s => s.hiddenAvgs.size == 1 && s.aggs.size == 3))
+    assert(twice.exists(s => s.hiddenAvgs.size == 1 &&
+      s.aggs.count(_._1.startsWith("__as_")) == 1))
     // distinct avg calls each get their own pair
     val two = am("SELECT symbol, sum(price) AS total FROM t " +
       "GROUP BY symbol HAVING avg(price) > avg(volume)")
     assert(two.exists(s => s.hiddenAvgs == Seq("__hva_0", "__hva_1") &&
-      s.aggs.size == 5))
+      s.aggs.count(_._1.startsWith("__as_")) == 2))
     // mixes with hidden non-avg partials without name collisions
     val mix = am("SELECT symbol, sum(price) AS total FROM t " +
       "GROUP BY symbol HAVING count(*) > 2 AND avg(price) > 3")
     assert(mix.exists(s => s.aggs.map(_._1).distinct.size == s.aggs.size &&
-      s.hiddenAvgs.size == 1 && s.aggs.size == 4))
+      s.hiddenAvgs.size == 1 &&
+      s.aggs.count(_._1.startsWith("__hv_")) == 1))
   }
 
   test("a plain grouped aggregate carries a touched-group narrowing spec") {
