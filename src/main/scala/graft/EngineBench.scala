@@ -26,6 +26,7 @@ object EngineBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("join")) { runJoinChain(args.drop(1)); return }
     if (args.headOption.contains("retract")) { runRetractState(args.drop(1)); return }
+    if (args.headOption.contains("retractagg")) { runRetractAgg(args.drop(1)); return }
     if (args.headOption.contains("nested")) { runNestedAgg(args.drop(1)); return }
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
@@ -296,6 +297,106 @@ object EngineBench {
     val tWide = drive("wide", qWide)
     val tNarrow = drive("narrow", qNarrow)
     println(f"""{"metric":"engine_nested_agg","slices":$nSlices,"rowsPerSlice":$rowsPer,"narrow_sec":$tNarrow%.1f,"wide_sec":$tWide%.1f,"speedup":${tWide / tNarrow}%.2f}""")
+    spark.stop()
+  }
+
+  /** Retractive aggregation cost: each slice appends `rowsPer` rows and
+    * retracts 5% of the previous slice's, so the live multiset GROWS while
+    * every run stays retractive. Driven through an INVERTIBLE aggregate
+    * (sum/count only — the signed merge path subtracts retractions and
+    * never flips) versus a value-identical recompute-forced twin
+    * (stddev_pop*0). The netted buffer compaction bounds both sides'
+    * buffer at the live set, but the recompute side still re-nets and
+    * re-aggregates that growing live set every run — every symbol is
+    * touched every run, so touched-group narrowing cannot save it — while
+    * the signed merge side processes only the slice plus group-count
+    * state. Reports each side's first and second half so the growth shape
+    * is visible, not just the total.
+    */
+  private def runRetractAgg(args: Array[String]): Unit = {
+    val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
+    val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-retractagg-bench").toString
+    val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+
+    // row formula is a pure function of (logical slice, id) so slice s can
+    // regenerate a PREFIX of slice s-1's rows exactly as retracts
+    def rowsOf(s: Int, op: Int, off0: Long, n: Int) =
+      spark.range(n).select(
+        (col("id") + off0).as("offset"), lit(op).as("op"),
+        lit(t0ts).as("system_time"),
+        (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+          .cast("timestamp").as("event_time"),
+        concat(lit("k"), pmod(col("id") * 2654435761L + s, lit(5000))).as("symbol"),
+        (pmod(col("id") * 31 + s, lit(1000)) + 1).cast("int").as("price"))
+    val nRet = rowsPer / 20
+    var off = 0L
+    val sliceLens = (1 to nSlices).map { s =>
+      val appends = rowsOf(s, 0, off, rowsPer)
+      val slice =
+        if (s == 1) appends
+        else appends.unionByName(rowsOf(s - 1, 1, off + rowsPer, nRet))
+      slice.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/s$s")
+      val n = if (s == 1) rowsPer.toLong else rowsPer.toLong + nRet
+      off += n
+      n
+    }
+    def fileOf(s: Int): String = {
+      val d = new java.io.File(s"$base/slices/s$s")
+      d.listFiles.filter(_.getName.endsWith(".parquet")).head.getPath
+    }
+
+    val qMerge = """SELECT TIMESTAMP '2000-01-01 00:00:00' as event_time,
+                   |  symbol, count(*) as n, sum(price) as total
+                   |FROM tickers GROUP BY symbol""".stripMargin
+    val qRecompute = qMerge.replace("sum(price) as total",
+      "CAST(sum(price) + stddev_pop(price) * 0 AS BIGINT) as total")
+
+    def drive(tag: String, q: String): Seq[Double] = {
+      var prev: Option[String] = None
+      var off0 = 0L
+      (1 to nSlices).map { s =>
+        val len = sliceLens(s - 1)
+        val t0 = System.nanoTime()
+        val req = TransformRequest(
+          "did:out", "out", Instant.parse(f"2000-01-02T${s % 24}%02d:00:00Z"),
+          DatasetVocabulary(),
+          Transform(queries = Vector(SqlQueryStep(None, q))),
+          Vector(TransformRequestInput(
+            datasetId = "did:t", datasetAlias = "tickers", queryAlias = "tickers",
+            vocab = DatasetVocabulary(),
+            offsetInterval = Some(OffsetInterval(off0, off0 + len - 1)),
+            dataPaths = Vector(fileOf(s)), schemaFile = fileOf(1),
+            explicitWatermarks = Vector(RequestWatermark(
+              Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s),
+              Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s))))),
+          nextOffset = 0, prevCheckpointPath = prev,
+          newCheckpointPath = s"$base/$tag/cp$s",
+          newDataPath = s"$base/$tag/out$s.parquet")
+        new TransformEngine(spark).executeTransform(req) match {
+          case _: TransformResponse.Success => ()
+          case other => sys.error(s"$tag run $s failed: $other")
+        }
+        prev = Some(s"$base/$tag/cp$s")
+        off0 += len
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+
+    val rTimes = drive("recompute", qRecompute)
+    val mTimes = drive("merge", qMerge)
+    def halves(ts: Seq[Double]): (Double, Double) = {
+      val (a, b) = ts.splitAt(ts.length / 2); (a.sum, b.sum)
+    }
+    val (m1, m2) = halves(mTimes); val (r1, r2) = halves(rTimes)
+    println(f"""{"metric":"engine_retract_agg","slices":$nSlices,"rowsPerSlice":$rowsPer,"merge_sec":${m1 + m2}%.1f,"merge_h1":$m1%.1f,"merge_h2":$m2%.1f,"recompute_sec":${r1 + r2}%.1f,"recompute_h1":$r1%.1f,"recompute_h2":$r2%.1f,"speedup":${(r1 + r2) / (m1 + m2)}%.2f}""")
     spark.stop()
   }
 
