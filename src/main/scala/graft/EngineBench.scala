@@ -316,6 +316,10 @@ object EngineBench {
   private def runRetractAgg(args: Array[String]): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
+    // Third arg widens the key space: with nSymbols ≫ rowsPer the state is
+    // group-count-sized and the invertible side's O(slice) tier-append
+    // state write separates from any full-state rewrite.
+    val nSymbols = args.lift(2).map(_.toInt).getOrElse(5000)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
@@ -334,7 +338,7 @@ object EngineBench {
         lit(t0ts).as("system_time"),
         (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
           .cast("timestamp").as("event_time"),
-        concat(lit("k"), pmod(col("id") * 2654435761L + s, lit(5000))).as("symbol"),
+        concat(lit("k"), pmod(col("id") * 2654435761L + s, lit(nSymbols))).as("symbol"),
         (pmod(col("id") * 31 + s, lit(1000)) + 1).cast("int").as("price"))
     val nRet = rowsPer / 20
     var off = 0L
@@ -396,7 +400,7 @@ object EngineBench {
       val (a, b) = ts.splitAt(ts.length / 2); (a.sum, b.sum)
     }
     val (m1, m2) = halves(mTimes); val (r1, r2) = halves(rTimes)
-    println(f"""{"metric":"engine_retract_agg","slices":$nSlices,"rowsPerSlice":$rowsPer,"merge_sec":${m1 + m2}%.1f,"merge_h1":$m1%.1f,"merge_h2":$m2%.1f,"recompute_sec":${r1 + r2}%.1f,"recompute_h1":$r1%.1f,"recompute_h2":$r2%.1f,"speedup":${(r1 + r2) / (m1 + m2)}%.2f}""")
+    println(f"""{"metric":"engine_retract_agg","slices":$nSlices,"rowsPerSlice":$rowsPer,"symbols":$nSymbols,"merge_sec":${m1 + m2}%.1f,"merge_h1":$m1%.1f,"merge_h2":$m2%.1f,"recompute_sec":${r1 + r2}%.1f,"recompute_h1":$r1%.1f,"recompute_h2":$r2%.1f,"speedup":${(r1 + r2) / (m1 + m2)}%.2f}""")
     spark.stop()
   }
 

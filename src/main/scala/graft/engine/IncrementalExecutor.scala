@@ -132,14 +132,16 @@ final class IncrementalExecutor(
         case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _, _)
             if retractiveNow.nonEmpty && spec.invertible &&
               !stepsReferenceOp && hiddenAvgsDivisible(spec) =>
-          runIncrementalAgg(spec)
+          runIncrementalAgg(spec, neverFlips = true)
         case _ if retractiveNow.nonEmpty =>
           runSnapshotDiff(d.keys, d.rankTouch)
         case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _, _)
             if spec.join.forall(_.rels.forall(byAlias(_).isDefined)) &&
               spec.leftJoin.forall(lj =>
                 byAlias(lj.left).isDefined && byAlias(lj.right).isDefined) =>
-          if (hiddenAvgsDivisible(spec)) runIncrementalAgg(spec)
+          if (hiddenAvgsDivisible(spec))
+            runIncrementalAgg(spec,
+              neverFlips = spec.invertible && !stepsReferenceOp)
           else runSnapshotDiff(d.keys, d.rankTouch)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, Some(jd), _, _)
             if jd.rels.forall(byAlias(_).isDefined) =>
@@ -696,7 +698,23 @@ final class IncrementalExecutor(
       })
     }
 
-  private def runIncrementalAgg(spec: PlanClassifier.AggMergeSpec): ExecResult = {
+  /** @param neverFlips true when this spec can never reach the recompute
+    *   path (invertible, op-free chain, divisible avgs): its aggregate
+    *   state is then kept as TIER-APPENDED ADDITIVE DELTAS — every partial
+    *   of an invertible spec is a sum or count, so state is a pure
+    *   additive monoid: a run appends only its slice's delta partials
+    *   (O(slice) write) instead of rewriting the full O(groups) state, and
+    *   the visible-snapshot copy (only ever read by the recompute path) is
+    *   skipped entirely. Absolute values are reconstructed on read by a
+    *   groupBy-sum over the tiers; size-tiered compaction collapses tiers
+    *   with the same sum and sweeps net-zero (dead) groups. At 100 TB
+    *   scale this is the difference between per-run state I/O tracking the
+    *   GROUP COUNT (potentially billions for keyed snapshots) and tracking
+    *   the slice.
+    */
+  private def runIncrementalAgg(
+      spec: PlanClassifier.AggMergeSpec,
+      neverFlips: Boolean = false): ExecResult = {
     val buffers = inputs.map { i =>
       i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias)
       val buffer = store.read(bufferName(i.spec.queryAlias), i.df.schema)
@@ -837,10 +855,17 @@ final class IncrementalExecutor(
 
     // Merge state: partials (with __as_/__ac_ aux columns, unfiltered by
     // HAVING) under aggStateName when aux is needed; the visible snapshot
-    // itself otherwise. snapshotName ALWAYS holds the visible output, which
-    // is what the recompute path diffs against after a retraction flip.
-    val prev = store.read(
-      if (needsAux) aggStateName else snapshotName, sliceAgg.schema)
+    // itself otherwise. snapshotName holds the visible output, which is
+    // what the recompute path diffs against after a retraction flip —
+    // skipped for never-flip specs, whose aggStateName holds additive
+    // delta tiers reconstructed by groupBy-sum on read.
+    val lsm = neverFlips && spec.invertible
+    val prev =
+      if (lsm)
+        sumTiers(store.read(aggStateName, sliceAgg.schema), keys,
+          touched = Some(sliceAgg))
+      else store.read(
+        if (needsAux) aggStateName else snapshotName, sliceAgg.schema)
     val keyEq =
       if (keys.isEmpty) lit(true)
       else keys.map(k => col(s"p.$k") <=> col(s"n.$k")).reduce(_ && _)
@@ -902,11 +927,24 @@ final class IncrementalExecutor(
       if ((spec.leftJoin.isDefined || spec.invertible) && keys.nonEmpty)
         mergedTouched.where(col(PlanClassifier.RowCountCol) > 0)
       else mergedTouched
-    val newState = untouched.unionByName(mergedAlive)
-    if (needsAux) {
-      store.write(aggStateName, newState)
-      store.write(snapshotName, visible(newState))
-    } else store.write(snapshotName, newState)
+    if (lsm) {
+      // sliceAgg IS this run's signed additive delta: append it as a tier.
+      // Dead groups net to zero across tiers (zero rows are the additive
+      // identity, so rebirth-from-zero ≡ rebirth-from-absent for every
+      // consumer) and are swept at compaction. O(slice) write per run.
+      store.appendCarry(aggStateName, sliceAgg, sliceAgg,
+        compact = Some(df => {
+          val m = sumTiers(df, keys)
+          if (keys.nonEmpty) m.where(col(PlanClassifier.RowCountCol) =!= 0)
+          else m
+        }))
+    } else {
+      val newState = untouched.unionByName(mergedAlive)
+      if (needsAux) {
+        store.write(aggStateName, newState)
+        store.write(snapshotName, visible(newState))
+      } else store.write(snapshotName, newState)
+    }
 
     ExecResult(
       emitted,
@@ -919,6 +957,42 @@ final class IncrementalExecutor(
       // so later runs' retractiveNow sees buffered retractions it cannot
       // re-scan.
       retractiveInputs = retractiveNow)
+  }
+
+  /** Absolute partials from additive delta tiers: group by the keys and
+    * sum every partial column (all sum/count for invertible specs — sum()
+    * skips NULLs, matching the merge algebra's "NULL = no contribution").
+    * The row-count filter drops the all-NULL row a global aggregate over
+    * ZERO tiers would produce (a keyed group's count partial is never
+    * NULL), so a first run sees an empty previous state, not a phantom
+    * group.
+    *
+    * @param touched when set (and the spec is keyed), tier rows are first
+    *   semi-joined — broadcast, the touched set is slice-bounded — to the
+    *   frame's key values, so the per-run groupBy shuffles only the
+    *   touched keys' tier rows instead of the whole O(groups) state. The
+    *   LSM branch consumes the result exclusively joined against those
+    *   same keys (right-outer merge / left-semi diff), so the narrowing is
+    *   invisible to it.
+    */
+  private def sumTiers(
+      raw: DataFrame,
+      keys: Seq[String],
+      touched: Option[DataFrame] = None): DataFrame = {
+    val narrowed = touched match {
+      case Some(tk) if keys.nonEmpty =>
+        raw.join(
+          broadcast(tk.select(keys.map(col): _*).distinct), keys, "left_semi")
+      case _ => raw
+    }
+    val aggCols = raw.schema.fields.filterNot(f => keys.contains(f.name))
+      .map(f => sum(col(f.name)).cast(f.dataType).as(f.name)).toSeq
+    val g =
+      if (keys.isEmpty) narrowed.groupBy()
+      else narrowed.groupBy(keys.map(col): _*)
+    g.agg(aggCols.head, aggCols.tail: _*)
+      .where(col(PlanClassifier.RowCountCol).isNotNull)
+      .select(raw.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Pairwise merge of two partials frames on the group keys with the

@@ -1079,6 +1079,45 @@ class EngineSpec extends AnyFunSuite {
       "retractive run left the merge path")
   }
 
+  test("invertible aggregate state is tier-appended deltas, no snapshot copy") {
+    import spark.implicits._
+    val dir = tmp()
+    // A never-flip spec (invertible, op-free, divisible) keeps its state as
+    // additive delta tiers: per-run state I/O is the slice's partials, the
+    // visible-snapshot copy (only the recompute path reads it) is skipped,
+    // and tier compaction keeps the file count sublinear in runs.
+    val q = """SELECT event_time, symbol, count(*) as n, sum(price) as total
+              |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    val nRuns = 10
+    (1 to nRuns).foreach { run =>
+      val in = s"$dir/in$run.parquet"
+      writeSlice(Seq(
+        Ticker(2L * (run - 1), Op.Append, t(ts(run)), t(ts(1)), "A", run),
+        Ticker(2L * (run - 1) + 1, Op.Append, t(ts(run)), t(ts(1)),
+          s"K$run", 7)), in)
+      runT(TransformRequest(
+        "did:out", "out", ts(run + 10), DatasetVocabulary(),
+        transform(None -> q),
+        Vector(mkInput("tickers", in, in, 2, startOffset = 2L * (run - 1),
+          wms = Seq(ts(run)))),
+        nextOffset = 0, prevCheckpointPath =
+          if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+        newCheckpointPath = s"$dir/cp$run", newDataPath = s"$dir/out$run.parquet"))
+    }
+    // cumulative correctness through the tiers: A saw prices 1..nRuns
+    val last = readOut(s"$dir/out$nRuns.parquet")
+      .where("symbol = 'A' AND op = 3").collect()
+    assert(last.map(r => (r.getAs[Long]("n"), r.getAs[Long]("total"))).toSeq ==
+      Seq((nRuns.toLong, (1 to nRuns).sum.toLong)))
+    val cpLast = java.nio.file.Paths.get(s"$dir/cp$nRuns")
+    assert(java.nio.file.Files.exists(cpLast.resolve("agg_partials")))
+    assert(!java.nio.file.Files.exists(cpLast.resolve("snapshot")),
+      "never-flip spec must not write the visible snapshot copy")
+    val tierFiles = cpLast.resolve("agg_partials").toFile.listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(tierFiles < nRuns, s"tier compaction did not run: $tierFiles files")
+  }
+
   test("signed merge and recompute emit identical changelogs under retractions") {
     import spark.implicits._
     // Seeded random slices with appends AND retractions of still-live rows
