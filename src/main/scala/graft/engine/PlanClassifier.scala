@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving}
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, YearMonthIntervalType}
@@ -466,7 +466,8 @@ object PlanClassifier {
       val keys = snapshotKeys(f, aggTops)
         .orElse(nestedAggKeys(spark, steps, f, aggTops))
       Mode.SnapshotDiff(keys,
-        extractAggMerge(spark, steps, f),
+        extractAggMerge(spark, steps, f)
+          .orElse(extractDistinctMerge(spark, steps, f)),
         extractRankTouch(spark, steps, f, keys)
           .orElse(extractAggTouch(spark, steps, f))
           .orElse(extractGroupTouch(spark, steps, f)),
@@ -722,6 +723,66 @@ object PlanClassifier {
   private val nondeterministicFns: Set[String] = Set(
     "rand", "randn", "random", "uuid", "shuffle",
     "monotonically_increasing_id", "spark_partition_id", "input_file_name")
+
+  /** Detect the refcount-merge shape for DISTINCT: the output step is
+    * `SELECT DISTINCT <named projections>` over stateless join-free
+    * pre-steps. A distinct set is the SUPPORT of the input multiset — a
+    * grouped count(*) with every projection a group key, visible while the
+    * count is positive — which is exactly an invertible [[AggMergeSpec]]
+    * whose only partial is the hidden row count. Both appends and
+    * retractions then ride the tiered merge path: a new value surfaces as
+    * +I, the retraction of a value's LAST occurrence as -D, and duplicate
+    * appends/partial retractions only move the hidden count.
+    * ([[DistinctDelta]] remains the path for DISTINCT over an inner join,
+    * where the delta terms need the join decomposition.)
+    */
+  private def extractDistinctMerge(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts): Option[AggMergeSpec] = {
+    val eligible = f.plainAggs.isEmpty && f.rankSpecs.isEmpty &&
+      !f.otherWindowFns && f.regularJoins == 0 && !f.hasSubquery &&
+      !steps.exists(_._2.timeVarying)
+    if (!eligible) return None
+    val outIdx = steps.lastIndexWhere(_._1.isEmpty) match {
+      case -1 => steps.length - 1
+      case i  => i
+    }
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => unwrap(s.child)
+      case s: Sort          => unwrap(s.child)
+      case other            => other
+    }
+    unwrap(spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql)) match {
+      case dst: Distinct =>
+        dst.child match {
+          case p: Project
+              if !p.projectList.exists(_.isInstanceOf[UnresolvedStar]) &&
+                !p.projectList.exists(_.exists(_.isInstanceOf[SubqueryExpression])) =>
+            val names = p.projectList.map {
+              case a: UnresolvedAttribute => a.nameParts.last
+              case ne                     => ne.name
+            }
+            if (names.distinct.size != names.size) return None
+            // group by the UNDERLYING expressions (grouping on an alias is
+            // not a thing); project the named forms plus the row count
+            val groupingExprs: Seq[Expression] = p.projectList.map {
+              case Alias(e, _) => e
+              case other       => other
+            }
+            val refcount = Aggregate(
+              groupingExprs,
+              p.projectList :+ Alias(
+                UnresolvedFunction(Seq("count"), Seq(Literal(1)),
+                  isDistinct = false), RowCountCol)(),
+              p.child)
+            Some(AggMergeSpec(names, Seq(RowCountCol -> "count"),
+              partialsPlan = Some(refcount), invertible = true))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 
   /** The output step's plan rewritten to produce MERGE PARTIALS: ORDER BY
     * dropped (state needs no order), HAVING dropped (applied post-merge),

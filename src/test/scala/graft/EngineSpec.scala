@@ -2637,6 +2637,124 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("distinct rides retractions on the refcount merge path") {
+    import spark.implicits._
+    val dir = tmp()
+    // DISTINCT is the support of the input multiset: a hidden per-value
+    // refcount rides the invertible merge path, so a duplicate's
+    // retraction emits nothing and only the LAST occurrence's retraction
+    // retracts the distinct row — with no recompute flip (agg_partials
+    // updated every run).
+    val q = "SELECT DISTINCT event_time, symbol FROM tickers"
+    def drive(run: Int, rows: Seq[Ticker], nextOff: Long): TransformResponse.Success =
+      runT(TransformRequest(
+        "did:out", "out", ts(run + 10), DatasetVocabulary(),
+        transform(None -> q),
+        Vector({
+          val in = s"$dir/in$run.parquet"
+          writeSlice(rows, in)
+          mkInput("tickers", in, in, rows.length,
+            startOffset = rows.head.offset, wms = Seq(ts(run)))
+        }),
+        nextOffset = nextOff,
+        prevCheckpointPath = if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+        newCheckpointPath = s"$dir/cp$run", newDataPath = s"$dir/out$run.parquet"))
+
+    val r1 = drive(1, Seq(
+      Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 1),
+      Ticker(1, Op.Append, t(ts(1)), t(ts(1)), "A", 2), // same distinct value
+      Ticker(2, Op.Append, t(ts(1)), t(ts(1)), "B", 3)), 0)
+    assert(r1.newOffsetInterval.contains(OffsetInterval(0, 1)))
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(o1.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", Op.Append), ("B", Op.Append)))
+
+    // run 2: retract ONE of A's two occurrences — refcount 2→1, no emission
+    val r2 = drive(2, Seq(
+      Ticker(3, Op.Retract, t(ts(2)), t(ts(1)), "A", 1)), 2)
+    assert(r2.newOffsetInterval.isEmpty)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/cp2/agg_partials")),
+      "retractive run left the refcount merge path")
+
+    // run 3: retract A's last occurrence — the distinct row dies
+    val r3 = drive(3, Seq(
+      Ticker(4, Op.Retract, t(ts(3)), t(ts(1)), "A", 2)), 2)
+    assert(r3.newOffsetInterval.contains(OffsetInterval(2, 2)))
+    val o3 = readOut(s"$dir/out3.parquet").collect()
+    assert(o3.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", Op.Retract)))
+
+    // run 4: A reappears — fresh +I
+    val r4 = drive(4, Seq(
+      Ticker(5, Op.Append, t(ts(4)), t(ts(1)), "A", 9)), 3)
+    assert(r4.newOffsetInterval.contains(OffsetInterval(3, 3)))
+    val o4 = readOut(s"$dir/out4.parquet").collect()
+    assert(o4.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", Op.Append)))
+  }
+
+  test("distinct refcount merge through a pre-step chain matches recompute") {
+    import spark.implicits._
+    // The DISTINCT sits above a stateless aliased pre-step (refcount merge
+    // runs the chain with the output plan overridden); the CTE twin forces
+    // recompute. Seeded slices with retractions of still-live rows.
+    val rnd = new scala.util.Random(77)
+    val dirF = tmp(); val dirC = tmp()
+    val fastSteps = Seq(
+      Some("v") -> "SELECT event_time, upper(symbol) AS s FROM tickers WHERE price > 1",
+      None -> "SELECT DISTINCT event_time, s FROM v")
+    val slowSteps = Seq(
+      None ->
+        """WITH v AS (SELECT event_time, upper(symbol) AS s FROM tickers WHERE price > 1)
+          |SELECT DISTINCT event_time, s FROM v""".stripMargin)
+    var off = 0L; var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var live = Vector.empty[Ticker]
+    (1 to 5).foreach { run =>
+      val appends = (0 until 1 + rnd.nextInt(3)).map { i =>
+        Ticker(off + i, Op.Append, t(ts(run)), t(ts(1)),
+          ("a".head + rnd.nextInt(3)).toChar.toString, 1 + rnd.nextInt(4))
+      }
+      val nRet = if (run >= 2 && live.nonEmpty) rnd.nextInt(live.size + 1) else 0
+      val shuffled = rnd.shuffle(live)
+      val retractRows = shuffled.take(nRet).zipWithIndex.map { case (p, i) =>
+        p.copy(offset = off + appends.length + i, op = Op.Retract,
+          system_time = t(ts(run)))
+      }
+      live = shuffled.drop(nRet) ++ appends
+      val slice = appends ++ retractRows
+      val inF = s"$dirF/in$run.parquet"; val inC = s"$dirC/in$run.parquet"
+      writeSlice(slice, inF); writeSlice(slice, inC)
+      def drive(tag: String, dir: java.nio.file.Path, in: String,
+          ss: Seq[(Option[String], String)], prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          Transform(queries = ss.map { case (a, q) => SqlQueryStep(a, q) }.toVector),
+          Vector(mkInput("tickers", in, in, slice.length, startOffset = off,
+            wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, inF, fastSteps, prevF))
+      prevC = Some(drive("c", dirC, inC, slowSteps, prevC))
+      off += slice.length
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset").select("offset", "op", "event_time", "s")
+            .collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    assert(nextOut("f") > 0)
+  }
+
   test("distinct-delta path and recompute path emit identical changelogs") {
     import spark.implicits._
     // Seeded random slices with a small value domain (guaranteed dups)

@@ -626,6 +626,24 @@ class PlanClassifierSpec extends AnyFunSuite {
       Some(PlanClassifier.DistinctDelta("t")))
   }
 
+  test("join-free DISTINCT carries an invertible refcount merge spec") {
+    def am(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].aggMerge
+    val m = am("SELECT DISTINCT symbol, price FROM t")
+    assert(m.exists(s => s.keys == Seq("symbol", "price") &&
+      s.aggs == Seq(PlanClassifier.RowCountCol -> "count") &&
+      s.invertible && s.partialsPlan.isDefined))
+    // expressions and ORDER BY above are fine; aliases name the keys
+    val e = am(
+      "SELECT DISTINCT symbol, price % 10 AS p FROM t WHERE price > 3 ORDER BY symbol")
+    assert(e.exists(_.keys == Seq("symbol", "p")))
+    // DISTINCT over a join keeps the join-delta path, not the refcount merge
+    assert(am("SELECT DISTINCT a.id, b.v FROM a JOIN b ON a.id = b.id").isEmpty)
+    // star projections and CTE wrappers are excluded
+    assert(am("SELECT DISTINCT * FROM t").isEmpty)
+    assert(am(
+      "WITH d AS (SELECT DISTINCT symbol FROM t) SELECT symbol FROM d").isEmpty)
+  }
+
   test("distinct-delta spec is withheld for non-append-only shapes") {
     def dd(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].distinctDelta
     // LIMIT above: emitted rows can be displaced later
