@@ -467,7 +467,8 @@ object PlanClassifier {
         .orElse(nestedAggKeys(spark, steps, f, aggTops))
       Mode.SnapshotDiff(keys,
         extractAggMerge(spark, steps, f)
-          .orElse(extractDistinctMerge(spark, steps, f)),
+          .orElse(extractDistinctMerge(spark, steps, f))
+          .orElse(extractSetOpMerge(spark, steps, f)),
         extractRankTouch(spark, steps, f, keys)
           .orElse(extractAggTouch(spark, steps, f))
           .orElse(extractGroupTouch(spark, steps, f)),
@@ -740,9 +741,13 @@ object PlanClassifier {
       spark: SparkSession,
       steps: Seq[(Option[String], SqlRewriter.Rewritten)],
       f: Facts): Option[AggMergeSpec] = {
-    val eligible = f.plainAggs.isEmpty && f.rankSpecs.isEmpty &&
+    // exactly ONE Distinct in the whole chain (a second one below the top
+    // is NOT linear: retracting a duplicate must not move the refcount)
+    // and no LIMIT/set-op anywhere — same discipline as DistinctDelta.
+    val eligible = f.distincts == 1 && !f.limitOrSetOp &&
+      f.plainAggs.isEmpty && f.rankSpecs.isEmpty &&
       !f.otherWindowFns && f.regularJoins == 0 && !f.hasSubquery &&
-      !steps.exists(_._2.timeVarying)
+      f.intervalUppers.isEmpty && !steps.exists(_._2.timeVarying)
     if (!eligible) return None
     val outIdx = steps.lastIndexWhere(_._1.isEmpty) match {
       case -1 => steps.length - 1
@@ -753,12 +758,16 @@ object PlanClassifier {
       case s: Sort          => unwrap(s.child)
       case other            => other
     }
+    def starFree(p: Project): Boolean =
+      !p.projectList.exists(_.isInstanceOf[UnresolvedStar]) &&
+        !p.projectList.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
+    def rowCountAgg(): NamedExpression = Alias(
+      UnresolvedFunction(Seq("count"), Seq(Literal(1)),
+        isDistinct = false), RowCountCol)()
     unwrap(spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql)) match {
       case dst: Distinct =>
         dst.child match {
-          case p: Project
-              if !p.projectList.exists(_.isInstanceOf[UnresolvedStar]) &&
-                !p.projectList.exists(_.exists(_.isInstanceOf[SubqueryExpression])) =>
+          case p: Project if starFree(p) =>
             val names = p.projectList.map {
               case a: UnresolvedAttribute => a.nameParts.last
               case ne                     => ne.name
@@ -772,14 +781,139 @@ object PlanClassifier {
             }
             val refcount = Aggregate(
               groupingExprs,
-              p.projectList :+ Alias(
-                UnresolvedFunction(Seq("count"), Seq(Literal(1)),
-                  isDistinct = false), RowCountCol)(),
+              p.projectList :+ rowCountAgg(),
               p.child)
+            Some(AggMergeSpec(names, Seq(RowCountCol -> "count"),
+              partialsPlan = Some(refcount), invertible = true))
+          // `a UNION b` parses as Distinct(Union): the support of the
+          // concatenated multisets — group the union by the first branch's
+          // names (positional resolution gives the union its first child's
+          // column names) with the same hidden refcount.
+          case u: Union
+              if u.children.forall {
+                case s: SubqueryAlias => s.child match {
+                  case p: Project => starFree(p); case _ => false
+                }
+                case p: Project => starFree(p)
+                case _          => false
+              } =>
+            val first = (u.children.head match {
+              case s: SubqueryAlias => s.child
+              case other            => other
+            }).asInstanceOf[Project]
+            val names = first.projectList.map {
+              case a: UnresolvedAttribute => a.nameParts.last
+              case ne                     => ne.name
+            }
+            if (names.distinct.size != names.size) return None
+            val refcount = Aggregate(
+              names.map(n => UnresolvedAttribute(Seq(n)): Expression),
+              names.map(n =>
+                UnresolvedAttribute(Seq(n)): NamedExpression) :+ rowCountAgg(),
+              u)
             Some(AggMergeSpec(names, Seq(RowCountCol -> "count"),
               partialsPlan = Some(refcount), invertible = true))
           case _ => None
         }
+      case _ => None
+    }
+  }
+
+  /** Hidden per-side refcount columns for distinct set-ops. */
+  private val SideLeftCol = "__sl"
+  private val SideRightCol = "__sr"
+  private val SideMarkCol = "__side"
+
+  /** Detect the refcount-merge shape for DISTINCT set operations: the
+    * output step is exactly one `INTERSECT`/`EXCEPT` (distinct variants —
+    * `ALL` multiplicities are not a visibility predicate) between two
+    * star-free projections over stateless join-free branches. Per-value
+    * PER-SIDE refcounts ride the invertible merge: the branches are
+    * re-tagged with a side marker, unioned, and grouped by the left
+    * branch's column names; visibility is a post-merge filter over the
+    * side counts (`left>0 AND right>0` / `left>0 AND right=0`) riding the
+    * spec's HAVING hook — state keeps invisible values (their counts must
+    * survive so a later append/retraction on EITHER side can surface
+    * them), exactly the sub-threshold-group contract. Retractions on
+    * either side cross the visibility threshold as +I/-D through the
+    * snapshot diff.
+    */
+  private def extractSetOpMerge(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts): Option[AggMergeSpec] = {
+    val eligible = f.distincts == 0 && f.plainAggs.isEmpty &&
+      f.rankSpecs.isEmpty && !f.otherWindowFns && f.regularJoins == 0 &&
+      !f.hasSubquery && f.intervalUppers.isEmpty &&
+      !steps.exists(_._2.timeVarying)
+    if (!eligible) return None
+    val plans = steps.map(s => spark.sessionState.sqlParser.parsePlan(s._2.sql))
+    // limitOrSetOp conflates LIMIT with set-ops: demand zero limits and
+    // exactly one set-op node, which must be the output top
+    val limits = plans.map(_.collect {
+      case _: GlobalLimit => (); case _: LocalLimit => ()
+    }.size).sum
+    val setOps = plans.map(_.collect {
+      case _: Except => (); case _: Intersect => ()
+    }.size).sum
+    if (limits > 0 || setOps != 1) return None
+    val outIdx = steps.lastIndexWhere(_._1.isEmpty) match {
+      case -1 => steps.length - 1
+      case i  => i
+    }
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => unwrap(s.child)
+      case s: Sort          => unwrap(s.child)
+      case other            => other
+    }
+    val (left, right, isAll, isExcept) =
+      unwrap(plans(outIdx)) match {
+        case e: Except    => (e.left, e.right, e.isAll, true)
+        case i: Intersect => (i.left, i.right, i.isAll, false)
+        case _            => return None
+      }
+    if (isAll) return None
+    def proj(p: LogicalPlan): Option[Project] = p match {
+      case s: SubqueryAlias => proj(s.child)
+      case pr: Project
+          if !pr.projectList.exists(_.isInstanceOf[UnresolvedStar]) &&
+            !pr.projectList.exists(_.exists(_.isInstanceOf[SubqueryExpression])) =>
+        Some(pr)
+      case _ => None
+    }
+    (proj(left), proj(right)) match {
+      case (Some(lp), Some(rp))
+          if lp.projectList.length == rp.projectList.length =>
+        val names = lp.projectList.map {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case ne                     => ne.name
+        }
+        if (names.distinct.size != names.size) return None
+        // canonicalize both branches to the left names + a side marker
+        def tagged(pr: Project, side: Int): LogicalPlan =
+          Project(pr.projectList.zip(names).map { case (ne, n) =>
+            Alias(ne match { case Alias(e, _) => e; case other => other }, n)()
+          } :+ Alias(Literal(side), SideMarkCol)(), pr.child)
+        def sideCount(side: Int, name: String): NamedExpression = Alias(
+          UnresolvedFunction(Seq("count"), Seq(CaseWhen(
+            Seq((EqualTo(UnresolvedAttribute(Seq(SideMarkCol)), Literal(side)),
+              Literal(1))), None)), isDistinct = false), name)()
+        val refcount = Aggregate(
+          names.map(n => UnresolvedAttribute(Seq(n)): Expression),
+          names.map(n => UnresolvedAttribute(Seq(n)): NamedExpression) ++ Seq(
+            sideCount(0, SideLeftCol),
+            sideCount(1, SideRightCol),
+            Alias(UnresolvedFunction(Seq("count"), Seq(Literal(1)),
+              isDistinct = false), RowCountCol)()),
+          Union(Seq(tagged(lp, 0), tagged(rp, 1))))
+        val visibility =
+          if (isExcept) s"$SideLeftCol > 0 AND $SideRightCol = 0"
+          else s"$SideLeftCol > 0 AND $SideRightCol > 0"
+        Some(AggMergeSpec(names,
+          Seq(SideLeftCol -> "count", SideRightCol -> "count",
+            RowCountCol -> "count"),
+          havingSql = Some(visibility),
+          partialsPlan = Some(refcount), invertible = true))
       case _ => None
     }
   }

@@ -2755,6 +2755,140 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("intersect rides per-side refcounts through retractions") {
+    import spark.implicits._
+    val dir = tmp()
+    // Visibility = left count > 0 AND right count > 0, a post-merge filter
+    // over the hidden side counts: a retraction on EITHER side crosses the
+    // threshold as -D, and invisible values keep their counts in state so
+    // a later append on the other side surfaces them as +I.
+    val q = """SELECT event_time, symbol FROM lhs
+              |INTERSECT
+              |SELECT event_time, symbol FROM rhs""".stripMargin
+    var offL = 0L; var offR = 0L; var nextOut = 0L
+    def drive(run: Int, l: Seq[Ticker], r: Seq[Ticker]): (TransformResponse.Success, Seq[(String, Int)]) = {
+      val inL = s"$dir/l$run.parquet"; val inR = s"$dir/r$run.parquet"
+      val resp = runT(TransformRequest(
+        "did:out", "out", ts(run + 10), DatasetVocabulary(),
+        transform(None -> q),
+        Vector(
+          { writeSlice(if (l.nonEmpty) l else Seq(Ticker(offL, 0, t(ts(run)), t(ts(1)), "zz", 0)), inL)
+            // always write a schema file; pass no interval when empty
+            if (l.nonEmpty)
+              mkInput("lhs", inL, inL, l.length, startOffset = l.head.offset,
+                wms = Seq(ts(run)))
+            else mkInput("lhs", inL, inL, 0, wms = Seq(ts(run)))
+              .copy(offsetInterval = None, dataPaths = Vector.empty) },
+          { writeSlice(if (r.nonEmpty) r else Seq(Ticker(offR, 0, t(ts(run)), t(ts(1)), "zz", 0)), inR)
+            if (r.nonEmpty)
+              mkInput("rhs", inR, inR, r.length, startOffset = r.head.offset,
+                wms = Seq(ts(run)))
+            else mkInput("rhs", inR, inR, 0, wms = Seq(ts(run)))
+              .copy(offsetInterval = None, dataPaths = Vector.empty) }),
+        nextOffset = nextOut,
+        prevCheckpointPath = if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+        newCheckpointPath = s"$dir/cp$run", newDataPath = s"$dir/out$run.parquet"))
+      nextOut = resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut)
+      val rows =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/out$run.parquet")))
+          readOut(s"$dir/out$run.parquet").orderBy("offset").collect().toSeq
+            .map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op")))
+        else Seq.empty
+      (resp, rows)
+    }
+    // run 1: lhs {A,B}, rhs {B,C} → only B intersects
+    val (_, o1) = drive(1,
+      Seq(Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 1),
+        Ticker(1, Op.Append, t(ts(1)), t(ts(1)), "B", 1)),
+      Seq(Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "B", 1),
+        Ticker(1, Op.Append, t(ts(1)), t(ts(1)), "C", 1)))
+    offL = 2; offR = 2
+    assert(o1 == Seq(("B", Op.Append)))
+    // run 2: rhs retracts B (B leaves), lhs appends C (C now on both sides)
+    val (_, o2) = drive(2,
+      Seq(Ticker(2, Op.Append, t(ts(2)), t(ts(1)), "C", 9)),
+      Seq(Ticker(2, Op.Retract, t(ts(2)), t(ts(1)), "B", 1)))
+    offL = 3; offR = 3
+    assert(o2 == Seq(("B", Op.Retract), ("C", Op.Append)))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/cp2/agg_partials")),
+      "retractive run left the refcount merge path")
+    // run 3: lhs retracts its C — C leaves even though rhs still holds it
+    val (_, o3) = drive(3,
+      Seq(Ticker(3, Op.Retract, t(ts(3)), t(ts(1)), "C", 9)), Seq.empty)
+    assert(o3 == Seq(("C", Op.Retract)))
+  }
+
+  test("set-op and union refcount merges match their recompute twins") {
+    import spark.implicits._
+    // Seeded slices with appends and retractions on BOTH inputs, driven
+    // through INTERSECT / EXCEPT / UNION (per-side refcount merge) and
+    // CTE-wrapped twins (recompute). Emitted slices must match
+    // row-for-row including offsets every run.
+    val ops = Seq(
+      "INTERSECT" -> "SELECT event_time, symbol FROM lhs INTERSECT SELECT event_time, symbol FROM rhs",
+      "EXCEPT" -> "SELECT event_time, symbol FROM lhs EXCEPT SELECT event_time, symbol FROM rhs",
+      "UNION" -> "SELECT event_time, symbol FROM lhs UNION SELECT event_time, symbol FROM rhs")
+    ops.foreach { case (tag0, qFast) =>
+      val qSlow =
+        s"""WITH x AS ($qFast)
+           |SELECT event_time, symbol FROM x""".stripMargin
+      val rnd = new scala.util.Random(tag0.hashCode)
+      val dirF = tmp(); val dirC = tmp()
+      var offL = 0L; var offR = 0L
+      var nextOut = Map("f" -> 0L, "c" -> 0L)
+      var prevF: Option[String] = None; var prevC: Option[String] = None
+      var liveL = Vector.empty[Ticker]; var liveR = Vector.empty[Ticker]
+      (1 to 5).foreach { run =>
+        def mkSlice(live: Vector[Ticker], off: Long): (Seq[Ticker], Vector[Ticker]) = {
+          val appends = (0 until 1 + rnd.nextInt(3)).map { i =>
+            Ticker(off + i, Op.Append, t(ts(run)), t(ts(1)),
+              ("A".head + rnd.nextInt(3)).toChar.toString, 1)
+          }
+          val nRet = if (run >= 2 && live.nonEmpty) rnd.nextInt(live.size + 1) else 0
+          val shuffled = rnd.shuffle(live)
+          val retractRows = shuffled.take(nRet).zipWithIndex.map { case (p, i) =>
+            p.copy(offset = off + appends.length + i, op = Op.Retract,
+              system_time = t(ts(run)))
+          }
+          (appends ++ retractRows, shuffled.drop(nRet) ++ appends)
+        }
+        val (sliceL, newLiveL) = mkSlice(liveL, offL); liveL = newLiveL
+        val (sliceR, newLiveR) = mkSlice(liveR, offR); liveR = newLiveR
+        def drive(tag: String, dir: java.nio.file.Path, q: String,
+            prev: Option[String]): String = {
+          val inL = s"$dir/l$run.parquet"; val inR = s"$dir/r$run.parquet"
+          writeSlice(sliceL, inL); writeSlice(sliceR, inR)
+          val resp = runT(TransformRequest(
+            "did:out", "out", ts(run + 10), DatasetVocabulary(),
+            transform(None -> q),
+            Vector(
+              mkInput("lhs", inL, inL, sliceL.length, startOffset = offL,
+                wms = Seq(ts(run))),
+              mkInput("rhs", inR, inR, sliceR.length, startOffset = offR,
+                wms = Seq(ts(run)))),
+            nextOffset = nextOut(tag), prevCheckpointPath = prev,
+            newCheckpointPath = s"$dir/cp$run",
+            newDataPath = s"$dir/out$run.parquet"))
+          nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+          s"$dir/cp$run"
+        }
+        prevF = Some(drive("f", dirF, qFast, prevF))
+        prevC = Some(drive("c", dirC, qSlow, prevC))
+        offL += sliceL.length; offR += sliceR.length
+        def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+          val p = s"$dir/out$run.parquet"
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            readOut(p).orderBy("offset")
+              .select("offset", "op", "event_time", "symbol").collect().toSeq
+          else Seq.empty
+        }
+        val outF = readRun(dirF); val outC = readRun(dirC)
+        assert(outF == outC, s"$tag0 run $run diverged:\nF=$outF\nC=$outC")
+      }
+    }
+  }
+
   test("distinct-delta path and recompute path emit identical changelogs") {
     import spark.implicits._
     // Seeded random slices with a small value domain (guaranteed dups)

@@ -644,6 +644,27 @@ class PlanClassifierSpec extends AnyFunSuite {
       "WITH d AS (SELECT DISTINCT symbol FROM t) SELECT symbol FROM d").isEmpty)
   }
 
+  test("distinct set-ops and UNION carry refcount merge specs") {
+    def am(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].aggMerge
+    val ix = am("SELECT symbol FROM a INTERSECT SELECT symbol FROM b")
+    assert(ix.exists(s => s.keys == Seq("symbol") && s.invertible &&
+      s.havingSql.contains("__sl > 0 AND __sr > 0")))
+    val ex = am("SELECT symbol FROM a EXCEPT SELECT symbol FROM b")
+    assert(ex.exists(_.havingSql.contains("__sl > 0 AND __sr = 0")))
+    // ALL variants have multiplicity semantics, not a visibility filter
+    assert(am("SELECT symbol FROM a INTERSECT ALL SELECT symbol FROM b").isEmpty)
+    assert(am("SELECT symbol FROM a EXCEPT ALL SELECT symbol FROM b").isEmpty)
+    // UNION (distinct) parses as Distinct(Union): plain refcount, left names
+    val un = am("SELECT symbol FROM a UNION SELECT sym FROM b")
+    assert(un.exists(s => s.keys == Seq("symbol") && s.invertible &&
+      s.havingSql.isEmpty &&
+      s.aggs == Seq(PlanClassifier.RowCountCol -> "count")))
+    // a second DISTINCT below the top is not linear — withheld
+    assert(am("SELECT DISTINCT x FROM (SELECT DISTINCT symbol AS x FROM t) v").isEmpty)
+    // LIMIT below the DISTINCT is not linear — withheld
+    assert(am("SELECT DISTINCT x FROM (SELECT symbol AS x FROM t LIMIT 5) v").isEmpty)
+  }
+
   test("distinct-delta spec is withheld for non-append-only shapes") {
     def dd(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].distinctDelta
     // LIMIT above: emitted rows can be displaced later
