@@ -100,11 +100,18 @@ final class IncrementalExecutor(
   def run(): ExecResult = {
     if (streamingMode) mode match {
       case PlanClassifier.Mode.Stateless => ()
-      case w: PlanClassifier.Mode.Windowed if w.upperMillis == 0 => ()
+      // All windowed shapes are attempted: tumbling aggs materialize in
+      // complete mode, interval joins in append mode (a one-shot
+      // AvailableNow inner join holds state for the whole run — exact).
+      // Shapes Structured Streaming itself rejects (outer joins without
+      // watermarks, joins under complete mode) surface their
+      // AnalysisException as InvalidQuery — never a silently different
+      // result.
+      case _: PlanClassifier.Mode.Windowed => ()
       case _ =>
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
-            "stateless and tumbling-window transforms only")
+            "stateless, tumbling-window, and interval-join transforms only")
     }
     runMode()
   }
@@ -394,8 +401,12 @@ final class IncrementalExecutor(
   // ── Windowed: tumbling agg / interval join with watermark gating ──────
   private def runWindowed(upperMs: Long): ExecResult = {
     val (fulls, retractive) = bufferedFulls()
+    // Streaming materialization mode follows the chain shape: a tumbling
+    // aggregation needs complete mode (the final batch holds the whole
+    // result); a pure interval join appends its joined rows.
     val resultAll =
-      if (streamingMode) materializeStreaming(runStepsUntapped(), complete = true)
+      if (streamingMode)
+        materializeStreaming(runStepsUntapped(), complete = tumble.isDefined)
       else runSteps(steps)
 
     val reported = minWm(inputs).map(_.minusMillis(upperMs))

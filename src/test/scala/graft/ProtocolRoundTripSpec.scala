@@ -283,6 +283,83 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     assert(bad.contains("streaming execution mode"), bad)
   }
 
+  test("streaming execution mode covers interval joins byte-identically") {
+    // An interval join (no tumble) under engine = spark-streaming runs as
+    // a stream-stream INNER join materialized in append mode under
+    // Trigger.AvailableNow — a one-shot run holds join state for its whole
+    // duration, so the joined rows equal the batch join exactly, and the
+    // engine's own watermark gating + emit-threshold algebra then applies
+    // to the materialized frame. Two-run chain must match the batch
+    // engine's slices and ledgers byte for byte.
+    import spark.implicits._
+    import EngineFixtures.{OrderRow, Shipment}
+    val dir = Files.createTempDirectory("graft-proto-stream-ij")
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    val s2 = s"$dir/s2.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        OrderRow(0, 0, t(ts(1)), t(ts(1)), 1L, 10L),
+        OrderRow(1, 0, t(ts(1)), t(ts(2)), 2L, 20L))).toDF(), o1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Shipment(0, 0, t(ts(1)), t(ts(2)), 1L, 5L))).toDF(), s1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Shipment(1, 0, t(ts(3)), t(ts(3)), 2L, 7L))).toDF(), s2)
+    val q =
+      """SELECT o.event_time as event_time, o.order_id as order_id,
+        |  s.num_shipped as num_shipped
+        |FROM orders o JOIN shipments s
+        |ON o.order_id = s.order_id
+        |AND s.event_time BETWEEN o.event_time AND o.event_time + INTERVAL '2' DAY""".stripMargin
+    def chain(engine: String, tag: String): Unit = {
+      import graft.engine.TransformEngine
+      def in(alias: String, path: Option[String], schema: String,
+          oi: Option[OffsetInterval], wm: Instant) = TransformRequestInput(
+        datasetId = s"did:odf:$alias", datasetAlias = alias,
+        queryAlias = alias, offsetInterval = oi,
+        dataPaths = path.toVector, schemaFile = schema,
+        explicitWatermarks = Vector(RequestWatermark(wm, wm)))
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(TransformRequest(
+        "did:odf:out", "out", ts(11), DatasetVocabulary(),
+        Transform(engine = engine, queries = Vector(SqlQueryStep(None, q))),
+        Vector(
+          in("orders", Some(o1), o1, Some(OffsetInterval(0, 1)), ts(3)),
+          in("shipments", Some(s1), s1, Some(OffsetInterval(0, 0)), ts(3))),
+        nextOffset = 0, prevCheckpointPath = None,
+        newCheckpointPath = s"$dir/$tag/cp1",
+        newDataPath = s"$dir/$tag/out1.parquet"))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$tag run1: $r1")
+      val r2 = e.executeTransform(TransformRequest(
+        "did:odf:out", "out", ts(12), DatasetVocabulary(),
+        Transform(engine = engine, queries = Vector(SqlQueryStep(None, q))),
+        Vector(
+          in("orders", None, o1, None, ts(5)),
+          in("shipments", Some(s2), s1, Some(OffsetInterval(1, 1)), ts(5))),
+        nextOffset = 1, prevCheckpointPath = Some(s"$dir/$tag/cp1"),
+        newCheckpointPath = s"$dir/$tag/cp2",
+        newDataPath = s"$dir/$tag/out2.parquet"))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$tag run2: $r2")
+    }
+    chain("spark", "batch")
+    chain("spark-streaming", "stream")
+    (1 to 2).foreach { n =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(s"$dir/batch/out$n.parquet")),
+        Files.readAllBytes(Paths.get(s"$dir/stream/out$n.parquet"))),
+        s"run-$n interval-join slices are not byte-identical")
+      assert(
+        Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+          Files.readString(Paths.get(s"$dir/stream/cp$n/ledger.json")))
+    }
+    // sanity on content: run 1 emits the order-1 pair, run 2 the order-2 pair
+    val out1 = spark.read.parquet(s"$dir/stream/out1.parquet").collect()
+    assert(out1.map(_.getAs[Long]("order_id")).toSeq == Seq(1L))
+    val out2 = spark.read.parquet(s"$dir/stream/out2.parquet").collect()
+    assert(out2.map(_.getAs[Long]("order_id")).toSeq == Seq(2L))
+  }
+
   test("tar pack/unpack round-trips nested checkpoint trees, system-tar readable") {
     val src = Files.createTempDirectory("graft-tar-src")
     Files.writeString(src.resolve("ledger.json"), """{"n":1}""")
