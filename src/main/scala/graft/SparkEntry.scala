@@ -863,6 +863,47 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("n_dup"),
           expr("n_dup * 10000 DIV n_docs").as("dup_bp"))
         .orderBy(col("source"))
+    }),
+
+    // ── Per-document n-gram novelty: the share of a doc's DISTINCT 5-gram
+    // shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    // the "new information" score that decides crawl/retention priority.
+    // Shape: explode → per-gram min-doc hash aggregate (map-side
+    // combinable) → re-join keyed on the gram → per-doc aggregate. All
+    // integer arithmetic; output is basis points.
+    "q54_ngram_novelty" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          explode(array_distinct(Text.shingles(col("toks"), 5))).as("g"))
+      val first = g.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      g.join(first, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("n_novel * 10000 DIV n_grams").as("novelty_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Quality-ranked canonical selection: within each exact-duplicate
+    // cluster (md5 of text) keep the highest-quality copy (longest, then
+    // lowest doc_id) and emit the DROP set with its kept replacement — the
+    // dedup keep-decision that preserves the best copy's metadata rather
+    // than an arbitrary row (q8 keeps min doc_id). One window over the
+    // hash partition; skew ceiling is the largest duplicate swarm.
+    "q55_canonical_keep" -> ((s, dir) => {
+      val w = Window.partitionBy(col("h"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(md5(col("text")).as("h"), col("doc_id"), col("n_chars"),
+          col("source"))
+        .withColumn("keep_id", first(col("doc_id")).over(w))
+        .where(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id").as("drop_id"), col("keep_id"), col("source"))
+        .orderBy(col("drop_id"))
     })
   )
 
@@ -1791,6 +1832,36 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
         |FROM h LEFT JOIN dup ON h.h = dup.h
         |GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "q54_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 5
+        |    THEN list_distinct([list_aggregate(toks[i:i+4], 'string_agg', ' ')
+        |                        for i in generate_series(1, len(toks)-4)])
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM d WHERE len(toks) > 0),
+        |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM u GROUP BY g)
+        |SELECT u.doc_id AS doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN u.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN u.doc_id = f.first_doc THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+        |FROM u JOIN f ON u.g = f.g
+        |GROUP BY u.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q55_canonical_keep" ->
+      """WITH h AS (SELECT md5(text) AS h, doc_id, n_chars, source FROM documents),
+        |k AS (SELECT doc_id, source,
+        |        first_value(doc_id) OVER (
+        |          PARTITION BY h ORDER BY n_chars DESC, doc_id ASC) AS keep_id
+        |      FROM h)
+        |SELECT doc_id AS drop_id, keep_id, source
+        |FROM k WHERE doc_id <> keep_id
+        |ORDER BY drop_id""".stripMargin
   )
 }

@@ -90,6 +90,40 @@ class CorpusReportSpec extends AnyFunSuite {
     else "en"
   }
 
+  test("q54 novelty credits a gram only to its minimum doc_id") {
+    def sh5(ts: Seq[String]): Seq[String] =
+      if (ts.size >= 5) ts.sliding(5).map(_.mkString(" ")).toSeq.distinct
+      else Seq(ts.mkString(" "))
+    val grams = docs.filter(d => toks(d.text).nonEmpty)
+      .map(d => d.doc_id -> sh5(toks(d.text)))
+    val firstDoc = grams.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expected = grams.map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      (id, gs.size.toLong, novel, novel * 10000 / gs.size)
+    }.toSet
+    val got = run("q54_ngram_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // doc 0 introduces its grams; the later duplicate-swarm copies (101,
+    // 102) replay doc 100's grams and score zero
+    val byId = got.map(t => t._1 -> t._4).toMap
+    assert(byId(0L) > 0 && byId(101L) == 0L && byId(102L) == 0L)
+  }
+
+  test("q55 drops every duplicate except the longest (then lowest-id) copy") {
+    val expected = docs.groupBy(d => md5hex(d.text)).toSeq.flatMap { case (_, ds) =>
+      val keep = ds.minBy(d => (-d.n_chars, d.doc_id))
+      ds.filter(_.doc_id != keep.doc_id).map(d => (d.doc_id, keep.doc_id, d.source))
+    }.toSet
+    val got = run("q55_canonical_keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected)
+    // the planted swarm (100,101,102 same text, same length): keep 100
+    assert(got.contains((101L, 100L, "book")) && got.contains((102L, 100L, "book")))
+    assert(!got.exists(_._1 == 100L))
+  }
+
   test("q51 buckets are exact bit lengths with exact counts/sums") {
     val expected = docs.groupBy(d => (d.source, d.n_chars.toBinaryString.length.toLong))
       .map { case ((src, b), ds) => (src, b, ds.size.toLong, ds.map(_.n_chars).sum) }.toSet
