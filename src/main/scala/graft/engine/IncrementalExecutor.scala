@@ -871,10 +871,33 @@ final class IncrementalExecutor(
     // skipped for never-flip specs, whose aggStateName holds additive
     // delta tiers reconstructed by groupBy-sum on read.
     val lsm = neverFlips && spec.invertible
+    // One-time state upgrade: a checkpoint written before a spec became
+    // invertible holds buffers (and possibly a visible snapshot or a
+    // distinct seen-set) but no partials tiers. The raw input buffers are
+    // the retention contract, so the partials rebuild exactly from the
+    // NETTED buffered history — one recompute at upgrade, tiered ever
+    // after. A pre-existing ABSOLUTE agg_partials state needs nothing:
+    // one absolute row per key is a valid single-tier base (groupBy-sum
+    // over it is the identity).
+    val migrated: Option[DataFrame] =
+      if (lsm && !store.has(aggStateName) &&
+        inputs.exists(i => store.has(bufferName(i.spec.queryAlias)))) Some {
+        inputs.foreach { i =>
+          val buf = store.read(bufferName(i.spec.queryAlias), i.df.schema)
+          netChangelog(buf.drop("__seq"), i.spec.vocab)
+            .createOrReplaceTempView(i.spec.queryAlias)
+        }
+        val base = partials()
+        // re-bind the slices for every later consumer of the step views
+        inputs.foreach(i =>
+          i.df.drop("__seq").createOrReplaceTempView(i.spec.queryAlias))
+        base
+      }
+      else None
     val prev =
-      if (lsm)
+      if (lsm) migrated.getOrElse(
         sumTiers(store.read(aggStateName, sliceAgg.schema), keys,
-          touched = Some(sliceAgg))
+          touched = Some(sliceAgg)))
       else store.read(
         if (needsAux) aggStateName else snapshotName, sliceAgg.schema)
     val keyEq =
@@ -942,8 +965,11 @@ final class IncrementalExecutor(
       // sliceAgg IS this run's signed additive delta: append it as a tier.
       // Dead groups net to zero across tiers (zero rows are the additive
       // identity, so rebirth-from-zero ≡ rebirth-from-absent for every
-      // consumer) and are swept at compaction. O(slice) write per run.
-      store.appendCarry(aggStateName, sliceAgg, sliceAgg,
+      // consumer) and are swept at compaction. O(slice) write per run. On
+      // an upgrade run the rebuilt base seeds the first tier (appendCarry
+      // writes `full` when the prior state is absent).
+      store.appendCarry(aggStateName, sliceAgg,
+        migrated.map(_.unionByName(sliceAgg)).getOrElse(sliceAgg),
         compact = Some(df => {
           val m = sumTiers(df, keys)
           if (keys.nonEmpty) m.where(col(PlanClassifier.RowCountCol) =!= 0)

@@ -50,6 +50,10 @@ final class StateStore(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** Whether the previous checkpoint holds a state under `name`. */
+  def has(name: String): Boolean =
+    prevDir.exists(d => Files.exists(Paths.get(d, name)))
+
   /** Persist a named state DataFrame into the new checkpoint. State stays
     * partitioned — no coalesce — so multi-GB buffers scale out.
     */

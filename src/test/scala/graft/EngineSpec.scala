@@ -1038,6 +1038,60 @@ class EngineSpec extends AnyFunSuite {
     assert(o4 == Seq(("A", Op.Append, 1L, 7L, 7.0)))
   }
 
+  test("invertible aggregate state rebuilds from buffers when tiers are absent") {
+    import spark.implicits._
+    val dir = tmp()
+    // Simulates resuming a checkpoint written before the spec became
+    // invertible (buffers + visible snapshot, no agg_partials tiers): the
+    // partials rebuild from the NETTED buffered history in one pass and
+    // seed the first tier; the run's emissions are identical to an
+    // undisturbed chain.
+    val q = """SELECT event_time, symbol, count(*) as n, sum(price) as total,
+              |  avg(price) as mean
+              |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    def drive(run: Int, rows: Seq[Ticker], nextOff: Long): Seq[(String, Int, Long, Long, Double)] = {
+      val in = s"$dir/in$run.parquet"
+      writeSlice(rows, in)
+      runT(TransformRequest(
+        "did:out", "out", ts(run + 10), DatasetVocabulary(),
+        transform(None -> q),
+        Vector(mkInput("tickers", in, in, rows.length,
+          startOffset = rows.head.offset, wms = Seq(ts(run)))),
+        nextOffset = nextOff,
+        prevCheckpointPath = if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+        newCheckpointPath = s"$dir/cp$run", newDataPath = s"$dir/out$run.parquet"))
+      readOut(s"$dir/out$run.parquet").orderBy("offset").collect().toSeq
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"),
+          r.getAs[Long]("n"), r.getAs[Long]("total"), r.getAs[Double]("mean")))
+    }
+    drive(1, Seq(
+      Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, Op.Append, t(ts(1)), t(ts(1)), "A", 4),
+      Ticker(2, Op.Append, t(ts(1)), t(ts(1)), "B", 20)), 0)
+    // wipe the tier state — only the raw buffers survive the "upgrade"
+    val tiers = java.nio.file.Paths.get(s"$dir/cp1/agg_partials")
+    java.nio.file.Files.walk(tiers)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    assert(!java.nio.file.Files.exists(tiers))
+
+    // run 2 must behave exactly like the undisturbed chain's run 2
+    val o2 = drive(2, Seq(
+      Ticker(3, Op.Retract, t(ts(2)), t(ts(1)), "A", 4),
+      Ticker(4, Op.Append, t(ts(2)), t(ts(1)), "B", 5)), 2)
+    assert(o2 == Seq(
+      ("A", Op.CorrectFrom, 2L, 14L, 7.0), ("A", Op.CorrectTo, 1L, 10L, 10.0),
+      ("B", Op.CorrectFrom, 1L, 20L, 20.0), ("B", Op.CorrectTo, 2L, 25L, 12.5)))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/cp2/agg_partials")),
+      "migration did not seed the tier state")
+    // and run 3 continues incrementally on the rebuilt tiers
+    val o3 = drive(3, Seq(
+      Ticker(5, Op.Append, t(ts(3)), t(ts(1)), "A", 2)), 6)
+    assert(o3 == Seq(
+      ("A", Op.CorrectFrom, 1L, 10L, 10.0), ("A", Op.CorrectTo, 2L, 12L, 6.0)))
+  }
+
   test("invertible aggregate: a sum retracted down to NULL contributions reads NULL") {
     import spark.implicits._
     val dir = tmp()
