@@ -254,15 +254,23 @@ final class IncrementalExecutor(
     if (seen) Some(alias) else None
   }.toSet
 
-  /** True when any step's plan explicitly references an input's operation
-    * column by name. Such chains see different op values under the signed
-    * slice split (retraction rows keep op=1/2) than under net-and-recompute
-    * (which rewrites survivors to op=0), so they are excluded from the
-    * retraction-riding merge path. A bare `*` is fine: it forwards the
-    * column without the aggregate reading it.
+  /** True when any step's plan explicitly references a column EXCLUDED
+    * from [[netChangelog]]'s netting identity: an input's operation column,
+    * or its offset / system-time columns. Such chains see different values
+    * under the signed slice split (retraction rows keep op=1/2 and their
+    * own arrival offsets/system times) than under net-and-recompute (which
+    * rewrites survivors to op=0 and keeps min() offset/system-time
+    * representatives) — e.g. `sum(offset)` or `GROUP BY system_time` would
+    * silently diverge between the two paths under retractions (round-6
+    * ADVICE #3) — so they are excluded from the retraction-riding merge
+    * path. A bare `*` is fine: it forwards the columns without the
+    * aggregate reading them.
     */
   private lazy val stepsReferenceOp: Boolean = {
-    val opNames = inputs.map(_.spec.vocab.operationTypeColumn).toSet
+    val opNames = inputs.flatMap(i => Seq(
+      i.spec.vocab.operationTypeColumn,
+      i.spec.vocab.offsetColumn,
+      i.spec.vocab.systemTimeColumn)).toSet
     steps.exists { case (_, rw) =>
       spark.sessionState.sqlParser.parsePlan(rw.sql).collectFirst {
         case p if p.expressions.exists(_.collectFirst {
@@ -876,11 +884,21 @@ final class IncrementalExecutor(
     // distinct seen-set) but no partials tiers. The raw input buffers are
     // the retention contract, so the partials rebuild exactly from the
     // NETTED buffered history — one recompute at upgrade, tiered ever
-    // after. A pre-existing ABSOLUTE agg_partials state needs nothing:
+    // after. A pre-existing ABSOLUTE agg_partials state needs nothing
+    // PROVIDED it carries every partial column the tier algebra reads:
     // one absolute row per key is a valid single-tier base (groupBy-sum
-    // over it is the identity).
+    // over it is the identity). A checkpoint written before the spec
+    // became invertible (e.g. a join-free avg/HAVING chain) has
+    // agg_partials WITHOUT the hidden row-count / per-sum non-null-count
+    // columns; store.read would schema-project those to NULL and
+    // sumTiers' row-count filter would silently drop every prior group —
+    // so the gate inspects the ACTUAL file schema, and any missing
+    // partial column forces the same buffers rebuild as an absent tier
+    // directory.
+    val storedTiersUsable = store.fileSchema(aggStateName).forall(s =>
+      sliceAgg.schema.fieldNames.forall(s.fieldNames.contains))
     val migrated: Option[DataFrame] =
-      if (lsm && !store.has(aggStateName) &&
+      if (lsm && !(store.has(aggStateName) && storedTiersUsable) &&
         inputs.exists(i => store.has(bufferName(i.spec.queryAlias)))) Some {
         inputs.foreach { i =>
           val buf = store.read(bufferName(i.spec.queryAlias), i.df.schema)
@@ -894,6 +912,15 @@ final class IncrementalExecutor(
         base
       }
       else None
+    // No rebuild source AND unusable tiers: halting is the only honest
+    // move — NULL-projected tiers would silently reset every group's
+    // history to this run's slice.
+    if (lsm && migrated.isEmpty && store.has(aggStateName) &&
+      !storedTiersUsable)
+      throw new IllegalStateException(
+        s"checkpoint state '$aggStateName' predates the invertible " +
+          "partials schema and no input buffers exist to rebuild it; " +
+          "resuming would silently drop all prior groups")
     val prev =
       if (lsm) migrated.getOrElse(
         sumTiers(store.read(aggStateName, sliceAgg.schema), keys,
@@ -965,16 +992,23 @@ final class IncrementalExecutor(
       // sliceAgg IS this run's signed additive delta: append it as a tier.
       // Dead groups net to zero across tiers (zero rows are the additive
       // identity, so rebirth-from-zero ≡ rebirth-from-absent for every
-      // consumer) and are swept at compaction. O(slice) write per run. On
-      // an upgrade run the rebuilt base seeds the first tier (appendCarry
-      // writes `full` when the prior state is absent).
-      store.appendCarry(aggStateName, sliceAgg,
-        migrated.map(_.unionByName(sliceAgg)).getOrElse(sliceAgg),
-        compact = Some(df => {
-          val m = sumTiers(df, keys)
-          if (keys.nonEmpty) m.where(col(PlanClassifier.RowCountCol) =!= 0)
-          else m
-        }))
+      // consumer) and are swept at compaction. O(slice) write per run.
+      migrated match {
+        case Some(base) =>
+          // Upgrade run: the rebuilt base + this run's delta become the
+          // state via a plain full write — NOT appendCarry, which would
+          // hard-link a schema-incompatible pre-invertible agg_partials
+          // directory forward alongside the new tiers (its rows would
+          // then NULL-project and vanish on every later read).
+          store.write(aggStateName, base.unionByName(sliceAgg))
+        case None =>
+          store.appendCarry(aggStateName, sliceAgg, sliceAgg,
+            compact = Some(df => {
+              val m = sumTiers(df, keys)
+              if (keys.nonEmpty) m.where(col(PlanClassifier.RowCountCol) =!= 0)
+              else m
+            }))
+      }
     } else {
       val newState = untouched.unionByName(mergedAlive)
       if (needsAux) {

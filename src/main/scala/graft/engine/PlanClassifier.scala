@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedStar}
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, YearMonthIntervalType}
@@ -737,6 +737,19 @@ object PlanClassifier {
     * ([[DistinctDelta]] remains the path for DISTINCT over an inner join,
     * where the delta terms need the join decomposition.)
     */
+  /** Output name of a parsed project-list entry, or None when it has no
+    * stable name at parse time. An unaliased expression parses as
+    * UnresolvedAlias whose `.name` THROWS (UnresolvedException — a
+    * SparkException in Spark 4.1, not AnalysisException), so e.g.
+    * `SELECT DISTINCT upper(symbol) FROM t` must fall back to the
+    * recompute path, not die in classification (round-6 ADVICE #2).
+    */
+  private def parsedName(ne: NamedExpression): Option[String] = ne match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last)
+    case a: Alias               => Some(a.name)
+    case _                      => None
+  }
+
   private def extractDistinctMerge(
       spark: SparkSession,
       steps: Seq[(Option[String], SqlRewriter.Rewritten)],
@@ -768,10 +781,9 @@ object PlanClassifier {
       case dst: Distinct =>
         dst.child match {
           case p: Project if starFree(p) =>
-            val names = p.projectList.map {
-              case a: UnresolvedAttribute => a.nameParts.last
-              case ne                     => ne.name
-            }
+            val maybeNames = p.projectList.map(parsedName)
+            if (maybeNames.contains(None)) return None
+            val names = maybeNames.flatten
             if (names.distinct.size != names.size) return None
             // group by the UNDERLYING expressions (grouping on an alias is
             // not a thing); project the named forms plus the row count
@@ -801,10 +813,9 @@ object PlanClassifier {
               case s: SubqueryAlias => s.child
               case other            => other
             }).asInstanceOf[Project]
-            val names = first.projectList.map {
-              case a: UnresolvedAttribute => a.nameParts.last
-              case ne                     => ne.name
-            }
+            val maybeNames = first.projectList.map(parsedName)
+            if (maybeNames.contains(None)) return None
+            val names = maybeNames.flatten
             if (names.distinct.size != names.size) return None
             val refcount = Aggregate(
               names.map(n => UnresolvedAttribute(Seq(n)): Expression),
@@ -884,15 +895,20 @@ object PlanClassifier {
     (proj(left), proj(right)) match {
       case (Some(lp), Some(rp))
           if lp.projectList.length == rp.projectList.length =>
-        val names = lp.projectList.map {
-          case a: UnresolvedAttribute => a.nameParts.last
-          case ne                     => ne.name
-        }
+        val maybeNames = lp.projectList.map(parsedName)
+        if (maybeNames.contains(None)) return None
+        val names = maybeNames.flatten
         if (names.distinct.size != names.size) return None
         // canonicalize both branches to the left names + a side marker
         def tagged(pr: Project, side: Int): LogicalPlan =
           Project(pr.projectList.zip(names).map { case (ne, n) =>
-            Alias(ne match { case Alias(e, _) => e; case other => other }, n)()
+            Alias(ne match {
+              case Alias(e, _)         => e
+              // right branch may carry unaliased exprs even when the left
+              // names resolved — unwrap, don't nest the UnresolvedAlias
+              case u: UnresolvedAlias  => u.child
+              case other               => other
+            }, n)()
           } :+ Alias(Literal(side), SideMarkCol)(), pr.child)
         def sideCount(side: Int, name: String): NamedExpression = Alias(
           UnresolvedFunction(Seq("count"), Seq(CaseWhen(

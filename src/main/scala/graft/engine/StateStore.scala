@@ -54,6 +54,18 @@ final class StateStore(
   def has(name: String): Boolean =
     prevDir.exists(d => Files.exists(Paths.get(d, name)))
 
+  /** The ACTUAL on-disk schema of a stored state (None when absent).
+    * [[read]] schema-projects missing columns to NULL, which is the right
+    * tolerance for additive column evolution but silently fabricates NULLs
+    * when a consumer REQUIRES a column an older checkpoint never wrote —
+    * callers that key their algebra on such a column must inspect the file
+    * schema and rebuild/migrate instead of trusting the projection.
+    */
+  def fileSchema(name: String): Option[StructType] =
+    prevDir.map(d => s"$d/$name")
+      .filter(p => Files.exists(Paths.get(p)))
+      .map(p => spark.read.parquet(p).schema)
+
   /** Persist a named state DataFrame into the new checkpoint. State stays
     * partitioned — no coalesce — so multi-GB buffers scale out.
     */

@@ -1092,6 +1092,114 @@ class EngineSpec extends AnyFunSuite {
       ("A", Op.CorrectFrom, 1L, 10L, 10.0), ("A", Op.CorrectTo, 2L, 12L, 6.0)))
   }
 
+  test("chains reading offset/system-time columns leave the signed merge path") {
+    import spark.implicits._
+    val dir = tmp()
+    // sum(offset) reads a column EXCLUDED from the netting identity:
+    // retractions arrive at their own offsets, and netting keeps min()
+    // representatives — so the signed split (which would subtract the
+    // RETRACT row's arrival offset, here 3, instead of removing the
+    // original append's offset 1) must not run (round-6 ADVICE #3). The
+    // semantics of record are net-and-recompute's.
+    val q = """SELECT event_time, symbol, count(*) as n, sum(offset) as so
+              |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    def drive(run: Int, rows: Seq[Ticker], nextOff: Long): Seq[(String, Int, Long, Long)] = {
+      val in = s"$dir/in$run.parquet"
+      writeSlice(rows, in)
+      runT(TransformRequest(
+        "did:out", "out", ts(run + 10), DatasetVocabulary(),
+        transform(None -> q),
+        Vector(mkInput("tickers", in, in, rows.length,
+          startOffset = rows.head.offset, wms = Seq(ts(run)))),
+        nextOffset = nextOff,
+        prevCheckpointPath = if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+        newCheckpointPath = s"$dir/cp$run", newDataPath = s"$dir/out$run.parquet"))
+      readOut(s"$dir/out$run.parquet").orderBy("offset").collect().toSeq
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"),
+          r.getAs[Long]("n"), r.getAs[Long]("so")))
+    }
+    val o1 = drive(1, Seq(
+      Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, Op.Append, t(ts(1)), t(ts(1)), "A", 4),
+      Ticker(2, Op.Append, t(ts(1)), t(ts(1)), "B", 20)), 0)
+    assert(o1 == Seq(("A", Op.Append, 2L, 1L), ("B", Op.Append, 1L, 2L)))
+    // retract A@4: net-and-recompute drops the offset-1 append, so A's
+    // sum(offset) becomes 0 — a signed merge would have produced 1-3 = -2
+    val o2 = drive(2, Seq(
+      Ticker(3, Op.Retract, t(ts(2)), t(ts(1)), "A", 4)), 3)
+    assert(o2 == Seq(
+      ("A", Op.CorrectFrom, 2L, 1L), ("A", Op.CorrectTo, 1L, 0L)))
+  }
+
+  test("invertible aggregate rebuilds when stored partials lack the hidden columns") {
+    import spark.implicits._
+    val dir = tmp()
+    // Simulates an avg/HAVING checkpoint written before the spec became
+    // invertible: agg_partials EXISTS on disk but without the hidden
+    // __rc / __nc_* partials the tier algebra requires. Schema-projecting
+    // those to NULL would silently drop every prior group (round-6
+    // ADVICE #1); the engine must instead detect the file-schema gap and
+    // rebuild from the netted buffers, then write FRESH state (not carry
+    // the stale files forward).
+    val q = """SELECT event_time, symbol, count(*) as n, sum(price) as total,
+              |  avg(price) as mean
+              |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    def drive(run: Int, rows: Seq[Ticker], nextOff: Long): Seq[(String, Int, Long, Long, Double)] = {
+      val in = s"$dir/in$run.parquet"
+      writeSlice(rows, in)
+      runT(TransformRequest(
+        "did:out", "out", ts(run + 10), DatasetVocabulary(),
+        transform(None -> q),
+        Vector(mkInput("tickers", in, in, rows.length,
+          startOffset = rows.head.offset, wms = Seq(ts(run)))),
+        nextOffset = nextOff,
+        prevCheckpointPath = if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+        newCheckpointPath = s"$dir/cp$run", newDataPath = s"$dir/out$run.parquet"))
+      readOut(s"$dir/out$run.parquet").orderBy("offset").collect().toSeq
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"),
+          r.getAs[Long]("n"), r.getAs[Long]("total"), r.getAs[Double]("mean")))
+    }
+    drive(1, Seq(
+      Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, Op.Append, t(ts(1)), t(ts(1)), "A", 4),
+      Ticker(2, Op.Append, t(ts(1)), t(ts(1)), "B", 20)), 0)
+    // Rewrite the tier state WITHOUT the hidden invertible columns — the
+    // exact shape a pre-upgrade needsAux checkpoint holds.
+    val tiersPath = s"$dir/cp1/agg_partials"
+    val stored = spark.read.parquet(tiersPath)
+    val legacyCols = stored.columns.filterNot(c =>
+      c == graft.engine.PlanClassifier.RowCountCol || c.startsWith("__nc_"))
+    assert(legacyCols.length < stored.columns.length,
+      "fixture expected hidden columns to strip")
+    val legacy = stored.select(legacyCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*).collect()
+    val legacyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(legacy.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(
+        stored.schema.fields.filter(f => legacyCols.contains(f.name))))
+    legacyDf.write.mode("overwrite").parquet(tiersPath)
+
+    // run 2 must behave exactly like an undisturbed chain's run 2 — the
+    // retraction exercises the subtraction against the REBUILT history
+    val o2 = drive(2, Seq(
+      Ticker(3, Op.Retract, t(ts(2)), t(ts(1)), "A", 4),
+      Ticker(4, Op.Append, t(ts(2)), t(ts(1)), "B", 5)), 2)
+    assert(o2 == Seq(
+      ("A", Op.CorrectFrom, 2L, 14L, 7.0), ("A", Op.CorrectTo, 1L, 10L, 10.0),
+      ("B", Op.CorrectFrom, 1L, 20L, 20.0), ("B", Op.CorrectTo, 2L, 25L, 12.5)))
+    // the NEW checkpoint's tiers must be fully usable (no stale legacy
+    // files carried forward)
+    val cp2 = spark.read.parquet(s"$dir/cp2/agg_partials")
+    assert(cp2.columns.contains(graft.engine.PlanClassifier.RowCountCol))
+    assert(!cp2.where(org.apache.spark.sql.functions
+      .col(graft.engine.PlanClassifier.RowCountCol).isNull).head(1).nonEmpty,
+      "stale legacy tier rows were carried into the upgraded state")
+    // run 3 continues incrementally on the upgraded tiers
+    val o3 = drive(3, Seq(
+      Ticker(5, Op.Append, t(ts(3)), t(ts(1)), "A", 2)), 6)
+    assert(o3 == Seq(
+      ("A", Op.CorrectFrom, 1L, 10L, 10.0), ("A", Op.CorrectTo, 2L, 12L, 6.0)))
+  }
+
   test("invertible aggregate: a sum retracted down to NULL contributions reads NULL") {
     import spark.implicits._
     val dir = tmp()

@@ -665,6 +665,25 @@ class PlanClassifierSpec extends AnyFunSuite {
     assert(am("SELECT DISTINCT x FROM (SELECT symbol AS x FROM t LIMIT 5) v").isEmpty)
   }
 
+  test("unaliased DISTINCT/set-op expressions fall back to recompute, not error") {
+    // an unaliased expression parses as UnresolvedAlias whose .name throws
+    // (a SparkException in Spark 4.1) — classification must not call it
+    // (round-6 ADVICE #2); the shape stays a valid recompute changelog
+    def am(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].aggMerge
+    assert(am("SELECT DISTINCT upper(symbol) FROM t").isEmpty)
+    // names resolve from the FIRST branch; a later branch's unaliased
+    // exprs are fine (positional union resolution)
+    assert(am(
+      "SELECT symbol FROM a UNION SELECT upper(symbol) FROM b").exists(
+      _.keys == Seq("symbol")))
+    assert(am(
+      "SELECT upper(symbol) FROM a INTERSECT SELECT symbol FROM b").isEmpty)
+    assert(am(
+      "SELECT symbol FROM a EXCEPT SELECT upper(symbol) FROM b").exists(
+      _.keys == Seq("symbol")),
+      "right-branch unaliased exprs are unwrapped, left names drive the spec")
+  }
+
   test("distinct-delta spec is withheld for non-append-only shapes") {
     def dd(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].distinctDelta
     // LIMIT above: emitted rows can be displaced later
