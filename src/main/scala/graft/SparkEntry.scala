@@ -20,6 +20,43 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** The synthetic corpus has (almost) no natural exact duplicates — sf0.01
+    * has zero — so the exact-dedup keep/drop queries (q8/q55) would pass
+    * vacuously on an all-singleton input. Like q34's planted PII, each doc
+    * with doc_id % 100 < 3 gets two deterministically planted mirror copies
+    * (same text ⇒ same md5 cluster; ids offset above the natural range; for
+    * even seeds both copies share n_chars+1 to exercise the lowest-id
+    * tiebreak, for odd seeds n_chars+c so the longest copy wins). The same
+    * construction runs in the DuckDB oracle.
+    */
+  private def withDupSwarms(docs: DataFrame): DataFrame = {
+    val copies = docs
+      .where(col("doc_id") % 100 < 3)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("c", explode(array(lit(1L), lit(2L))))
+      .select(
+        (lit(1000000L) + col("doc_id") * 10 + col("c")).as("doc_id"),
+        col("text"),
+        when(col("doc_id") % 2 === 0, col("n_chars") + 1)
+          .otherwise(col("n_chars") + col("c")).as("n_chars"),
+        lit("mirror").as("source"))
+    docs.select("doc_id", "text", "n_chars", "source").unionByName(copies)
+  }
+
+  /** DuckDB spelling of [[withDupSwarms]] as a WITH-clause body producing a
+    * `corpus` relation — prepended to q8/q55's oracle SQL. */
+  private val dupSwarmCte: String =
+    """WITH copies AS (
+      |  SELECT 1000000 + s.doc_id * 10 + c.c AS doc_id, s.text,
+      |    CASE WHEN s.doc_id % 2 = 0 THEN s.n_chars + 1
+      |         ELSE s.n_chars + c.c END AS n_chars,
+      |    'mirror' AS source
+      |  FROM documents s CROSS JOIN (VALUES (1), (2)) AS c(c)
+      |  WHERE s.doc_id % 100 < 3),
+      |corpus AS (
+      |  SELECT doc_id, text, n_chars, source FROM documents
+      |  UNION ALL SELECT doc_id, text, n_chars, source FROM copies)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Projection + filter + grouped aggregation (TPC-H Q1 shape).
     // Reference surface: EngineMapTest/EngineAggregationTest map+agg queries.
@@ -125,9 +162,10 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
-    // ── Exact deduplication by content hash over the documents table.
+    // ── Exact deduplication by content hash over the documents table
+    // (+ planted duplicate swarms so the drop path is non-vacuous).
     "q8_dedup_exact" -> ((s, dir) => {
-      t(s, dir, "documents")
+      withDupSwarms(t(s, dir, "documents"))
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(
           min(col("doc_id")).as("keep_id"),
@@ -903,7 +941,7 @@ object SparkEntry {
     "q55_canonical_keep" -> ((s, dir) => {
       val w = Window.partitionBy(col("h"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)
-      t(s, dir, "documents")
+      withDupSwarms(t(s, dir, "documents"))
         .select(md5(col("text")).as("h"), col("doc_id"), col("n_chars"),
           col("source"))
         .withColumn("keep_id", first(col("doc_id")).over(w))
@@ -980,12 +1018,13 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "q8_dedup_exact" ->
-      """SELECT md5(text) AS content_hash,
-        |  MIN(doc_id) AS keep_id,
-        |  COUNT(*) AS n_copies
-        |FROM documents
-        |GROUP BY 1
-        |ORDER BY 1""".stripMargin,
+      (dupSwarmCte + "\n" +
+        """SELECT md5(text) AS content_hash,
+          |  MIN(doc_id) AS keep_id,
+          |  COUNT(*) AS n_copies
+          |FROM corpus
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin),
 
     "q5_asof_join" ->
       """SELECT p.event_id,
@@ -1861,13 +1900,14 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q55_canonical_keep" ->
-      """WITH h AS (SELECT md5(text) AS h, doc_id, n_chars, source FROM documents),
-        |k AS (SELECT doc_id, source,
-        |        first_value(doc_id) OVER (
-        |          PARTITION BY h ORDER BY n_chars DESC, doc_id ASC) AS keep_id
-        |      FROM h)
-        |SELECT doc_id AS drop_id, keep_id, source
-        |FROM k WHERE doc_id <> keep_id
-        |ORDER BY drop_id""".stripMargin
+      (dupSwarmCte + ",\n" +
+        """h AS (SELECT md5(text) AS h, doc_id, n_chars, source FROM corpus),
+          |k AS (SELECT doc_id, source,
+          |        first_value(doc_id) OVER (
+          |          PARTITION BY h ORDER BY n_chars DESC, doc_id ASC) AS keep_id
+          |      FROM h)
+          |SELECT doc_id AS drop_id, keep_id, source
+          |FROM k WHERE doc_id <> keep_id
+          |ORDER BY drop_id""".stripMargin)
   )
 }

@@ -112,16 +112,34 @@ class CorpusReportSpec extends AnyFunSuite {
   }
 
   test("q55 drops every duplicate except the longest (then lowest-id) copy") {
-    val expected = docs.groupBy(d => md5hex(d.text)).toSeq.flatMap { case (_, ds) =>
+    // scalar mirror of SparkEntry.withDupSwarms: seeds doc_id % 100 < 3
+    // each spawn two mirror copies (even seed: both n_chars+1 — an exact
+    // tie exercising the lowest-id tiebreak; odd seed: n_chars+1, +2 — the
+    // longest copy wins outright)
+    val planted = docs.filter(_.doc_id % 100 < 3).flatMap { d =>
+      Seq(1L, 2L).map { c =>
+        val n = if (d.doc_id % 2 == 0) d.n_chars + 1 else d.n_chars + c
+        Doc(1000000L + d.doc_id * 10 + c, d.text, d.lang, "mirror", n)
+      }
+    }
+    val corpus = docs ++ planted
+    val expected = corpus.groupBy(d => md5hex(d.text)).toSeq.flatMap { case (_, ds) =>
       val keep = ds.minBy(d => (-d.n_chars, d.doc_id))
       ds.filter(_.doc_id != keep.doc_id).map(d => (d.doc_id, keep.doc_id, d.source))
     }.toSet
     val got = run("q55_canonical_keep").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got == expected)
-    // the planted swarm (100,101,102 same text, same length): keep 100
-    assert(got.contains((101L, 100L, "book")) && got.contains((102L, 100L, "book")))
-    assert(!got.exists(_._1 == 100L))
+    // even seed 0: tied planted copies — lowest planted id wins, natural drops
+    assert(got.contains((0L, 1000001L, "web")) && got.contains((1000002L, 1000001L, "mirror")))
+    // odd seed 1: the n+2 copy is the unique longest
+    assert(got.contains((1L, 1000012L, "web")) && got.contains((1000011L, 1000012L, "mirror")))
+    // the natural swarm (100,101,102 same text) merges with its seeds'
+    // planted copies: seed 101's n+2 copy is the cluster's unique longest
+    assert(got.contains((100L, 1001012L, "web")) &&
+      got.contains((101L, 1001012L, "book")) &&
+      got.contains((102L, 1001012L, "book")))
+    assert(!got.exists(_._1 == 1001012L))
   }
 
   test("q51 buckets are exact bit lengths with exact counts/sums") {
