@@ -85,6 +85,11 @@ final class IncrementalExecutor(
   private val asOf = steps.flatMap(_._2.asOf).headOption
   private val mode = PlanClassifier.classify(spark, steps)
 
+  /** Streaming-servable Top-N shape, when the chain has one (evaluated
+    * only under streamingMode). */
+  private lazy val streamTopN: Option[PlanClassifier.StreamTopN] =
+    PlanClassifier.extractStreamTopN(spark, steps)
+
   /** The emitted event-time column is a window END (aliased from
     * TUMBLE_END), so gating uses its value directly instead of adding one
     * window duration — conflating the two would prune buffers one full
@@ -108,10 +113,19 @@ final class IncrementalExecutor(
       // AnalysisException as InvalidQuery — never a silently different
       // result.
       case _: PlanClassifier.Mode.Windowed => ()
+      // As-of joins run the join itself through the streaming operator
+      // (flatMapGroupsWithState hold-back); Top-N changelogs replay the
+      // stored snapshot as seed state and process the slice as one
+      // micro-batch — both keep the engine's explicit watermark algebra
+      // and are byte-identical to batch execution.
+      case PlanClassifier.Mode.AsOfJoin | PlanClassifier.Mode.AsOfWindowed => ()
+      case d: PlanClassifier.Mode.SnapshotDiff
+          if d.rankTouch.isDefined && streamTopN.isDefined => ()
       case _ =>
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
-            "stateless, tumbling-window, and interval-join transforms only")
+            "stateless, tumbling-window, interval-join, as-of join, and " +
+            "single-partition-column Top-N transforms only")
     }
     runMode()
   }
@@ -121,6 +135,10 @@ final class IncrementalExecutor(
     case PlanClassifier.Mode.AsOfJoin        => runAsOf(windowed = false)
     case PlanClassifier.Mode.AsOfWindowed    => runAsOf(windowed = true)
     case w: PlanClassifier.Mode.Windowed     => runWindowed(w.upperMillis)
+    case d: PlanClassifier.Mode.SnapshotDiff if streamingMode =>
+      runTopNStreaming(streamTopN.getOrElse(throw new InvalidQueryException(
+        "streaming execution mode cannot serve this updating shape")),
+        d.keys)
     case d: PlanClassifier.Mode.SnapshotDiff =>
       // min/max are not invertible and an inner join is only monotone over
       // appends, so both fast paths require inputs with no retraction ever
@@ -345,6 +363,205 @@ final class IncrementalExecutor(
     else TransformEngine.emptyDf(spark, schema)
   }
 
+  /** Stage a batch frame to a temp parquet dir and open a file-stream
+    * source over it (the streaming faces' input contract). */
+  private def stagedStream(df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(df.schema).parquet(dir)
+  }
+
+  /** A non-null literal of the key's type for sentinel rows. Collision
+    * with a real key value is harmless: a sentinel build version sits at a
+    * future timestamp no probe can reach, and sentinel probes are filtered
+    * from the output by their marker column. */
+  private def sentinelLit(dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType                                    => lit(" __sentinel")
+      case _: NumericType                                => lit(0).cast(dt)
+      case TimestampType | TimestampNTZType | DateType   =>
+        lit("1970-01-01 00:00:00").cast(dt)
+      case BooleanType                                   => lit(false)
+      case other => throw new InvalidQueryException(
+        s"as-of join key type $other is not supported under streaming " +
+          "execution mode")
+    }
+  }
+
+  /** Streaming face of the as-of join: the engine's already-gated eligible
+    * probes and full version store become file-stream sources joined via
+    * [[graft.streaming.StreamingAsOf]]. Every eligible probe has
+    * probeTime <= the build watermark, so one sentinel row at
+    * buildWm + 1 day on EACH branch lifts both branch watermarks past
+    * every probe and every pending-probe timeout — the AvailableNow final
+    * no-data batch then releases the whole eligible set, making the
+    * operator's hold-back rule coincide with the engine's explicit
+    * eligibility gate. NULL-key rows are pre-filtered (SQL equi-join
+    * semantics: they can never match, and inner semantics drop the
+    * unmatched probes downstream either way).
+    */
+  private def streamingAsOfJoin(
+      eligible: DataFrame,
+      buildRenamed: DataFrame,
+      probeKey: String,
+      probeTimeCol: String,
+      buildTimeCol: String,
+      buildCols: Seq[(String, String)],
+      buildWm: Option[Instant]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val outSchema = StructType(
+      eligible.schema.fields ++ buildCols.map { case (b, out) =>
+        StructField(out, buildRenamed.schema(b).dataType) })
+    val wm = buildWm match {
+      case Some(w) => w
+      case None    => return TransformEngine.emptyDf(spark, outSchema)
+    }
+    val probeIn = eligible.where(col(probeKey).isNotNull)
+    if (probeIn.isEmpty) return TransformEngine.emptyDf(spark, outSchema)
+    val sentTs =
+      lit(SqlRewriter.tsLiteral(wm.plusSeconds(86400))).cast("timestamp")
+    val sentKey = sentinelLit(eligible.schema(probeKey).dataType)
+    val sent = "__sent"
+    def sentinelRow(schema: StructType, timeCol: String): DataFrame =
+      spark.range(1).select(schema.fields.map { f =>
+        (f.name match {
+          case `probeKey` => sentKey
+          case `timeCol`  => sentTs
+          case `sent`     => lit(true)
+          case "__seq"    => lit(0L)
+          case _          => lit(null)
+        }).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    val pWith = probeIn.withColumn(sent, lit(false))
+    val bWith = buildRenamed.where(col(probeKey).isNotNull)
+      .withColumn(sent, lit(false))
+    val probeS = stagedStream(
+      pWith.unionByName(sentinelRow(pWith.schema, probeTimeCol)))
+    val buildS = stagedStream(
+      bWith.unionByName(sentinelRow(bWith.schema, buildTimeCol)))
+    val joined = graft.streaming.StreamingAsOf.leftAsOf(
+      spark, probeS, buildS, probeKey, probeTimeCol, buildTimeCol,
+      buildCols, delay = "0 seconds", buildSeqCol = Some("__seq"))
+    materializeStreaming(joined, complete = false)
+      .where(!col(sent)).drop(sent)
+  }
+
+  /** Drive [[graft.streaming.StreamingTopN]] through two AvailableNow
+    * rounds sharing one checkpoint: round 1 ingests the seed frame (its
+    * emissions — rebuilding the previous state — are discarded), round 2
+    * ingests the slice as a single micro-batch, whose emissions are
+    * exactly the prev→new rank transition changelog.
+    */
+  private def twoPhaseTopN(
+      seed: DataFrame,
+      slice: DataFrame,
+      tn: PlanClassifier.StreamTopN): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-topn-src").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-topn-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-topn-out").toString
+    val schema = seed.schema
+    def round(sink: (DataFrame, Long) => Unit): Unit = {
+      val q = graft.streaming.StreamingTopN.topN(spark,
+        spark.readStream.schema(schema).parquet(src),
+        tn.partCol, tn.ordCol, tn.tieCol, tn.n)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch(sink)
+        .start()
+      q.awaitTermination()
+    }
+    seed.write.mode("overwrite").parquet(src)
+    // the seed batch must still EXECUTE (state stores only commit when the
+    // stateful operator runs) — count() forces it, emissions discarded
+    round((b, _) => { b.count(); () })
+    slice.write.mode("append").parquet(src)
+    round((b, _) => b.write.mode("append").parquet(out))
+    val outSchema = StructType(schema.fields :+
+      StructField("rank", LongType) :+ StructField("op", IntegerType))
+    val hasParts = Option(new java.io.File(out).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasParts) spark.read.schema(outSchema).parquet(out)
+    else TransformEngine.emptyDf(spark, outSchema)
+  }
+
+  /** Streaming face of the partitioned Top-N changelog: the stored visible
+    * snapshot seeds the per-key state of
+    * [[graft.streaming.StreamingTopN]], then the slice (projected to the
+    * output shape) runs as one micro-batch whose emissions are the
+    * engine's per-run changelog — identical to the batch snapshot diff
+    * keyed on (partition, rank), because with append-only inputs the new
+    * top-N is always contained in (old top-N ∪ slice). Per-run cost is
+    * O(state + slice): the replay reads the kept top-N rows, never the
+    * raw history. Buffers are still appended exactly as in batch, so
+    * batch and streaming runs interleave on one checkpoint (the first
+    * retraction must flip the chain to the batch engine — rejected here).
+    */
+  private def runTopNStreaming(
+      tn: PlanClassifier.StreamTopN,
+      keys: Option[Seq[String]]): ExecResult = {
+    if (retractiveNow.nonEmpty)
+      throw new InvalidQueryException(
+        "streaming execution mode does not support Top-N over inputs that " +
+          "have carried retractions — use the batch engine")
+    val in = byAlias(tn.input).getOrElse(throw new InvalidQueryException(
+      s"unknown input '${tn.input}'"))
+    in.df.drop("__seq").createOrReplaceTempView(tn.input)
+    val visibleSchema = spark.sql(steps(outputIdx)._2.sql).schema
+    if (visibleSchema.fieldNames.contains(vocab.operationTypeColumn))
+      throw new InvalidQueryException(
+        s"an updating query must not project the operation column " +
+          s"'${vocab.operationTypeColumn}' — ops are generated by the " +
+          "engine from the snapshot diff")
+    val prevSnap = store.read(snapshotName, visibleSchema)
+    val sliceProj =
+      org.apache.spark.sql.GraftPlanExec.ofRows(spark, tn.slicePlan)
+    val feedCols = tn.outCols.filterNot(_ == tn.rankOut)
+    val raw = twoPhaseTopN(
+      prevSnap.select(feedCols.map(col): _*),
+      sliceProj.select(feedCols.map(col): _*), tn)
+    val rnType = visibleSchema(tn.rankOut).dataType
+    val opTmp = "__stream_op"
+    val emitted = raw
+      .withColumnRenamed("op", opTmp)
+      .withColumn(tn.rankOut, col("rank").cast(rnType))
+      .drop("rank")
+      .select((tn.outCols.map(col) :+
+        // coalesce against a literal: value-identity (op is never null)
+        // but marks the column non-nullable like batch diffSnapshots'
+        // lit(op) — parquet byte-identity includes nullability
+        coalesce(col(opTmp), lit(Op.Append))
+          .as(vocab.operationTypeColumn)): _*)
+    // snapshot advances by the emitted ops; buffers append as in batch
+    val diffKeys = Seq(tn.partCol, tn.rankOut)
+    val changed = emitted
+      .where(col(vocab.operationTypeColumn) === Op.CorrectFrom)
+      .select(diffKeys.map(col): _*)
+    val added = emitted
+      .where(col(vocab.operationTypeColumn).isin(Op.Append, Op.CorrectTo))
+      .drop(vocab.operationTypeColumn)
+      .select(visibleSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val newSnap = prevSnap.alias("p")
+      .join(changed.alias("c"),
+        diffKeys.map(k => col(s"p.$k") <=> col(s"c.$k")).reduce(_ && _),
+        "left_anti")
+      .select(visibleSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .unionByName(added)
+    store.write(snapshotName, newSnap)
+    inputs.foreach { i =>
+      store.appendCarry(bufferName(i.spec.queryAlias), i.df,
+        store.read(bufferName(i.spec.queryAlias), i.df.schema)
+          .unionByName(i.df))
+    }
+    ExecResult(emitted, minWm(inputs), None,
+      emissionOrder = Some(keys.getOrElse(diffKeys).map(col(_).asc) :+
+        col(vocab.operationTypeColumn).asc),
+      retractiveInputs = Set.empty)
+  }
+
   /** Null-safe semi/anti join of `df` against the distinct `cols` values of
     * input `i`'s new slice (NULL partition keys are legitimate identities).
     * No forced broadcast: the distinct-key side is usually tiny and AQE
@@ -500,17 +717,22 @@ final class IncrementalExecutor(
     val buildRenamed = buildFull
       .withColumnRenamed(buildKey, probeKey)
       .withColumn("__bk", col(probeKey))
-    val joined = AsOfJoin.leftAsOf(
-      eligible.drop("__seq"),
-      buildRenamed,
-      keys = Seq(probeKey),
-      probeTime = spec.probeTimeCol,
-      buildTime = buildEventCol,
-      buildCols = (buildRenamed.columns
-        .filter(c => c != probeKey && c != "__bk" && c != "__seq").toSeq
-        .map(c => c -> s"__build_$c")) :+ ("__bk" -> s"__build_$buildKey"),
-      buildSeq = Some("__seq")
-    )
+    val buildColMap = (buildRenamed.columns
+      .filter(c => c != probeKey && c != "__bk" && c != "__seq").toSeq
+      .map(c => c -> s"__build_$c")) :+ ("__bk" -> s"__build_$buildKey")
+    val joined =
+      if (streamingMode)
+        streamingAsOfJoin(eligible.drop("__seq"), buildRenamed, probeKey,
+          spec.probeTimeCol, buildEventCol, buildColMap, buildWm)
+      else AsOfJoin.leftAsOf(
+        eligible.drop("__seq"),
+        buildRenamed,
+        keys = Seq(probeKey),
+        probeTime = spec.probeTimeCol,
+        buildTime = buildEventCol,
+        buildCols = buildColMap,
+        buildSeq = Some("__seq")
+      )
     // Inner semantics: both reference syntaxes drop probes with no version.
     // A changelog build side treats Retract / CorrectFrom as tombstones:
     // if the latest version at probe time is one, the key has no value.

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedStar}
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, YearMonthIntervalType}
@@ -1396,6 +1396,132 @@ object PlanClassifier {
       case _: Aggregate => true
       case p: Project   => p.projectList.exists(containsAggFn)
       case _            => false
+    }
+  }
+
+  /** The canonical Top-N shape re-expressed for the streaming executor: a
+    * single step `SELECT <cols>, rn FROM (SELECT <cols>, row_number() OVER
+    * (PARTITION BY p ORDER BY o DESC[, t ASC]) AS rn FROM input) WHERE
+    * rn <= n | rn = 1`, with every referenced column passing through as a
+    * plain (possibly aliased) attribute. All names are OUTPUT names so the
+    * executor can replay the stored visible snapshot as the seed state of
+    * [[graft.streaming.StreamingTopN]].
+    *
+    * Determinism contract (same as the batch oracle's): `(o, t)` — or `o`
+    * alone when no tiebreak is written — must be unique per partition;
+    * exact ties rank arbitrarily in batch row_number and collapse in the
+    * streaming operator.
+    */
+  final case class StreamTopN(
+      input: String,
+      partCol: String,
+      ordCol: String,
+      tieCol: String,
+      n: Int,
+      rankOut: String,
+      outCols: Seq[String],
+      slicePlan: LogicalPlan)
+
+  /** Match the streaming-supported Top-N shape (None ⇒ the shape is not
+    * servable by the streaming executor; the caller decides whether that
+    * means InvalidQuery or the batch path). */
+  def extractStreamTopN(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)]): Option[StreamTopN] = {
+    if (steps.length != 1 || steps.head._1.isDefined) return None
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => unwrap(s.child)
+      case s: Sort          => unwrap(s.child)
+      case other            => other
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    // (outputName, referencedChildName) of a plain projection entry
+    def passThrough(ne: NamedExpression): Option[(String, String)] = ne match {
+      case a: UnresolvedAttribute => Some((a.nameParts.last, a.nameParts.last))
+      case Alias(a: UnresolvedAttribute, n) => Some((n, a.nameParts.last))
+      case _ => None
+    }
+    unwrap(spark.sessionState.sqlParser.parsePlan(steps.head._2.sql)) match {
+      case Project(outerList, Filter(cond, sub)) =>
+        val (innerList, rel) = unwrap(sub) match {
+          case Project(il, r: UnresolvedRelation) => (il, r)
+          case _                                  => return None
+        }
+        // exactly one rank alias; all other inner entries pass through
+        val rankEntries = innerList.collect {
+          case al @ Alias(WindowExpression(fn: UnresolvedFunction,
+            ws: WindowSpecDefinition), _)
+              if fn.nameParts.last.equalsIgnoreCase("row_number") &&
+                fn.arguments.isEmpty => (al, ws)
+        }
+        val (rankAlias, ws) = rankEntries match {
+          case Seq(one) => one
+          case _        => return None
+        }
+        val innerPass = innerList.filterNot(_ eq rankAlias).map(passThrough)
+        if (innerPass.contains(None)) return None
+        val innerMap = innerPass.flatten.toMap // outputName -> source col
+        // window spec: PARTITION BY p ORDER BY o DESC [, t ASC]
+        val srcPart = ws.partitionSpec match {
+          case Seq(e) => attrName(e).getOrElse(return None)
+          case _      => return None
+        }
+        val (srcOrd, srcTie) = ws.orderSpec match {
+          case Seq(SortOrder(o, Descending, _, _)) =>
+            val n = attrName(o).getOrElse(return None); (n, n)
+          case Seq(SortOrder(o, Descending, _, _),
+            SortOrder(t, Ascending, _, _)) =>
+            (attrName(o).getOrElse(return None),
+              attrName(t).getOrElse(return None))
+          case _ => return None
+        }
+        // rank predicate: rn <= n / rn < n / rn = 1 (either operand order)
+        val rnName = rankAlias.name
+        def asRank(e: Expression): Boolean = attrName(e).contains(rnName)
+        def intLit(e: Expression): Option[Int] = e match {
+          case Literal(v: Int, _)  => Some(v)
+          case Literal(v: Long, _) => Some(v.toInt)
+          case _                   => None
+        }
+        val n = (cond match {
+          case LessThanOrEqual(l, r) if asRank(l) => intLit(r)
+          case LessThan(l, r) if asRank(l)        => intLit(r).map(_ - 1)
+          case GreaterThanOrEqual(l, r) if asRank(r) => intLit(l)
+          case GreaterThan(l, r) if asRank(r)     => intLit(l).map(_ - 1)
+          case EqualTo(l, r) if asRank(l)         => intLit(r).filter(_ == 1)
+          case EqualTo(l, r) if asRank(r)         => intLit(l).filter(_ == 1)
+          case _                                  => None
+        }) match {
+          case Some(v) if v >= 1 => v
+          case _                 => return None
+        }
+        // outer projection: plain (possibly aliased) references only
+        val outerPass = outerList.map(passThrough)
+        if (outerPass.contains(None)) return None
+        val outer = outerPass.flatten // (outName, innerName)
+        val rankOut = outer.collectFirst {
+          case (o, i) if i == rnName => o
+        }.getOrElse(return None)
+        if (outer.count(_._2 == rnName) != 1) return None
+        // output name of an inner SOURCE column (p/o/t): the outer entry
+        // whose inner reference passes that source column through
+        def outNameOf(src: String): Option[String] = outer.collectFirst {
+          case (o, i) if i != rnName && innerMap.get(i).contains(src) => o
+        }
+        val (partOut, ordOut, tieOut) =
+          (outNameOf(srcPart), outNameOf(srcOrd), outNameOf(srcTie)) match {
+            case (Some(p), Some(o), Some(t)) => (p, o, t)
+            case _                           => return None
+          }
+        val slicePlan = Project(
+          outerList.filterNot(ne => passThrough(ne).exists(_._2 == rnName)),
+          Project(innerList.filterNot(_ eq rankAlias), rel))
+        Some(StreamTopN(rel.multipartIdentifier.last, partOut, ordOut,
+          tieOut, n, rankOut, outer.map(_._1), slicePlan))
+      case _ => None
     }
   }
 

@@ -33,14 +33,18 @@ object StreamingAsOf {
 
   /** Tagged union row: the event-time stays a REAL timestamp column (the
     * watermark must be definable on the FMGWS input — serializing it away
-    * fails Spark's streaming checker); row payloads ride as bytes.
+    * fails Spark's streaming checker); row payloads ride as bytes. `seq`
+    * orders build versions within one event time (0 when no seq column is
+    * supplied; probes always carry 0).
     */
   final case class Tagged(
-      key: String, isBuild: Boolean, ts: Timestamp, payload: Array[Byte])
+      key: String, isBuild: Boolean, ts: Timestamp, seq: Long,
+      payload: Array[Byte])
 
-  /** Per-key state: (ts-millis, serialized values) for buffered rows. */
+  /** Per-key state: (ts-millis, seq, serialized values) for build versions,
+    * (ts-millis, serialized values) for pending probes. */
   final case class KeyState(
-      versions: List[(Long, Array[Byte])],
+      versions: List[(Long, Long, Array[Byte])],
       pending: List[(Long, Array[Byte])])
 
   import Payload.{deser, ser}
@@ -55,6 +59,12 @@ object StreamingAsOf {
     * @param buildTime build event-time column
     * @param buildCols build columns to attach, as (buildName -> outName)
     * @param delay     watermark delay applied to the tagged union stream
+    * @param buildSeqCol optional build column ordering versions WITHIN one
+    *                  event time (e.g. a changelog offset, so a correct-to
+    *                  row supersedes its correct-from twin) — mirrors the
+    *                  batch operator's `buildSeq`; without it, equal-ts
+    *                  versions order by payload bytes (deterministic but
+    *                  arbitrary)
     */
   def leftAsOf(
       spark: SparkSession,
@@ -64,7 +74,8 @@ object StreamingAsOf {
       probeTime: String,
       buildTime: String,
       buildCols: Seq[(String, String)],
-      delay: String = "0 seconds"
+      delay: String = "0 seconds",
+      buildSeqCol: Option[String] = None
   ): DataFrame = {
     val probeSchema = probe.schema
     val outSchema = StructType(probeSchema.fields ++ buildCols.map {
@@ -79,11 +90,12 @@ object StreamingAsOf {
     // not caught up to.
     val probeTagged = probe.map { r =>
       Tagged(r.getAs[Any](keyCol).toString, isBuild = false,
-        r.getAs[Timestamp](probeTime), ser(r.toSeq))
+        r.getAs[Timestamp](probeTime), 0L, ser(r.toSeq))
     }(taggedEnc).withWatermark("ts", delay)
     val buildTagged = build.map { r =>
       Tagged(r.getAs[Any](keyCol).toString, isBuild = true,
         r.getAs[Timestamp](buildTime),
+        buildSeqCol.map(c => r.getAs[Number](c).longValue()).getOrElse(0L),
         ser(buildCols.map { case (b, _) => r.getAs[Any](b) }))
     }(taggedEnc).withWatermark("ts", delay)
     val unioned = probeTagged.union(buildTagged)
@@ -98,29 +110,30 @@ object StreamingAsOf {
           // for keys receiving no new data (no-data micro-batches only
           // invoke timed-out groups). Evaluation is identical either way.
           val prev = state.getOption.getOrElse(KeyState(Nil, Nil))
-          var newVersions: List[(Long, Array[Byte])] = Nil
+          var newVersions: List[(Long, Long, Array[Byte])] = Nil
           var pending = prev.pending
           if (!state.hasTimedOut) rows.foreach { t =>
-            if (t.isBuild) newVersions ::= (t.ts.getTime, t.payload)
+            if (t.isBuild) newVersions ::= (t.ts.getTime, t.seq, t.payload)
             else pending ::= (t.ts.getTime, t.payload)
           }
-          // Stable ascending time; newer versions win ties (a changelog
-          // correct-to supersedes its correct-from twin). Stored state is
-          // already ascending with settled tie order — new versions sort
-          // BEHIND it. WITHIN one micro-batch the group iterator's order is
-          // shuffle-fetch-dependent, so equal-ts arrivals are ordered by
-          // payload bytes: an arbitrary but DETERMINISTIC rule — reruns and
-          // restarts pick the same winner. True changelog twins carry
-          // engine offsets and belong on the batch engine's as-of path.
+          // Stable ascending (time, seq); newer versions win ties (a
+          // changelog correct-to supersedes its correct-from twin — the
+          // seq column carries the engine offset when supplied). Stored
+          // state is already ascending with settled tie order — new
+          // versions sort BEHIND it. WITHIN one micro-batch the group
+          // iterator's order is shuffle-fetch-dependent, so (ts, seq)
+          // ties are ordered by payload bytes: an arbitrary but
+          // DETERMINISTIC rule — reruns and restarts pick the same winner.
           val batchOrdered = newVersions.reverse.sortBy(v =>
-            (v._1, java.util.Base64.getEncoder.encodeToString(v._2)))
-          val versions = (prev.versions ++ batchOrdered).sortBy(_._1)
+            (v._1, v._2, java.util.Base64.getEncoder.encodeToString(v._3)))
+          val versions = (prev.versions ++ batchOrdered)
+            .sortBy(v => (v._1, v._2))
           val wm = state.getCurrentWatermarkMs()
 
           val (ripe, waiting) = pending.partition(_._1 <= wm)
           val out = ripe.sortBy(_._1).iterator.map { case (ts, pv) =>
             val matched = versions.takeWhile(_._1 <= ts).lastOption
-            val bv = matched.map(m => deser(m._2))
+            val bv = matched.map(m => deser(m._3))
               .getOrElse(buildCols.map(_ => null: Any))
             Row.fromSeq(deser(pv) ++ bv)
           }.toVector

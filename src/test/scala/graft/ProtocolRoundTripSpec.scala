@@ -360,6 +360,152 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     assert(out2.map(_.getAs[Long]("order_id")).toSeq == Seq(2L))
   }
 
+  test("streaming execution mode covers as-of joins byte-identically") {
+    // An as-of join under engine = spark-streaming runs the join itself
+    // through StreamingAsOf (flatMapGroupsWithState probe hold-back with
+    // a sentinel-advanced watermark releasing the engine-gated eligible
+    // set); the engine keeps its eligibility gate, version-store
+    // compaction, and ledger algebra. A two-run chain — including a
+    // held-back probe released by a watermark-only second run — must match
+    // the batch engine's slices and ledgers byte for byte.
+    import spark.implicits._
+    import EngineFixtures.{Stock, Ticker}
+    val dir = Files.createTempDirectory("graft-proto-stream-asof")
+    val tick1 = s"$dir/tick1.parquet"; val stock1 = s"$dir/stock1.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 100),
+        Ticker(1, 0, t(ts(1)), t(ts(2)), "A", 110),
+        Ticker(2, 0, t(ts(1)), t(ts(4)), "A", 140))).toDF(), tick1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Stock(0, 0, t(ts(1)), t(ts(1)), "A", 5),
+        Stock(1, 0, t(ts(1)), t(ts(2)), "A", 7))).toDF(), stock1)
+    val q = """SELECT t.event_time, t.symbol, owned.volume as volume,
+              |  t.price as current_price, owned.volume * t.price as current_value
+              |FROM tickers as t
+              |JOIN stocks_owned FOR SYSTEM_TIME AS OF t.event_time AS owned
+              |  ON t.symbol = owned.symbol""".stripMargin
+    def chain(engine: String, tag: String): Unit = {
+      import graft.engine.TransformEngine
+      def in(alias: String, path: Option[String], schema: String,
+          oi: Option[OffsetInterval], wm: Instant) = TransformRequestInput(
+        datasetId = s"did:odf:$alias", datasetAlias = alias,
+        queryAlias = alias, offsetInterval = oi,
+        dataPaths = path.toVector, schemaFile = schema,
+        explicitWatermarks = Vector(RequestWatermark(wm, wm)))
+      def tr(num: Int, inputs: Vector[TransformRequestInput],
+          nextOff: Long, prev: Option[String]) = TransformRequest(
+        "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+        Transform(engine = engine,
+          queries = Vector(SqlQueryStep(None, q)),
+          temporalTables =
+            Vector(TemporalTable("stocks_owned", Vector("symbol")))),
+        inputs, nextOffset = nextOff, prevCheckpointPath = prev,
+        newCheckpointPath = s"$dir/$tag/cp$num",
+        newDataPath = s"$dir/$tag/out$num.parquet")
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(tr(1, Vector(
+        in("tickers", Some(tick1), tick1, Some(OffsetInterval(0, 2)), ts(5)),
+        in("stocks_owned", Some(stock1), stock1, Some(OffsetInterval(0, 1)), ts(3))),
+        0, None))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$tag run1: $r1")
+      // run 2: watermark-only — build wm passes day 4, held probe emits
+      val r2 = e.executeTransform(tr(2, Vector(
+        in("tickers", None, tick1, None, ts(5)),
+        in("stocks_owned", None, stock1, None, ts(5))),
+        2, Some(s"$dir/$tag/cp1")))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$tag run2: $r2")
+    }
+    chain("spark", "batch")
+    chain("spark-streaming", "stream")
+    (1 to 2).foreach { n =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(s"$dir/batch/out$n.parquet")),
+        Files.readAllBytes(Paths.get(s"$dir/stream/out$n.parquet"))),
+        s"run-$n as-of slices are not byte-identical")
+      assert(
+        Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+          Files.readString(Paths.get(s"$dir/stream/cp$n/ledger.json")))
+    }
+    val out1 = spark.read.parquet(s"$dir/stream/out1.parquet")
+      .orderBy("offset").collect()
+    assert(out1.map(_.getAs[Int]("current_value")).toSeq == Seq(500, 770))
+    val out2 = spark.read.parquet(s"$dir/stream/out2.parquet").collect()
+    assert(out2.length == 1 && out2(0).getAs[Int]("volume") == 7
+      && out2(0).getAs[Int]("current_price") == 140)
+  }
+
+  test("streaming execution mode covers Top-N changelogs byte-identically") {
+    // A partitioned Top-N under engine = spark-streaming seeds
+    // StreamingTopN's per-key state from the stored snapshot and processes
+    // the slice as one micro-batch; its emissions equal the batch snapshot
+    // diff keyed on (partition, rank). Two-run chain with a rank
+    // displacement must match batch slices and ledgers byte for byte.
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto-stream-topn")
+    val in1 = s"$dir/in1.parquet"; val in2 = s"$dir/in2.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+        Ticker(1, 0, t(ts(1)), t(ts(1)), "B", 20),
+        Ticker(2, 0, t(ts(1)), t(ts(1)), "A", 5))).toDF(), in1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(3, 0, t(ts(2)), t(ts(2)), "A", 30))).toDF(), in2)
+    val q = """SELECT event_time, symbol, price, rn FROM (
+              |  SELECT event_time, symbol, price,
+              |    row_number() OVER (PARTITION BY symbol ORDER BY price DESC) AS rn
+              |  FROM tickers) WHERE rn <= 2""".stripMargin
+    def chain(engine: String, tag: String): Unit = {
+      import graft.engine.TransformEngine
+      def tr(num: Int, path: Option[String], oi: Option[OffsetInterval],
+          wm: Instant, nextOff: Long, prev: Option[String]) = TransformRequest(
+        "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+        Transform(engine = engine, queries = Vector(SqlQueryStep(None, q))),
+        Vector(TransformRequestInput(
+          datasetId = "did:odf:in", datasetAlias = "tickers",
+          queryAlias = "tickers", offsetInterval = oi,
+          dataPaths = path.toVector, schemaFile = in1,
+          explicitWatermarks = Vector(RequestWatermark(wm, wm)))),
+        nextOffset = nextOff, prevCheckpointPath = prev,
+        newCheckpointPath = s"$dir/$tag/cp$num",
+        newDataPath = s"$dir/$tag/out$num.parquet")
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(
+        tr(1, Some(in1), Some(OffsetInterval(0, 2)), ts(1), 0, None))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$tag run1: $r1")
+      val r2 = e.executeTransform(
+        tr(2, Some(in2), Some(OffsetInterval(3, 3)), ts(2), 3,
+          Some(s"$dir/$tag/cp1")))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$tag run2: $r2")
+    }
+    chain("spark", "batch")
+    chain("spark-streaming", "stream")
+    (1 to 2).foreach { n =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(s"$dir/batch/out$n.parquet")),
+        Files.readAllBytes(Paths.get(s"$dir/stream/out$n.parquet"))),
+        s"run-$n Top-N slices are not byte-identical")
+      assert(
+        Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+          Files.readString(Paths.get(s"$dir/stream/cp$n/ledger.json")))
+    }
+    // run 1: +I for (A,1),(A,2),(B,1); run 2: A,30 displaces — -U/+U on
+    // (A,1) and (A,2)
+    val o1 = spark.read.parquet(s"$dir/stream/out1.parquet")
+      .orderBy("offset").collect()
+    assert(o1.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("rn"),
+      r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", 1, 0), ("A", 2, 0), ("B", 1, 0)))
+    val o2 = spark.read.parquet(s"$dir/stream/out2.parquet")
+      .orderBy("offset").collect()
+    assert(o2.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("rn"),
+      r.getAs[Int]("price"), r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", 1, 10, 2), ("A", 1, 30, 3), ("A", 2, 5, 2), ("A", 2, 10, 3)))
+  }
+
   test("tar pack/unpack round-trips nested checkpoint trees, system-tar readable") {
     val src = Files.createTempDirectory("graft-tar-src")
     Files.writeString(src.resolve("ledger.json"), """{"n":1}""")
