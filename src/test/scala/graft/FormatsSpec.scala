@@ -208,6 +208,69 @@ class FormatsSpec extends AnyFunSuite {
     assert(out.map(r => r.getInt(r.fieldIndex("drift_ms"))).toSeq == Seq(0, 86399999))
   }
 
+  test("transform engine flows struct and array-of-struct inputs end to end") {
+    // §1.3 superset golden on the TRANSFORM path (not just raw query): the
+    // reference's forked reader rejects nested records outright ("Record
+    // types are not implemented yet", ParquetSchemaConverterKamu.java:
+    // 256-259; README.md:77). Spark reads them natively, so a struct and
+    // an array-of-struct input column must flow transform→output with the
+    // nested schema preserved, nested-field access working in the query,
+    // and untouched nested values byte-equal.
+    import graft.engine.TransformEngine
+    val dir = Files.createTempDirectory("graft-fmt")
+    val in = s"$dir/nested.parquet"
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, 0, TIMESTAMP'2000-01-01 00:00:00', TIMESTAMP'2000-01-01 00:00:00',
+        |   named_struct('city', 'berlin', 'zip', 10115),
+        |   array(named_struct('sku', 'a', 'qty', 2), named_struct('sku', 'b', 'qty', 1))),
+        |  (1L, 0, TIMESTAMP'2000-01-01 00:00:00', TIMESTAMP'2000-01-02 00:00:00',
+        |   named_struct('city', 'tokyo', 'zip', 100),
+        |   array(named_struct('sku', 'c', 'qty', 5)))
+        |AS t(offset, op, system_time, event_time, addr, items)""".stripMargin)
+      .write.parquet(in)
+    val req = TransformRequest(
+      datasetId = "did:out", datasetAlias = "out",
+      systemTime = java.time.Instant.parse("2000-01-03T00:00:00Z"),
+      vocab = DatasetVocabulary(),
+      transform = Transform(queries = Vector(SqlQueryStep(None,
+        """SELECT event_time, addr, items, addr.city AS city,
+          |  aggregate(items, 0, (acc, it) -> acc + it.qty) AS total_qty
+          |FROM src WHERE addr.zip > 50""".stripMargin))),
+      queryInputs = Vector(TransformRequestInput(
+        datasetId = "did:src", datasetAlias = "src", queryAlias = "src",
+        offsetInterval = Some(OffsetInterval(0, 1)),
+        dataPaths = Vector(in), schemaFile = in)),
+      nextOffset = 0,
+      prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp",
+      newDataPath = s"$dir/out.parquet")
+    val resp = new TransformEngine(spark).executeTransform(req)
+    assert(resp == TransformResponse.Success(Some(OffsetInterval(0, 1)), None))
+    val out = spark.read.parquet(s"$dir/out.parquet")
+    // nested schema preserved exactly
+    assert(out.schema("addr").dataType ==
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("city",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("zip",
+          org.apache.spark.sql.types.IntegerType))))
+    assert(out.schema("items").dataType.typeName == "array")
+    assert(out.schema("items").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.typeName == "struct")
+    val rows = out.orderBy("offset").collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getStruct(r0.fieldIndex("addr")).getAs[String]("city") == "berlin")
+    assert(r0.getAs[String]("city") == "berlin")
+    assert(r0.getAs[Int]("total_qty") == 3)
+    val items1 = rows(1).getSeq[org.apache.spark.sql.Row](
+      rows(1).fieldIndex("items"))
+    assert(items1.map(i => (i.getAs[String]("sku"), i.getAs[Int]("qty"))) ==
+      Seq(("c", 5)))
+  }
+
   // ── TIMESTAMP_NTZ inputs. The reference has no NTZ notion: any parquet
   // Timestamp(isAdjustedToUTC=false) maps to its TIMESTAMP(3)-UTC contract
   // (ParquetSchemaConverterKamu.java:72-75). Spark infers NTZ for that
