@@ -1197,9 +1197,16 @@ final class IncrementalExecutor(
 
     // Diff VISIBLE views: a group crossing the HAVING threshold appears as
     // +I / disappears as -D even though its partials persist in state.
-    val emitted = Changelog.diffSnapshots(
-      visible(prevTouched), visible(mergedTouched), keys,
-      vocab.operationTypeColumn)
+    // ALL-variant set ops are MULTISETS: their diff is per-value
+    // multiplicity arithmetic (Δk appends / |Δk| retracts), not keyed rows.
+    val emitted = spec.multiplicitySql match {
+      case Some(mult) =>
+        diffMultiplicity(prevTouched, mergedTouched, keys, mult, visibleSchema)
+      case None =>
+        Changelog.diffSnapshots(
+          visible(prevTouched), visible(mergedTouched), keys,
+          vocab.operationTypeColumn)
+    }
 
     buffers.foreach { case (i, full) =>
       store.appendCarry(bufferName(i.spec.queryAlias), i.df, full)
@@ -1250,6 +1257,44 @@ final class IncrementalExecutor(
       // so later runs' retractiveNow sees buffered retractions it cannot
       // re-scan.
       retractiveInputs = retractiveNow)
+  }
+
+  /** Multiset changelog for ALL-variant set ops: per touched value,
+    * evaluate the multiplicity expression over the OLD and MERGED per-side
+    * count partials; a positive delta emits that many appends, a negative
+    * one that many retracts. Presence markers (not key-null checks) pair
+    * the sides — a NULL value is a legitimate row identity. Output order
+    * of the duplicated rows is immaterial: identical rows are
+    * interchangeable under the deterministic emission sort.
+    */
+  private def diffMultiplicity(
+      prev: DataFrame,
+      merged: DataFrame,
+      keys: Seq[String],
+      multSql: String,
+      visibleSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    def withK(df: DataFrame, pm: String): DataFrame =
+      df.withColumn("__k", expr(multSql).cast("long"))
+        .withColumn(pm, lit(true))
+        .select((keys.map(col) :+ col("__k") :+ col(pm)): _*)
+    val n = withK(merged, "__np").alias("n")
+    val p = withK(prev, "__pp").alias("p")
+    val keyEq =
+      if (keys.isEmpty) lit(true)
+      else keys.map(k => col(s"n.$k") <=> col(s"p.$k")).reduce(_ && _)
+    val kNew = when(col("n.__np").isNotNull, col("n.__k")).otherwise(lit(0L))
+    val kOld = when(col("p.__pp").isNotNull, col("p.__k")).otherwise(lit(0L))
+    val keyCols = keys.map(k =>
+      when(col("n.__np").isNotNull, col(s"n.$k")).otherwise(col(s"p.$k")).as(k))
+    n.join(p, keyEq, "full_outer")
+      .select((keyCols :+ (kNew - kOld).as("__d")): _*)
+      .where(col("__d") =!= 0)
+      .withColumn(vocab.operationTypeColumn,
+        explode(transform(sequence(lit(1L), abs(col("__d"))), _ =>
+          when(col("__d") > 0, lit(Op.Append)).otherwise(lit(Op.Retract)))))
+      .drop("__d")
+      .select((visibleSchema.fieldNames.map(col).toIndexedSeq :+
+        col(vocab.operationTypeColumn)): _*)
   }
 
   /** Absolute partials from additive delta tiers: group by the keys and
@@ -1714,6 +1759,43 @@ final class IncrementalExecutor(
     * so the same old/Δ/full telescoping applies position-wise unchanged.
     */
   private def joinDeltaBinding(
+      jd: PlanClassifier.JoinDelta,
+      outPlanOverride: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+      tap: Boolean,
+      runNamed: () => DataFrame): (Vector[String], Vector[DataFrame] => DataFrame) =
+    jd.inlinedOut match {
+      // A pre-step alias consumed at several sites: the classifier inlined
+      // every step into ONE output plan so each consumption site is its
+      // own occurrence position — bind that single plan directly (the
+      // pre-steps are not executed separately; their derivations run
+      // inside each inlined copy).
+      case Some(ip) =>
+        require(outPlanOverride.isEmpty,
+          "inlined join tree does not compose with a plan override")
+        val occs = ip.collect {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              if inputRelNames(r.multipartIdentifier.last) =>
+            r.multipartIdentifier.last
+        }.toVector
+        require(occs.sorted == jd.rels.sorted,
+          s"inlined scan-site enumeration $occs does not match classified " +
+            s"leaves ${jd.rels}")
+        (occs, frames => {
+          var k = -1
+          val rebound = ip.transformUp {
+            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+                if inputRelNames(r.multipartIdentifier.last) =>
+              k += 1
+              org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+                r.multipartIdentifier.last,
+                frames(k).drop("__seq").queryExecution.logical)
+          }
+          org.apache.spark.sql.GraftPlanExec.ofRows(spark, rebound)
+        })
+      case None => joinDeltaBindingNamed(jd, outPlanOverride, tap, runNamed)
+    }
+
+  private def joinDeltaBindingNamed(
       jd: PlanClassifier.JoinDelta,
       outPlanOverride: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
       tap: Boolean,

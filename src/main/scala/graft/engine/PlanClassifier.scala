@@ -91,7 +91,17 @@ object PlanClassifier {
     * @param rels the tree's input relations in leaf order — the term
     *   decomposition is taken in this order (any fixed order is exact)
     */
-  final case class JoinDelta(rels: Vector[String])
+  /** @param rels terminal input relations, one per scan SITE of the
+    *   expanded tree (a name may repeat: self-join, or a reused pre-step)
+    * @param inlinedOut set when a pre-step alias is consumed at more than
+    *   one site: the output plan with every step alias inlined in place
+    *   (SubqueryAlias-wrapped), so the executor's occurrence-site binding
+    *   can give each consumption its OWN frame — name-keyed temp views
+    *   cannot express two sites of one alias reading different frames
+    *   within one delta pass */
+  final case class JoinDelta(
+      rels: Vector[String],
+      inlinedOut: Option[LogicalPlan] = None)
 
   /** Proof that a SnapshotDiff chain is a single LEFT OUTER join of two
     * direct input relations in one step. Unlike an inner join, a left join
@@ -213,7 +223,16 @@ object PlanClassifier {
         * instead of flipping to the O(history) net-and-recompute path
         * forever. min/max chains keep the flip — they are not invertible.
         */
-      invertible: Boolean = false)
+      invertible: Boolean = false,
+      /** ALL-variant set ops (INTERSECT ALL / EXCEPT ALL): the output is a
+        * MULTISET — each value appears `k` times where k is this SQL
+        * expression over the hidden per-side counts (`least(__sl, __sr)` /
+        * `greatest(__sl - __sr, 0)`). The executor then replaces the keyed
+        * snapshot diff with a per-value multiplicity diff: Δk > 0 emits Δk
+        * appends, Δk < 0 emits |Δk| retracts. State stays the same
+        * invertible per-side refcount partials as the distinct variants.
+        */
+      multiplicitySql: Option[String] = None)
 
   /** Hidden count(*) partial maintained on [[AggMergeSpec.leftJoin]] and
     * [[AggMergeSpec.invertible]] chains: a group is alive iff its merged
@@ -754,10 +773,16 @@ object PlanClassifier {
       spark: SparkSession,
       steps: Seq[(Option[String], SqlRewriter.Rewritten)],
       f: Facts): Option[AggMergeSpec] = {
-    // exactly ONE Distinct in the whole chain (a second one below the top
-    // is NOT linear: retracting a duplicate must not move the refcount)
-    // and no LIMIT/set-op anywhere — same discipline as DistinctDelta.
-    val eligible = f.distincts == 1 && !f.limitOrSetOp &&
+    // A DISTINCT at the top; FURTHER Distincts BELOW it (inside the output
+    // step) are support-preserving no-ops for the final result — any chain
+    // of stateless maps between them cannot turn multiplicity into
+    // support — so they are STRIPPED from the refcount partials plan
+    // (counting raw input multiplicities keeps the refcount invertible:
+    // with the inner distinct left in, a slice retracting two identical
+    // rows would dedup them and subtract 1 instead of 2). Distincts in
+    // PRE-STEPS stay recompute: pre-step SQL runs verbatim, unstrippable.
+    // No LIMIT/set-op anywhere — same discipline as DistinctDelta.
+    val eligible = f.distincts >= 1 && !f.limitOrSetOp &&
       f.plainAggs.isEmpty && f.rankSpecs.isEmpty &&
       !f.otherWindowFns && f.regularJoins == 0 && !f.hasSubquery &&
       f.intervalUppers.isEmpty && !steps.exists(_._2.timeVarying)
@@ -779,6 +804,13 @@ object PlanClassifier {
         isDistinct = false), RowCountCol)()
     unwrap(spark.sessionState.sqlParser.parsePlan(steps(outIdx)._2.sql)) match {
       case dst: Distinct =>
+        // inner Distincts stripped (see eligibility comment); count them
+        // so Distincts hiding in PRE-STEPS — which cannot be stripped —
+        // still force the recompute path
+        var stripped = 0
+        def stripInner(p: LogicalPlan): LogicalPlan = p.transformUp {
+          case d: Distinct => stripped += 1; d.child
+        }
         dst.child match {
           case p: Project if starFree(p) =>
             val maybeNames = p.projectList.map(parsedName)
@@ -791,10 +823,12 @@ object PlanClassifier {
               case Alias(e, _) => e
               case other       => other
             }
+            val child = stripInner(p.child)
+            if (stripped + 1 != f.distincts) return None
             val refcount = Aggregate(
               groupingExprs,
               p.projectList :+ rowCountAgg(),
-              p.child)
+              child)
             Some(AggMergeSpec(names, Seq(RowCountCol -> "count"),
               partialsPlan = Some(refcount), invertible = true))
           // `a UNION b` parses as Distinct(Union): the support of the
@@ -802,7 +836,9 @@ object PlanClassifier {
           // names (positional resolution gives the union its first child's
           // column names) with the same hidden refcount.
           case u: Union
-              if u.children.forall {
+              // distincts == 1: inner Distincts under union branches are
+              // not stripped here — keep recompute for those
+              if f.distincts == 1 && u.children.forall {
                 case s: SubqueryAlias => s.child match {
                   case p: Project => starFree(p); case _ => false
                 }
@@ -883,7 +919,6 @@ object PlanClassifier {
         case i: Intersect => (i.left, i.right, i.isAll, false)
         case _            => return None
       }
-    if (isAll) return None
     def proj(p: LogicalPlan): Option[Project] = p match {
       case s: SubqueryAlias => proj(s.child)
       case pr: Project
@@ -922,14 +957,29 @@ object PlanClassifier {
             Alias(UnresolvedFunction(Seq("count"), Seq(Literal(1)),
               isDistinct = false), RowCountCol)()),
           Union(Seq(tagged(lp, 0), tagged(rp, 1))))
-        val visibility =
-          if (isExcept) s"$SideLeftCol > 0 AND $SideRightCol = 0"
-          else s"$SideLeftCol > 0 AND $SideRightCol > 0"
-        Some(AggMergeSpec(names,
-          Seq(SideLeftCol -> "count", SideRightCol -> "count",
-            RowCountCol -> "count"),
-          havingSql = Some(visibility),
-          partialsPlan = Some(refcount), invertible = true))
+        // DISTINCT variants: visibility is a predicate over the side
+        // counts. ALL variants: the output is a multiset — per-value
+        // multiplicity min(l, r) (INTERSECT ALL) / max(l − r, 0)
+        // (EXCEPT ALL) — carried as a multiplicity expression; the
+        // executor diffs multiplicities instead of keyed rows.
+        if (isAll)
+          Some(AggMergeSpec(names,
+            Seq(SideLeftCol -> "count", SideRightCol -> "count",
+              RowCountCol -> "count"),
+            partialsPlan = Some(refcount), invertible = true,
+            multiplicitySql = Some(
+              if (isExcept) s"greatest($SideLeftCol - $SideRightCol, 0)"
+              else s"least($SideLeftCol, $SideRightCol)")))
+        else {
+          val visibility =
+            if (isExcept) s"$SideLeftCol > 0 AND $SideRightCol = 0"
+            else s"$SideLeftCol > 0 AND $SideRightCol > 0"
+          Some(AggMergeSpec(names,
+            Seq(SideLeftCol -> "count", SideRightCol -> "count",
+              RowCountCol -> "count"),
+            havingSql = Some(visibility),
+            partialsPlan = Some(refcount), invertible = true))
+        }
       case _ => None
     }
   }
@@ -1028,6 +1078,40 @@ object PlanClassifier {
         all.sorted == (stepByAlias.keys.toSeq ++ inputs).sorted
     }
 
+    /** Site-based relaxation of [[soundUse]] for the inlined join tree: a
+      * pre-step alias may be consumed at SEVERAL sites (each expansion is
+      * an independent leaf position of the multilinear tree, exactly like
+      * a self-joined input relation). Demands: no duplicate alias
+      * definitions, the output alias never consumed, every pre-step
+      * reached by the output expansion, and every plan-level scan either a
+      * step alias or one of the expanded terminal inputs — so nothing is
+      * referenced that the expansion did not account for. A reused step
+      * CONTAINING a join is rejected upstream by the join-count balance
+      * (its joins would double in the expansion but count once per plan).
+      */
+    def soundUseSites(ls: Seq[String], used: Map[String, Int]): Boolean = {
+      val outAlias = plans(outIdx)._1
+      val all = plans.flatMap(p => scans(p._2))
+      !duplicateAlias &&
+        !outAlias.exists(all.contains) &&
+        stepByAlias.keySet == used.keySet &&
+        all.forall(n => stepByAlias.contains(n) || ls.contains(n))
+    }
+
+    /** The output plan with every pre-step alias inlined in place (each
+      * consumption site gets its own SubqueryAlias-wrapped copy of the
+      * step's plan, recursively). Only called after [[resolveInnerJoinTree]]
+      * proved the reference graph acyclic. */
+    def inlineOut(): LogicalPlan = {
+      def inline(p: LogicalPlan): LogicalPlan = p.transformUp {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if stepByAlias.contains(r.multipartIdentifier.last) =>
+          val n = r.multipartIdentifier.last
+          SubqueryAlias(n, inline(stepByAlias(n)))
+      }
+      inline(outPlan)
+    }
+
     /** The chain's INNER-join tree (plain, USING, or NATURAL joins, k ≥ 1
       * of them, possibly spread across steps via aliased pre-steps) whose
       * leaves resolve to n = k+1 input-relation SCAN SITES under the
@@ -1042,7 +1126,7 @@ object PlanClassifier {
       * callers' Facts guards decide whether those are allowed, and their
       * own fast paths account for them (agg-merge, distinct-delta).
       */
-    def resolveInnerJoinTree(): Option[JoinDelta] = {
+    def resolveInnerJoinTree(allowReuse: Boolean = false): Option[JoinDelta] = {
       import org.apache.spark.sql.catalyst.plans.{Inner, NaturalJoin, UsingJoin}
       def isInner(j: Join): Boolean = j.joinType match {
         case Inner               => true
@@ -1050,6 +1134,7 @@ object PlanClassifier {
         case NaturalJoin(Inner)  => true
         case _                   => false
       }
+      val useCounts = scala.collection.mutable.Map.empty[String, Int]
       val allJoins = plans.flatMap(_._2.collect { case j: Join => j })
       if (allJoins.isEmpty || !allJoins.forall(isInner)) return None
       def leaves(p: LogicalPlan, seen: Set[String]): Option[Vector[String]] =
@@ -1069,12 +1154,22 @@ object PlanClassifier {
           case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
             val n = r.multipartIdentifier.last
             stepByAlias.get(n) match {
-              // step aliases stay use-once (re-consumption would make the
-              // chain non-multilinear in the step's scans); a repeated
-              // INPUT relation is fine — each scan site is an independent
-              // leaf position of the multilinear tree, and the executor
-              // binds self-join sites per occurrence (runDeltaJoin)
-              case Some(sp) => if (seen(n)) None else leaves(sp, seen + n)
+              // a repeated INPUT relation is fine — each scan site is an
+              // independent leaf position of the multilinear tree, and the
+              // executor binds self-join sites per occurrence
+              // (runDeltaJoin). A step alias consumed at SEVERAL sites is
+              // the same thing once inlined per site ([[inlineOut]]) —
+              // allowed under `allowReuse` for join-free steps (a reused
+              // step WITH a join fails the join-count balance below: its
+              // joins double in the expansion but count once per plan).
+              // `seen` tracks the PATH only, so re-entry across sibling
+              // sites is reuse, within one expansion a cycle.
+              case Some(sp) =>
+                if (seen(n)) None
+                else {
+                  useCounts(n) = useCounts.getOrElse(n, 0) + 1
+                  leaves(sp, seen + n)
+                }
               case None     => Some(Vector(n))
             }
           case _ => None
@@ -1084,8 +1179,12 @@ object PlanClassifier {
         // every collected join sits in this single tree; leaves may repeat
         // a relation (self-join) but the scan-site multiset must balance
         if ls.size == allJoins.size + 1
-        if soundUse(ls)
-      } yield JoinDelta(ls)
+        reused = useCounts.exists(_._2 > 1)
+        if (if (reused) allowReuse && soundUseSites(ls, useCounts.toMap)
+            else soundUse(ls))
+      } yield
+        if (reused) JoinDelta(ls, Some(inlineOut()))
+        else JoinDelta(ls)
     }
 
     /** The chain's single LEFT OUTER join with an ON condition, both sides
@@ -1144,7 +1243,10 @@ object PlanClassifier {
     if (!onlyJoin) return None
     val chains = new StepChains(spark, steps)
     if (chains.hasCte) return None
-    chains.resolveInnerJoinTree()
+    // reuse allowed only on THIS path: the other consumers of a join tree
+    // (aggregate-above-join partials, distinct-over-join) build plan
+    // overrides that the inlined form does not yet compose with
+    chains.resolveInnerJoinTree(allowReuse = true)
   }
 
   /** Detect the left-join delta shape (see [[LeftJoinDelta]]): one LEFT
@@ -1181,7 +1283,11 @@ object PlanClassifier {
       spark: SparkSession,
       steps: Seq[(Option[String], SqlRewriter.Rewritten)],
       f: Facts): Option[DistinctDelta] = {
-    val onlyDistinct = f.distincts == 1 && !f.limitOrSetOp &&
+    // distincts >= 1: further Distincts BELOW the top are support-
+    // preserving no-ops on the append-only path (the chain runs as
+    // written over the slice; an inner distinct only collapses
+    // multiplicities the top distinct erases anyway)
+    val onlyDistinct = f.distincts >= 1 && !f.limitOrSetOp &&
       f.plainAggs.isEmpty && f.rankSpecs.isEmpty &&
       !f.otherWindowFns && !f.hasSubquery && f.intervalUppers.isEmpty &&
       !steps.exists(_._2.timeVarying)

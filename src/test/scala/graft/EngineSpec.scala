@@ -2508,6 +2508,79 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("reused-alias join chain delta path and recompute emit identical changelogs") {
+    import spark.implicits._
+    // Seeded random append-only slices through a pre-step view consumed at
+    // TWO sites of the output join (the round-6 use-once discipline's
+    // first relaxation: the classifier inlines the step per site, the
+    // executor binds each site's frame independently — exactly the
+    // self-join telescoping) versus the value-identical CTE-wrapped
+    // variant (recompute). Run 4 retracts a run-1 order, covering the
+    // delta → net-and-recompute flip against the delta-maintained
+    // snapshot.
+    val rnd = new scala.util.Random(47)
+    val dirF = tmp(); val dirC = tmp()
+    val qPre = "SELECT event_time, order_id, quantity FROM orders WHERE quantity > 0"
+    val qFast =
+      """SELECT x.event_time AS event_time, x.order_id AS order_id,
+        |  x.quantity AS q1, y.quantity AS q2
+        |FROM cleaned x JOIN cleaned y ON x.order_id = y.order_id""".stripMargin
+    val qSlow =
+      """WITH cleaned AS (
+        |  SELECT event_time, order_id, quantity FROM orders WHERE quantity > 0)
+        |SELECT x.event_time AS event_time, x.order_id AS order_id,
+        |  x.quantity AS q1, y.quantity AS q2
+        |FROM cleaned x JOIN cleaned y ON x.order_id = y.order_id""".stripMargin
+    var off = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 5).foreach { run =>
+      val n0 = if (run == 1) 2 else rnd.nextInt(3)
+      val orders = (0 until n0).map { i =>
+        OrderRow(off + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 10 * (1 + rnd.nextInt(5)))
+      }
+      if (run == 1) firstOrder = orders.head
+      val slice =
+        if (run == 4)
+          orders :+ OrderRow(off + n0, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val n = slice.length
+      def drive(tag: String, dir: java.nio.file.Path,
+          qs: Seq[(Option[String], String)], prev: Option[String]): String = {
+        val p = s"$dir/o$run.parquet"
+        if (n > 0) writeSlice(slice, p)
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(qs: _*),
+          Vector(mkInput("orders", if (n > 0) p else null,
+            s"$dir/o1.parquet", n, startOffset = off, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF,
+        Seq(Some("cleaned") -> qPre, None -> qFast), prevF))
+      prevC = Some(drive("c", dirC, Seq(None -> qSlow), prevC))
+      off += n
+      val sel = Seq("offset", "op", "event_time", "order_id", "q1", "q2")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    assert(nextOut("f") > 0)
+  }
+
   test("agg above a self-join: merge path and recompute emit identically") {
     import spark.implicits._
     // sum/count aggregate keyed on the left occurrence's column above the
@@ -2799,6 +2872,59 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("nested DISTINCT strips the inner dedup and stays exactly invertible") {
+    import spark.implicits._
+    val dir = tmp()
+    // An inner DISTINCT below the top is support-preserving — stripped
+    // from the refcount partials so counts track RAW input multiplicities.
+    // The killer case the strip exists for: duplicates appended in
+    // SEPARATE slices (an unstripped inner distinct can't dedup across
+    // slices → count 2) then retracted together in ONE slice (unstripped
+    // would dedup the retract pair → subtract 1 → value stays visible
+    // forever). With the strip, counts are 1+1−2 = 0 and the row dies.
+    val q = """SELECT DISTINCT event_time, x FROM
+              |  (SELECT DISTINCT event_time, symbol AS x, price FROM tickers) v""".stripMargin
+    def drive(run: Int, rows: Seq[Ticker], nextOff: Long): TransformResponse.Success =
+      runT(TransformRequest(
+        "did:out", "out", ts(run + 10), DatasetVocabulary(),
+        transform(None -> q),
+        Vector({
+          val in = s"$dir/in$run.parquet"
+          writeSlice(rows, in)
+          mkInput("tickers", in, in, rows.length,
+            startOffset = rows.head.offset, wms = Seq(ts(run)))
+        }),
+        nextOffset = nextOff,
+        prevCheckpointPath = if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+        newCheckpointPath = s"$dir/cp$run", newDataPath = s"$dir/out$run.parquet"))
+
+    // run 1: (A,10) and (B,20)
+    drive(1, Seq(
+      Ticker(0, Op.Append, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, Op.Append, t(ts(1)), t(ts(1)), "B", 20)), 0)
+    val o1 = readOut(s"$dir/out1.parquet").orderBy("offset").collect()
+    assert(o1.map(r => (r.getAs[String]("x"), r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", Op.Append), ("B", Op.Append)))
+
+    // run 2: a second (A,10) — same (symbol, price), SEPARATE slice; the
+    // inner distinct cannot see run 1's copy, raw refcount goes to 2
+    val r2 = drive(2, Seq(
+      Ticker(2, Op.Append, t(ts(2)), t(ts(1)), "A", 10)), 2)
+    assert(r2.newOffsetInterval.isEmpty)
+
+    // run 3: retract BOTH copies of (A,10) in ONE slice — A must die
+    val r3 = drive(3, Seq(
+      Ticker(3, Op.Retract, t(ts(3)), t(ts(1)), "A", 10),
+      Ticker(4, Op.Retract, t(ts(3)), t(ts(1)), "A", 10)), 2)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/cp3/agg_partials")),
+      "retractive run left the refcount merge path")
+    assert(r3.newOffsetInterval.contains(OffsetInterval(2, 2)))
+    val o3 = readOut(s"$dir/out3.parquet").collect()
+    assert(o3.map(r => (r.getAs[String]("x"), r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", Op.Retract)))
+  }
+
   test("distinct rides retractions on the refcount merge path") {
     import spark.implicits._
     val dir = tmp()
@@ -2990,7 +3116,12 @@ class EngineSpec extends AnyFunSuite {
     val ops = Seq(
       "INTERSECT" -> "SELECT event_time, symbol FROM lhs INTERSECT SELECT event_time, symbol FROM rhs",
       "EXCEPT" -> "SELECT event_time, symbol FROM lhs EXCEPT SELECT event_time, symbol FROM rhs",
-      "UNION" -> "SELECT event_time, symbol FROM lhs UNION SELECT event_time, symbol FROM rhs")
+      "UNION" -> "SELECT event_time, symbol FROM lhs UNION SELECT event_time, symbol FROM rhs",
+      // ALL variants: multiset semantics — the merge path diffs per-value
+      // multiplicities (round-7 envelope widening) vs the recompute twin's
+      // multiset diff; small value domain guarantees multiplicities > 1
+      "INTERSECT ALL" -> "SELECT event_time, symbol FROM lhs INTERSECT ALL SELECT event_time, symbol FROM rhs",
+      "EXCEPT ALL" -> "SELECT event_time, symbol FROM lhs EXCEPT ALL SELECT event_time, symbol FROM rhs")
     ops.foreach { case (tag0, qFast) =>
       val qSlow =
         s"""WITH x AS ($qFast)

@@ -651,18 +651,59 @@ class PlanClassifierSpec extends AnyFunSuite {
       s.havingSql.contains("__sl > 0 AND __sr > 0")))
     val ex = am("SELECT symbol FROM a EXCEPT SELECT symbol FROM b")
     assert(ex.exists(_.havingSql.contains("__sl > 0 AND __sr = 0")))
-    // ALL variants have multiplicity semantics, not a visibility filter
-    assert(am("SELECT symbol FROM a INTERSECT ALL SELECT symbol FROM b").isEmpty)
-    assert(am("SELECT symbol FROM a EXCEPT ALL SELECT symbol FROM b").isEmpty)
+    // ALL variants carry a multiplicity expression instead of a
+    // visibility filter — the executor diffs per-value multiplicities
+    val ia = am("SELECT symbol FROM a INTERSECT ALL SELECT symbol FROM b")
+    assert(ia.exists(s => s.invertible && s.havingSql.isEmpty &&
+      s.multiplicitySql.contains("least(__sl, __sr)")))
+    val ea = am("SELECT symbol FROM a EXCEPT ALL SELECT symbol FROM b")
+    assert(ea.exists(_.multiplicitySql.contains("greatest(__sl - __sr, 0)")))
     // UNION (distinct) parses as Distinct(Union): plain refcount, left names
     val un = am("SELECT symbol FROM a UNION SELECT sym FROM b")
     assert(un.exists(s => s.keys == Seq("symbol") && s.invertible &&
       s.havingSql.isEmpty &&
       s.aggs == Seq(PlanClassifier.RowCountCol -> "count")))
-    // a second DISTINCT below the top is not linear — withheld
-    assert(am("SELECT DISTINCT x FROM (SELECT DISTINCT symbol AS x FROM t) v").isEmpty)
+    // a second DISTINCT below the top is a support-preserving no-op —
+    // stripped from the refcount partials (round-7 envelope widening), so
+    // the merge spec carries and stays invertible
+    val nested = am("SELECT DISTINCT x FROM (SELECT DISTINCT symbol AS x FROM t) v")
+    assert(nested.exists(s => s.keys == Seq("x") && s.invertible))
+    // but a DISTINCT hiding in a PRE-STEP cannot be stripped — recompute
+    def amChain(qs: (Option[String], String)*) =
+      PlanClassifier.classify(spark,
+        qs.toSeq.map { case (a, q) => (a, SqlRewriter.rewrite(q, st, None)) })
+        .asInstanceOf[Mode.SnapshotDiff].aggMerge
+    assert(amChain(
+      Some("v") -> "SELECT DISTINCT symbol AS x FROM t",
+      None -> "SELECT DISTINCT x FROM v").isEmpty)
     // LIMIT below the DISTINCT is not linear — withheld
     assert(am("SELECT DISTINCT x FROM (SELECT symbol AS x FROM t LIMIT 5) v").isEmpty)
+  }
+
+  test("reused pre-step aliases carry an inlined join-delta spec") {
+    def jd(qs: (Option[String], String)*) =
+      PlanClassifier.classify(spark,
+        qs.toSeq.map { case (a, q) => (a, SqlRewriter.rewrite(q, st, None)) })
+        .asInstanceOf[Mode.SnapshotDiff].joinDelta
+    // a join-free view consumed at two sites ≡ a self-join of its input
+    // through inlined copies — delta path, not recompute
+    val reuse = jd(
+      Some("v") -> "SELECT event_time, id, q FROM t WHERE q > 0",
+      None -> ("SELECT x.event_time AS event_time, x.id AS id, " +
+        "x.q AS q1, y.q AS q2 FROM v x JOIN v y ON x.id = y.id"))
+    assert(reuse.exists(j => j.rels == Vector("t", "t") && j.inlinedOut.isDefined))
+    // use-once chains keep the named-view path (no inlined plan)
+    val once = jd(
+      Some("v") -> "SELECT event_time, id, q FROM t WHERE q > 0",
+      None -> ("SELECT v.event_time AS event_time, v.id AS id, v.q AS q, " +
+        "u.id AS id2 FROM v JOIN u ON v.id = u.id"))
+    assert(once.exists(j => j.rels.sorted == Vector("t", "u") && j.inlinedOut.isEmpty))
+    // a reused step CONTAINING a join doubles its joins in the expansion
+    // while the plan-level count sees them once — excluded by the balance
+    val joinStep = jd(
+      Some("v") -> "SELECT a.id AS id FROM a JOIN b ON a.id = b.id",
+      None -> "SELECT x.id AS id, y.id AS id2 FROM v x JOIN v y ON x.id = y.id")
+    assert(joinStep.isEmpty)
   }
 
   test("unaliased DISTINCT/set-op expressions fall back to recompute, not error") {
