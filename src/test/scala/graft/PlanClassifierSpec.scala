@@ -366,14 +366,16 @@ class PlanClassifierSpec extends AnyFunSuite {
       (None, SqlRewriter.rewrite("SELECT id, v FROM j", st, None))))
       .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
       Some(PlanClassifier.JoinDelta(Vector("a", "b"))))
-    // a STEP alias consumed twice is still recompute — the step executes
-    // once, so the chain is quadratic (not multilinear) in its scans and
-    // the per-site telescoping does not apply
+    // a join-free STEP alias consumed twice: each scan site gets its own
+    // inlined copy of the step body, so the chain telescopes per site —
+    // delta path with rels ("a","a") and an inlined output plan (the
+    // round-7 reuse relaxation; mirrors the dedicated reused-alias test)
     assert(PlanClassifier.classify(spark, Seq(
       (Some("v"), SqlRewriter.rewrite("SELECT id, quantity FROM a", st, None)),
       (None, SqlRewriter.rewrite(
         "SELECT x.id FROM v x JOIN v y ON x.id = y.quantity", st, None))))
-      .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta
+      .exists(j => j.rels == Vector("a", "a") && j.inlinedOut.isDefined))
   }
 
   test("delta-join resolves through stateless single-scan pre-steps") {
@@ -394,7 +396,9 @@ class PlanClassifierSpec extends AnyFunSuite {
       None -> "SELECT v2.id, w.x FROM v2 JOIN w ON v2.id = w.id")
       .asInstanceOf[Mode.SnapshotDiff].joinDelta ==
       Some(PlanClassifier.JoinDelta(Vector("a", "b"))))
-    // a pre-step consumed TWICE breaks the use-once discipline
+    // a join-free pre-step consumed TWICE (here once directly and once
+    // through a second alias) telescopes per scan site under the round-7
+    // reuse relaxation — inlined delta spec with both sites at input "a"
     assert(chain(
       Some("v") -> "SELECT id FROM a",
       None -> "SELECT v.id FROM v JOIN b ON v.id = b.id AND b.id IN (0)")
@@ -403,7 +407,8 @@ class PlanClassifierSpec extends AnyFunSuite {
       Some("v") -> "SELECT id FROM a",
       Some("w") -> "SELECT id FROM v",
       None -> "SELECT w.id FROM w JOIN v ON w.id = v.id")
-      .asInstanceOf[Mode.SnapshotDiff].joinDelta.isEmpty)
+      .asInstanceOf[Mode.SnapshotDiff].joinDelta
+      .exists(j => j.rels == Vector("a", "a") && j.inlinedOut.isDefined))
     // both sides terminating at the SAME input: a self-join through a
     // pre-step — two scan sites of `a`, one telescoping term each
     assert(chain(
