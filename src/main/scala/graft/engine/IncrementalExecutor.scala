@@ -65,6 +65,38 @@ final class IncrementalExecutor(
 
   import IncrementalExecutor._
 
+  /** Streaming-face scratch dirs (staged inputs, checkpoints, foreachBatch
+    * sinks) created during this run. The emitted frame may lazily read
+    * them, so they must outlive the sink write — the engine calls
+    * [[cleanupScratch]] once the output slice is on disk (try/finally), so
+    * a long-lived engine process doesn't leak disk per streaming run.
+    */
+  private val scratchDirs =
+    scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs += p
+    p.toString
+  }
+
+  /** Recursively delete every scratch dir this run created. Idempotent;
+    * deletion failures are swallowed (cleanup must never mask the run's
+    * own result). */
+  def cleanupScratch(): Unit = {
+    scratchDirs.foreach { p =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+            case _: java.io.IOException => ()
+          })
+      } catch { case _: java.io.IOException => () }
+    }
+    scratchDirs.clear()
+  }
+
   final case class ExecResult(
       emitted: DataFrame,
       newWatermark: Option[Instant],
@@ -83,7 +115,20 @@ final class IncrementalExecutor(
     }
   private val tumble = steps.flatMap(_._2.tumble).headOption
   private val asOf = steps.flatMap(_._2.asOf).headOption
-  private val mode = PlanClassifier.classify(spark, steps)
+  private val mode = PlanClassifier.classify(spark, steps) match {
+    // The classifier derives join-delta leaves from the chain alone (it
+    // never sees the request's inputs), so a chain referencing an
+    // undeclared relation can still classify as JoinDelta — and would die
+    // in joinDeltaBinding's occurrence check as an IllegalArgumentException
+    // (InternalError) instead of the clean TABLE_OR_VIEW_NOT_FOUND the
+    // recompute path raises. Strip the delta proof when any leaf is not a
+    // declared input; the recompute fallback surfaces the normal analysis
+    // error as InvalidQuery.
+    case d: PlanClassifier.Mode.SnapshotDiff
+        if d.joinDelta.exists(jd => !jd.rels.forall(inputRelNames)) =>
+      d.copy(joinDelta = None)
+    case m => m
+  }
 
   /** Streaming-servable Top-N shape, when the chain has one (evaluated
     * only under streamingMode). */
@@ -333,7 +378,7 @@ final class IncrementalExecutor(
     * same schema.
     */
   private def streamView(alias: String, df: DataFrame): Unit = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    val dir = scratchDir("graft-stream-in")
     df.write.mode("overwrite").parquet(dir)
     spark.readStream.schema(df.schema).parquet(dir).createOrReplaceTempView(alias)
   }
@@ -345,8 +390,8 @@ final class IncrementalExecutor(
     * result), false for stateless append streams.
     */
   private def materializeStreaming(df: DataFrame, complete: Boolean): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
-    val cp = java.nio.file.Files.createTempDirectory("graft-stream-cp").toString
+    val out = scratchDir("graft-stream-out")
+    val cp = scratchDir("graft-stream-cp")
     val schema = df.schema
     val q = df.writeStream
       .outputMode(if (complete) "complete" else "append")
@@ -366,7 +411,7 @@ final class IncrementalExecutor(
   /** Stage a batch frame to a temp parquet dir and open a file-stream
     * source over it (the streaming faces' input contract). */
   private def stagedStream(df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    val dir = scratchDir("graft-stream-in")
     df.write.mode("overwrite").parquet(dir)
     spark.readStream.schema(df.schema).parquet(dir)
   }
@@ -458,9 +503,9 @@ final class IncrementalExecutor(
       slice: DataFrame,
       tn: PlanClassifier.StreamTopN): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val src = java.nio.file.Files.createTempDirectory("graft-topn-src").toString
-    val cp = java.nio.file.Files.createTempDirectory("graft-topn-cp").toString
-    val out = java.nio.file.Files.createTempDirectory("graft-topn-out").toString
+    val src = scratchDir("graft-topn-src")
+    val cp = scratchDir("graft-topn-cp")
+    val out = scratchDir("graft-topn-out")
     val schema = seed.schema
     def round(sink: (DataFrame, Long) => Unit): Unit = {
       val q = graft.streaming.StreamingTopN.topN(spark,
@@ -520,9 +565,29 @@ final class IncrementalExecutor(
     val sliceProj =
       org.apache.spark.sql.GraftPlanExec.ofRows(spark, tn.slicePlan)
     val feedCols = tn.outCols.filterNot(_ == tn.rankOut)
-    val raw = twoPhaseTopN(
-      prevSnap.select(feedCols.map(col): _*),
-      sliceProj.select(feedCols.map(col): _*), tn)
+    val seedFeed = prevSnap.select(feedCols.map(col): _*)
+    val sliceFeed = sliceProj.select(feedCols.map(col): _*)
+    // Enforce the determinism contract instead of trusting it:
+    // StreamingTopN dedups its state on (ord, tie), so two distinct rows
+    // with equal sort keys in one partition would silently collapse to
+    // one — while batch row_number ranks both (arbitrary order but full
+    // cardinality). A tie therefore breaks the byte-identity contract,
+    // and must surface as InvalidQuery, not as a dropped row. One bounded
+    // aggregate over seed ∪ slice — O(state + slice), the same order as
+    // the seed replay itself.
+    val tieClash = seedFeed.unionByName(sliceFeed)
+      .groupBy(col(tn.partCol), col(tn.ordCol), col(tn.tieCol))
+      .count().where(col("count") > 1).limit(1).collect()
+    if (tieClash.nonEmpty) {
+      val r = tieClash.head
+      throw new InvalidQueryException(
+        "streaming execution mode requires the Top-N sort key " +
+          s"(${tn.ordCol}${if (tn.tieCol != tn.ordCol) s", ${tn.tieCol}" else ""}) " +
+          s"to be unique per partition; found ${r.getLong(r.length - 1)} rows " +
+          s"with ${tn.partCol}=${r.get(0)}, ${tn.ordCol}=${r.get(1)} — add a " +
+          "distinct tiebreak column to the ORDER BY or use the batch engine")
+    }
+    val raw = twoPhaseTopN(seedFeed, sliceFeed, tn)
     val rnType = visibleSchema(tn.rankOut).dataType
     val opTmp = "__stream_op"
     val emitted = raw

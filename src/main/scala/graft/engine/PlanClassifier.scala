@@ -1514,9 +1514,11 @@ object PlanClassifier {
     * [[graft.streaming.StreamingTopN]].
     *
     * Determinism contract (same as the batch oracle's): `(o, t)` — or `o`
-    * alone when no tiebreak is written — must be unique per partition;
-    * exact ties rank arbitrarily in batch row_number and collapse in the
-    * streaming operator.
+    * alone when no tiebreak is written — must be unique per partition.
+    * Exact ties rank arbitrarily in batch row_number but would COLLAPSE in
+    * the streaming operator (state keyed on (ord, tie)), so the streaming
+    * executor enforces the contract at runtime: a tie over seed ∪ slice
+    * raises InvalidQuery rather than silently dropping a row.
     */
   final case class StreamTopN(
       input: String,

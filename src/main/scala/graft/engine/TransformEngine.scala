@@ -79,6 +79,7 @@ final class TransformEngine(spark: SparkSession) {
         // opt-in Structured Streaming execution (PROTOCOL.md §3.4): same
         // request/response contract, byte-identical slices
         streamingMode = req.transform.engine.equalsIgnoreCase("spark-streaming"))
+      try {
       val out = exec.run()
 
       // ── Validate output columns (reference TransformEngine.scala:269-308)
@@ -133,6 +134,9 @@ final class TransformEngine(spark: SparkSession) {
           else None,
         newWatermark = newWm
       )
+      // scratch dirs may back the emitted frame lazily — delete only after
+      // the slice is on disk (and on every error path out of the run)
+      } finally exec.cleanupScratch()
     } catch {
       case e: InvalidQueryException =>
         TransformResponse.InvalidQuery(e.getMessage)

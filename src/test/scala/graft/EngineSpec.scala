@@ -3432,6 +3432,33 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("delta-shaped chain over an undeclared relation → InvalidQuery, not InternalError") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = s"$dir/in.parquet"
+    writeSlice(Seq(Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10)), in)
+    // The classifier derives join-delta leaves from the chain alone, so
+    // this shape classifies as JoinDelta with leaf "phantom" — the
+    // executor must strip the proof (leaf not a declared input) and let
+    // the recompute path raise the normal table-not-found analysis error,
+    // mapped to InvalidQuery (round-7 ADVICE #5).
+    val resp = new TransformEngine(spark).executeTransform(TransformRequest(
+      "did:out", "out", ts(5), DatasetVocabulary(),
+      transform(
+        Some("v") -> "SELECT event_time, symbol, price FROM tickers",
+        None -> ("SELECT x.event_time AS event_time, x.symbol AS symbol, " +
+          "p.price AS p2 FROM v x JOIN phantom p ON x.symbol = p.symbol")),
+      Vector(mkInput("tickers", in, in, 1, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    resp match {
+      case TransformResponse.InvalidQuery(m) =>
+        assert(m.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+          m.toLowerCase.contains("phantom"), m)
+      case other => fail(s"expected InvalidQuery, got $other")
+    }
+  }
+
   test("TUMBLE_END as the event-time column gates on the end value itself") {
     import spark.implicits._
     val dir = tmp()

@@ -506,6 +506,43 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
       Seq(("A", 1, 10, 2), ("A", 1, 30, 3), ("A", 2, 5, 2), ("A", 2, 10, 3)))
   }
 
+  test("streaming Top-N rejects tied sort keys instead of collapsing rows") {
+    // StreamingTopN keys its state on (ord, tie); with no distinct
+    // tiebreak written, two distinct rows with the same price in one
+    // partition would silently collapse to one while batch row_number
+    // ranks both. The executor must enforce the determinism contract:
+    // a tie over seed ∪ slice raises InvalidQuery, never drops a row.
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto-stream-topn-tie")
+    val in1 = s"$dir/in1.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+        Ticker(1, 0, t(ts(1)), t(ts(1)), "A", 10))).toDF(), in1)
+    val q = """SELECT event_time, symbol, price, rn FROM (
+              |  SELECT event_time, symbol, price,
+              |    row_number() OVER (PARTITION BY symbol ORDER BY price DESC) AS rn
+              |  FROM tickers) WHERE rn <= 2""".stripMargin
+    val req = TransformRequest(
+      "did:odf:out", "out", ts(10), DatasetVocabulary(),
+      Transform(engine = "spark-streaming",
+        queries = Vector(SqlQueryStep(None, q))),
+      Vector(TransformRequestInput(
+        datasetId = "did:odf:in", datasetAlias = "tickers",
+        queryAlias = "tickers", offsetInterval = Some(OffsetInterval(0, 1)),
+        dataPaths = Vector(in1), schemaFile = in1,
+        explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1))))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet")
+    val r = new graft.engine.TransformEngine(spark).executeTransform(req)
+    r match {
+      case TransformResponse.InvalidQuery(msg) =>
+        assert(msg.contains("unique per partition"), msg)
+      case other => fail(s"expected InvalidQuery on tied sort keys, got $other")
+    }
+  }
+
   test("tar pack/unpack round-trips nested checkpoint trees, system-tar readable") {
     val src = Files.createTempDirectory("graft-tar-src")
     Files.writeString(src.resolve("ledger.json"), """{"n":1}""")

@@ -51,7 +51,7 @@ def parse_fbs(path: str):
 
 
 def main(argv):
-    args = [a for a in argv[1:] if not a.startswith("--map")]
+    args = []
     maps = {}
     it = iter(argv[1:])
     for a in it:
@@ -61,6 +61,8 @@ def main(argv):
         elif a.startswith("--map="):
             k, v = a.split("=", 1)[1].split("=", 1)
             maps[k] = v
+        else:
+            args.append(a)
     if len(args) != 2:
         print(__doc__)
         return 2
