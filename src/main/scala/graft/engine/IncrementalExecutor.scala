@@ -166,11 +166,17 @@ final class IncrementalExecutor(
       case PlanClassifier.Mode.AsOfJoin | PlanClassifier.Mode.AsOfWindowed => ()
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.rankTouch.isDefined && streamTopN.isDefined => ()
+      // updating left-join changelogs route through StreamingLeftJoin's
+      // keyed state (null-pad-retract contract); the under-aggregate
+      // composition stays with the batch agg paths
+      case d: PlanClassifier.Mode.SnapshotDiff
+          if d.leftJoinDelta.isDefined && d.aggMerge.isEmpty => ()
       case _ =>
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
-            "stateless, tumbling-window, interval-join, as-of join, and " +
-            "single-partition-column Top-N transforms only")
+            "stateless, tumbling-window, interval-join, as-of join, " +
+            "left-join changelog, and single-partition-column Top-N " +
+            "transforms only")
     }
     runMode()
   }
@@ -181,9 +187,20 @@ final class IncrementalExecutor(
     case PlanClassifier.Mode.AsOfWindowed    => runAsOf(windowed = true)
     case w: PlanClassifier.Mode.Windowed     => runWindowed(w.upperMillis)
     case d: PlanClassifier.Mode.SnapshotDiff if streamingMode =>
-      runTopNStreaming(streamTopN.getOrElse(throw new InvalidQueryException(
-        "streaming execution mode cannot serve this updating shape")),
-        d.keys)
+      d.leftJoinDelta match {
+        case Some(lj) if d.aggMerge.isEmpty &&
+            byAlias(lj.left).isDefined && byAlias(lj.right).isDefined =>
+          if (retractiveNow.nonEmpty)
+            throw new InvalidQueryException(
+              "streaming execution mode does not support left-join " +
+                "changelogs over inputs that have carried retractions — " +
+                "use the batch engine")
+          runLeftDeltaJoin(lj)
+        case _ =>
+          runTopNStreaming(streamTopN.getOrElse(throw new InvalidQueryException(
+            "streaming execution mode cannot serve this updating shape")),
+            d.keys)
+      }
     case d: PlanClassifier.Mode.SnapshotDiff =>
       // min/max are not invertible and an inner join is only monotone over
       // appends, so both fast paths require inputs with no retraction ever
@@ -545,6 +562,180 @@ final class IncrementalExecutor(
     * batch and streaming runs interleave on one checkpoint (the first
     * retraction must flip the chain to the batch engine — rejected here).
     */
+  /** The single equi-key equality of a left-join delta's ON condition as
+    * (leftCol, rightCol) RESOLVED to the inputs' actual field casing; None
+    * when the condition is anything else (conjuncts, expressions,
+    * non-equality) — the streaming operator keys state on one column.
+    */
+  private def leftJoinEquiKey(
+      spec: PlanClassifier.LeftJoinDelta,
+      leftSchema: org.apache.spark.sql.types.StructType,
+      rightSchema: org.apache.spark.sql.types.StructType): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    val cond =
+      try spark.sessionState.sqlParser.parseExpression(spec.conditionSql)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val keys = cond match {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if l.nameParts.length == 2 && r.nameParts.length == 2 =>
+        val (lq, ln) = (l.nameParts.head, l.nameParts.last)
+        val (rq, rn) = (r.nameParts.head, r.nameParts.last)
+        if (lq.equalsIgnoreCase(spec.leftAlias) &&
+          rq.equalsIgnoreCase(spec.rightAlias)) Some((ln, rn))
+        else if (lq.equalsIgnoreCase(spec.rightAlias) &&
+          rq.equalsIgnoreCase(spec.leftAlias)) Some((rn, ln))
+        else None
+      case _ => None
+    }
+    for {
+      (ln, rn) <- keys
+      lf <- leftSchema.fields.find(_.name.equalsIgnoreCase(ln))
+      rf <- rightSchema.fields.find(_.name.equalsIgnoreCase(rn))
+      // the operator groups on the key's string form, so mixed-type
+      // equality (which SQL would resolve by cast) is not servable
+      if lf.dataType == rf.dataType
+    } yield (lf.name, rf.name)
+  }
+
+  /** Streaming face of the left-join changelog: the stored buffers seed
+    * [[graft.streaming.StreamingLeftJoin]]'s per-key state (seed-round
+    * emissions — rebuilding history — are discarded; the matched bits
+    * reconstruct exactly because for append-only inputs the persisted
+    * matched set equals A_hist ⋉ B_hist), then both slices run as one
+    * micro-batch whose emissions are the run's changelog: ΔA pairs or
+    * null-pads against B_full, A_old pairs against ΔB, and −D null-pads
+    * for previously-unmatched left rows ΔB just matched — the same three
+    * terms as the batch passes. The wide (left ++ __right_*) emissions are
+    * then pushed through the step chain with the Join collapsed to a view
+    * scan (same device as [[rewriteAsOfPlan]]).
+    *
+    * Per-run cost is O(state) — the buffers are re-staged to temp parquet
+    * each run, like the other streaming faces (priced in BENCH_NOTES);
+    * the batch path remains the O(slice ⋈ state) answer.
+    *
+    * @return (appends, retracts) mirroring the batch (p1 ∪ p2, p3) pair —
+    *         None-ness matches the batch terms so the snapshot-update
+    *         branch below behaves identically.
+    */
+  private def streamingLeftJoinEmission(
+      spec: PlanClassifier.LeftJoinDelta,
+      oldA: DataFrame,
+      oldB: DataFrame,
+      ia: LoadedInput,
+      ib: LoadedInput,
+      hasDa: Boolean,
+      hasDb: Boolean): (Option[DataFrame], Option[DataFrame]) = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    if (!hasDa && !hasDb) return (None, None) // watermark-only run
+    val leftSchema = ia.df.drop("__seq").schema
+    val rightSchema = ib.df.drop("__seq").schema
+    val (lk, rk) = leftJoinEquiKey(spec, leftSchema, rightSchema).getOrElse(
+      throw new InvalidQueryException(
+        "streaming execution mode serves left-join changelogs only for a " +
+          "single same-typed equi-key ON condition — use the batch engine"))
+    def prepRight(df: DataFrame): DataFrame = {
+      val d = df.drop("__seq")
+      val renamed = d.columns.foldLeft(d)(
+        (acc, c) => acc.withColumnRenamed(c, s"__right_$c"))
+      renamed.withColumn(lk, col(s"__right_$rk"))
+    }
+    val rightCols = rightSchema.fieldNames.toSeq
+      .map(c => s"__right_$c" -> s"__right_$c")
+    val rightStagedSchema = prepRight(ib.df).schema
+    val srcA = scratchDir("graft-lj-left")
+    val srcB = scratchDir("graft-lj-right")
+    val cp = scratchDir("graft-lj-cp")
+    val outDir = scratchDir("graft-lj-out")
+    val opCol = "__lj_op"
+    def round(sink: (DataFrame, Long) => Unit): Unit = {
+      val q = graft.streaming.StreamingLeftJoin.leftJoin(spark,
+        spark.readStream.schema(leftSchema).parquet(srcA),
+        spark.readStream.schema(rightStagedSchema).parquet(srcB),
+        lk, rightCols, opCol)
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch(sink)
+        .start()
+      q.awaitTermination()
+    }
+    oldA.drop("__seq").write.mode("overwrite").parquet(srcA)
+    prepRight(oldB).write.mode("overwrite").parquet(srcB)
+    // seed state; the stateful operator only commits when it executes
+    round((b, _) => { b.count(); () })
+    // one file per side ⇒ one micro-batch, so in-slice ΔA×ΔB pairs join
+    // directly instead of via null-pad churn (matching the batch terms)
+    ia.df.drop("__seq").coalesce(1).write.mode("append").parquet(srcA)
+    prepRight(ib.df).coalesce(1).write.mode("append").parquet(srcB)
+    round((b, _) => b.write.mode("append").parquet(outDir))
+    val outSchema = StructType(leftSchema.fields ++
+      rightCols.map { case (r, o) =>
+        rightStagedSchema(r).copy(name = o, nullable = true) } :+
+      StructField(opCol, IntegerType, nullable = false))
+    val hasParts = Option(new java.io.File(outDir).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    val wide =
+      if (hasParts) spark.read.schema(outSchema).parquet(outDir)
+      else TransformEngine.emptyDf(spark, outSchema)
+    val leftLc = leftSchema.fieldNames.map(_.toLowerCase).toSet
+    val rightLc = rightSchema.fieldNames.map(_.toLowerCase).toSet
+    def project(df: DataFrame): DataFrame =
+      runChainOverLeftJoinView(df, spec, leftLc, rightLc)
+    val appends = project(wide.where(col(opCol) === Op.Append).drop(opCol))
+    val retr = wide.where(col(opCol) === Op.Retract).drop(opCol)
+    val retracts = if (retr.isEmpty) None else Some(project(retr))
+    (Some(appends), retracts)
+  }
+
+  /** Run the step chain with the (single) LEFT JOIN collapsed to a scan of
+    * the pre-joined wide view: `rightAlias.x` → `__right_x`,
+    * `leftAlias.x` → `x`, and bare right-only column references →
+    * `__right_x`; steps without the join run as plain SQL. Mirrors
+    * [[IncrementalExecutor.rewriteAsOfPlan]].
+    */
+  private def runChainOverLeftJoinView(
+      wide: DataFrame,
+      spec: PlanClassifier.LeftJoinDelta,
+      leftColsLc: Set[String],
+      rightColsLc: Set[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    wide.createOrReplaceTempView("__lj_joined")
+    var result: DataFrame = null
+    steps.zipWithIndex.foreach { case ((alias, rw), i) =>
+      val parsed = spark.sessionState.sqlParser.parsePlan(rw.sql)
+      val hasJoin = parsed.collectFirst { case j: Join => j }.isDefined
+      val df =
+        if (hasJoin) {
+          val collapsed = parsed.transformUp {
+            case _: Join => UnresolvedRelation(Seq("__lj_joined"))
+          }
+          val remapped = collapsed.transformAllExpressions {
+            case a: UnresolvedAttribute
+                if a.nameParts.length == 2 &&
+                  (a.nameParts.head.equalsIgnoreCase(spec.rightAlias) ||
+                    a.nameParts.head.equalsIgnoreCase(spec.right)) =>
+              UnresolvedAttribute(Seq("__right_" + a.nameParts.last))
+            case a: UnresolvedAttribute
+                if a.nameParts.length == 2 &&
+                  (a.nameParts.head.equalsIgnoreCase(spec.leftAlias) ||
+                    a.nameParts.head.equalsIgnoreCase(spec.left)) =>
+              UnresolvedAttribute(Seq(a.nameParts.last))
+            case a: UnresolvedAttribute
+                if a.nameParts.length == 1 &&
+                  rightColsLc.contains(a.nameParts.head.toLowerCase) &&
+                  !leftColsLc.contains(a.nameParts.head.toLowerCase) =>
+              UnresolvedAttribute(Seq("__right_" + a.nameParts.head))
+          }
+          org.apache.spark.sql.GraftPlanExec.ofRows(spark, remapped)
+        } else spark.sql(rw.sql)
+      alias.foreach(df.createOrReplaceTempView)
+      if (i == outputIdx) result = df
+    }
+    result
+  }
+
   private def runTopNStreaming(
       tn: PlanClassifier.StreamTopN,
       keys: Option[Seq[String]]): ExecResult = {
@@ -1562,9 +1753,6 @@ final class IncrementalExecutor(
     val hasDa = ia.spec.offsetInterval.nonEmpty
     val hasDb = ib.spec.offsetInterval.nonEmpty
 
-    val p1 = if (hasDa) Some(pass(ia.df, fullB)) else None
-    val p2 =
-      if (hasDb) Some(pass(matchJoin(oldA, ib.df, "left_semi"), ib.df)) else None
     val prevUnmatchedNowMatched =
       if (hasDb)
         matchJoin(
@@ -1572,17 +1760,32 @@ final class IncrementalExecutor(
             col(s"__a.$offCol") === col(s"__m.$offCol"), "left_anti"),
           ib.df, "left_semi")
       else oldA.limit(0)
-    val p3 = if (hasDb) Some(pass(prevUnmatchedNowMatched, fullB.limit(0))) else None
 
-    val shape = (p1 orElse p2).getOrElse(pass(ia.df, ib.df).limit(0))
+    // Emission: three batch passes, or the Structured Streaming face —
+    // same multiset of (row, op) either way (the append terms are
+    // ΔA ⟕ B_full plus A_old-pairs × ΔB; the retract term is the
+    // null-padded projection of previously-unmatched old left rows ΔB just
+    // matched), so the deterministic sink sort yields byte-identical
+    // slices. Bookkeeping below (buffers / matched state / snapshot) is
+    // shared — the streaming face only swaps how the changelog is computed.
+    val (appends, retractsRaw) =
+      if (streamingMode)
+        streamingLeftJoinEmission(spec, oldA, oldB, ia, ib, hasDa, hasDb)
+      else {
+        val p1 = if (hasDa) Some(pass(ia.df, fullB)) else None
+        val p2 =
+          if (hasDb) Some(pass(matchJoin(oldA, ib.df, "left_semi"), ib.df)) else None
+        val p3 = if (hasDb) Some(pass(prevUnmatchedNowMatched, fullB.limit(0))) else None
+        (Seq(p1, p2).flatten.reduceOption(_.unionByName(_)), p3.filter(!_.isEmpty))
+      }
+
+    val shape = appends.getOrElse(pass(ia.df, ib.df).limit(0))
     if (shape.columns.contains(vocab.operationTypeColumn))
       throw new InvalidQueryException(
         s"an updating query must not project the operation column " +
           s"'${vocab.operationTypeColumn}' — ops are generated by the " +
           "engine from the snapshot diff")
 
-    val appends = Seq(p1, p2).flatten.reduceOption(_.unionByName(_))
-    val retractsRaw = p3.filter(!_.isEmpty)
     val emitted = Snitch.tap(
       (appends.map(_.withColumn(vocab.operationTypeColumn, lit(Op.Append))) ++
         retractsRaw.map(_.withColumn(vocab.operationTypeColumn, lit(Op.Retract))))
