@@ -3107,6 +3107,75 @@ class EngineSpec extends AnyFunSuite {
     assert(o3 == Seq(("C", Op.Retract)))
   }
 
+  test("ALL-variant multiplicity diff emits exact Δk under planted multiplicities") {
+    import spark.implicits._
+    // Non-vacuous fixture for the multiplicity-diff path (round-7
+    // envelope widening): multiplicities are PLANTED — three identical
+    // lhs rows, a slice retracting exactly two of them — and the golden
+    // asserts the Δk append/retract COUNTS per run, not just twin
+    // equivalence. INTERSECT ALL: |A| = min(l, r) so 3→1 lhs copies with
+    // r=2 moves the output 2→1 (one retract); EXCEPT ALL: |A| = l − r so
+    // the same slice moves 2→0 (two retracts).
+    def drive(q: String, expected: Seq[Seq[(String, Int)]]): Unit = {
+      val dir = tmp()
+      var prev: Option[String] = None
+      var nextOut = 0L
+      val a = (o: Long, run: Int) => Ticker(o, Op.Append, t(ts(run)), t(ts(1)), "A", 1)
+      val r = (o: Long, run: Int) => Ticker(o, Op.Retract, t(ts(run)), t(ts(1)), "A", 1)
+      // run 1: lhs A×3, rhs A×2; run 2: lhs retracts 2 of 3;
+      // run 3: rhs appends A×3 (no lhs change)
+      val slices: Seq[(Seq[Ticker], Seq[Ticker])] = Seq(
+        (Seq(a(0, 1), a(1, 1), a(2, 1)), Seq(a(0, 1), a(1, 1))),
+        (Seq(r(3, 2), r(4, 2)), Seq.empty),
+        (Seq.empty, Seq(a(2, 3), a(3, 3), a(4, 3))))
+      var offL = 0L; var offR = 0L
+      slices.zip(expected).zipWithIndex.foreach { case (((sl, sr), exp), i) =>
+        val run = i + 1
+        val inL = s"$dir/l$run.parquet"; val inR = s"$dir/r$run.parquet"
+        if (sl.nonEmpty) writeSlice(sl, inL)
+        if (sr.nonEmpty) writeSlice(sr, inR)
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(
+            mkInput("lhs", if (sl.nonEmpty) inL else null, s"$dir/l1.parquet",
+              sl.length, startOffset = offL, wms = Seq(ts(run))),
+            mkInput("rhs", if (sr.nonEmpty) inR else null, s"$dir/l1.parquet",
+              sr.length, startOffset = offR, wms = Seq(ts(run)))),
+          nextOffset = nextOut, prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        prev = Some(s"$dir/cp$run")
+        nextOut = resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut)
+        offL += sl.length; offR += sr.length
+        val outP = s"$dir/out$run.parquet"
+        val got =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(outP)))
+            readOut(outP).orderBy("offset")
+              .collect().toSeq.map(row =>
+                (row.getAs[String]("symbol"), row.getAs[Int]("op")))
+          else Seq.empty
+        assert(got == exp, s"[$q] run $run: got $got, expected $exp")
+      }
+      // the retractive run must have stayed on the merge path
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/cp2/agg_partials")),
+        s"[$q] retractive run left the multiplicity merge path")
+    }
+    drive(
+      "SELECT event_time, symbol FROM lhs INTERSECT ALL SELECT event_time, symbol FROM rhs",
+      Seq(
+        Seq(("A", Op.Append), ("A", Op.Append)),  // min(3,2) = 2
+        Seq(("A", Op.Retract)),                   // min(1,2) = 1 → Δ = −1
+        Seq.empty))                               // min(1,5) = 1 → Δ = 0
+    drive(
+      "SELECT event_time, symbol FROM lhs EXCEPT ALL SELECT event_time, symbol FROM rhs",
+      Seq(
+        Seq(("A", Op.Append)),                    // 3 − 2 = 1
+        Seq(("A", Op.Retract)),                   // 1 − 2 → 0 → Δ = −1
+        Seq.empty))                               // 1 − 5 → 0 → Δ = 0
+  }
+
   test("set-op and union refcount merges match their recompute twins") {
     import spark.implicits._
     // Seeded slices with appends and retractions on BOTH inputs, driven
