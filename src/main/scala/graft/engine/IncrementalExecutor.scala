@@ -496,7 +496,13 @@ final class IncrementalExecutor(
         }).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
     val pWith = probeIn.withColumn(sent, lit(false))
+    // Touched-key narrowing: each run opens a FRESH streaming checkpoint,
+    // so only build versions whose key has an eligible probe THIS run can
+    // contribute (keyless probes drop under inner semantics either way).
+    // Bounds the per-run staging to O(state ∩ touched keys + slice)
+    // instead of rewriting the full version store.
     val bWith = buildRenamed.where(col(probeKey).isNotNull)
+      .join(probeIn.select(col(probeKey)).distinct(), Seq(probeKey), "left_semi")
       .withColumn(sent, lit(false))
     val probeS = stagedStream(
       pWith.unionByName(sentinelRow(pWith.schema, probeTimeCol)))
@@ -536,7 +542,15 @@ final class IncrementalExecutor(
         .start()
       q.awaitTermination()
     }
-    seed.write.mode("overwrite").parquet(src)
+    // Touched-partition narrowing: the checkpoint is fresh per run, so
+    // state for partitions the slice never touches is never consulted and
+    // emissions only arise where slice rows arrive — seeding only touched
+    // partitions is byte-identical and bounds the replay to
+    // O(touched partitions × N) instead of the full stored snapshot.
+    seed.join(slice.select(col(tn.partCol)).distinct(),
+        Seq(tn.partCol), "left_semi")
+      .select(seed.columns.map(col): _*)
+      .write.mode("overwrite").parquet(src)
     // the seed batch must still EXECUTE (state stores only commit when the
     // stateful operator runs) — count() forces it, emissions discarded
     round((b, _) => { b.count(); () })
@@ -610,9 +624,10 @@ final class IncrementalExecutor(
     * then pushed through the step chain with the Join collapsed to a view
     * scan (same device as [[rewriteAsOfPlan]]).
     *
-    * Per-run cost is O(state) — the buffers are re-staged to temp parquet
-    * each run, like the other streaming faces (priced in BENCH_NOTES);
-    * the batch path remains the O(slice ⋈ state) answer.
+    * Per-run staging cost is O(state ∩ touched keys + slice): the seed
+    * frames are semi-join-narrowed to the keys the slices touch before
+    * staging (the checkpoint is fresh per run, so untouched groups are
+    * never consulted); the batch path remains the O(slice ⋈ state) answer.
     *
     * @return (appends, retracts) mirroring the batch (p1 ∪ p2, p3) pair —
     *         None-ness matches the batch terms so the snapshot-update
@@ -660,8 +675,20 @@ final class IncrementalExecutor(
         .start()
       q.awaitTermination()
     }
-    oldA.drop("__seq").write.mode("overwrite").parquet(srcA)
-    prepRight(oldB).write.mode("overwrite").parquet(srcB)
+    // Touched-key narrowing: the checkpoint is fresh per run and emissions
+    // only arise in key groups receiving slice rows (null-keyed left rows
+    // bypass state entirely), so seeding only the touched groups is
+    // byte-identical and bounds the replay to O(state ∩ touched keys)
+    // instead of the full buffers.
+    val touchedKeys = ia.df.select(col(lk))
+      .unionByName(ib.df.select(col(rk).as(lk)))
+      .where(col(lk).isNotNull).distinct()
+    oldA.drop("__seq").join(touchedKeys, Seq(lk), "left_semi")
+      .select(leftSchema.fieldNames.map(col): _*)
+      .write.mode("overwrite").parquet(srcA)
+    prepRight(oldB).join(touchedKeys, Seq(lk), "left_semi")
+      .select(rightStagedSchema.fieldNames.map(col): _*)
+      .write.mode("overwrite").parquet(srcB)
     // seed state; the stateful operator only commits when it executes
     round((b, _) => { b.count(); () })
     // one file per side ⇒ one micro-batch, so in-slice ΔA×ΔB pairs join
@@ -766,7 +793,13 @@ final class IncrementalExecutor(
     // and must surface as InvalidQuery, not as a dropped row. One bounded
     // aggregate over seed ∪ slice — O(state + slice), the same order as
     // the seed replay itself.
-    val tieClash = seedFeed.unionByName(sliceFeed)
+    val tieClash = seedFeed
+      // only ties in partitions this run touches can affect this run's
+      // emissions; untouched ties are re-checked when their partition is
+      // next touched (O(touched + slice), matching the seed narrowing)
+      .join(sliceFeed.select(col(tn.partCol)).distinct(),
+        Seq(tn.partCol), "left_semi")
+      .unionByName(sliceFeed.select(seedFeed.columns.map(col): _*))
       .groupBy(col(tn.partCol), col(tn.ordCol), col(tn.tieCol))
       .count().where(col("count") > 1).limit(1).collect()
     if (tieClash.nonEmpty) {
