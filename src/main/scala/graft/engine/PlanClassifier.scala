@@ -1085,9 +1085,10 @@ object PlanClassifier {
       * definitions, the output alias never consumed, every pre-step
       * reached by the output expansion, and every plan-level scan either a
       * step alias or one of the expanded terminal inputs — so nothing is
-      * referenced that the expansion did not account for. A reused step
-      * CONTAINING a join is rejected upstream by the join-count balance
-      * (its joins would double in the expansion but count once per plan).
+      * referenced that the expansion did not account for. Reused steps may
+      * themselves CONTAIN joins (round 8): the per-site join balance in
+      * [[resolveInnerJoinTree]] counts a step's joins once per expansion
+      * site, so the multiplied joins stay accounted for.
       */
     def soundUseSites(ls: Seq[String], used: Map[String, Int]): Boolean = {
       val outAlias = plans(outIdx)._1
@@ -1159,9 +1160,9 @@ object PlanClassifier {
               // executor binds self-join sites per occurrence
               // (runDeltaJoin). A step alias consumed at SEVERAL sites is
               // the same thing once inlined per site ([[inlineOut]]) —
-              // allowed under `allowReuse` for join-free steps (a reused
-              // step WITH a join fails the join-count balance below: its
-              // joins double in the expansion but count once per plan).
+              // allowed under `allowReuse`, including steps CONTAINING
+              // joins (round 8): their joins multiply per site in the
+              // expansion, which the per-site join balance accounts for.
               // `seen` tracks the PATH only, so re-entry across sibling
               // sites is reuse, within one expansion a cycle.
               case Some(sp) =>
@@ -1176,9 +1177,16 @@ object PlanClassifier {
         }
       for {
         ls <- leaves(outPlan, Set.empty)
-        // every collected join sits in this single tree; leaves may repeat
-        // a relation (self-join) but the scan-site multiset must balance
-        if ls.size == allJoins.size + 1
+        // every collected join sits in the single EXPANSION tree: the
+        // output plan's joins count once, a step's joins once per
+        // expansion site (useCounts) — a binary join tree with J joins
+        // has J+1 leaves. With no reuse this degenerates to the plan-level
+        // balance (each reached step counted once; a join hiding in an
+        // unreached step is rejected by soundUse/soundUseSites).
+        joinsIn = (p: LogicalPlan) => p.collect { case j: Join => j }.size
+        expansionJoins = joinsIn(outPlan) + useCounts.map {
+          case (a, k) => joinsIn(stepByAlias(a)) * k }.sum
+        if ls.size == expansionJoins + 1
         reused = useCounts.exists(_._2 > 1)
         if (if (reused) allowReuse && soundUseSites(ls, useCounts.toMap)
             else soundUse(ls))

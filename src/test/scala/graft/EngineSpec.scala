@@ -2581,6 +2581,93 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("reused JOIN-bearing step delta path and recompute emit identical changelogs") {
+    import spark.implicits._
+    // Round-8 envelope widening: the reused pre-step itself CONTAINS a
+    // join (orders ⋈ shipments), consumed at TWO sites of the output
+    // self-join — the classifier's per-site join balance admits it and
+    // the executor telescopes over FOUR leaf positions
+    // (orders, shipments, orders, shipments). Seeded random append-only
+    // slices on BOTH inputs versus the value-identical CTE-wrapped twin
+    // (recompute); run 4 retracts a run-1 order, covering the
+    // delta → net-and-recompute flip against the delta-maintained
+    // snapshot.
+    val rnd = new scala.util.Random(83)
+    val dirF = tmp(); val dirC = tmp()
+    val qPre =
+      """SELECT o.event_time AS event_time, o.order_id AS order_id,
+        |  o.quantity AS quantity, s.num_shipped AS num_shipped
+        |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    val qOut =
+      """SELECT x.event_time AS event_time, x.order_id AS order_id,
+        |  x.quantity AS q1, y.num_shipped AS ship2
+        |FROM enriched x JOIN enriched y ON x.order_id = y.order_id""".stripMargin
+    val qSlow =
+      s"""WITH enriched AS (
+         |  SELECT o.event_time AS event_time, o.order_id AS order_id,
+         |    o.quantity AS quantity, s.num_shipped AS num_shipped
+         |  FROM orders o JOIN shipments s ON o.order_id = s.order_id)
+         |SELECT x.event_time AS event_time, x.order_id AS order_id,
+         |  x.quantity AS q1, y.num_shipped AS ship2
+         |FROM enriched x JOIN enriched y ON x.order_id = y.order_id""".stripMargin
+    var offO = 0L; var offS = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 5).foreach { run =>
+      val nO0 = if (run == 1) 2 else rnd.nextInt(3)
+      val orders = (0 until nO0).map { i =>
+        OrderRow(offO + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 10 * (1 + rnd.nextInt(4)))
+      }
+      if (run == 1) firstOrder = orders.head
+      val sliceO =
+        if (run == 4)
+          orders :+ OrderRow(offO + nO0, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val sliceS = (0 until (if (run == 1) 2 else rnd.nextInt(3))).map { i =>
+        Shipment(offS + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 1 + rnd.nextInt(5))
+      }
+      val nO = sliceO.length; val nS = sliceS.length
+      def drive(tag: String, dir: java.nio.file.Path,
+          qs: Seq[(Option[String], String)], prev: Option[String]): String = {
+        val pO = s"$dir/o$run.parquet"; val pS = s"$dir/s$run.parquet"
+        if (nO > 0) writeSlice(sliceO, pO)
+        if (nS > 0) writeSlice(sliceS, pS)
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(qs: _*),
+          Vector(
+            mkInput("orders", if (nO > 0) pO else null,
+              s"$dir/o1.parquet", nO, startOffset = offO, wms = Seq(ts(run))),
+            mkInput("shipments", if (nS > 0) pS else null,
+              s"$dir/s1.parquet", nS, startOffset = offS, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF,
+        Seq(Some("enriched") -> qPre, None -> qOut), prevF))
+      prevC = Some(drive("c", dirC, Seq(None -> qSlow), prevC))
+      offO += nO; offS += nS
+      val sel = Seq("offset", "op", "event_time", "order_id", "q1", "ship2")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+    }
+    assert(nextOut("f") > 0)
+  }
+
   test("agg above a self-join: merge path and recompute emit identically") {
     import spark.implicits._
     // sum/count aggregate keyed on the left occurrence's column above the

@@ -703,12 +703,27 @@ class PlanClassifierSpec extends AnyFunSuite {
       None -> ("SELECT v.event_time AS event_time, v.id AS id, v.q AS q, " +
         "u.id AS id2 FROM v JOIN u ON v.id = u.id"))
     assert(once.exists(j => j.rels.sorted == Vector("t", "u") && j.inlinedOut.isEmpty))
-    // a reused step CONTAINING a join doubles its joins in the expansion
-    // while the plan-level count sees them once — excluded by the balance
+    // a reused step CONTAINING a join multiplies its joins per expansion
+    // site; the per-site join balance (round 8) accounts for them, so the
+    // chain telescopes over FOUR leaf positions — (a, b) per copy
     val joinStep = jd(
       Some("v") -> "SELECT a.id AS id FROM a JOIN b ON a.id = b.id",
       None -> "SELECT x.id AS id, y.id AS id2 FROM v x JOIN v y ON x.id = y.id")
-    assert(joinStep.isEmpty)
+    assert(joinStep.exists(j =>
+      j.rels == Vector("a", "b", "a", "b") && j.inlinedOut.isDefined))
+    // nested reuse: a join-bearing step consumed through ANOTHER reused
+    // step expands transitively — six leaves, joins balanced per site
+    val nested = jd(
+      Some("v") -> "SELECT a.id AS id FROM a JOIN b ON a.id = b.id",
+      Some("w") -> "SELECT v.id AS id, c.id AS cid FROM v JOIN c ON v.id = c.id",
+      None -> "SELECT x.id AS id, y.cid AS cid2 FROM w x JOIN w y ON x.id = y.id")
+    assert(nested.exists(j =>
+      j.rels == Vector("a", "b", "c", "a", "b", "c") && j.inlinedOut.isDefined))
+    // an OUTER join inside a reused step still poisons the tree
+    val outerStep = jd(
+      Some("v") -> "SELECT a.id AS id FROM a LEFT JOIN b ON a.id = b.id",
+      None -> "SELECT x.id AS id, y.id AS id2 FROM v x JOIN v y ON x.id = y.id")
+    assert(outerStep.isEmpty)
   }
 
   test("unaliased DISTINCT/set-op expressions fall back to recompute, not error") {
