@@ -80,10 +80,25 @@ final class IncrementalExecutor(
     p.toString
   }
 
-  /** Recursively delete every scratch dir this run created. Idempotent;
-    * deletion failures are swallowed (cleanup must never mask the run's
-    * own result). */
+  /** Frames persisted for the run because several downstream actions
+    * consume them (emission, state updates, emptiness checks) — without
+    * pinning, a 3-frame join pass would be re-evaluated once per consumer.
+    * Unpersisted by [[cleanupScratch]] once the sink write is done. */
+  private val pinnedFrames = scala.collection.mutable.Buffer.empty[DataFrame]
+
+  private def pin(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinnedFrames += p
+    p
+  }
+
+  /** Recursively delete every scratch dir this run created and unpersist
+    * the run's pinned frames. Idempotent; deletion failures are swallowed
+    * (cleanup must never mask the run's own result). */
   def cleanupScratch(): Unit = {
+    pinnedFrames.foreach(f =>
+      try f.unpersist(blocking = false) catch { case _: Throwable => () })
+    pinnedFrames.clear()
     scratchDirs.foreach { p =>
       try {
         import scala.jdk.CollectionConverters._
@@ -610,6 +625,43 @@ final class IncrementalExecutor(
       // equality (which SQL would resolve by cast) is not servable
       if lf.dataType == rf.dataType
     } yield (lf.name, rf.name)
+  }
+
+  /** First `leftAlias.x = rightAlias.y` equality CONJUNCT of the ON
+    * condition (the full condition may carry more predicates), resolved to
+    * the inputs' actual field casing. Enough to key-range narrow the
+    * buffer scans: a state row whose key falls outside the delta's key
+    * range cannot satisfy this conjunct against any delta row, whatever
+    * the other conjuncts say.
+    */
+  private def leftJoinEquiConjunct(
+      spec: PlanClassifier.LeftJoinDelta,
+      leftSchema: org.apache.spark.sql.types.StructType,
+      rightSchema: org.apache.spark.sql.types.StructType): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    val cond =
+      try spark.sessionState.sqlParser.parseExpression(spec.conditionSql)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    IncrementalExecutor.conjuncts(cond).iterator.flatMap {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if l.nameParts.length == 2 && r.nameParts.length == 2 =>
+        val (lq, ln) = (l.nameParts.head, l.nameParts.last)
+        val (rq, rn) = (r.nameParts.head, r.nameParts.last)
+        val named =
+          if (lq.equalsIgnoreCase(spec.leftAlias) &&
+            rq.equalsIgnoreCase(spec.rightAlias)) Some((ln, rn))
+          else if (lq.equalsIgnoreCase(spec.rightAlias) &&
+            rq.equalsIgnoreCase(spec.leftAlias)) Some((rn, ln))
+          else None
+        named.flatMap { case (ln2, rn2) =>
+          for {
+            lf <- leftSchema.fields.find(_.name.equalsIgnoreCase(ln2))
+            rf <- rightSchema.fields.find(_.name.equalsIgnoreCase(rn2))
+          } yield (lf.name, rf.name)
+        }
+      case _ => None
+    }.nextOption()
   }
 
   /** Streaming face of the left-join changelog: the stored buffers seed
@@ -1692,16 +1744,34 @@ final class IncrementalExecutor(
     // (a stateless step is row-local: Δf(A) = f(ΔA)).
     val (positions, passFn) =
       joinDeltaBinding(spec, None, tap = false, () => runStepsUntapped())
-    val (parts, emptyFrame) = joinDeltaTerms(positions, passFn)
+    // Equi-edge extraction for key-range term narrowing (round 8): bind
+    // each position to an exprId-fresh probe frame, analyze the pass plan
+    // once (no execution), and read the join tree's equality conjuncts
+    // back as (position, inputColumn) pairs via attribute lineage — robust
+    // through aliased pass-through projections in pre-steps. Failure is
+    // always safe: Nil edges ⇒ no narrowing.
+    val edges: Seq[(Int, String, Int, String)] =
+      try {
+        val probes = positions.map { p =>
+          val f = byAlias(p).get.df.drop("__seq")
+          f.toDF(f.columns.toIndexedSeq: _*) // fresh exprIds per position
+        }
+        val leafOut = probes.map(f =>
+          f.queryExecution.analyzed.output.map(a => a.exprId -> a.name).toMap)
+        extractEquiEdges(passFn(probes).queryExecution.analyzed, leafOut)
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    val (parts, emptyFrame) = joinDeltaTerms(positions, passFn, edges)
     // buffers of ALL inputs (referenced or not) must keep accumulating —
     // a later retraction flip recomputes over them
     val olds = inputs.map(i =>
       i.spec.queryAlias -> store.read(bufferName(i.spec.queryAlias), i.df.schema)).toMap
 
-    // watermark-only run on every input: nothing can join, emit nothing
-    val delta = Snitch.tap(
+    // watermark-only run on every input: nothing can join, emit nothing.
+    // Pinned: the union of terms feeds the emission and the snapshot
+    // carry-append — without pinning every consumer re-runs all terms.
+    val delta = pin(Snitch.tap(
       parts.reduceOption(_.unionByName(_)).getOrElse(emptyFrame()),
-      "output")
+      "output"))
 
     if (delta.columns.contains(vocab.operationTypeColumn))
       throw new InvalidQueryException(
@@ -1711,8 +1781,15 @@ final class IncrementalExecutor(
 
     val emitted = delta.withColumn(vocab.operationTypeColumn, lit(Op.Append))
 
+    // cluster each referenced buffer by its (first) equi-edge column so
+    // the key-range-narrowed terms prune row groups on later runs
+    val clusterCols: Map[String, Seq[String]] = edges.flatMap {
+      case (pa, ca, pb, cb) =>
+        Seq(positions(pa) -> ca, positions(pb) -> cb)
+    }.groupMap(_._1)(_._2).view.mapValues(cs => Seq(cs.head)).toMap
     inputs.foreach(i => store.appendCarry(bufferName(i.spec.queryAlias),
-      i.df, olds(i.spec.queryAlias).unionByName(i.df)))
+      i.df, olds(i.spec.queryAlias).unionByName(i.df),
+      orderBy = clusterCols.getOrElse(i.spec.queryAlias, Nil)))
     store.appendCarry(snapshotName, delta,
       store.read(snapshotName, delta.schema).unionByName(delta))
 
@@ -1786,12 +1863,40 @@ final class IncrementalExecutor(
     val hasDa = ia.spec.offsetInterval.nonEmpty
     val hasDb = ib.spec.offsetInterval.nonEmpty
 
+    // Key-range narrowing (round 8): when the ON condition carries an
+    // equality conjunct, each pass's STATE-side frame is pre-filtered to
+    // the joining delta's key range — a parquet-pushable BETWEEN that
+    // prunes row groups at the scan (buffer tiers are generational and
+    // key-sorted below, so for arrival-correlated keys the state read is
+    // ~O(slice), not O(state)). Sound per pass: a state row outside the
+    // delta's key range cannot satisfy the equality conjunct against any
+    // delta row, whatever the other conjuncts require.
+    val equiC = leftJoinEquiConjunct(spec, ia.df.schema, ib.df.schema)
+    def keyRange(df: DataFrame, k: String): Option[(Any, Any)] = {
+      val r = df.agg(min(col(k)), max(col(k))).head
+      if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+    }
+    def narrowTo(df: DataFrame, k: String, range: Option[(Any, Any)]): DataFrame =
+      range match {
+        case Some((lo, hi)) => df.where(col(k) >= lit(lo) && col(k) <= lit(hi))
+        case None           => df.where(lit(false)) // delta has no non-null keys
+      }
+    val fullBJoinable = equiC match {
+      case Some((lk, rk)) if hasDa => narrowTo(fullB, rk, keyRange(ia.df, lk))
+      case _                       => fullB
+    }
+    val oldAJoinable = equiC match {
+      case Some((lk, rk)) if hasDb => narrowTo(oldA, lk, keyRange(ib.df, rk))
+      case _                       => oldA
+    }
+
     val prevUnmatchedNowMatched =
       if (hasDb)
-        matchJoin(
-          oldA.alias("__a").join(matched0.alias("__m"),
+        // pinned: consumed by the p3 pass AND the matched-state update
+        pin(matchJoin(
+          oldAJoinable.alias("__a").join(matched0.alias("__m"),
             col(s"__a.$offCol") === col(s"__m.$offCol"), "left_anti"),
-          ib.df, "left_semi")
+          ib.df, "left_semi"))
       else oldA.limit(0)
 
     // Emission: three batch passes, or the Structured Streaming face —
@@ -1805,11 +1910,17 @@ final class IncrementalExecutor(
       if (streamingMode)
         streamingLeftJoinEmission(spec, oldA, oldB, ia, ib, hasDa, hasDb)
       else {
-        val p1 = if (hasDa) Some(pass(ia.df, fullB)) else None
+        val p1 = if (hasDa) Some(pass(ia.df, fullBJoinable)) else None
         val p2 =
-          if (hasDb) Some(pass(matchJoin(oldA, ib.df, "left_semi"), ib.df)) else None
+          if (hasDb)
+            Some(pass(matchJoin(oldAJoinable, ib.df, "left_semi"), ib.df))
+          else None
         val p3 = if (hasDb) Some(pass(prevUnmatchedNowMatched, fullB.limit(0))) else None
-        (Seq(p1, p2).flatten.reduceOption(_.unionByName(_)), p3.filter(!_.isEmpty))
+        // pin: appends feed the emission AND the snapshot update; p3 feeds
+        // the emptiness check, the emission, AND the exceptAll — without
+        // pinning each consumer re-runs the whole join pass
+        (Seq(p1, p2).flatten.reduceOption(_.unionByName(_)).map(pin),
+          p3.map(pin).filter(!_.isEmpty))
       }
 
     val shape = appends.getOrElse(pass(ia.df, ib.df).limit(0))
@@ -1826,12 +1937,21 @@ final class IncrementalExecutor(
         .getOrElse(shape.limit(0).withColumn(vocab.operationTypeColumn, lit(Op.Append))),
       "output")
 
-    inputs.foreach(i => store.appendCarry(bufferName(i.spec.queryAlias),
-      i.df, olds(i.spec.queryAlias).unionByName(i.df)))
+    inputs.foreach { i =>
+      // cluster join buffers by their equi key so the key-range-narrowed
+      // passes above prune row groups on later runs
+      val cluster = equiC match {
+        case Some((lk, _)) if i.spec.queryAlias == spec.left  => Seq(lk)
+        case Some((_, rk)) if i.spec.queryAlias == spec.right => Seq(rk)
+        case _                                                => Nil
+      }
+      store.appendCarry(bufferName(i.spec.queryAlias),
+        i.df, olds(i.spec.queryAlias).unionByName(i.df), orderBy = cluster)
+    }
     // matched-state is append-only: ΔA rows matching anything now, plus the
     // previously-unmatched old rows ΔB just matched — disjoint from matched0
     val newMatched = Seq(
-      if (hasDa) Some(matchJoin(ia.df, fullB, "left_semi")
+      if (hasDa) Some(matchJoin(ia.df, fullBJoinable, "left_semi")
         .select(col(s"${spec.leftAlias}.$offCol"))) else None,
       if (hasDb) Some(prevUnmatchedNowMatched
         .select(col(s"${spec.leftAlias}.$offCol"))) else None
@@ -2124,18 +2244,46 @@ final class IncrementalExecutor(
     */
   private def joinDeltaTerms(
       positions: Vector[String],
-      passFn: Vector[DataFrame] => DataFrame)
+      passFn: Vector[DataFrame] => DataFrame,
+      /** Equi-join edges between leaf positions as
+        * (posA, colOnInputA, posB, colOnInputB) — see extractEquiEdges. */
+      edges: Seq[(Int, String, Int, String)] = Nil)
       : (Seq[DataFrame], () => DataFrame) = {
     val loaded = positions.map(r => byAlias(r).get)
     val olds = positions.distinct.map(r =>
       r -> store.read(bufferName(r), byAlias(r).get.df.schema)).toMap
+    def keyRange(df: DataFrame, c: String): Option[(Any, Any)] = {
+      val r = df.agg(min(col(c)), max(col(c))).head
+      if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+    }
     val parts = positions.indices.flatMap { i =>
       if (loaded(i).spec.offsetInterval.isEmpty) None
-      else Some(passFn(positions.indices.map { j =>
-        if (j < i) olds(positions(j))
-        else if (j == i) loaded(j).df
-        else olds(positions(j)).unionByName(loaded(j).df)
-      }.toVector))
+      else {
+        // Key-range narrowing (round 8): in term i, any position j that
+        // shares an equi edge with i only contributes rows whose edge key
+        // falls inside Δ_i's key range — a parquet-pushable BETWEEN that
+        // prunes the state scan (buffers are key-clustered at write).
+        // Sound per term: a j-row outside the range cannot satisfy the
+        // edge equality against any Δ_i row. Non-adjacent positions stay
+        // unfiltered (one-hop reduction only).
+        val adj: Map[Int, Seq[(String, String)]] = edges.collect {
+          case (a, ca, b, cb) if a == i && b != i => (b, (ca, cb))
+          case (a, ca, b, cb) if b == i && a != i => (a, (cb, ca))
+        }.groupMap(_._1)(_._2)
+        def narrowed(j: Int, base: DataFrame): DataFrame =
+          adj.get(j).fold(base)(_.foldLeft(base) { case (d, (ci, cj)) =>
+            keyRange(loaded(i).df, ci) match {
+              case Some((lo, hi)) =>
+                d.where(col(cj) >= lit(lo) && col(cj) <= lit(hi))
+              case None => d.where(lit(false)) // Δ_i has no non-null keys
+            }
+          })
+        Some(passFn(positions.indices.map { j =>
+          if (j < i) narrowed(j, olds(positions(j)))
+          else if (j == i) loaded(j).df
+          else narrowed(j, olds(positions(j)).unionByName(loaded(j).df))
+        }.toVector))
+      }
     }
     (parts, () => passFn(positions.map(p => byAlias(p).get.df)).limit(0))
   }
@@ -2184,6 +2332,47 @@ object IncrementalExecutor {
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other     => Seq(other)
+  }
+
+  /** Equality conjuncts of every inner-join condition in an ANALYZED pass
+    * plan, expressed as (position, inputColumn) pairs via attribute
+    * lineage: `leafOut(j)` maps each position-j probe frame's output
+    * exprIds to its input column names, and aliases in stateless
+    * projections propagate provenance upward — so `e.num_shipped` in a
+    * pre-step-derived join key resolves back to (shipmentsPos,
+    * num_shipped). Only bare pass-through aliases propagate (a computed
+    * key breaks lineage and simply yields no edge — no narrowing, never
+    * wrong narrowing).
+    */
+  def extractEquiEdges(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      leafOut: Seq[Map[org.apache.spark.sql.catalyst.expressions.ExprId, String]])
+      : Seq[(Int, String, Int, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, ExprId}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+    val prov = scala.collection.mutable.Map.empty[ExprId, (Int, String)]
+    leafOut.zipWithIndex.foreach { case (m, j) =>
+      m.foreach { case (id, n) => prov(id) = (j, n) }
+    }
+    analyzed.foreachUp {
+      case p: Project =>
+        p.projectList.foreach {
+          case a @ Alias(ar: AttributeReference, _) =>
+            prov.get(ar.exprId).foreach(v => prov(a.exprId) = v)
+          case _ => ()
+        }
+      case _ => ()
+    }
+    analyzed.collect {
+      case j: Join => j.condition.toSeq.flatMap(conjuncts)
+    }.flatten.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if prov.contains(a.exprId) && prov.contains(b.exprId) &&
+            prov(a.exprId)._1 != prov(b.exprId)._1 =>
+        val (pa, ca) = prov(a.exprId)
+        val (pb, cb) = prov(b.exprId)
+        (pa, ca, pb, cb)
+    }
   }
 
   /** Find `probeAlias.k = buildAlias.k2` (either order) in the parsed as-of

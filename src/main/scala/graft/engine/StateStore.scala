@@ -97,10 +97,22 @@ final class StateStore(
       slice: DataFrame,
       full: => DataFrame,
       mergeFactor: Int = 4,
-      compact: Option[DataFrame => DataFrame] = None): Unit = {
+      compact: Option[DataFrame => DataFrame] = None,
+      /** Cluster every written file by these columns (within-partition
+        * sort, no extra shuffle) so parquet row-group min/max stats stay
+        * tight on them — lets a key-range-narrowed consumer
+        * ([[graft.engine.IncrementalExecutor]] left-join passes) prune the
+        * scan instead of reading the full state. Content-neutral: state is
+        * a multiset, no consumer depends on file order.
+        */
+      orderBy: Seq[String] = Nil): Unit = {
+    def clustered(df: DataFrame): DataFrame =
+      if (orderBy.isEmpty) df
+      else df.sortWithinPartitions(
+        orderBy.map(org.apache.spark.sql.functions.col): _*)
     val prev = prevDir.map(d => Paths.get(d, name)).filter(Files.exists(_))
     prev match {
-      case None => write(name, full)
+      case None => write(name, clustered(full))
       case Some(p) =>
         val parts = {
           val s = Files.list(p)
@@ -124,8 +136,8 @@ final class StateStore(
             Files.copy(f, t)
           }
         }
-        slice.write.mode("append").parquet(target.toString)
-        compactTiers(target, mergeFactor, compact)
+        clustered(slice).write.mode("append").parquet(target.toString)
+        compactTiers(target, mergeFactor, compact, orderBy)
     }
   }
 
@@ -147,7 +159,8 @@ final class StateStore(
   private def compactTiers(
       dir: java.nio.file.Path,
       mergeFactor: Int,
-      compact: Option[DataFrame => DataFrame] = None): Unit = {
+      compact: Option[DataFrame => DataFrame] = None,
+      orderBy: Seq[String] = Nil): Unit = {
     require(mergeFactor >= 2, s"mergeFactor must be >= 2, got $mergeFactor")
     var changed = true
     while (changed) {
@@ -164,8 +177,10 @@ final class StateStore(
         .foreach { case (_, tierFiles) =>
           val tmp = dir.resolveSibling(dir.getFileName.toString + ".merge-tmp")
           val raw = spark.read.parquet(tierFiles.map(_._1.toString): _*)
-          compact.map(f => f(raw)).getOrElse(raw)
-            .coalesce(1)
+          val merged0 = compact.map(f => f(raw)).getOrElse(raw).coalesce(1)
+          (if (orderBy.isEmpty) merged0
+           else merged0.sortWithinPartitions(
+             orderBy.map(org.apache.spark.sql.functions.col): _*))
             .write.mode("overwrite").parquet(tmp.toString)
           val merged = {
             val s = Files.list(tmp)
