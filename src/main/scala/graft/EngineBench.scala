@@ -27,6 +27,7 @@ object EngineBench {
     if (args.headOption.contains("join")) { runJoinChain(args.drop(1)); return }
     if (args.headOption.contains("reusejoin")) { runReuseJoinChain(args.drop(1)); return }
     if (args.headOption.contains("leftjoin")) { runLeftJoinChain(args.drop(1)); return }
+    if (args.headOption.contains("streamface")) { runStreamFaceChain(args.drop(1)); return }
     if (args.headOption.contains("reuse")) { runReuseChain(args.drop(1)); return }
     if (args.headOption.contains("retract")) { runRetractState(args.drop(1)); return }
     if (args.headOption.contains("retractagg")) { runRetractAgg(args.drop(1)); return }
@@ -271,6 +272,105 @@ object EngineBench {
     val (tR, r1, r2) = drive("recompute", Vector(SqlQueryStep(None, qSlow)))
     val (tD, d1, d2) = drive("delta", Vector(SqlQueryStep(None, qJoin)))
     println(f"""{"metric":"engine_leftjoin","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
+    spark.stop()
+  }
+
+  /** Streaming-face cost curve: the SAME as-of chain driven through the
+    * batch engine and the opt-in Structured Streaming face
+    * (engine = "spark-streaming"), outputs byte-identical by contract.
+    * State grows every run (rowsPer quote versions across 200 symbols)
+    * while each run's slices touch a sliding 20-symbol window — so with
+    * the round-8 touched-key staging the streaming face's per-run I/O is
+    * O(state ∩ touched + slice), and its halves should stay ~flat while
+    * the cost multiple over batch prices the opt-in.
+    */
+  private def runStreamFaceChain(args: Array[String]): Unit = {
+    val nSlices = args.lift(0).map(_.toInt).getOrElse(16)
+    val rowsPer = args.lift(1).map(_.toInt).getOrElse(5000)
+    val nKeys = 200; val touched = 20
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-streamface-bench").toString
+    val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    (1 to nSlices).foreach { s =>
+      val off0 = (s - 1).toLong * rowsPer
+      // sliding 20-of-200 key window: runs overlap but never cover the store
+      def sym = concat(lit("s"), lpad(
+        pmod(lit(s.toLong * 7) + pmod(col("id"), lit(touched)), lit(nKeys))
+          .cast("string"), 3, "0"))
+      def evt = (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+        .cast("timestamp")
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"), evt.as("event_time"),
+        sym.as("symbol"),
+        (pmod(col("id") * 31 + s, lit(100)) + 1).cast("long").as("qty"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/t$s")
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"), evt.as("event_time"),
+        sym.as("symbol"),
+        (pmod(col("id") * 17 + s, lit(500)) + 1).cast("long").as("price"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/q$s")
+    }
+    def fileOf(kind: String, s: Int): String = {
+      val d = new java.io.File(s"$base/slices/$kind$s")
+      d.listFiles.filter(_.getName.endsWith(".parquet")).head.getPath
+    }
+    val q = """SELECT t.event_time, t.symbol, t.qty AS qty, v.price AS price,
+              |  t.qty * v.price AS notional
+              |FROM trades AS t
+              |JOIN quotes FOR SYSTEM_TIME AS OF t.event_time AS v
+              |  ON t.symbol = v.symbol""".stripMargin
+    def drive(tag: String, engine: String): (Double, Double, Double) = {
+      var firstHalf = 0.0
+      val t0 = System.nanoTime()
+      var prev: Option[String] = None
+      (1 to nSlices).foreach { s =>
+        def input(alias: String, kind: String) = TransformRequestInput(
+          datasetId = s"did:$alias", datasetAlias = alias, queryAlias = alias,
+          vocab = DatasetVocabulary(),
+          offsetInterval = Some(OffsetInterval(
+            (s - 1).toLong * rowsPer, s.toLong * rowsPer - 1)),
+          dataPaths = Vector(fileOf(kind, s)), schemaFile = fileOf(kind, s),
+          explicitWatermarks = Vector(RequestWatermark(
+            Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s),
+            Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s))))
+        val req = TransformRequest(
+          "did:out", "out", Instant.parse(f"2000-01-02T${s % 24}%02d:00:00Z"),
+          DatasetVocabulary(),
+          Transform(engine = engine,
+            queries = Vector(SqlQueryStep(None, q)),
+            temporalTables = Vector(TemporalTable("quotes", Vector("symbol")))),
+          Vector(input("trades", "t"), input("quotes", "q")),
+          nextOffset = 0, prevCheckpointPath = prev,
+          newCheckpointPath = s"$base/$tag/cp$s",
+          newDataPath = s"$base/$tag/out$s.parquet")
+        new TransformEngine(spark).executeTransform(req) match {
+          case _: TransformResponse.Success => ()
+          case other                        => sys.error(s"$tag run $s failed: $other")
+        }
+        prev = Some(s"$base/$tag/cp$s")
+        if (s == nSlices / 2) firstHalf = (System.nanoTime() - t0) / 1e9
+      }
+      val total = (System.nanoTime() - t0) / 1e9
+      (total, firstHalf, total - firstHalf)
+    }
+    val (tB, b1, b2) = drive("batch", "spark")
+    val (tS, s1, s2) = drive("stream", "spark-streaming")
+    val same = (1 to nSlices).forall { n =>
+      java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$base/batch/out$n.parquet")),
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$base/stream/out$n.parquet")))
+    }
+    println(f"""{"metric":"engine_streamface","slices":$nSlices,"rowsPerSlice":$rowsPer,"stream_sec":$tS%.1f,"stream_halves":[$s1%.1f,$s2%.1f],"batch_sec":$tB%.1f,"batch_halves":[$b1%.1f,$b2%.1f],"stream_over_batch":${tS / tB}%.2f,"byte_identical":$same}""")
     spark.stop()
   }
 
