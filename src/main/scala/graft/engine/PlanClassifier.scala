@@ -487,7 +487,8 @@ object PlanClassifier {
       Mode.SnapshotDiff(keys,
         extractAggMerge(spark, steps, f)
           .orElse(extractDistinctMerge(spark, steps, f))
-          .orElse(extractSetOpMerge(spark, steps, f)),
+          .orElse(extractSetOpMerge(spark, steps, f))
+          .orElse(extractSetOpTreeMerge(spark, steps, f)),
         extractRankTouch(spark, steps, f, keys)
           .orElse(extractAggTouch(spark, steps, f))
           .orElse(extractGroupTouch(spark, steps, f)),
@@ -982,6 +983,154 @@ object PlanClassifier {
         }
       case _ => None
     }
+  }
+
+  /** Generalization of [[extractSetOpMerge]] to an ARBITRARY TREE of set
+    * operations (ALL and DISTINCT variants, n-ary UNIONs, and DISTINCT
+    * nodes — including the `SELECT DISTINCT * FROM (… EXCEPT ALL …)`
+    * shape) over star-free leaf projections. Every set-op node's output
+    * multiplicity is a pure function of its children's multiplicities:
+    *
+    *   leaf i            →  per-value count of leaf i's rows  (__s<i>)
+    *   UNION ALL         →  Σ children
+    *   EXCEPT ALL        →  greatest(l − r, 0)
+    *   INTERSECT ALL     →  least(l, r)
+    *   DISTINCT(x)       →  x > 0 ? 1 : 0
+    *   EXCEPT            →  l > 0 AND r = 0 ? 1 : 0
+    *   INTERSECT         →  l > 0 AND r > 0 ? 1 : 0
+    *
+    * so the WHOLE tree folds into one per-leaf refcount aggregate (side-
+    * tagged union of canonicalized leaves — invertible, additive, rides
+    * the LSM tiers) plus one multiplicity expression the executor diffs.
+    * DISTINCT nodes anywhere in the chain that the tree walk does NOT
+    * consume (pre-steps, leaf subtrees) and set-ops outside the output
+    * tree keep the recompute path via the consumed-count checks. The two
+    * specialized extractors run first and keep their (keyed-diff /
+    * two-side) plans for the shapes they already serve; this one catches
+    * the chains they reject. Reference behavior: Flink serves these as
+    * generic updating queries over full history
+    * (`/root/reference/src/main/scala/dev/kamu/engine/flink/TransformEngine.scala:64-124`);
+    * here per-run cost is O(slice ⋈ touched values), not O(history).
+    */
+  private def extractSetOpTreeMerge(
+      spark: SparkSession,
+      steps: Seq[(Option[String], SqlRewriter.Rewritten)],
+      f: Facts): Option[AggMergeSpec] = {
+    val eligible = f.plainAggs.isEmpty && f.rankSpecs.isEmpty &&
+      !f.otherWindowFns && f.regularJoins == 0 && !f.hasSubquery &&
+      f.intervalUppers.isEmpty && !steps.exists(_._2.timeVarying)
+    if (!eligible) return None
+    val plans = steps.map(s => spark.sessionState.sqlParser.parsePlan(s._2.sql))
+    val limits = plans.map(_.collect {
+      case _: GlobalLimit => (); case _: LocalLimit => ()
+    }.size).sum
+    val totalSetOps = plans.map(_.collect {
+      case _: Except => (); case _: Intersect => ()
+    }.size).sum
+    if (limits > 0 || totalSetOps == 0) return None
+    val outIdx = steps.lastIndexWhere(_._1.isEmpty) match {
+      case -1 => steps.length - 1
+      case i  => i
+    }
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => unwrap(s.child)
+      case s: Sort          => unwrap(s.child)
+      case other            => other
+    }
+    def starFree(pr: Project): Boolean =
+      !pr.projectList.exists(_.isInstanceOf[UnresolvedStar]) &&
+        !pr.projectList.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
+    def hasSetNodes(p: LogicalPlan): Boolean = p.exists {
+      case _: Except | _: Intersect | _: Union | _: Distinct => true
+      case _                                                 => false
+    }
+    val leaves = scala.collection.mutable.Buffer.empty[Project]
+    val passThroughs = scala.collection.mutable.Buffer.empty[Project]
+    var consumedDistincts = 0
+    var consumedSetOps = 0
+    def walk(p: LogicalPlan): Option[String] = p match {
+      case s: SubqueryAlias => walk(s.child)
+      case d: Distinct =>
+        consumedDistincts += 1
+        walk(d.child).map(e => s"(CASE WHEN ($e) > 0 THEN 1 ELSE 0 END)")
+      case e: Except =>
+        consumedSetOps += 1
+        for { l <- walk(e.left); r <- walk(e.right) } yield
+          if (e.isAll) s"greatest(($l) - ($r), 0)"
+          else s"(CASE WHEN ($l) > 0 AND ($r) = 0 THEN 1 ELSE 0 END)"
+      case i: Intersect =>
+        consumedSetOps += 1
+        for { l <- walk(i.left); r <- walk(i.right) } yield
+          if (i.isAll) s"least(($l), ($r))"
+          else s"(CASE WHEN ($l) > 0 AND ($r) > 0 THEN 1 ELSE 0 END)"
+      case u: Union if !u.byName && !u.allowMissingCol =>
+        val es = u.children.map(walk)
+        if (es.exists(_.isEmpty)) None
+        else Some(es.flatten.map(e => s"($e)").mkString(" + "))
+      case pr: Project if hasSetNodes(pr.child) =>
+        // pass-through over a sub-tree (`SELECT DISTINCT a, b FROM (…) t`):
+        // validated against the leaf names once they are known
+        passThroughs += pr
+        walk(pr.child)
+      case pr: Project if starFree(pr) =>
+        leaves += pr
+        Some(s"__s${leaves.size - 1}")
+      case _ => None
+    }
+    val multSql = walk(unwrap(plans(outIdx))) match {
+      case Some(m) => m
+      case None    => return None
+    }
+    // every set-op and DISTINCT in the whole chain must be consumed by the
+    // tree — one in a pre-step or under a leaf cannot be folded
+    if (consumedSetOps != totalSetOps || consumedDistincts != f.distincts)
+      return None
+    if (leaves.size < 2) return None
+    val first = leaves.head
+    if (leaves.exists(_.projectList.length != first.projectList.length))
+      return None
+    val maybeNames = first.projectList.map(parsedName)
+    if (maybeNames.contains(None)) return None
+    val names = maybeNames.flatten
+    if (names.distinct.size != names.size) return None
+    // a pass-through must not re-key the diff: demand `*` or exactly the
+    // leaf names in leaf order
+    val passOk = passThroughs.forall { pr =>
+      pr.projectList match {
+        case Seq(s: UnresolvedStar) => s.target.isEmpty
+        case l if l.length == names.length =>
+          l.zip(names).forall {
+            case (a: UnresolvedAttribute, n) =>
+              a.nameParts.last.equalsIgnoreCase(n)
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+    if (!passOk) return None
+    def tagged(pr: Project, side: Int): LogicalPlan =
+      Project(pr.projectList.zip(names).map { case (ne, n) =>
+        Alias(ne match {
+          case Alias(e, _)        => e
+          case u: UnresolvedAlias => u.child
+          case other              => other
+        }, n)()
+      } :+ Alias(Literal(side), SideMarkCol)(), pr.child)
+    def sideCount(side: Int): NamedExpression = Alias(
+      UnresolvedFunction(Seq("count"), Seq(CaseWhen(
+        Seq((EqualTo(UnresolvedAttribute(Seq(SideMarkCol)), Literal(side)),
+          Literal(1))), None)), isDistinct = false), s"__s$side")()
+    val refcount = Aggregate(
+      names.map(n => UnresolvedAttribute(Seq(n)): Expression),
+      names.map(n => UnresolvedAttribute(Seq(n)): NamedExpression) ++
+        leaves.indices.map(sideCount) :+ Alias(
+          UnresolvedFunction(Seq("count"), Seq(Literal(1)),
+            isDistinct = false), RowCountCol)(),
+      Union(leaves.toSeq.zipWithIndex.map { case (pr, i) => tagged(pr, i) }))
+    Some(AggMergeSpec(names,
+      leaves.indices.map(i => s"__s$i" -> "count") :+ (RowCountCol -> "count"),
+      partialsPlan = Some(refcount), invertible = true,
+      multiplicitySql = Some(multSql)))
   }
 
   /** The output step's plan rewritten to produce MERGE PARTIALS: ORDER BY

@@ -3261,6 +3261,16 @@ class EngineSpec extends AnyFunSuite {
         Seq(("A", Op.Append)),                    // 3 − 2 = 1
         Seq(("A", Op.Retract)),                   // 1 − 2 → 0 → Δ = −1
         Seq.empty))                               // 1 − 5 → 0 → Δ = 0
+    // DISTINCT over EXCEPT ALL (round-8 set-op TREE merge): support of the
+    // ALL-multiset, which plain EXCEPT cannot express — at l=3, r=2 EXCEPT
+    // emits nothing (r > 0) while this keeps the value (3 − 2 = 1 copy)
+    drive(
+      "SELECT DISTINCT * FROM (SELECT event_time, symbol FROM lhs " +
+        "EXCEPT ALL SELECT event_time, symbol FROM rhs) v",
+      Seq(
+        Seq(("A", Op.Append)),                    // support(3 − 2) = 1
+        Seq(("A", Op.Retract)),                   // support(max(1−2, 0)) = 0
+        Seq.empty))                               // support stays 0
   }
 
   test("set-op and union refcount merges match their recompute twins") {
@@ -3277,7 +3287,15 @@ class EngineSpec extends AnyFunSuite {
       // multiplicities (round-7 envelope widening) vs the recompute twin's
       // multiset diff; small value domain guarantees multiplicities > 1
       "INTERSECT ALL" -> "SELECT event_time, symbol FROM lhs INTERSECT ALL SELECT event_time, symbol FROM rhs",
-      "EXCEPT ALL" -> "SELECT event_time, symbol FROM lhs EXCEPT ALL SELECT event_time, symbol FROM rhs")
+      "EXCEPT ALL" -> "SELECT event_time, symbol FROM lhs EXCEPT ALL SELECT event_time, symbol FROM rhs",
+      // set-op TREES (round-8): a second DISTINCT over an ALL-variant, and
+      // a 3-leaf chain with one input consumed at two leaves — both fold
+      // into one composed multiplicity merge vs the CTE recompute twin
+      "DISTINCT over EXCEPT ALL" -> ("SELECT DISTINCT * FROM (SELECT event_time, symbol FROM lhs " +
+        "EXCEPT ALL SELECT event_time, symbol FROM rhs) v"),
+      "UNION ALL then EXCEPT ALL" -> ("SELECT event_time, symbol FROM lhs " +
+        "UNION ALL SELECT event_time, symbol FROM lhs " +
+        "EXCEPT ALL SELECT event_time, symbol FROM rhs"))
     ops.foreach { case (tag0, qFast) =>
       val qSlow =
         s"""WITH x AS ($qFast)

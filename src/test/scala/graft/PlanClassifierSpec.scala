@@ -685,6 +685,47 @@ class PlanClassifierSpec extends AnyFunSuite {
     assert(am("SELECT DISTINCT x FROM (SELECT symbol AS x FROM t LIMIT 5) v").isEmpty)
   }
 
+  test("set-op trees with a second DISTINCT fold into one multiplicity merge") {
+    def am(q: String) = classify(q).asInstanceOf[Mode.SnapshotDiff].aggMerge
+    // the standing weak shape: DISTINCT over an ALL-variant set-op —
+    // NOT the same set as EXCEPT (l=3,r=1 keeps the value; EXCEPT drops
+    // it), so it needs its own composed multiplicity, not the havingSql
+    val d = am("SELECT DISTINCT * FROM " +
+      "(SELECT symbol FROM a EXCEPT ALL SELECT symbol FROM b) v")
+    assert(d.exists(s => s.keys == Seq("symbol") && s.invertible &&
+      s.aggs.map(_._1) == Seq("__s0", "__s1", PlanClassifier.RowCountCol) &&
+      s.multiplicitySql.contains(
+        "(CASE WHEN (greatest((__s0) - (__s1), 0)) > 0 THEN 1 ELSE 0 END)")))
+    // a named identity pass-through works like `*`
+    assert(am("SELECT DISTINCT symbol FROM " +
+      "(SELECT symbol FROM a EXCEPT ALL SELECT symbol FROM b) v").isDefined)
+    // 3-leaf left-associative chain: (a ∪all b) −all c
+    val c3 = am("SELECT symbol FROM a UNION ALL SELECT symbol FROM b " +
+      "EXCEPT ALL SELECT symbol FROM c")
+    assert(c3.exists(s => s.aggs.map(_._1).take(3) == Seq("__s0", "__s1", "__s2") &&
+      s.multiplicitySql.contains(
+        "greatest(((__s0) + (__s1)) - (__s2), 0)")))
+    // DISTINCT variants mid-chain compose as 0/1 multiplicities
+    val mid = am("SELECT symbol FROM a INTERSECT SELECT symbol FROM b " +
+      "UNION ALL SELECT symbol FROM c")
+    assert(mid.exists(s => s.multiplicitySql.exists(m =>
+      m.contains("CASE WHEN (__s0) > 0 AND (__s1) > 0") && m.contains("(__s2)"))))
+    // a pass-through that RE-KEYS the value (drops a column) cannot fold
+    assert(am("SELECT DISTINCT symbol FROM (SELECT symbol, price FROM a " +
+      "EXCEPT ALL SELECT symbol, price FROM b) v").isEmpty)
+    // LIMIT anywhere keeps recompute
+    assert(am("SELECT DISTINCT * FROM (SELECT symbol FROM a EXCEPT ALL " +
+      "SELECT symbol FROM b LIMIT 5) v").isEmpty)
+    // a set-op hiding in a PRE-STEP cannot be folded — recompute
+    def amChain(qs: (Option[String], String)*) =
+      PlanClassifier.classify(spark,
+        qs.toSeq.map { case (a, q) => (a, SqlRewriter.rewrite(q, st, None)) })
+        .asInstanceOf[Mode.SnapshotDiff].aggMerge
+    assert(amChain(
+      Some("v") -> "SELECT symbol FROM a EXCEPT ALL SELECT symbol FROM b",
+      None -> "SELECT DISTINCT symbol FROM v").isEmpty)
+  }
+
   test("reused pre-step aliases carry an inlined join-delta spec") {
     def jd(qs: (Option[String], String)*) =
       PlanClassifier.classify(spark,
