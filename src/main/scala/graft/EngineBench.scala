@@ -28,6 +28,7 @@ object EngineBench {
     if (args.headOption.contains("reusejoin")) { runReuseJoinChain(args.drop(1)); return }
     if (args.headOption.contains("leftjoin")) { runLeftJoinChain(args.drop(1)); return }
     if (args.headOption.contains("streamface")) { runStreamFaceChain(args.drop(1)); return }
+    if (args.headOption.contains("distinctjoin")) { runDistinctJoinChain(args.drop(1)); return }
     if (args.headOption.contains("reuse")) { runReuseChain(args.drop(1)); return }
     if (args.headOption.contains("retract")) { runRetractState(args.drop(1)); return }
     if (args.headOption.contains("retractagg")) { runRetractAgg(args.drop(1)); return }
@@ -272,6 +273,96 @@ object EngineBench {
     val (tR, r1, r2) = drive("recompute", Vector(SqlQueryStep(None, qSlow)))
     val (tD, d1, d2) = drive("delta", Vector(SqlQueryStep(None, qJoin)))
     println(f"""{"metric":"engine_leftjoin","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
+    spark.stop()
+  }
+
+  /** DISTINCT-over-join chain (the [[graft.engine.PlanClassifier.DistinctDelta]]
+    * path): per run the join's delta terms are distinct-ed and anti-joined
+    * against the persisted snapshot. With the round-8 narrowing both sides
+    * of that anti-join are O(touched): the join terms are key-range
+    * narrowed and the snapshot scan is pruned to the slice's value band
+    * (order_id is monotone, so the band excludes all earlier generations
+    * of the key-clustered snapshot). The CTE-forced twin recomputes the
+    * full distinct join and multiset-diffs the whole snapshot every run.
+    */
+  private def runDistinctJoinChain(args: Array[String]): Unit = {
+    val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
+    val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-distinctjoin-bench").toString
+    val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    (1 to nSlices).foreach { s =>
+      val off0 = (s - 1).toLong * rowsPer
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"),
+        (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+          .cast("timestamp").as("event_time"),
+        (col("id") + off0).as("order_id"),
+        (pmod(col("id") * 31 + s, lit(100)) + 1).cast("long").as("quantity"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/o$s")
+      val shipBase = (s - 2).toLong * rowsPer
+      spark.range(rowsPer).select(
+        (col("id") + (s - 1).toLong * rowsPer).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"),
+        (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+          .cast("timestamp").as("event_time"),
+        (col("id") + shipBase).as("order_id"),
+        (pmod(col("id") * 17 + s, lit(50)) + 1).cast("long").as("num_shipped"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/h$s")
+    }
+    def fileOf(kind: String, s: Int): String = {
+      val d = new java.io.File(s"$base/slices/$kind$s")
+      d.listFiles.filter(_.getName.endsWith(".parquet")).head.getPath
+    }
+    def drive(tag: String, qs: Vector[SqlQueryStep]): (Double, Double, Double) = {
+      var firstHalf = 0.0
+      val t0 = System.nanoTime()
+      var prev: Option[String] = None
+      (1 to nSlices).foreach { s =>
+        def input(alias: String, kind: String) = TransformRequestInput(
+          datasetId = s"did:$alias", datasetAlias = alias, queryAlias = alias,
+          vocab = DatasetVocabulary(),
+          offsetInterval = Some(OffsetInterval(
+            (s - 1).toLong * rowsPer, s.toLong * rowsPer - 1)),
+          dataPaths = Vector(fileOf(kind, s)), schemaFile = fileOf(kind, s),
+          explicitWatermarks = Vector(RequestWatermark(
+            Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s),
+            Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s))))
+        val req = TransformRequest(
+          "did:out", "out", Instant.parse(f"2000-01-02T${s % 24}%02d:00:00Z"),
+          DatasetVocabulary(),
+          Transform(queries = qs),
+          Vector(input("orders", "o"), input("shipments", "h")),
+          nextOffset = 0, prevCheckpointPath = prev,
+          newCheckpointPath = s"$base/$tag/cp$s",
+          newDataPath = s"$base/$tag/out$s.parquet")
+        new TransformEngine(spark).executeTransform(req) match {
+          case _: TransformResponse.Success => ()
+          case other                        => sys.error(s"$tag run $s failed: $other")
+        }
+        prev = Some(s"$base/$tag/cp$s")
+        if (s == nSlices / 2) firstHalf = (System.nanoTime() - t0) / 1e9
+      }
+      val total = (System.nanoTime() - t0) / 1e9
+      (total, firstHalf, total - firstHalf)
+    }
+    val qFast =
+      """SELECT DISTINCT o.event_time AS event_time, o.order_id AS order_id,
+        |  s.num_shipped AS num_shipped
+        |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    val qSlow =
+      s"""WITH j AS (${qFast.replace("\n", " ")})
+         |SELECT event_time, order_id, num_shipped FROM j""".stripMargin
+    val (tR, r1, r2) = drive("recompute", Vector(SqlQueryStep(None, qSlow)))
+    val (tD, d1, d2) = drive("delta", Vector(SqlQueryStep(None, qFast)))
+    println(f"""{"metric":"engine_distinctjoin","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
     spark.stop()
   }
 

@@ -186,12 +186,16 @@ final class IncrementalExecutor(
       // composition stays with the batch agg paths
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.leftJoinDelta.isDefined && d.aggMerge.isEmpty => ()
+      // DISTINCT / UNION changelogs route their emission through
+      // StreamingDistinct's keyed seen-state (batch state writes kept)
+      case d: PlanClassifier.Mode.SnapshotDiff
+          if d.aggMerge.exists(plainDistinctSpec) => ()
       case _ =>
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
             "stateless, tumbling-window, interval-join, as-of join, " +
-            "left-join changelog, and single-partition-column Top-N " +
-            "transforms only")
+            "left-join changelog, DISTINCT/UNION changelog, and " +
+            "single-partition-column Top-N transforms only")
     }
     runMode()
   }
@@ -202,15 +206,25 @@ final class IncrementalExecutor(
     case PlanClassifier.Mode.AsOfWindowed    => runAsOf(windowed = true)
     case w: PlanClassifier.Mode.Windowed     => runWindowed(w.upperMillis)
     case d: PlanClassifier.Mode.SnapshotDiff if streamingMode =>
-      d.leftJoinDelta match {
-        case Some(lj) if d.aggMerge.isEmpty &&
-            byAlias(lj.left).isDefined && byAlias(lj.right).isDefined =>
+      (d.leftJoinDelta, d.aggMerge) match {
+        case (Some(lj), None)
+            if byAlias(lj.left).isDefined && byAlias(lj.right).isDefined =>
           if (retractiveNow.nonEmpty)
             throw new InvalidQueryException(
               "streaming execution mode does not support left-join " +
                 "changelogs over inputs that have carried retractions — " +
                 "use the batch engine")
           runLeftDeltaJoin(lj)
+        case (_, Some(spec)) if plainDistinctSpec(spec) =>
+          if (retractiveNow.nonEmpty)
+            throw new InvalidQueryException(
+              "streaming execution mode does not support DISTINCT/UNION " +
+                "changelogs over inputs that have carried retractions — " +
+                "use the batch engine")
+          // state layout must mirror the batch dispatch exactly so batch
+          // and streaming runs interleave on one checkpoint
+          runIncrementalAgg(spec,
+            neverFlips = spec.invertible && !stepsReferenceOp)
         case _ =>
           runTopNStreaming(streamTopN.getOrElse(throw new InvalidQueryException(
             "streaming execution mode cannot serve this updating shape")),
@@ -1294,6 +1308,53 @@ final class IncrementalExecutor(
     *   GROUP COUNT (potentially billions for keyed snapshots) and tracking
     *   the slice.
     */
+  /** The aggMerge spec is a bare refcount DISTINCT / UNION support set —
+    * the only partial is the hidden row count, nothing applies post-merge
+    * and no join sits below. The shape the streaming face can serve. */
+  private def plainDistinctSpec(spec: PlanClassifier.AggMergeSpec): Boolean =
+    spec.keys.nonEmpty &&
+      spec.aggs == Seq(PlanClassifier.RowCountCol -> "count") &&
+      spec.avgs.isEmpty && spec.hiddenAvgs.isEmpty &&
+      spec.havingSql.isEmpty && spec.multiplicitySql.isEmpty &&
+      spec.exprCols.isEmpty && spec.sumNullCounts.isEmpty &&
+      spec.join.isEmpty && spec.leftJoin.isEmpty && spec.partialsPlan.isDefined
+
+  /** Streaming face of the refcount DISTINCT / UNION changelog: two
+    * AvailableNow rounds over one fresh checkpoint, exactly the
+    * [[twoPhaseTopN]] shape — round 1 ingests the previously-visible
+    * values (emissions discarded, state committed), round 2 ingests the
+    * slice's values, whose emissions are precisely the never-seen rows.
+    * Sound only over non-retractive histories (support cannot cross back
+    * to 0), which the dispatch gate enforces.
+    */
+  private def streamingDistinctEmission(
+      seedVisible: DataFrame,
+      sliceValues: DataFrame): DataFrame = {
+    val src = scratchDir("graft-distinct-src")
+    val cp = scratchDir("graft-distinct-cp")
+    val out = scratchDir("graft-distinct-out")
+    val schema = seedVisible.schema
+    def round(sink: (DataFrame, Long) => Unit): Unit = {
+      val q = graft.streaming.StreamingDistinct.firstOccurrence(spark,
+        spark.readStream.schema(schema).parquet(src))
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch(sink)
+        .start()
+      q.awaitTermination()
+    }
+    seedVisible.write.mode("overwrite").parquet(src)
+    round((b, _) => { b.count(); () })
+    sliceValues.write.mode("append").parquet(src)
+    round((b, _) => b.write.mode("append").parquet(out))
+    val hasParts = Option(new java.io.File(out).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasParts) spark.read.schema(schema).parquet(out)
+    else TransformEngine.emptyDf(spark, schema)
+  }
+
   private def runIncrementalAgg(
       spec: PlanClassifier.AggMergeSpec,
       neverFlips: Boolean = false): ExecResult = {
@@ -1543,6 +1604,20 @@ final class IncrementalExecutor(
     val emitted = spec.multiplicitySql match {
       case Some(mult) =>
         diffMultiplicity(prevTouched, mergedTouched, keys, mult, visibleSchema)
+      case None if streamingMode && plainDistinctSpec(spec) =>
+        // Streaming face (round 8): the previously-visible touched values
+        // seed StreamingDistinct's per-value state, then the slice's
+        // values run as a second AvailableNow round whose emissions equal
+        // this diff — without retractions (gated at dispatch) the only
+        // support transition is 0 → positive, i.e. +I for never-seen
+        // values. State and ledger writes below are untouched, so batch
+        // and streaming runs interleave on one checkpoint.
+        streamingDistinctEmission(
+          visible(prevTouched).select(keys.map(col): _*),
+          sliceAgg.select(keys.map(col): _*))
+          .withColumn(vocab.operationTypeColumn, lit(Op.Append))
+          .select((visibleSchema.fieldNames.map(col) :+
+            col(vocab.operationTypeColumn)).toIndexedSeq: _*)
       case None =>
         Changelog.diffSnapshots(
           visible(prevTouched), visible(mergedTouched), keys,
@@ -1738,28 +1813,34 @@ final class IncrementalExecutor(
     * this same `snapshotName` state — the two paths interleave without
     * migration.
     */
+  /** Equi-edge extraction for key-range term narrowing (round 8): bind
+    * each position to an exprId-fresh probe frame, analyze the pass plan
+    * once (no execution), and read the join tree's equality conjuncts
+    * back as (position, inputColumn) pairs via attribute lineage — robust
+    * through aliased pass-through projections in pre-steps. Failure is
+    * always safe: Nil edges ⇒ no narrowing.
+    */
+  private def equiEdgesOf(
+      positions: Vector[String],
+      passFn: Vector[DataFrame] => DataFrame): Seq[(Int, String, Int, String)] =
+    try {
+      val probes = positions.map { p =>
+        val f = byAlias(p).get.df.drop("__seq")
+        f.toDF(f.columns.toIndexedSeq: _*) // fresh exprIds per position
+      }
+      val leafOut = probes.map(f =>
+        f.queryExecution.analyzed.output.map(a => a.exprId -> a.name).toMap)
+      IncrementalExecutor.extractEquiEdges(
+        passFn(probes).queryExecution.analyzed, leafOut)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   private def runDeltaJoin(spec: PlanClassifier.JoinDelta): ExecResult = {
     // spark.sql analyzes eagerly, so each pass captures its own bindings —
     // including any stateless pre-step views re-run over the pass's frames
     // (a stateless step is row-local: Δf(A) = f(ΔA)).
     val (positions, passFn) =
       joinDeltaBinding(spec, None, tap = false, () => runStepsUntapped())
-    // Equi-edge extraction for key-range term narrowing (round 8): bind
-    // each position to an exprId-fresh probe frame, analyze the pass plan
-    // once (no execution), and read the join tree's equality conjuncts
-    // back as (position, inputColumn) pairs via attribute lineage — robust
-    // through aliased pass-through projections in pre-steps. Failure is
-    // always safe: Nil edges ⇒ no narrowing.
-    val edges: Seq[(Int, String, Int, String)] =
-      try {
-        val probes = positions.map { p =>
-          val f = byAlias(p).get.df.drop("__seq")
-          f.toDF(f.columns.toIndexedSeq: _*) // fresh exprIds per position
-        }
-        val leafOut = probes.map(f =>
-          f.queryExecution.analyzed.output.map(a => a.exprId -> a.name).toMap)
-        extractEquiEdges(passFn(probes).queryExecution.analyzed, leafOut)
-      } catch { case scala.util.control.NonFatal(_) => Nil }
+    val edges = equiEdgesOf(positions, passFn)
     val (parts, emptyFrame) = joinDeltaTerms(positions, passFn, edges)
     // buffers of ALL inputs (referenced or not) must keep accumulating —
     // a later retraction flip recomputes over them
@@ -2002,7 +2083,8 @@ final class IncrementalExecutor(
       case Some(jd) =>
         val (positions, passFn) =
           joinDeltaBinding(jd, None, tap = false, () => runStepsUntapped())
-        val (parts, emptyFrame) = joinDeltaTerms(positions, passFn)
+        val (parts, emptyFrame) =
+          joinDeltaTerms(positions, passFn, equiEdgesOf(positions, passFn))
         parts match {
           case Seq()   => emptyFrame()
           case Seq(p1) => p1
@@ -2016,18 +2098,43 @@ final class IncrementalExecutor(
           s"'${vocab.operationTypeColumn}' — ops are generated by the " +
           "engine from the snapshot diff")
 
-    val prev = store.read(snapshotName, sliceDistinct.schema)
-    val keyEq = sliceDistinct.columns
+    // pinned: feeds the range probe, the anti-join, and (via delta) the
+    // emission + snapshot carry
+    val sliceD = pin(sliceDistinct)
+    val prev = store.read(snapshotName, sliceD.schema)
+    // Key-range narrowing (round 8): the anti-join only needs snapshot
+    // rows that could EQUAL a slice row, so prune the state scan to the
+    // slice's value range on the first atomic column (parquet-pushable;
+    // the snapshot is clustered on it at write below). NULLs are kept —
+    // the key equality is null-safe, and min/max ignore them.
+    val rangeCol: Option[String] = {
+      import org.apache.spark.sql.types._
+      sliceD.schema.fields.find(f => f.dataType match {
+        case _: NumericType => true
+        case StringType | TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }).map(_.name)
+    }
+    val prevNarrowed = rangeCol match {
+      case Some(c) =>
+        val r = sliceD.agg(min(col(c)), max(col(c))).head
+        if (r.isNullAt(0)) prev.where(col(c).isNull)
+        else prev.where(col(c).isNull ||
+          (col(c) >= lit(r.get(0)) && col(c) <= lit(r.get(1))))
+      case None => prev
+    }
+    val keyEq = sliceD.columns
       .map(c => col(s"n.$c") <=> col(s"p.$c")).reduce(_ && _)
-    val delta = Snitch.tap(
-      sliceDistinct.alias("n").join(prev.alias("p"), keyEq, "left_anti"),
-      "output")
+    val delta = pin(Snitch.tap(
+      sliceD.alias("n").join(prevNarrowed.alias("p"), keyEq, "left_anti"),
+      "output"))
     val emitted = delta.withColumn(vocab.operationTypeColumn, lit(Op.Append))
 
     // carry ALL inputs' buffers (a later retraction flip recomputes over them)
     inputs.foreach(in => store.appendCarry(bufferName(in.spec.queryAlias), in.df,
       store.read(bufferName(in.spec.queryAlias), in.df.schema).unionByName(in.df)))
-    store.appendCarry(snapshotName, delta, prev.unionByName(delta))
+    store.appendCarry(snapshotName, delta, prev.unionByName(delta),
+      orderBy = rangeCol.toSeq)
 
     val orderCols = sliceDistinct.schema.fields.filter(fd =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering

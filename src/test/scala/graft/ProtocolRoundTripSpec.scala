@@ -506,6 +506,90 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
       Seq(("A", 1, 10, 2), ("A", 1, 30, 3), ("A", 2, 5, 2), ("A", 2, 10, 3)))
   }
 
+  test("streaming execution mode covers DISTINCT changelogs byte-identically") {
+    // A refcount DISTINCT under engine = spark-streaming seeds
+    // StreamingDistinct's per-value seen-state from the previously-visible
+    // values and runs the slice's values as a second AvailableNow round;
+    // its +I emissions equal the batch merge diff (no retractions ⇒ the
+    // only support transition is 0 → positive). Three-run chain — in-slice
+    // dups, a dup-of-history, and a watermark-only run — must match batch
+    // slices and ledgers byte for byte; a retraction slice must be
+    // rejected as InvalidQuery, not served differently.
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto-stream-distinct")
+    val in1 = s"$dir/in1.parquet"; val in2 = s"$dir/in2.parquet"
+    val in4 = s"$dir/in4.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+        Ticker(1, 0, t(ts(1)), t(ts(1)), "A", 10),
+        Ticker(2, 0, t(ts(1)), t(ts(1)), "B", 20),
+        Ticker(3, 0, t(ts(1)), t(ts(1)), "A", 10))).toDF(), in1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(4, 0, t(ts(2)), t(ts(1)), "A", 10), // dup of history
+        Ticker(5, 0, t(ts(2)), t(ts(2)), "C", 30))).toDF(), in2)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(6, 1, t(ts(3)), t(ts(1)), "A", 10))).toDF(), in4)
+    val q = "SELECT DISTINCT event_time, symbol, price FROM tickers"
+    def tr(engine: String, tag: String, num: Int, path: Option[String],
+        oi: Option[OffsetInterval], wm: Instant, nextOff: Long,
+        prev: Option[String]) = TransformRequest(
+      "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+      Transform(engine = engine, queries = Vector(SqlQueryStep(None, q))),
+      Vector(TransformRequestInput(
+        datasetId = "did:odf:in", datasetAlias = "tickers",
+        queryAlias = "tickers", offsetInterval = oi,
+        dataPaths = path.toVector, schemaFile = in1,
+        explicitWatermarks = Vector(RequestWatermark(wm, wm)))),
+      nextOffset = nextOff, prevCheckpointPath = prev,
+      newCheckpointPath = s"$dir/$tag/cp$num",
+      newDataPath = s"$dir/$tag/out$num.parquet")
+    def chain(engine: String, tag: String): Unit = {
+      import graft.engine.TransformEngine
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(
+        tr(engine, tag, 1, Some(in1), Some(OffsetInterval(0, 3)), ts(1), 0, None))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$tag run1: $r1")
+      val r2 = e.executeTransform(
+        tr(engine, tag, 2, Some(in2), Some(OffsetInterval(4, 5)), ts(2), 2,
+          Some(s"$dir/$tag/cp1")))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$tag run2: $r2")
+      val r3 = e.executeTransform(
+        tr(engine, tag, 3, None, None, ts(3), 3, Some(s"$dir/$tag/cp2")))
+      assert(r3.isInstanceOf[TransformResponse.Success], s"$tag run3: $r3")
+    }
+    chain("spark", "batch")
+    chain("spark-streaming", "stream")
+    (1 to 3).foreach { n =>
+      val b = Paths.get(s"$dir/batch/out$n.parquet")
+      val s = Paths.get(s"$dir/stream/out$n.parquet")
+      assert(Files.exists(b) == Files.exists(s),
+        s"run-$n slice existence diverged")
+      if (Files.exists(b))
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(b), Files.readAllBytes(s)),
+          s"run-$n DISTINCT slices are not byte-identical")
+      assert(
+        Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+          Files.readString(Paths.get(s"$dir/stream/cp$n/ledger.json")))
+    }
+    val o1 = spark.read.parquet(s"$dir/stream/out1.parquet")
+      .orderBy("offset").collect()
+    assert(o1.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("price"),
+      r.getAs[Int]("op"))).toSeq == Seq(("A", 10, 0), ("B", 20, 0)))
+    val o2 = spark.read.parquet(s"$dir/stream/out2.parquet").collect()
+    assert(o2.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"))).toSeq ==
+      Seq(("C", 0)))
+    // a retraction slice is rejected under streaming mode (batch serves it)
+    val r4 = new graft.engine.TransformEngine(spark).executeTransform(
+      tr("spark-streaming", "stream", 4, Some(in4),
+        Some(OffsetInterval(6, 6)), ts(3), 3, Some(s"$dir/stream/cp3")))
+    assert(r4.isInstanceOf[TransformResponse.InvalidQuery], s"run4: $r4")
+  }
+
   test("streaming execution mode covers left-join changelogs byte-identically") {
     // An updating LEFT JOIN under engine = spark-streaming seeds
     // StreamingLeftJoin's keyed state from the stored buffers and runs
