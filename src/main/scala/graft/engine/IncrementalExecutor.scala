@@ -1388,7 +1388,11 @@ final class IncrementalExecutor(
       case (Some(jd), _) =>
         val (positions, passFn) =
           joinDeltaBinding(jd, spec.partialsPlan, tap = true, () => partials())
-        val (parts, emptyFrame) = joinDeltaTerms(positions, passFn)
+        // key-range narrowing is sound below the aggregate too: a state
+        // row outside Δ_i's edge-key range joins nothing in term i, so
+        // the term's aggregate is computed over the same multiset
+        val (parts, emptyFrame) =
+          joinDeltaTerms(positions, passFn, equiEdgesOf(positions, passFn))
         parts
           .reduceOption((a, b) => mergePartials(a, b, keys, kinds, a.schema, "full_outer"))
           // watermark-only run: no delta terms — empty partials frame
