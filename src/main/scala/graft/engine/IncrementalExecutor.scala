@@ -2475,7 +2475,11 @@ object IncrementalExecutor {
       case _ => ()
     }
     analyzed.collect {
-      case j: Join => j.condition.toSeq.flatMap(conjuncts)
+      // INNER only: range-narrowing a preserved side of an outer join
+      // would drop legitimately-unmatched rows. Current callers only build
+      // inner trees, but the guard keeps a future caller sound by default.
+      case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+        j.condition.toSeq.flatMap(conjuncts)
     }.flatten.collect {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if prov.contains(a.exprId) && prov.contains(b.exprId) &&
