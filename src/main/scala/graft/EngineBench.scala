@@ -18,9 +18,13 @@ import graft.protocol._
   * Usage: `sbt "runMain graft.EngineBench [nSlices] [rowsPerSlice]"`
   * (defaults 30 × 20k). `sbt "runMain graft.EngineBench join [n] [rows]"`
   * runs the two-join-chain variant (n-ary join-tree delta path vs
-  * CTE-forced recompute); `retract` the state-bytes plateau variant;
-  * `nested` the nested-aggregation touched-partition variant. Prints one
-  * JSON line.
+  * CTE-forced recompute); `reusejoin` the reused-join-step chain;
+  * `leftjoin` the every-run-churn left-join changelog chain;
+  * `distinctjoin` the DISTINCT-over-join (DistinctDelta) chain;
+  * `streamface` the batch-vs-streaming as-of cost curve; `reuse` the
+  * reused pre-step chain; `retract` the state-bytes plateau variant;
+  * `retractagg` its aggregation twin; `nested` the nested-aggregation
+  * touched-partition variant. Prints one JSON line.
   */
 object EngineBench {
   def main(args: Array[String]): Unit = {
