@@ -102,12 +102,18 @@ final class IncrementalExecutor(
     scratchDirs.foreach { p =>
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        val walk = java.nio.file.Files.walk(p)
+        // close the walk stream (it holds directory handles) even when
+        // iteration throws; walk wraps I/O errors in UncheckedIOException,
+        // so the swallow must be NonFatal, not IOException-only
+        val files =
+          try walk.iterator().asScala.toSeq finally walk.close()
+        files
           .sortBy(-_.getNameCount)
           .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
-            case _: java.io.IOException => ()
+            case scala.util.control.NonFatal(_) => ()
           })
-      } catch { case _: java.io.IOException => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     scratchDirs.clear()
   }
@@ -636,9 +642,26 @@ final class IncrementalExecutor(
       lf <- leftSchema.fields.find(_.name.equalsIgnoreCase(ln))
       rf <- rightSchema.fields.find(_.name.equalsIgnoreCase(rn))
       // the operator groups on the key's string form, so mixed-type
-      // equality (which SQL would resolve by cast) is not servable
-      if lf.dataType == rf.dataType
+      // equality (which SQL would resolve by cast) is not servable, and
+      // the key type must be toString-canonical: byte arrays stringify by
+      // identity and float/double -0.0 vs 0.0 diverge from SQL equality
+      if lf.dataType == rf.dataType && stringCanonicalKeyType(lf.dataType)
     } yield (lf.name, rf.name)
+  }
+
+  /** Types whose JVM `toString` agrees with SQL equality, so they can key
+    * per-group streaming state: atomic types minus BinaryType (identity
+    * hash strings) and Float/Double (-0.0 == 0.0 in SQL but not as text).
+    */
+  private def stringCanonicalKeyType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+          LongType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
   }
 
   /** First `leftAlias.x = rightAlias.y` equality CONJUNCT of the ON
@@ -672,6 +695,10 @@ final class IncrementalExecutor(
           for {
             lf <- leftSchema.fields.find(_.name.equalsIgnoreCase(ln2))
             rf <- rightSchema.fields.find(_.name.equalsIgnoreCase(rn2))
+            // cross-type equality resolves by cast in SQL, so min/max under
+            // the delta column's NATIVE ordering would not bound the matching
+            // state rows — such conjuncts must yield no narrowing
+            if lf.dataType == rf.dataType
           } yield (lf.name, rf.name)
         }
       case _ => None
@@ -815,6 +842,17 @@ final class IncrementalExecutor(
                   (a.nameParts.head.equalsIgnoreCase(spec.leftAlias) ||
                     a.nameParts.head.equalsIgnoreCase(spec.left)) =>
               UnresolvedAttribute(Seq(a.nameParts.last))
+            case a: UnresolvedAttribute
+                if a.nameParts.length == 1 &&
+                  rightColsLc.contains(a.nameParts.head.toLowerCase) &&
+                  leftColsLc.contains(a.nameParts.head.toLowerCase) =>
+              // the same SQL through the batch pass raises
+              // AMBIGUOUS_REFERENCE — binding silently to the wide view's
+              // left column would diverge from the byte-identity contract
+              throw new InvalidQueryException(
+                s"reference '${a.nameParts.head}' is ambiguous: it exists " +
+                  "on both sides of the join — qualify it with the input " +
+                  "alias")
             case a: UnresolvedAttribute
                 if a.nameParts.length == 1 &&
                   rightColsLc.contains(a.nameParts.head.toLowerCase) &&

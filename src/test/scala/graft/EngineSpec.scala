@@ -2179,6 +2179,58 @@ class EngineSpec extends AnyFunSuite {
       r.getAs[Int]("op"))).toSeq == Seq((2L, 9L, Op.Append)))
   }
 
+  test("left-join delta with cross-typed equi key does not mis-narrow state") {
+    // The ON condition compares a STRING left key to an INT right key, so
+    // SQL resolves the equality by numeric coercion — but a key range
+    // computed under the string's native ordering is inverted for "9" vs
+    // "10" (min="10", max="9"), and a BETWEEN narrowing with those bounds
+    // would silently filter out genuinely matching state rows. Cross-typed
+    // equi conjuncts must therefore yield NO narrowing: run 2's delta-left
+    // pass has to find both run-1 buffered shipments.
+    import spark.implicits._
+    val dir = tmp()
+    val q = """SELECT o.event_time as event_time, o.str_key as str_key,
+              |  o.quantity as quantity, s.num_shipped as num_shipped
+              |FROM orders o LEFT JOIN shipments s ON o.str_key = s.int_key""".stripMargin
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    writeSlice(Seq(StrOrder(0, 0, t(ts(1)), t(ts(1)), "5", 50)), o1)
+    writeSlice(Seq(
+      IntShip(0, 0, t(ts(1)), t(ts(1)), 9, 5),
+      IntShip(1, 0, t(ts(1)), t(ts(1)), 10, 7)), s1)
+    runT(TransformRequest(
+      "did:out", "out", ts(10), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", o1, o1, 1, wms = Seq(ts(1))),
+        mkInput("shipments", s1, s1, 2, wms = Seq(ts(1)))),
+      nextOffset = 0, prevCheckpointPath = None,
+      newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    val out1 = readOut(s"$dir/out1.parquet").collect()
+    assert(out1.map(r => (r.getAs[String]("str_key"),
+      r.getAs[Any]("num_shipped"), r.getAs[Int]("op"))).toSet ==
+      Set(("5", null, Op.Append)))
+
+    // run 2: ΔA = {"9", "10"} — exactly the pair whose string min/max is
+    // inverted relative to the numeric key order of the buffered state
+    val o2 = s"$dir/o2.parquet"
+    writeSlice(Seq(
+      StrOrder(1, 0, t(ts(2)), t(ts(2)), "9", 90),
+      StrOrder(2, 0, t(ts(2)), t(ts(2)), "10", 100)), o2)
+    runT(TransformRequest(
+      "did:out", "out", ts(11), DatasetVocabulary(),
+      transform(None -> q),
+      Vector(
+        mkInput("orders", o2, o1, 2, startOffset = 1, wms = Seq(ts(2))),
+        mkInput("shipments", null, s1, 0, wms = Seq(ts(2)))),
+      nextOffset = 1, prevCheckpointPath = Some(s"$dir/cp1"),
+      newCheckpointPath = s"$dir/cp2", newDataPath = s"$dir/out2.parquet"))
+    val out2 = readOut(s"$dir/out2.parquet").collect()
+    assert(out2.map(r => (r.getAs[String]("str_key"),
+      r.getAs[Any]("num_shipped"), r.getAs[Int]("op"))).toSet ==
+      Set(("9", 5L, Op.Append), ("10", 7L, Op.Append)),
+      s"cross-typed key narrowing lost matching state rows: ${out2.toSeq}")
+  }
+
   test("left-join delta path and recompute path emit identical changelogs") {
     import spark.implicits._
     // Seeded random append-only slices on TWO inputs through the
@@ -3954,4 +4006,12 @@ object EngineFixtures {
       event_time: Timestamp, symbol: String, volume: Int)
   case class DecTicker(offset: Long, op: Int, system_time: Timestamp,
       event_time: Timestamp, symbol: String, price: BigDecimal)
+  case class StrOrder(offset: Long, op: Int, system_time: Timestamp,
+      event_time: Timestamp, str_key: String, quantity: Long)
+  case class IntShip(offset: Long, op: Int, system_time: Timestamp,
+      event_time: Timestamp, int_key: Int, num_shipped: Long)
+  case class DblOrder(offset: Long, op: Int, system_time: Timestamp,
+      event_time: Timestamp, dbl_key: Double, quantity: Long)
+  case class DblShip(offset: Long, op: Int, system_time: Timestamp,
+      event_time: Timestamp, dbl_key: Double, num_shipped: Long)
 }

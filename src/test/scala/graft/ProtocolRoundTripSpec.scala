@@ -726,6 +726,90 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming left join rejects non-string-canonical key types") {
+    // StreamingLeftJoin keys its per-group state on the key's string form;
+    // for DOUBLE keys -0.0 and 0.0 are equal under SQL join equality but
+    // stringify differently (and BinaryType stringifies by identity), so
+    // such keys must fall to InvalidQuery rather than silently dropping
+    // matches relative to batch.
+    import spark.implicits._
+    import EngineFixtures.{DblOrder, DblShip}
+    val dir = Files.createTempDirectory("graft-proto-stream-lj-dbl")
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(DblOrder(0, 0, t(ts(1)), t(ts(1)), -0.0, 10))).toDF(), o1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(DblShip(0, 0, t(ts(1)), t(ts(1)), 0.0, 5))).toDF(), s1)
+    val q = """SELECT o.event_time as event_time, o.quantity as quantity,
+              |  s.num_shipped as num_shipped
+              |FROM orders o LEFT JOIN shipments s ON o.dbl_key = s.dbl_key""".stripMargin
+    val r = new graft.engine.TransformEngine(spark).executeTransform(
+      TransformRequest(
+        "did:odf:out", "out", ts(10), DatasetVocabulary(),
+        Transform(engine = "spark-streaming",
+          queries = Vector(SqlQueryStep(None, q))),
+        Vector(
+          TransformRequestInput(
+            datasetId = "did:odf:o", datasetAlias = "orders",
+            queryAlias = "orders", offsetInterval = Some(OffsetInterval(0, 0)),
+            dataPaths = Vector(o1), schemaFile = o1,
+            explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1)))),
+          TransformRequestInput(
+            datasetId = "did:odf:s", datasetAlias = "shipments",
+            queryAlias = "shipments", offsetInterval = Some(OffsetInterval(0, 0)),
+            dataPaths = Vector(s1), schemaFile = s1,
+            explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1))))),
+        nextOffset = 0, prevCheckpointPath = None,
+        newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    r match {
+      case TransformResponse.InvalidQuery(m) =>
+        assert(m.contains("equi-key"), m)
+      case other => fail(s"expected InvalidQuery on double-typed key, got $other")
+    }
+  }
+
+  test("streaming left-join chain rejects ambiguous bare column references") {
+    // A bare reference to a column present on BOTH join sides raises
+    // AMBIGUOUS_REFERENCE through the batch pass; the streaming
+    // chain-over-wide-view remap must surface the same InvalidQuery
+    // instead of silently binding to the left column.
+    import spark.implicits._
+    import EngineFixtures.{OrderRow, Shipment}
+    val dir = Files.createTempDirectory("graft-proto-stream-lj-ambig")
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10))).toDF(), o1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Shipment(0, 0, t(ts(1)), t(ts(1)), 1, 5))).toDF(), s1)
+    // `order_id` exists on both orders and shipments and is referenced bare
+    val q = """SELECT o.event_time as event_time, order_id,
+              |  s.num_shipped as num_shipped
+              |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    val r = new graft.engine.TransformEngine(spark).executeTransform(
+      TransformRequest(
+        "did:odf:out", "out", ts(10), DatasetVocabulary(),
+        Transform(engine = "spark-streaming",
+          queries = Vector(SqlQueryStep(None, q))),
+        Vector(
+          TransformRequestInput(
+            datasetId = "did:odf:o", datasetAlias = "orders",
+            queryAlias = "orders", offsetInterval = Some(OffsetInterval(0, 0)),
+            dataPaths = Vector(o1), schemaFile = o1,
+            explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1)))),
+          TransformRequestInput(
+            datasetId = "did:odf:s", datasetAlias = "shipments",
+            queryAlias = "shipments", offsetInterval = Some(OffsetInterval(0, 0)),
+            dataPaths = Vector(s1), schemaFile = s1,
+            explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1))))),
+        nextOffset = 0, prevCheckpointPath = None,
+        newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    r match {
+      case TransformResponse.InvalidQuery(m) =>
+        assert(m.toLowerCase.contains("ambiguous"), m)
+      case other => fail(s"expected InvalidQuery on ambiguous bare ref, got $other")
+    }
+  }
+
   test("streaming Top-N rejects tied sort keys instead of collapsing rows") {
     // StreamingTopN keys its state on (ord, tie); with no distinct
     // tiebreak written, two distinct rows with the same price in one
