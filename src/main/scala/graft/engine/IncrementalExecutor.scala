@@ -196,12 +196,20 @@ final class IncrementalExecutor(
       // StreamingDistinct's keyed seen-state (batch state writes kept)
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.aggMerge.exists(plainDistinctSpec) => ()
+      // invertible non-windowed GROUP BY changelogs (sum/count/avg) route
+      // their emission through StreamingAggDiff's keyed previous-row
+      // state; the merge algebra and tiered state writes stay batch, so
+      // the modes interleave on one checkpoint. Rides retractions — the
+      // signed slice split feeds the same diff.
+      case d: PlanClassifier.Mode.SnapshotDiff
+          if d.aggMerge.exists(streamingServableAggSpec) => ()
       case _ =>
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
             "stateless, tumbling-window, interval-join, as-of join, " +
-            "left-join changelog, DISTINCT/UNION changelog, and " +
-            "single-partition-column Top-N transforms only")
+            "left-join changelog, DISTINCT/UNION changelog, invertible " +
+            "GROUP BY changelog, and single-partition-column Top-N " +
+            "transforms only")
     }
     runMode()
   }
@@ -231,6 +239,11 @@ final class IncrementalExecutor(
           // and streaming runs interleave on one checkpoint
           runIncrementalAgg(spec,
             neverFlips = spec.invertible && !stepsReferenceOp)
+        case (_, Some(spec)) if streamingServableAggSpec(spec) =>
+          // invertible merge: neverFlips mirrors every batch dispatch of
+          // this spec shape (invertible, op-free, divisible avgs), so the
+          // tier-appended state interleaves with batch runs
+          runIncrementalAgg(spec, neverFlips = true)
         case _ =>
           runTopNStreaming(streamTopN.getOrElse(throw new InvalidQueryException(
             "streaming execution mode cannot serve this updating shape")),
@@ -1357,6 +1370,86 @@ final class IncrementalExecutor(
       spec.exprCols.isEmpty && spec.sumNullCounts.isEmpty &&
       spec.join.isEmpty && spec.leftJoin.isEmpty && spec.partialsPlan.isDefined
 
+  /** Invertible join-free aggregate chain the streaming face can serve:
+    * exactly the shapes whose every batch dispatch is the never-flipping
+    * tiered merge (invertible sum/count/avg, op-free chain, divisible
+    * avgs, no join below, not a multiset set-op), so streaming and batch
+    * runs share one state layout. The bare DISTINCT shape is carved out
+    * first by [[plainDistinctSpec]]'s own face.
+    */
+  private def streamingServableAggSpec(
+      spec: PlanClassifier.AggMergeSpec): Boolean =
+    spec.invertible && spec.join.isEmpty && spec.leftJoin.isEmpty &&
+      spec.multiplicitySql.isEmpty && spec.partialsPlan.isDefined &&
+      !plainDistinctSpec(spec) && !stepsReferenceOp &&
+      hiddenAvgsDivisible(spec)
+
+  /** Streaming face of the invertible GROUP BY changelog: two AvailableNow
+    * rounds over one fresh scratch checkpoint (the [[twoPhaseTopN]] /
+    * [[streamingDistinctEmission]] shape) — round 1 seeds
+    * [[graft.streaming.StreamingAggDiff]]'s per-group state with the
+    * previously-visible rows of the groups this slice touches (emissions
+    * discarded), round 2 ingests the merged visible rows plus tombstones
+    * for groups whose hidden row count died, and its emissions are exactly
+    * the batch snapshot diff (+I / -U+U / -D). O(touched + slice) I/O:
+    * both frames are already narrowed to touched groups.
+    */
+  private def streamingAggDiffEmission(
+      prevVisible: DataFrame,
+      newVisible: DataFrame,
+      keys: Seq[String],
+      visibleSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import graft.streaming.StreamingAggDiff
+    val src = scratchDir("graft-aggdiff-src")
+    val cp = scratchDir("graft-aggdiff-cp")
+    val out = scratchDir("graft-aggdiff-out")
+    val enc = org.apache.spark.sql.Encoders.product[StreamingAggDiff.Phased]
+    val keyIdx = keys.map(visibleSchema.fieldIndex)
+    def phased(df: DataFrame, phase: Int) = df.map { r =>
+      StreamingAggDiff.record(phase, keyIdx.map(r.get), r.toSeq)
+    }(enc)
+    def round(sink: (DataFrame, Long) => Unit): Unit = {
+      val q = StreamingAggDiff.diff(spark,
+        spark.readStream.schema(enc.schema).parquet(src),
+        visibleSchema, vocab.operationTypeColumn)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch(sink)
+        .start()
+      q.awaitTermination()
+    }
+    phased(prevVisible, 0).write.mode("overwrite").parquet(src)
+    round((b, _) => { b.count(); () })
+    phased(newVisible, 1).write.mode("append").parquet(src)
+    // tombstones: touched groups visible before but not after the merge
+    // (their row count died) — derived from the already-written phased
+    // records so neither visible frame is recomputed
+    val ph = spark.read.schema(enc.schema).parquet(src)
+    ph.where(col("phase") === 0).select("key")
+      .except(ph.where(col("phase") === 1).select("key"))
+      .withColumn("phase", lit(2))
+      .withColumn("payload", lit(Array.emptyByteArray))
+      .select("phase", "key", "payload")
+      .write.mode("append").parquet(src)
+    round((b, _) => b.write.mode("append").parquet(out))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      visibleSchema.fields :+ org.apache.spark.sql.types.StructField(
+        vocab.operationTypeColumn,
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val hasParts = Option(new java.io.File(out).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    val emitted =
+      if (hasParts) spark.read.schema(outSchema).parquet(out)
+      else TransformEngine.emptyDf(spark, outSchema)
+    // file sources surface every column nullable; the op column is
+    // engine-generated and must stay NOT NULL for byte-identity with the
+    // batch diff's literal ops
+    emitted.withColumn(vocab.operationTypeColumn,
+      coalesce(col(vocab.operationTypeColumn), lit(Op.Append)))
+  }
+
   /** Streaming face of the refcount DISTINCT / UNION changelog: two
     * AvailableNow rounds over one fresh checkpoint, exactly the
     * [[twoPhaseTopN]] shape — round 1 ingests the previously-visible
@@ -1660,6 +1753,16 @@ final class IncrementalExecutor(
           .withColumn(vocab.operationTypeColumn, lit(Op.Append))
           .select((visibleSchema.fieldNames.map(col) :+
             col(vocab.operationTypeColumn)).toIndexedSeq: _*)
+      case None if streamingMode && streamingServableAggSpec(spec) =>
+        // Streaming face (round 9): previously-visible touched rows seed
+        // StreamingAggDiff's per-group state, the merged visible rows and
+        // death tombstones run as a second AvailableNow round, and the
+        // emissions equal this diff. State and ledger writes below are
+        // untouched, so batch and streaming runs interleave on one
+        // checkpoint; input retractions ride through — the signed slice
+        // split already shaped sliceAgg.
+        streamingAggDiffEmission(
+          visible(prevTouched), visible(mergedTouched), keys, visibleSchema)
       case None =>
         Changelog.diffSnapshots(
           visible(prevTouched), visible(mergedTouched), keys,

@@ -256,8 +256,9 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     val po = spark.read.parquet(s"$dir/pstream/out1.parquet").collect()
     assert(po.length == 1 && po(0).getAs[Int]("min") == 10
       && po(0).getAs[Int]("max") == 12)
-    // and an unsupported shape under the streaming engine is rejected, not
-    // silently run in batch
+    // and an unsupported shape (non-invertible min/max changelog — the
+    // invertible GROUP BY face does not cover it) under the streaming
+    // engine is rejected, not silently run in batch
     val bad = runProcess("transform",
       s"""|datasetId: "did:odf:out"
           |datasetAlias: out
@@ -266,7 +267,7 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
           |transform:
           |  kind: Sql
           |  engine: spark-streaming
-          |  query: "SELECT event_time, symbol, count(*) AS n FROM tickers GROUP BY event_time, symbol"
+          |  query: "SELECT event_time, symbol, min(price) AS mn FROM tickers GROUP BY event_time, symbol"
           |queryInputs:
           |- datasetId: "did:odf:in"
           |  queryAlias: tickers
@@ -724,6 +725,105 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
         assert(m.contains("equi-key"), m)
       case other => fail(s"expected InvalidQuery on non-equi-key ON, got $other")
     }
+  }
+
+  test("streaming execution mode covers invertible GROUP BY changelogs byte-identically") {
+    // A non-windowed GROUP BY sum/count/avg under engine = spark-streaming
+    // seeds StreamingAggDiff's per-group state with the previously-visible
+    // touched rows and runs the merged rows (+ death tombstones) as a
+    // second AvailableNow round; its +I/-U+U/-D emissions equal the batch
+    // merge diff. Five-run chain — initial appends, a retraction run with
+    // corrections, a full group death (-D), rebirth from fresh partials,
+    // and a watermark-only run — must match batch slices and ledgers byte
+    // for byte; the invertible merge rides the retraction slices in BOTH
+    // modes (no InvalidQuery flip).
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto-stream-aggmerge")
+    val q = """SELECT event_time, symbol, count(*) as n, sum(price) as total,
+              |  avg(price) as mean
+              |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    val slices: Seq[Seq[Ticker]] = Seq(
+      Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+        Ticker(1, 0, t(ts(1)), t(ts(1)), "A", 4),
+        Ticker(2, 0, t(ts(1)), t(ts(1)), "B", 20)),
+      Seq( // retract A@4, append B@5 — corrections only
+        Ticker(3, 1, t(ts(2)), t(ts(1)), "A", 4),
+        Ticker(4, 0, t(ts(2)), t(ts(1)), "B", 5)),
+      Seq( // retract A's last row — the group dies with a -D
+        Ticker(5, 1, t(ts(3)), t(ts(1)), "A", 10)),
+      Seq( // A returns — fresh partials, not the dead group's zeros
+        Ticker(6, 0, t(ts(4)), t(ts(1)), "A", 7)))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      graft.engine.ParquetSliceSink.writeSingleFile(
+        spark.createDataset(rows).toDF(), s"$dir/in${i + 1}.parquet")
+    }
+    val nextOffs = Seq(0L, 2L, 6L, 7L)
+    def chain(engine: String, tag: String): Unit = {
+      val e = new graft.engine.TransformEngine(spark)
+      slices.zipWithIndex.foreach { case (rows, i) =>
+        val n = i + 1
+        val r = e.executeTransform(TransformRequest(
+          "did:odf:out", "out", ts(10 + n), DatasetVocabulary(),
+          Transform(engine = engine, queries = Vector(SqlQueryStep(None, q))),
+          Vector(TransformRequestInput(
+            datasetId = "did:odf:in", datasetAlias = "tickers",
+            queryAlias = "tickers",
+            offsetInterval = Some(OffsetInterval(rows.head.offset, rows.last.offset)),
+            dataPaths = Vector(s"$dir/in$n.parquet"),
+            schemaFile = s"$dir/in1.parquet",
+            explicitWatermarks = Vector(RequestWatermark(ts(n), ts(n))))),
+          nextOffset = nextOffs(i),
+          prevCheckpointPath = if (n == 1) None else Some(s"$dir/$tag/cp${n - 1}"),
+          newCheckpointPath = s"$dir/$tag/cp$n",
+          newDataPath = s"$dir/$tag/out$n.parquet"))
+        assert(r.isInstanceOf[TransformResponse.Success], s"$tag run$n: $r")
+      }
+      // run 5: watermark-only — no slice, no emissions
+      val r5 = e.executeTransform(TransformRequest(
+        "did:odf:out", "out", ts(15), DatasetVocabulary(),
+        Transform(engine = engine, queries = Vector(SqlQueryStep(None, q))),
+        Vector(TransformRequestInput(
+          datasetId = "did:odf:in", datasetAlias = "tickers",
+          queryAlias = "tickers", offsetInterval = None,
+          dataPaths = Vector.empty, schemaFile = s"$dir/in1.parquet",
+          explicitWatermarks = Vector(RequestWatermark(ts(5), ts(5))))),
+        nextOffset = 8, prevCheckpointPath = Some(s"$dir/$tag/cp4"),
+        newCheckpointPath = s"$dir/$tag/cp5",
+        newDataPath = s"$dir/$tag/out5.parquet"))
+      assert(r5.isInstanceOf[TransformResponse.Success], s"$tag run5: $r5")
+    }
+    chain("spark", "batch")
+    chain("spark-streaming", "stream")
+    (1 to 5).foreach { n =>
+      val b = Paths.get(s"$dir/batch/out$n.parquet")
+      val s = Paths.get(s"$dir/stream/out$n.parquet")
+      assert(Files.exists(b) == Files.exists(s),
+        s"run-$n slice existence diverged")
+      if (Files.exists(b))
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(b), Files.readAllBytes(s)),
+          s"run-$n invertible-agg slices are not byte-identical")
+      assert(
+        Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+          Files.readString(Paths.get(s"$dir/stream/cp$n/ledger.json")))
+    }
+    // the streaming chain stayed on the tiered merge path
+    assert(Files.exists(Paths.get(s"$dir/stream/cp3/agg_partials")),
+      "streaming retractive run left the merge path")
+    // op-level spot checks on the streaming slices
+    def ops(n: Int): Seq[(String, Int, Long, Long, Double)] =
+      spark.read.parquet(s"$dir/stream/out$n.parquet").orderBy("offset")
+        .collect().toSeq.map(r => (r.getAs[String]("symbol"),
+          r.getAs[Int]("op"), r.getAs[Long]("n"), r.getAs[Long]("total"),
+          r.getAs[Double]("mean")))
+    assert(ops(1) == Seq(("A", 0, 2L, 14L, 7.0), ("B", 0, 1L, 20L, 20.0)))
+    assert(ops(2) == Seq(
+      ("A", 2, 2L, 14L, 7.0), ("A", 3, 1L, 10L, 10.0),
+      ("B", 2, 1L, 20L, 20.0), ("B", 3, 2L, 25L, 12.5)))
+    assert(ops(3) == Seq(("A", 1, 1L, 10L, 10.0)))
+    assert(ops(4) == Seq(("A", 0, 1L, 7L, 7.0)))
   }
 
   test("streaming left join rejects non-string-canonical key types") {
