@@ -18,7 +18,9 @@ import graft.protocol._
   * Usage: `sbt "runMain graft.EngineBench [nSlices] [rowsPerSlice]"`
   * (defaults 30 × 20k). `sbt "runMain graft.EngineBench join [n] [rows]"`
   * runs the two-join-chain variant (n-ary join-tree delta path vs
-  * CTE-forced recompute); `reusejoin` the reused-join-step chain;
+  * CTE-forced recompute); `join3` the bridge-chain variant whose third
+  * position is reachable only transitively (the multi-hop narrowing
+  * target); `reusejoin` the reused-join-step chain;
   * `leftjoin` the every-run-churn left-join changelog chain;
   * `distinctjoin` the DISTINCT-over-join (DistinctDelta) chain;
   * `streamface` the batch-vs-streaming as-of cost curve; `reuse` the
@@ -29,6 +31,7 @@ import graft.protocol._
 object EngineBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("join")) { runJoinChain(args.drop(1)); return }
+    if (args.headOption.contains("join3")) { runJoin3Chain(args.drop(1)); return }
     if (args.headOption.contains("reusejoin")) { runReuseJoinChain(args.drop(1)); return }
     if (args.headOption.contains("leftjoin")) { runLeftJoinChain(args.drop(1)); return }
     if (args.headOption.contains("streamface")) { runStreamFaceChain(args.drop(1)); return }
@@ -676,6 +679,109 @@ object EngineBench {
     val tRecompute = drive("recompute", cteSteps)
     val tDelta = drive("delta", chainSteps)
     println(f"""{"metric":"engine_join_chain","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tDelta%.1f,"recompute_sec":$tRecompute%.1f,"speedup":${tRecompute / tDelta}%.2f}""")
+    spark.stop()
+  }
+
+  /** Three-position join chain A⋈B⋈C where C connects ONLY through B
+    * (`o.order_id = s.order_id AND s.invoice_id = i.invoice_id` — no
+    * direct orders–invoices edge), all keys monotone with history. This
+    * is the transitive key-range narrowing's target shape: in the
+    * Δ_orders term, shipments is narrowed one-hop by Δ's order_id band,
+    * and invoices is narrowed by the SECOND hop — the invoice_id band of
+    * the already-narrowed shipments scan; symmetrically Δ_invoices
+    * narrows orders through shipments. One-hop narrowing leaves the
+    * far position's full buffer scanned in two of the three terms per
+    * run (an O(state) term), so the delta halves grow with history;
+    * with the transitive hop every scan in every term is banded and the
+    * halves stay flat. The CTE-forced twin recomputes the full two-join
+    * tree and multiset-diffs the snapshot every run.
+    */
+  private def runJoin3Chain(args: Array[String]): Unit = {
+    val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
+    val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-join3-bench").toString
+    val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    (1 to nSlices).foreach { s =>
+      val off0 = (s - 1).toLong * rowsPer
+      def evt = (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+        .cast("timestamp")
+      // orders: globally-unique monotone order_id = offset
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"), evt.as("event_time"),
+        (col("id") + off0).as("order_id"),
+        (pmod(col("id") * 31 + s, lit(100)) + 1).cast("long").as("quantity"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/o$s")
+      // shipments: the bridge — order_id AND invoice_id, both monotone
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"), evt.as("event_time"),
+        (col("id") + off0).as("order_id"),
+        (col("id") + off0 + 1000000000L).as("invoice_id"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/h$s")
+      // invoices: monotone invoice_id matching the bridge 1:1
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"), evt.as("event_time"),
+        (col("id") + off0 + 1000000000L).as("invoice_id"),
+        (pmod(col("id") * 17 + s, lit(500)) + 1).cast("long").as("amount"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/i$s")
+    }
+    def fileOf(kind: String, s: Int): String = {
+      val d = new java.io.File(s"$base/slices/$kind$s")
+      d.listFiles.filter(_.getName.endsWith(".parquet")).head.getPath
+    }
+    def drive(tag: String, qs: Vector[SqlQueryStep]): (Double, Double, Double) = {
+      var firstHalf = 0.0
+      val t0 = System.nanoTime()
+      var prev: Option[String] = None
+      (1 to nSlices).foreach { s =>
+        def input(alias: String, kind: String) = TransformRequestInput(
+          datasetId = s"did:$alias", datasetAlias = alias, queryAlias = alias,
+          vocab = DatasetVocabulary(),
+          offsetInterval = Some(OffsetInterval(
+            (s - 1).toLong * rowsPer, s.toLong * rowsPer - 1)),
+          dataPaths = Vector(fileOf(kind, s)), schemaFile = fileOf(kind, s),
+          explicitWatermarks = Vector(RequestWatermark(
+            Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s),
+            Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s))))
+        val req = TransformRequest(
+          "did:out", "out", Instant.parse(f"2000-01-02T${s % 24}%02d:00:00Z"),
+          DatasetVocabulary(),
+          Transform(queries = qs),
+          Vector(input("orders", "o"), input("shipments", "h"),
+            input("invoices", "i")),
+          nextOffset = 0, prevCheckpointPath = prev,
+          newCheckpointPath = s"$base/$tag/cp$s",
+          newDataPath = s"$base/$tag/out$s.parquet")
+        new TransformEngine(spark).executeTransform(req) match {
+          case _: TransformResponse.Success => ()
+          case other                        => sys.error(s"$tag run $s failed: $other")
+        }
+        prev = Some(s"$base/$tag/cp$s")
+        if (s == nSlices / 2) firstHalf = (System.nanoTime() - t0) / 1e9
+      }
+      val total = (System.nanoTime() - t0) / 1e9
+      (total, firstHalf, total - firstHalf)
+    }
+    val qFast =
+      """SELECT o.event_time AS event_time, o.order_id AS order_id,
+        |  o.quantity AS quantity, i.amount AS amount
+        |FROM orders o JOIN shipments s ON o.order_id = s.order_id
+        |JOIN invoices i ON s.invoice_id = i.invoice_id""".stripMargin
+    val qSlow =
+      s"""WITH j AS (${qFast.replace("\n", " ")})
+         |SELECT event_time, order_id, quantity, amount FROM j""".stripMargin
+    val (tR, r1, r2) = drive("recompute", Vector(SqlQueryStep(None, qSlow)))
+    val (tD, d1, d2) = drive("delta", Vector(SqlQueryStep(None, qFast)))
+    println(f"""{"metric":"engine_join3","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
     spark.stop()
   }
 

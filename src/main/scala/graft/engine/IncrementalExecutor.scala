@@ -2508,32 +2508,61 @@ final class IncrementalExecutor(
       val r = df.agg(min(col(c)), max(col(c))).head
       if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
     }
+    // Undirected adjacency over ALL positions: pos → (neighbor, colOnPos,
+    // colOnNeighbor), one entry per equi edge.
+    val adjAll: Map[Int, Seq[(Int, String, String)]] =
+      edges.flatMap { case (a, ca, b, cb) =>
+        if (a == b) Nil else Seq(a -> ((b, ca, cb)), b -> ((a, cb, ca)))
+      }.groupMap(_._1)(_._2)
     val parts = positions.indices.flatMap { i =>
       if (loaded(i).spec.offsetInterval.isEmpty) None
       else {
-        // Key-range narrowing (round 8): in term i, any position j that
-        // shares an equi edge with i only contributes rows whose edge key
-        // falls inside Δ_i's key range — a parquet-pushable BETWEEN that
-        // prunes the state scan (buffers are key-clustered at write).
-        // Sound per term: a j-row outside the range cannot satisfy the
-        // edge equality against any Δ_i row. Non-adjacent positions stay
-        // unfiltered (one-hop reduction only).
-        val adj: Map[Int, Seq[(String, String)]] = edges.collect {
-          case (a, ca, b, cb) if a == i && b != i => (b, (ca, cb))
-          case (a, ca, b, cb) if b == i && a != i => (a, (cb, ca))
-        }.groupMap(_._1)(_._2)
-        def narrowed(j: Int, base: DataFrame): DataFrame =
-          adj.get(j).fold(base)(_.foldLeft(base) { case (d, (ci, cj)) =>
-            keyRange(loaded(i).df, ci) match {
-              case Some((lo, hi)) =>
-                d.where(col(cj) >= lit(lo) && col(cj) <= lit(hi))
-              case None => d.where(lit(false)) // Δ_i has no non-null keys
-            }
-          })
-        Some(passFn(positions.indices.map { j =>
-          if (j < i) narrowed(j, olds(positions(j)))
+        // Key-range narrowing (round 8; transitive since round 9): in
+        // term i, Δ_i's key range BETWEEN-filters every position
+        // REACHABLE from i across equi edges — directly-adjacent
+        // positions by Δ_i's own range, and each further hop by the
+        // min/max of the already-narrowed previous hop (in an A⋈B⋈C
+        // chain, Δ_A narrows B, and narrowed-B's key band then narrows
+        // C). Sound per term: an output row must satisfy EVERY edge
+        // equality, so a k-row whose edge key lies outside the narrowed
+        // neighbor frame's key range cannot join any row that survives
+        // into the term. The BETWEENs are parquet-pushable (buffers are
+        // key-clustered at write), and the hop ranges are min/max aggs
+        // over already-pruned scans. Edges are extracted from INNER
+        // joins only (extractEquiEdges), so dropping NULL-keyed and
+        // out-of-band rows never removes an output row.
+        def base(j: Int): DataFrame =
+          if (j < i) olds(positions(j))
           else if (j == i) loaded(j).df
-          else narrowed(j, olds(positions(j)).unionByName(loaded(j).df))
+          else olds(positions(j)).unionByName(loaded(j).df)
+        val narrowedF =
+          scala.collection.mutable.Map[Int, DataFrame](i -> loaded(i).df)
+        var frontier = Set(i)
+        while (frontier.nonEmpty) {
+          val next = scala.collection.mutable.Map.empty[Int, DataFrame]
+          frontier.foreach { j =>
+            adjAll.getOrElse(j, Nil).foreach { case (k, _, _) =>
+              if (!narrowedF.contains(k) && !next.contains(k)) {
+                // apply every edge from an already-narrowed node into k
+                // (multiple edges and triangle paths all tighten)
+                next(k) = adjAll.getOrElse(k, Nil)
+                  .filter { case (v, _, _) => narrowedF.contains(v) }
+                  .foldLeft(base(k)) { case (d, (v, ck, cv)) =>
+                    keyRange(narrowedF(v), cv) match {
+                      case Some((lo, hi)) =>
+                        d.where(col(ck) >= lit(lo) && col(ck) <= lit(hi))
+                      // neighbor has no non-null keys ⇒ nothing can join
+                      case None => d.where(lit(false))
+                    }
+                  }
+              }
+            }
+          }
+          next.foreach { case (k, d) => narrowedF(k) = d }
+          frontier = next.keySet.toSet
+        }
+        Some(passFn(positions.indices.map { j =>
+          narrowedF.getOrElse(j, base(j))
         }.toVector))
       }
     }

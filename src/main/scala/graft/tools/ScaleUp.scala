@@ -1,8 +1,8 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Builds a `factor`× replica of a testdata scale-factor dir for scale-up
@@ -14,7 +14,17 @@ import org.apache.spark.sql.functions._
   * replica-indexed ±0.03 — so the scaled corpus behaves like independent
   * data of `factor`× the size rather than a pathological pile of exact
   * duplicates, which is the right shape for measuring the bucketed
-  * operators' scaling exponent. Other tables are file-copied unchanged.
+  * operators' scaling exponent.
+  *
+  * Since round 9 the TPC-H-ish tables scale too (the full-suite sf1 bench
+  * point): every synthetic surrogate key (custkey, orderkey, partkey,
+  * suppkey, event_id, user_id) is offset per replica by a stride above its
+  * source max — consistently across fact and dimension uses, so joins
+  * never pair rows across replicas and per-key fan-outs keep the source
+  * scale's density, which is the shape a real `factor`× scale-up has.
+  * `region`/`nation` and low-cardinality ATTRIBUTES (source, lang,
+  * event_type, mktsegment, order dates…) are kept fixed — real corpora
+  * grow rows per source/day, not sources/days.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -60,14 +70,34 @@ object ScaleUp {
       .repartition(8)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
 
-    // remaining tables: file-copy so the bench warmup finds them
-    val srcDir = new java.io.File(src)
-    srcDir.listFiles.filter(f => f.getName.endsWith(".parquet") &&
-      f.getName != "documents.parquet" && f.getName != "embeddings.parquet")
-      .foreach { f =>
-        Files.copy(f.toPath, Paths.get(dst, f.getName),
-          StandardCopyOption.REPLACE_EXISTING)
-      }
+    // TPC-H-ish tables: key-banded replicas. Strides are clean powers of
+    // 10 above each key's max at the source scale (keys are dense 0..N-1),
+    // shared between the key's defining table and every referencing fact.
+    val ORDER = 1000000L; val CUST = 100000L; val PART = 100000L
+    val SUPP = 10000L; val EVENT = 1000000L; val USER = 10000L
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def shift(c: Int, stride: Long)(cols: String*)(df: DataFrame): DataFrame =
+      cols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(c * stride)))
+    def banded(t: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      (0 until factor).map(c => f(read(t), c)).reduce(_.unionByName(_))
+        .repartition(16)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+
+    spark.read.parquet(s"$src/region.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/region.parquet")
+    spark.read.parquet(s"$src/nation.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/nation.parquet")
+    banded("customer")((df, c) => shift(c, CUST)("c_custkey")(df))
+    banded("supplier")((df, c) => shift(c, SUPP)("s_suppkey")(df))
+    banded("part")((df, c) => shift(c, PART)("p_partkey")(df))
+    banded("orders")((df, c) =>
+      shift(c, CUST)("o_custkey")(shift(c, ORDER)("o_orderkey")(df)))
+    banded("lineitem")((df, c) =>
+      shift(c, SUPP)("l_suppkey")(shift(c, PART)("l_partkey")(
+        shift(c, ORDER)("l_orderkey")(df))))
+    banded("events")((df, c) =>
+      shift(c, USER)("user_id")(shift(c, EVENT)("event_id")(df)))
+
     println(s"wrote ${factor}x of $src to $dst " +
       s"(${docs.count() * factor} docs, ${embs.count() * factor} embeddings)")
     spark.stop()
