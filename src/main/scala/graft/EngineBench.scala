@@ -22,6 +22,8 @@ import graft.protocol._
   * position is reachable only transitively (the multi-hop narrowing
   * target); `reusejoin` the reused-join-step chain;
   * `leftjoin` the every-run-churn left-join changelog chain;
+  * `leftjoinpre` its derived-sides variant (pre-step chains feeding the
+  * join, row-keyed matched state);
   * `distinctjoin` the DISTINCT-over-join (DistinctDelta) chain;
   * `streamface` the batch-vs-streaming as-of cost curve; `reuse` the
   * reused pre-step chain; `retract` the state-bytes plateau variant;
@@ -34,6 +36,9 @@ object EngineBench {
     if (args.headOption.contains("join3")) { runJoin3Chain(args.drop(1)); return }
     if (args.headOption.contains("reusejoin")) { runReuseJoinChain(args.drop(1)); return }
     if (args.headOption.contains("leftjoin")) { runLeftJoinChain(args.drop(1)); return }
+    if (args.headOption.contains("leftjoinpre")) {
+      runLeftJoinChain(args.drop(1), derived = true); return
+    }
     if (args.headOption.contains("streamface")) { runStreamFaceChain(args.drop(1)); return }
     if (args.headOption.contains("distinctjoin")) { runDistinctJoinChain(args.drop(1)); return }
     if (args.headOption.contains("reuse")) { runReuseChain(args.drop(1)); return }
@@ -200,7 +205,7 @@ object EngineBench {
     * CTE-forced twin recomputes the full left join and multiset-diffs the
     * snapshot every run.
     */
-  private def runLeftJoinChain(args: Array[String]): Unit = {
+  private def runLeftJoinChain(args: Array[String], derived: Boolean = false): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
     val spark = SparkSession.builder().master("local[8]")
@@ -270,16 +275,38 @@ object EngineBench {
       val total = (System.nanoTime() - t0) / 1e9
       (total, firstHalf, total - firstHalf)
     }
-    val qJoin =
-      """SELECT o.event_time AS event_time, o.order_id AS order_id,
-        |  o.quantity AS quantity, s.num_shipped AS num_shipped
-        |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id""".stripMargin
-    val qSlow =
-      s"""WITH j AS (${qJoin.replace("\n", " ")})
-         |SELECT event_time, order_id, quantity, num_shipped FROM j""".stripMargin
-    val (tR, r1, r2) = drive("recompute", Vector(SqlQueryStep(None, qSlow)))
-    val (tD, d1, d2) = drive("delta", Vector(SqlQueryStep(None, qJoin)))
-    println(f"""{"metric":"engine_leftjoin","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
+    // `derived = true` (leftjoinpre): both sides fed through stateless
+    // pre-steps — the round-9 widened LeftJoinDelta shape with row-keyed
+    // matched state; without it, the direct single-step shape
+    val (qFastSteps, qSlowSteps) =
+      if (derived) {
+        val pre = Vector(
+          SqlQueryStep(Some("enriched"),
+            "SELECT event_time, order_id, quantity * 2 AS qty2 FROM orders"),
+          SqlQueryStep(Some("shipped"),
+            "SELECT order_id AS ship_order, num_shipped FROM shipments"))
+        val join =
+          """SELECT e.event_time AS event_time, e.order_id AS order_id,
+            |  e.qty2 AS qty2, s.num_shipped AS num_shipped
+            |FROM enriched e LEFT JOIN shipped s ON e.order_id = s.ship_order""".stripMargin
+        (pre :+ SqlQueryStep(None, join),
+          pre :+ SqlQueryStep(None,
+            s"""WITH j AS (${join.replace("\n", " ")})
+               |SELECT event_time, order_id, qty2, num_shipped FROM j""".stripMargin))
+      } else {
+        val qJoin =
+          """SELECT o.event_time AS event_time, o.order_id AS order_id,
+            |  o.quantity AS quantity, s.num_shipped AS num_shipped
+            |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+        (Vector(SqlQueryStep(None, qJoin)),
+          Vector(SqlQueryStep(None,
+            s"""WITH j AS (${qJoin.replace("\n", " ")})
+               |SELECT event_time, order_id, quantity, num_shipped FROM j""".stripMargin)))
+      }
+    val (tR, r1, r2) = drive("recompute", qSlowSteps)
+    val (tD, d1, d2) = drive("delta", qFastSteps)
+    val metric = if (derived) "engine_leftjoinpre" else "engine_leftjoin"
+    println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
     spark.stop()
   }
 

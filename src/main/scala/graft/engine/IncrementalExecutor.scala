@@ -189,9 +189,11 @@ final class IncrementalExecutor(
           if d.rankTouch.isDefined && streamTopN.isDefined => ()
       // updating left-join changelogs route through StreamingLeftJoin's
       // keyed state (null-pad-retract contract); the under-aggregate
-      // composition stays with the batch agg paths
+      // composition stays with the batch agg paths, and derived-side
+      // shapes (pre-step chains feeding the join) are batch-only — the
+      // streaming operator keys state on raw input columns
       case d: PlanClassifier.Mode.SnapshotDiff
-          if d.leftJoinDelta.isDefined && d.aggMerge.isEmpty => ()
+          if d.leftJoinDelta.exists(!_.derived) && d.aggMerge.isEmpty => ()
       // DISTINCT / UNION changelogs route their emission through
       // StreamingDistinct's keyed seen-state (batch state writes kept)
       case d: PlanClassifier.Mode.SnapshotDiff
@@ -222,7 +224,8 @@ final class IncrementalExecutor(
     case d: PlanClassifier.Mode.SnapshotDiff if streamingMode =>
       (d.leftJoinDelta, d.aggMerge) match {
         case (Some(lj), None)
-            if byAlias(lj.left).isDefined && byAlias(lj.right).isDefined =>
+            if !lj.derived && byAlias(lj.left).isDefined &&
+              byAlias(lj.right).isDefined =>
           if (retractiveNow.nonEmpty)
             throw new InvalidQueryException(
               "streaming execution mode does not support left-join " +
@@ -2068,23 +2071,75 @@ final class IncrementalExecutor(
     val oldB = olds(spec.right)
     val fullB = oldB.unionByName(ib.df)
     val offCol = ia.spec.vocab.offsetColumn
-    val matched0 = store.read(leftMatchedName,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(offCol,
-          org.apache.spark.sql.types.LongType))))
 
+    // Side derivations (round 9): a join side may resolve through a chain
+    // of stateless single-scan pre-steps ([[PlanClassifier.LeftJoinDelta]]
+    // leftDerive/rightDerive). A stateless step is row-local, so deriving
+    // each raw frame (Δ, old, full) through its side's chain and running
+    // the decomposition over the DERIVED frames is the same algebra —
+    // identity for direct sides.
+    def deriveSide(
+        terminal: String,
+        chain: Vector[(String, String)],
+        raw: DataFrame): DataFrame =
+      if (chain.isEmpty) raw.drop("__seq")
+      else {
+        raw.drop("__seq").createOrReplaceTempView(terminal)
+        var out: DataFrame = null
+        chain.foreach { case (alias, sql) =>
+          out = spark.sql(sql) // eager analysis pins the view binding
+          out.createOrReplaceTempView(alias)
+        }
+        out
+      }
+    def dA(raw: DataFrame): DataFrame = deriveSide(spec.left, spec.leftDerive, raw)
+    def dB(raw: DataFrame): DataFrame = deriveSide(spec.right, spec.rightDerive, raw)
+    // view names the join step reads its sides from (last derivation
+    // alias, or the terminal relation for a direct side)
+    val leftView = spec.leftDerive.lastOption.map(_._1).getOrElse(spec.left)
+    val rightView = spec.rightDerive.lastOption.map(_._1).getOrElse(spec.right)
+    val deriveAliases: Set[String] =
+      (spec.leftDerive.map(_._1) ++ spec.rightDerive.map(_._1)).toSet
+
+    /** Run the chain with both join-side frames ALREADY DERIVED: register
+      * them under the side view names and skip the derivation pre-steps
+      * (their only consumer is the overridden view). Identical to the
+      * round-8 raw pass when both sides are direct. */
     def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
-      aDf.drop("__seq").createOrReplaceTempView(spec.left)
-      bDf.drop("__seq").createOrReplaceTempView(spec.right)
-      runStepsUntapped()
+      aDf.drop("__seq").createOrReplaceTempView(leftView)
+      bDf.drop("__seq").createOrReplaceTempView(rightView)
+      runStepsUntapped(skipAliases = deriveAliases)
     }
-    /** The ON condition evaluated directly against raw input frames (the
-      * classifier guarantees both sides are direct relations, so the
-      * predicate references only their columns under these aliases). */
+    /** The ON condition evaluated against the derived side frames (for
+      * direct sides, the raw input frames — the predicate references only
+      * the side frames' columns under these aliases). */
     def matchJoin(aDf: DataFrame, bDf: DataFrame, joinType: String): DataFrame =
       aDf.drop("__seq").alias(spec.leftAlias)
         .join(bDf.drop("__seq").alias(spec.rightAlias),
           expr(spec.conditionSql), joinType)
+
+    // Derived frames of the standard raw frames. Lazy vals: each
+    // deriveSide call re-registers views, but spark.sql analyzes eagerly,
+    // so earlier frames keep their bindings.
+    lazy val dDeltaA = dA(ia.df)
+    lazy val dDeltaB = dB(ib.df)
+    lazy val dOldA = dA(oldA)
+    lazy val dFullB = dB(fullB)
+    val dASchema = dA(ia.df.limit(0)).schema
+
+    // Matched-state keying: left-row offsets when the left side is direct
+    // (round-8 scheme, existing checkpoints); whole DERIVED left rows when
+    // the left side is derived (its projection may drop the offset
+    // column). Row-keying is sound because matching depends only on
+    // derived values: value-identical derived rows always transition
+    // matched→unmatched together, and the anti-join below is presence-
+    // based, so duplicate state rows are harmless.
+    val rowKeyedMatch = spec.leftDerive.nonEmpty
+    val matched0 = store.read(leftMatchedName,
+      if (rowKeyedMatch) dASchema
+      else org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(offCol,
+          org.apache.spark.sql.types.LongType))))
 
     val hasDa = ia.spec.offsetInterval.nonEmpty
     val hasDb = ib.spec.offsetInterval.nonEmpty
@@ -2097,7 +2152,8 @@ final class IncrementalExecutor(
     // ~O(slice), not O(state)). Sound per pass: a state row outside the
     // delta's key range cannot satisfy the equality conjunct against any
     // delta row, whatever the other conjuncts require.
-    val equiC = leftJoinEquiConjunct(spec, ia.df.schema, ib.df.schema)
+    val equiC =
+      leftJoinEquiConjunct(spec, dASchema, dB(ib.df.limit(0)).schema)
     def keyRange(df: DataFrame, k: String): Option[(Any, Any)] = {
       val r = df.agg(min(col(k)), max(col(k))).head
       if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
@@ -2107,23 +2163,46 @@ final class IncrementalExecutor(
         case Some((lo, hi)) => df.where(col(k) >= lit(lo) && col(k) <= lit(hi))
         case None           => df.where(lit(false)) // delta has no non-null keys
       }
+    // Narrowing runs over the DERIVED frames: for direct sides the filter
+    // hits the raw buffer scan as before; for derived sides Catalyst
+    // pushes the predicate through the derivation's projects/filters
+    // whenever the key maps to a scanned column.
     val fullBJoinable = equiC match {
-      case Some((lk, rk)) if hasDa => narrowTo(fullB, rk, keyRange(ia.df, lk))
-      case _                       => fullB
+      case Some((lk, rk)) if hasDa => narrowTo(dFullB, rk, keyRange(dDeltaA, lk))
+      case _                       => dFullB
     }
-    val oldAJoinable = equiC match {
-      case Some((lk, rk)) if hasDb => narrowTo(oldA, lk, keyRange(ib.df, rk))
-      case _                       => oldA
+    // ΔB's key band, computed once: it narrows old-A, and in the
+    // row-keyed scheme also the matched set (a matched row with an
+    // out-of-band key cannot whole-row-equal an in-band old-A row)
+    val dbBand: Option[Option[(Any, Any)]] =
+      equiC.filter(_ => hasDb).map { case (_, rk) => keyRange(dDeltaB, rk) }
+    val oldAJoinable = (equiC, dbBand) match {
+      case (Some((lk, _)), Some(r)) => narrowTo(dOldA, lk, r)
+      case _                        => dOldA
     }
+    val matched0Joinable =
+      if (rowKeyedMatch) (equiC, dbBand) match {
+        case (Some((lk, _)), Some(r)) => narrowTo(matched0, lk, r)
+        case _                        => matched0
+      }
+      else matched0 // offset scheme: a narrow long column, scan as-is
 
     val prevUnmatchedNowMatched =
-      if (hasDb)
+      if (hasDb) {
+        val unmatchedOld =
+          if (rowKeyedMatch)
+            // presence anti-join on the whole derived row, null-safe per
+            // column (derived values may be null)
+            oldAJoinable.alias("__a").join(matched0Joinable.alias("__m"),
+              dASchema.fields.map(f =>
+                col(s"__a.${f.name}") <=> col(s"__m.${f.name}"))
+                .reduce(_ && _), "left_anti")
+          else
+            oldAJoinable.alias("__a").join(matched0Joinable.alias("__m"),
+              col(s"__a.$offCol") === col(s"__m.$offCol"), "left_anti")
         // pinned: consumed by the p3 pass AND the matched-state update
-        pin(matchJoin(
-          oldAJoinable.alias("__a").join(matched0.alias("__m"),
-            col(s"__a.$offCol") === col(s"__m.$offCol"), "left_anti"),
-          ib.df, "left_semi"))
-      else oldA.limit(0)
+        pin(matchJoin(unmatchedOld, dDeltaB, "left_semi"))
+      } else dOldA.limit(0)
 
     // Emission: three batch passes, or the Structured Streaming face —
     // same multiset of (row, op) either way (the append terms are
@@ -2136,12 +2215,14 @@ final class IncrementalExecutor(
       if (streamingMode)
         streamingLeftJoinEmission(spec, oldA, oldB, ia, ib, hasDa, hasDb)
       else {
-        val p1 = if (hasDa) Some(pass(ia.df, fullBJoinable)) else None
+        val p1 = if (hasDa) Some(pass(dDeltaA, fullBJoinable)) else None
         val p2 =
           if (hasDb)
-            Some(pass(matchJoin(oldAJoinable, ib.df, "left_semi"), ib.df))
+            Some(pass(matchJoin(oldAJoinable, dDeltaB, "left_semi"), dDeltaB))
           else None
-        val p3 = if (hasDb) Some(pass(prevUnmatchedNowMatched, fullB.limit(0))) else None
+        val p3 =
+          if (hasDb) Some(pass(prevUnmatchedNowMatched, dFullB.limit(0)))
+          else None
         // pin: appends feed the emission AND the snapshot update; p3 feeds
         // the emptiness check, the emission, AND the exceptAll — without
         // pinning each consumer re-runs the whole join pass
@@ -2149,7 +2230,7 @@ final class IncrementalExecutor(
           p3.map(pin).filter(!_.isEmpty))
       }
 
-    val shape = appends.getOrElse(pass(ia.df, ib.df).limit(0))
+    val shape = appends.getOrElse(pass(dDeltaA, dDeltaB).limit(0))
     if (shape.columns.contains(vocab.operationTypeColumn))
       throw new InvalidQueryException(
         s"an updating query must not project the operation column " +
@@ -2165,24 +2246,39 @@ final class IncrementalExecutor(
 
     inputs.foreach { i =>
       // cluster join buffers by their equi key so the key-range-narrowed
-      // passes above prune row groups on later runs
+      // passes above prune row groups on later runs. For a derived side
+      // the equi key is a derived column: cluster only when the raw
+      // buffer has a same-named column (the common passthrough case —
+      // sort order is a storage optimization, never a correctness input)
+      def inRaw(k: String): Boolean =
+        i.df.schema.fields.exists(_.name.equalsIgnoreCase(k))
       val cluster = equiC match {
-        case Some((lk, _)) if i.spec.queryAlias == spec.left  => Seq(lk)
-        case Some((_, rk)) if i.spec.queryAlias == spec.right => Seq(rk)
-        case _                                                => Nil
+        case Some((lk, _))
+            if i.spec.queryAlias == spec.left && inRaw(lk) =>
+          Seq(lk)
+        case Some((_, rk))
+            if i.spec.queryAlias == spec.right && inRaw(rk) =>
+          Seq(rk)
+        case _ => Nil
       }
       store.appendCarry(bufferName(i.spec.queryAlias),
         i.df, olds(i.spec.queryAlias).unionByName(i.df), orderBy = cluster)
     }
     // matched-state is append-only: ΔA rows matching anything now, plus the
     // previously-unmatched old rows ΔB just matched — disjoint from matched0
+    // (offset scheme), or at worst duplicating value-equal rows already
+    // there (row scheme; presence anti-joins are duplicate-insensitive)
+    def matchedForm(df: DataFrame): DataFrame =
+      if (rowKeyedMatch) df else df.select(col(s"${spec.leftAlias}.$offCol"))
     val newMatched = Seq(
-      if (hasDa) Some(matchJoin(ia.df, fullBJoinable, "left_semi")
-        .select(col(s"${spec.leftAlias}.$offCol"))) else None,
-      if (hasDb) Some(prevUnmatchedNowMatched
-        .select(col(s"${spec.leftAlias}.$offCol"))) else None
+      if (hasDa) Some(matchedForm(matchJoin(dDeltaA, fullBJoinable, "left_semi")))
+      else None,
+      if (hasDb) Some(matchedForm(prevUnmatchedNowMatched)) else None
     ).flatten.reduceOption(_.unionByName(_)).getOrElse(matched0.limit(0))
-    store.appendCarry(leftMatchedName, newMatched, matched0.unionByName(newMatched))
+    store.appendCarry(leftMatchedName, newMatched, matched0.unionByName(newMatched),
+      // cluster row-keyed matched tiers on the equi key so the narrowed
+      // anti-join scan above prunes row groups on later runs
+      orderBy = if (rowKeyedMatch) equiC.map(_._1).toSeq else Nil)
 
     val prevSnap = store.read(snapshotName, shape.schema)
     retractsRaw match {
@@ -2356,13 +2452,19 @@ final class IncrementalExecutor(
 
   /** [[runSteps]] without Snitch taps — for delta-path passes that re-run
     * the chain per decomposition term: the pass output feeds a frame that
-    * is tapped once as "output", so per-pass taps would double-count. */
-  private def runStepsUntapped(): DataFrame = {
+    * is tapped once as "output", so per-pass taps would double-count.
+    * `skipAliases` steps are not executed — the caller has pre-registered
+    * an override frame under their view names (left-join side
+    * derivations; running the step would overwrite the override). */
+  private def runStepsUntapped(
+      skipAliases: Set[String] = Set.empty): DataFrame = {
     var out: DataFrame = null
     steps.zipWithIndex.foreach { case ((alias, rw), i) =>
-      val df = spark.sql(rw.sql)
-      alias.foreach(df.createOrReplaceTempView)
-      if (i == outputIdx) out = df
+      if (!alias.exists(skipAliases.contains)) {
+        val df = spark.sql(rw.sql)
+        alias.foreach(df.createOrReplaceTempView)
+        if (i == outputIdx) out = df
+      }
     }
     out
   }

@@ -117,21 +117,35 @@ object PlanClassifier {
     *                                                   null-padded rows),
     *
     * O(slice ⋈ state) per run instead of recompute + full multiset diff.
-    * Both join sides must be direct (optionally aliased) relations so the
-    * ON condition can be evaluated against the raw input frames for the
-    * matched-state semi/anti joins; the join may sit in a pre-step
-    * consumed by stateless later steps under [[StepChains]]'s use-once
-    * discipline.
+    * Each join side either is a direct (optionally aliased) relation or —
+    * since round 9 — resolves through a chain of stateless single-scan
+    * pre-steps to one ([[StepChains.derivationChain]]): a stateless step
+    * is row-local, so deriving each raw frame (Δ, old, full) through its
+    * side's chain and joining the DERIVED frames is the same
+    * decomposition. The matched-state semi/anti joins then run over the
+    * derived frames; when the LEFT side is derived (its offset column may
+    * be projected away) the matched state keys on whole derived rows
+    * instead of offsets, which is sound because value-identical derived
+    * rows always transition matched→unmatched together. The join may sit
+    * in a pre-step consumed by stateless later steps under
+    * [[StepChains]]'s use-once discipline.
     *
     * @param conditionSql the ON predicate as SQL, referencing
     *   `leftAlias`/`rightAlias`
+    * @param leftDerive ordered (stepAlias, sql) pre-step chain deriving
+    *   the left side from `left`; empty when the side is direct
+    * @param rightDerive same for the right side
     */
   final case class LeftJoinDelta(
       left: String,
       leftAlias: String,
       right: String,
       rightAlias: String,
-      conditionSql: String)
+      conditionSql: String,
+      leftDerive: Vector[(String, String)] = Vector.empty,
+      rightDerive: Vector[(String, String)] = Vector.empty) {
+    def derived: Boolean = leftDerive.nonEmpty || rightDerive.nonEmpty
+  }
 
   /** Proof that a SnapshotDiff chain is one DISTINCT over a stateless
     * derivation of a single input relation — or, when `join` is set, over
@@ -542,7 +556,10 @@ object PlanClassifier {
         chains.resolveInnerJoinTree() match {
           case Some(jd) => (Some(jd), None)
           case None =>
-            chains.resolveSingleLeftJoin() match {
+            // direct sides only here: the partials executor evaluates the
+            // ON condition against raw input frames (the plain left-join
+            // changelog path accepts derived sides; this one not yet)
+            chains.resolveSingleLeftJoin().filter(!_.derived) match {
               case Some(lj) => (None, Some(lj))
               case None     => return None
             }
@@ -1216,6 +1233,33 @@ object PlanClassifier {
         }
       }
 
+    private val stepSqlByAlias: Map[String, String] =
+      steps.zipWithIndex.collect {
+        case ((Some(a), rw), i) if i != outIdx => a -> rw.sql
+      }.toMap
+
+    /** [[terminal]] plus the derivation itself: the ordered (alias, sql)
+      * chain of single-scan pre-steps from the terminal input up to
+      * `name`, empty when `name` is an input relation; None under the
+      * same conditions as [[terminal]]. Statelessness of the chain is the
+      * caller's Facts guard (the extractors exclude aggregates, ranking,
+      * DISTINCT/LIMIT, subqueries, and time-varying literals chain-wide).
+      */
+    def derivationChain(
+        name: String,
+        seen: Set[String] = Set.empty): Option[(String, Vector[(String, String)])] =
+      if (seen(name) || duplicateAlias) None
+      else stepByAlias.get(name) match {
+        case None => Some((name, Vector.empty))
+        case Some(p) => scans(p) match {
+          case Seq(one) =>
+            derivationChain(one, seen + name).map { case (t, chain) =>
+              (t, chain :+ (name -> stepSqlByAlias(name)))
+            }
+          case _ => None
+        }
+      }
+
     /** Every pre-step alias consumed exactly once, the given inputs scanned
       * exactly once each, nothing else referenced anywhere — the
       * use-once discipline the delta decomposition needs. */
@@ -1344,12 +1388,15 @@ object PlanClassifier {
         else JoinDelta(ls)
     }
 
-    /** The chain's single LEFT OUTER join with an ON condition, both sides
-      * direct (optionally aliased) input relations each scanned exactly
-      * once — direct so the ON predicate can be evaluated against the raw
-      * input frames for the matched-state semi/anti joins. The join may sit
-      * in a pre-step consumed by stateless later steps, or under the output
-      * step's aggregate — the callers' Facts guards decide which.
+    /** The chain's single LEFT OUTER join with an ON condition, each side
+      * a direct (optionally aliased) input relation — or, since round 9,
+      * a [[derivationChain]] of stateless single-scan pre-steps down to
+      * one — each terminal scanned exactly once. The executor evaluates
+      * the ON predicate against the DERIVED frames for the matched-state
+      * semi/anti joins (identity derivation for direct sides). The join
+      * may sit in a pre-step consumed by stateless later steps, or under
+      * the output step's aggregate — the callers' Facts guards decide
+      * which.
       */
     def resolveSingleLeftJoin(): Option[LeftJoinDelta] = {
       import org.apache.spark.sql.catalyst.plans.LeftOuter
@@ -1371,8 +1418,13 @@ object PlanClassifier {
       for {
         (a, la) <- relAlias(j.left)
         (b, rb) <- relAlias(j.right)
-        if a != b && soundUse(Seq(a, b))
-      } yield LeftJoinDelta(a, la, b, rb, j.condition.get.sql)
+        (ta, da) <- derivationChain(a)
+        (tb, db) <- derivationChain(b)
+        // distinct terminals: the Δ/old framing needs two independent
+        // inputs (a self-left-join through derivations would let one
+        // side's "old" frame observe the other side's delta)
+        if ta != tb && soundUse(Seq(ta, tb))
+      } yield LeftJoinDelta(ta, la, tb, rb, j.condition.get.sql, da, db)
     }
   }
 

@@ -2308,6 +2308,112 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("left-join delta through pre-step derivations and recompute emit identical changelogs") {
+    import spark.implicits._
+    // Seeded random append-only slices where BOTH left-join sides are
+    // derived by stateless pre-steps (rename/compute/filter) — the
+    // round-9 widened LeftJoinDelta shape, whose matched state keys on
+    // whole DERIVED rows (the left derivation projects the offset column
+    // away). The twin wraps the join in a CTE (recompute + multiset
+    // diff). Small value domains force value-identical derived rows (the
+    // row-keyed matched set's collision case); late shipments for old
+    // unmatched orders exercise the null-pad retract; run 4 retracts a
+    // run-1 order, covering the flip to net-and-recompute against the
+    // delta-maintained snapshot.
+    val rnd = new scala.util.Random(101)
+    val dirF = tmp(); val dirC = tmp()
+    val pre = Seq(
+      Some("enriched") -> ("SELECT event_time, order_id, quantity * 10 AS value " +
+        "FROM orders WHERE quantity > 10"),
+      Some("shiploads") -> ("SELECT order_id AS ship_order, num_shipped " +
+        "FROM shipments WHERE num_shipped >= 10"))
+    val join = """SELECT e.event_time as event_time, e.order_id, e.value,
+                 |  s.num_shipped
+                 |FROM enriched e LEFT JOIN shiploads s ON e.order_id = s.ship_order""".stripMargin
+    val qFast = pre :+ (None -> join)
+    val qSlow = pre :+ (None ->
+      s"WITH j AS ($join)\nSELECT event_time, order_id, value, num_shipped FROM j")
+    var offA = 0L; var offB = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    var sawNullPadRetract = false
+    (1 to 6).foreach { run =>
+      val nA0 = if (run == 1) 3 else rnd.nextInt(3)
+      val nB = if (run == 1) 1 + rnd.nextInt(2) else rnd.nextInt(3)
+      // random order_ids live in 1..3; order 99 is planted in run 1 with
+      // no matching shipment until run 3 — a guaranteed old-unmatched row
+      // whose late match drives the p3 null-pad-retract term
+      val orders0 = (0 until nA0).map { i =>
+        OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 10 * (1 + rnd.nextInt(5)))
+      }
+      val orders =
+        if (run == 1)
+          orders0 :+ OrderRow(offA + nA0, Op.Append, t(ts(run)), t(ts(run)), 99, 50)
+        else orders0
+      if (run == 1) firstOrder = orders.head
+      val orderSlice =
+        if (run == 4)
+          orders :+ OrderRow(offA + orders.length, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val ships0 = (0 until nB).map { i =>
+        Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 5 * (1 + rnd.nextInt(4)))
+      }
+      val ships =
+        if (run == 3)
+          ships0 :+ Shipment(offB + nB, Op.Append, t(ts(run)), t(ts(run)), 99, 20)
+        else ships0
+      val nA = orderSlice.length
+      val nBs = ships.length
+      def stage(dir: java.nio.file.Path): (String, String) = {
+        val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+        if (nA > 0) writeSlice(orderSlice, o)
+        if (nBs > 0) writeSlice(ships, s)
+        (o, s)
+      }
+      val (oF, sF) = stage(dirF); val (oC, sC) = stage(dirC)
+      def drive(tag: String, dir: java.nio.file.Path, o: String, s: String,
+          qs: Seq[(Option[String], String)], prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(qs: _*),
+          Vector(
+            mkInput("orders", if (nA > 0) o else null,
+              s"$dir/o1.parquet", nA, startOffset = offA, wms = Seq(ts(run))),
+            mkInput("shipments", if (nBs > 0) s else null,
+              s"$dir/s1.parquet", nBs, startOffset = offB, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, oF, sF, qFast, prevF))
+      prevC = Some(drive("c", dirC, oC, sC, qSlow, prevC))
+      offA += nA; offB += nBs
+      val sel = Seq("offset", "op", "event_time", "order_id", "value", "num_shipped")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+      // a retraction of a null-padded row (num_shipped null) BEFORE the
+      // run-4 flip proves the delta path's p3 term fired, not just p1/p2
+      if (run < 4) sawNullPadRetract ||= outF.exists(r =>
+        r.getInt(1) == Op.Retract && r.isNullAt(5))
+    }
+    assert(sawNullPadRetract,
+      "seed never produced a late match for an old unmatched order")
+    assert(nextOut("f") > 0)
+  }
+
   test("delta-join path and recompute path emit identical changelogs") {
     import spark.implicits._
     // Seeded random append-only slices on TWO inputs through two chains:

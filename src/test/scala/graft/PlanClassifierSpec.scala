@@ -557,14 +557,60 @@ class PlanClassifierSpec extends AnyFunSuite {
     // full outer: neither side's null-padding is tracked — recompute
     assert(lj("SELECT o.order_id FROM orders o FULL JOIN shipments s " +
       "ON o.order_id = s.order_id").isEmpty)
-    // a derived (non-direct) side: the ON condition cannot be evaluated
-    // against the raw input for matched-state maintenance — recompute
+    // an inline-subquery side is not a pre-step chain — recompute (the
+    // named-pre-step spelling of the same shape takes the derived path)
     assert(lj("SELECT o.order_id, s.n FROM orders o LEFT JOIN " +
       "(SELECT order_id, num_shipped AS n FROM shipments) s " +
       "ON o.order_id = s.order_id").isEmpty)
     // self left-join stays recompute
     assert(lj("SELECT a.order_id FROM orders a LEFT JOIN orders b " +
       "ON a.order_id = b.order_id").isEmpty)
+  }
+
+  test("a LEFT JOIN fed through stateless pre-step chains carries derivation specs") {
+    def sd(qs: (Option[String], String)*): Mode.SnapshotDiff =
+      PlanClassifier.classify(spark,
+        qs.toSeq.map { case (a, q) => (a, SqlRewriter.rewrite(q, st, None)) })
+        .asInstanceOf[Mode.SnapshotDiff]
+    // left side derived (rename/compute/filter), right side direct
+    val m = sd(
+      Some("enriched") -> ("SELECT order_id, quantity * 10 AS value " +
+        "FROM orders WHERE quantity > 1"),
+      None -> ("SELECT e.order_id, e.value, s.num_shipped FROM enriched e " +
+        "LEFT JOIN shipments s ON e.order_id = s.order_id"))
+    assert(m.leftJoinDelta.exists(l => l.left == "orders" &&
+      l.leftAlias == "e" && l.leftDerive.map(_._1) == Vector("enriched") &&
+      l.right == "shipments" && l.rightDerive.isEmpty && l.derived))
+    // both sides derived, multi-hop chain on the right (execution order)
+    val m2 = sd(
+      Some("e1") -> "SELECT order_id, quantity FROM orders WHERE quantity > 1",
+      Some("s1") -> "SELECT order_id AS sid, num_shipped FROM shipments",
+      Some("s2") -> "SELECT sid, num_shipped * 2 AS ns FROM s1",
+      None -> "SELECT e1.order_id, s2.ns FROM e1 LEFT JOIN s2 ON e1.order_id = s2.sid")
+    assert(m2.leftJoinDelta.exists(l =>
+      l.leftDerive.map(_._1) == Vector("e1") &&
+        l.rightDerive.map(_._1) == Vector("s1", "s2")))
+    // a multi-scan pre-step (self union) is not a derivation chain
+    val m3 = sd(
+      Some("u") -> ("SELECT order_id FROM orders UNION ALL " +
+        "SELECT order_id FROM orders"),
+      None -> ("SELECT u.order_id, s.num_shipped FROM u " +
+        "LEFT JOIN shipments s ON u.order_id = s.order_id"))
+    assert(m3.leftJoinDelta.isEmpty)
+    // derivations resolving both sides to the SAME input stay recompute
+    // (the Δ/old framing needs two independent inputs)
+    val m4 = sd(
+      Some("a1") -> "SELECT order_id FROM orders",
+      Some("b1") -> "SELECT order_id AS oid FROM orders",
+      None -> "SELECT a1.order_id FROM a1 LEFT JOIN b1 ON a1.order_id = b1.oid")
+    assert(m4.leftJoinDelta.isEmpty)
+    // the aggregate-above-left-join partials path stays direct-only
+    val m5 = sd(
+      Some("e") -> "SELECT order_id, quantity FROM orders",
+      None -> ("SELECT e.order_id AS order_id, sum(s.num_shipped) AS t " +
+        "FROM e LEFT JOIN shipments s ON e.order_id = s.order_id " +
+        "GROUP BY e.order_id"))
+    assert(m5.aggMerge.forall(_.leftJoin.isEmpty))
   }
 
   test("a mergeable aggregate above an inner join carries the join spec") {

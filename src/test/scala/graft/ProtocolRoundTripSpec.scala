@@ -727,6 +727,51 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming mode rejects left-join changelogs with derived sides") {
+    // The widened batch LeftJoinDelta accepts sides fed through stateless
+    // pre-steps; StreamingLeftJoin keys state on raw input columns, so
+    // the derived shape must stay batch-only — InvalidQuery under
+    // engine = spark-streaming, never a silently different result.
+    import spark.implicits._
+    import EngineFixtures.{OrderRow, Shipment}
+    val dir = Files.createTempDirectory("graft-proto-stream-lj-derived")
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10))).toDF(), o1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Shipment(0, 0, t(ts(1)), t(ts(1)), 1, 5))).toDF(), s1)
+    val r = new graft.engine.TransformEngine(spark).executeTransform(
+      TransformRequest(
+        "did:odf:out", "out", ts(10), DatasetVocabulary(),
+        Transform(engine = "spark-streaming",
+          queries = Vector(
+            SqlQueryStep(Some("enriched"),
+              "SELECT event_time, order_id, quantity * 10 AS value FROM orders"),
+            SqlQueryStep(None,
+              """SELECT e.event_time as event_time, e.order_id as order_id,
+                |  e.value as value, s.num_shipped as num_shipped
+                |FROM enriched e LEFT JOIN shipments s
+                |  ON e.order_id = s.order_id""".stripMargin))),
+        Vector(
+          TransformRequestInput(
+            datasetId = "did:odf:o", datasetAlias = "orders",
+            queryAlias = "orders", offsetInterval = Some(OffsetInterval(0, 0)),
+            dataPaths = Vector(o1), schemaFile = o1,
+            explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1)))),
+          TransformRequestInput(
+            datasetId = "did:odf:s", datasetAlias = "shipments",
+            queryAlias = "shipments", offsetInterval = Some(OffsetInterval(0, 0)),
+            dataPaths = Vector(s1), schemaFile = s1,
+            explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1))))),
+        nextOffset = 0, prevCheckpointPath = None,
+        newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
+    r match {
+      case TransformResponse.InvalidQuery(m) =>
+        assert(m.contains("streaming execution mode"), m)
+      case other => fail(s"expected InvalidQuery on derived-side left join, got $other")
+    }
+  }
+
   test("streaming execution mode covers invertible GROUP BY changelogs byte-identically") {
     // A non-windowed GROUP BY sum/count/avg under engine = spark-streaming
     // seeds StreamingAggDiff's per-group state with the previously-visible
