@@ -972,6 +972,18 @@ object SparkEntry {
         .where(col("doc_id") =!= col("keep_id"))
         .select(col("doc_id").as("drop_id"), col("keep_id"), col("source"))
         .orderBy(col("drop_id"))
+    }),
+
+    // ── Composed near-dup pipeline: LSH-banded candidate generation (the
+    // q16 bucketing) feeding the exact cosine verifier (the q17 kernel) —
+    // the scale path for q17's by-design O(n²) demo. One shuffle buckets
+    // the corpus by (band, signature) key; only bucket-sharing pairs are
+    // scored, so cost follows bucket occupancy, not n². At 100 TB this is
+    // the shape that runs: candidates ∝ near-dup density, verify exact.
+    "q56_neardup_verified" -> ((s, dir) => {
+      Similarity.nearDupPairsLSH(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, dim = 64, nBits = 16, bandBits = 4)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1932,6 +1944,45 @@ object SparkEntry {
           |      FROM h)
           |SELECT doc_id AS drop_id, keep_id, source
           |FROM k WHERE doc_id <> keep_id
-          |ORDER BY drop_id""".stripMargin)
+          |ORDER BY drop_id""".stripMargin),
+
+    "q56_neardup_verified" -> {
+      // Replicates nearDupPairsLSH(nBits=16, bandBits=4) exactly: the q16
+      // RHP signature construction (md5-parity signs, index-order DOUBLE
+      // folds), banded bucket self-join on vec_id order, then the exact
+      // q17 cosine filter on the candidate pairs.
+      val nBits = 16
+      val bandBits = 4
+      val dim = 64
+      def signCase(b: Int) =
+        s"(CASE WHEN CAST(concat('0x', substr(md5(concat('rhp:$b:', j-1)), 1, 1)) " +
+          s"AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val projs = (0 until nBits).map(b =>
+        s"list_sum([v[j] * ${signCase(b)} for j in generate_series(1, $dim)]) AS p$b")
+        .mkString(",\n        ")
+      val sigExpr = (0 until nBits)
+        .map(b => s"(CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      val bandExprs = (0 until nBits / bandBits)
+        .map(t => s"((sig >> ${t * bandBits}) & ${(1L << bandBits) - 1}) + ${t.toLong << 32}")
+        .mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id, v,
+         |        $projs
+         |      FROM e),
+         |sg AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS sig FROM p),
+         |bd AS (SELECT vec_id, v, unnest([$bandExprs]) AS bucket FROM sg),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         a.v AS va, b.v AS vb
+         |  FROM bd a JOIN bd b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  list_inner_product(va, vb)
+         |    / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb))) AS cosine
+         |FROM cand
+         |WHERE list_inner_product(va, vb)
+         |    / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb))) >= 0.45
+         |ORDER BY 1, 2""".stripMargin
+    }
   )
 }
