@@ -23,7 +23,8 @@ import graft.protocol._
   * target); `reusejoin` the reused-join-step chain;
   * `leftjoin` the every-run-churn left-join changelog chain;
   * `leftjoinpre` its derived-sides variant (pre-step chains feeding the
-  * join, row-keyed matched state);
+  * join, row-keyed matched state); `aggleft` the sum/count-above-left-join
+  * partials chain (key-range-narrowed since round 9);
   * `distinctjoin` the DISTINCT-over-join (DistinctDelta) chain;
   * `streamface` the batch-vs-streaming as-of cost curve; `reuse` the
   * reused pre-step chain; `retract` the state-bytes plateau variant;
@@ -37,7 +38,10 @@ object EngineBench {
     if (args.headOption.contains("reusejoin")) { runReuseJoinChain(args.drop(1)); return }
     if (args.headOption.contains("leftjoin")) { runLeftJoinChain(args.drop(1)); return }
     if (args.headOption.contains("leftjoinpre")) {
-      runLeftJoinChain(args.drop(1), derived = true); return
+      runLeftJoinChain(args.drop(1), variant = "pre"); return
+    }
+    if (args.headOption.contains("aggleft")) {
+      runLeftJoinChain(args.drop(1), variant = "agg"); return
     }
     if (args.headOption.contains("streamface")) { runStreamFaceChain(args.drop(1)); return }
     if (args.headOption.contains("distinctjoin")) { runDistinctJoinChain(args.drop(1)); return }
@@ -205,7 +209,7 @@ object EngineBench {
     * CTE-forced twin recomputes the full left join and multiset-diffs the
     * snapshot every run.
     */
-  private def runLeftJoinChain(args: Array[String], derived: Boolean = false): Unit = {
+  private def runLeftJoinChain(args: Array[String], variant: String = "plain"): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
     val spark = SparkSession.builder().master("local[8]")
@@ -275,11 +279,25 @@ object EngineBench {
       val total = (System.nanoTime() - t0) / 1e9
       (total, firstHalf, total - firstHalf)
     }
-    // `derived = true` (leftjoinpre): both sides fed through stateless
+    // `variant = "pre"` (leftjoinpre): both sides fed through stateless
     // pre-steps — the round-9 widened LeftJoinDelta shape with row-keyed
-    // matched state; without it, the direct single-step shape
+    // matched state. `variant = "agg"` (aggleft): a sum/count aggregate
+    // above the direct left join — the partials path whose state scans
+    // gained key-range narrowing in round 9. Default: the direct
+    // single-step changelog shape.
     val (qFastSteps, qSlowSteps) =
-      if (derived) {
+      if (variant == "agg") {
+        // group key = event_time (one group per slice; old groups
+        // untouched by later runs — the narrowed scans should keep the
+        // per-run cost flat). The `+ 0` twin recomputes.
+        def q(sum: String) =
+          s"""SELECT o.event_time AS event_time, count(*) AS n,
+             |  $sum AS q_total
+             |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id
+             |GROUP BY o.event_time""".stripMargin
+        (Vector(SqlQueryStep(None, q("sum(o.quantity)"))),
+          Vector(SqlQueryStep(None, q("sum(o.quantity) + 0"))))
+      } else if (variant == "pre") {
         val pre = Vector(
           SqlQueryStep(Some("enriched"),
             "SELECT event_time, order_id, quantity * 2 AS qty2 FROM orders"),
@@ -305,7 +323,11 @@ object EngineBench {
       }
     val (tR, r1, r2) = drive("recompute", qSlowSteps)
     val (tD, d1, d2) = drive("delta", qFastSteps)
-    val metric = if (derived) "engine_leftjoinpre" else "engine_leftjoin"
+    val metric = variant match {
+      case "pre" => "engine_leftjoinpre"
+      case "agg" => "engine_aggleft"
+      case _     => "engine_leftjoin"
+    }
     println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
     spark.stop()
   }

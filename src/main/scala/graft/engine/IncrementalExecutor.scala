@@ -1500,11 +1500,16 @@ final class IncrementalExecutor(
     // avg/HAVING chains run the classifier's PARTIALS plan (avg split into
     // sum+count, HAVING deferred); the plain shape runs the steps as-is.
     val needsAux = spec.partialsPlan.isDefined
-    def partials(): DataFrame = spec.partialsPlan match {
-      case Some(p) =>
-        runStepsWithOutput(org.apache.spark.sql.GraftPlanExec.ofRows(spark, p))
-      case None => runSteps(steps)
-    }
+    // set by the left-join case below; carries the equi-key clustering
+    // for the buffer writes at the end of the run
+    var leftPlumb: Option[LeftDeltaPlumbing] = None
+    def partials(skipAliases: Set[String] = Set.empty): DataFrame =
+      spec.partialsPlan match {
+        case Some(p) =>
+          runStepsWithOutput(
+            org.apache.spark.sql.GraftPlanExec.ofRows(spark, p), skipAliases)
+        case None => runSteps(steps, skipAliases)
+      }
     val keys = spec.keys
     val kinds = spec.aggs.toMap ++ spec.avgs.flatMap(n =>
       Seq(s"__as_$n" -> "sum", s"__ac_$n" -> "count"))
@@ -1532,56 +1537,33 @@ final class IncrementalExecutor(
           // watermark-only run: no delta terms — empty partials frame
           .getOrElse(emptyFrame())
       case (None, Some(lj)) =>
-        val ia = byAlias(lj.left).get
-        val ib = byAlias(lj.right).get
-        val oldA = store.read(bufferName(lj.left), ia.df.schema)
-        val oldB = store.read(bufferName(lj.right), ib.df.schema)
-        val fullB = oldB.unionByName(ib.df)
-        val offCol = ia.spec.vocab.offsetColumn
-        val matched0 = store.read(leftMatchedName,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(offCol,
-              org.apache.spark.sql.types.LongType))))
+        // same three terms as runLeftDeltaJoin — shared plumbing: side
+        // derivations, key-range-narrowed state scans, matched-state
+        // algebra — with each term aggregated to partials and the
+        // retraction term's sum/count partials negated
+        val pl = new LeftDeltaPlumbing(lj)
+        leftPlumb = Some(pl)
         def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
-          aDf.drop("__seq").createOrReplaceTempView(lj.left)
-          bDf.drop("__seq").createOrReplaceTempView(lj.right)
-          partials()
+          aDf.drop("__seq").createOrReplaceTempView(pl.leftView)
+          bDf.drop("__seq").createOrReplaceTempView(pl.rightView)
+          partials(skipAliases = pl.skipAliases)
         }
-        def matchJoin(aDf: DataFrame, bDf: DataFrame, joinType: String): DataFrame =
-          aDf.drop("__seq").alias(lj.leftAlias)
-            .join(bDf.drop("__seq").alias(lj.rightAlias),
-              expr(lj.conditionSql), joinType)
-        val hasDa = ia.spec.offsetInterval.nonEmpty
-        val hasDb = ib.spec.offsetInterval.nonEmpty
-        // same three terms as runLeftDeltaJoin, aggregated to partials
-        val p1 = if (hasDa) Some(pass(ia.df, fullB)) else None
+        val p1 = if (pl.hasDa) Some(pass(pl.dDeltaA, pl.fullBJoinable)) else None
         val p2 =
-          if (hasDb) Some(pass(matchJoin(oldA, ib.df, "left_semi"), ib.df))
+          if (pl.hasDb)
+            Some(pass(pl.matchJoin(pl.oldAJoinable, pl.dDeltaB, "left_semi"),
+              pl.dDeltaB))
           else None
-        val prevUnmatchedNowMatched =
-          if (hasDb)
-            matchJoin(
-              oldA.alias("__a").join(matched0.alias("__m"),
-                col(s"__a.$offCol") === col(s"__m.$offCol"), "left_anti"),
-              ib.df, "left_semi")
-          else oldA.limit(0)
         val p3 =
-          if (hasDb)
-            Some(negatePartials(pass(prevUnmatchedNowMatched, fullB.limit(0)), kinds))
+          if (pl.hasDb)
+            Some(negatePartials(
+              pass(pl.prevUnmatchedNowMatched, pl.dFullB.limit(0)), kinds))
           else None
-        // matched-state is append-only, exactly as in runLeftDeltaJoin
-        val newMatched = Seq(
-          if (hasDa) Some(matchJoin(ia.df, fullB, "left_semi")
-            .select(col(s"${lj.leftAlias}.$offCol"))) else None,
-          if (hasDb) Some(prevUnmatchedNowMatched
-            .select(col(s"${lj.leftAlias}.$offCol"))) else None
-        ).flatten.reduceOption(_.unionByName(_)).getOrElse(matched0.limit(0))
-        store.appendCarry(leftMatchedName, newMatched,
-          matched0.unionByName(newMatched))
+        pl.updateMatched()
         val parts = Seq(p1, p2, p3).flatten
         parts
           .reduceOption((a, b) => mergePartials(a, b, keys, kinds, a.schema, "full_outer"))
-          .getOrElse(pass(ia.df, ib.df).limit(0))
+          .getOrElse(pass(pl.dDeltaA, pl.dDeltaB).limit(0))
       case (None, None) =>
         // Signed slice split for invertible chains: aggregate the slice's
         // append/correct-to rows and its retract/correct-from rows in two
@@ -1773,7 +1755,9 @@ final class IncrementalExecutor(
     }
 
     buffers.foreach { case (i, full) =>
-      store.appendCarry(bufferName(i.spec.queryAlias), i.df, full)
+      store.appendCarry(bufferName(i.spec.queryAlias), i.df, full,
+        orderBy = leftPlumb.map(_.bufferCluster(i.spec.queryAlias, i.df))
+          .getOrElse(Nil))
     }
     // dead groups (left + invertible paths) leave state: a later row for
     // the same key starts from fresh partials, exactly as a recompute would
@@ -2062,23 +2046,31 @@ final class IncrementalExecutor(
     * while this path emits the −D/+I churn explicitly (what Flink's
     * retract stream does too). The net state is identical either way.
     */
-  private def runLeftDeltaJoin(spec: PlanClassifier.LeftJoinDelta): ExecResult = {
-    val ia = byAlias(spec.left).get
-    val ib = byAlias(spec.right).get
-    val olds = inputs.map(i =>
-      i.spec.queryAlias -> store.read(bufferName(i.spec.queryAlias), i.df.schema)).toMap
-    val oldA = olds(spec.left)
-    val oldB = olds(spec.right)
-    val fullB = oldB.unionByName(ib.df)
-    val offCol = ia.spec.vocab.offsetColumn
+  /** Plumbing shared by [[runLeftDeltaJoin]] and the aggregate-above-
+    * left-join partials path: side derivations, key-range narrowing of
+    * every state-side scan, the matched-state algebra, and the term
+    * input frames of the three-term decomposition. The caller supplies
+    * the chain-runner (full chain vs merge partials) and calls
+    * [[updateMatched]] exactly once per run.
+    *
+    * Side derivations (round 9): a join side may resolve through a chain
+    * of stateless single-scan pre-steps ([[PlanClassifier.LeftJoinDelta]]
+    * leftDerive/rightDerive). A stateless step is row-local, so deriving
+    * each raw frame (Δ, old, full) through its side's chain and running
+    * the decomposition over the DERIVED frames is the same algebra —
+    * identity for direct sides.
+    */
+  private final class LeftDeltaPlumbing(spec: PlanClassifier.LeftJoinDelta) {
+    val ia: LoadedInput = byAlias(spec.left).get
+    val ib: LoadedInput = byAlias(spec.right).get
+    val oldA: DataFrame = store.read(bufferName(spec.left), ia.df.schema)
+    val oldB: DataFrame = store.read(bufferName(spec.right), ib.df.schema)
+    val fullB: DataFrame = oldB.unionByName(ib.df)
+    val offCol: String = ia.spec.vocab.offsetColumn
+    val hasDa: Boolean = ia.spec.offsetInterval.nonEmpty
+    val hasDb: Boolean = ib.spec.offsetInterval.nonEmpty
 
-    // Side derivations (round 9): a join side may resolve through a chain
-    // of stateless single-scan pre-steps ([[PlanClassifier.LeftJoinDelta]]
-    // leftDerive/rightDerive). A stateless step is row-local, so deriving
-    // each raw frame (Δ, old, full) through its side's chain and running
-    // the decomposition over the DERIVED frames is the same algebra —
-    // identity for direct sides.
-    def deriveSide(
+    private def deriveSide(
         terminal: String,
         chain: Vector[(String, String)],
         raw: DataFrame): DataFrame =
@@ -2095,21 +2087,14 @@ final class IncrementalExecutor(
     def dA(raw: DataFrame): DataFrame = deriveSide(spec.left, spec.leftDerive, raw)
     def dB(raw: DataFrame): DataFrame = deriveSide(spec.right, spec.rightDerive, raw)
     // view names the join step reads its sides from (last derivation
-    // alias, or the terminal relation for a direct side)
-    val leftView = spec.leftDerive.lastOption.map(_._1).getOrElse(spec.left)
-    val rightView = spec.rightDerive.lastOption.map(_._1).getOrElse(spec.right)
-    val deriveAliases: Set[String] =
+    // alias, or the terminal relation for a direct side); the caller's
+    // pass registers the derived frames there and skips the derivation
+    // steps (their only consumer is the overridden view)
+    val leftView: String = spec.leftDerive.lastOption.map(_._1).getOrElse(spec.left)
+    val rightView: String = spec.rightDerive.lastOption.map(_._1).getOrElse(spec.right)
+    val skipAliases: Set[String] =
       (spec.leftDerive.map(_._1) ++ spec.rightDerive.map(_._1)).toSet
 
-    /** Run the chain with both join-side frames ALREADY DERIVED: register
-      * them under the side view names and skip the derivation pre-steps
-      * (their only consumer is the overridden view). Identical to the
-      * round-8 raw pass when both sides are direct. */
-    def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
-      aDf.drop("__seq").createOrReplaceTempView(leftView)
-      bDf.drop("__seq").createOrReplaceTempView(rightView)
-      runStepsUntapped(skipAliases = deriveAliases)
-    }
     /** The ON condition evaluated against the derived side frames (for
       * direct sides, the raw input frames — the predicate references only
       * the side frames' columns under these aliases). */
@@ -2121,11 +2106,12 @@ final class IncrementalExecutor(
     // Derived frames of the standard raw frames. Lazy vals: each
     // deriveSide call re-registers views, but spark.sql analyzes eagerly,
     // so earlier frames keep their bindings.
-    lazy val dDeltaA = dA(ia.df)
-    lazy val dDeltaB = dB(ib.df)
-    lazy val dOldA = dA(oldA)
-    lazy val dFullB = dB(fullB)
-    val dASchema = dA(ia.df.limit(0)).schema
+    lazy val dDeltaA: DataFrame = dA(ia.df)
+    lazy val dDeltaB: DataFrame = dB(ib.df)
+    lazy val dOldA: DataFrame = dA(oldA)
+    lazy val dFullB: DataFrame = dB(fullB)
+    val dASchema: org.apache.spark.sql.types.StructType =
+      dA(ia.df.limit(0)).schema
 
     // Matched-state keying: left-row offsets when the left side is direct
     // (round-8 scheme, existing checkpoints); whole DERIVED left rows when
@@ -2134,60 +2120,61 @@ final class IncrementalExecutor(
     // derived values: value-identical derived rows always transition
     // matched→unmatched together, and the anti-join below is presence-
     // based, so duplicate state rows are harmless.
-    val rowKeyedMatch = spec.leftDerive.nonEmpty
-    val matched0 = store.read(leftMatchedName,
+    val rowKeyedMatch: Boolean = spec.leftDerive.nonEmpty
+    val matched0: DataFrame = store.read(leftMatchedName,
       if (rowKeyedMatch) dASchema
       else org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(offCol,
           org.apache.spark.sql.types.LongType))))
 
-    val hasDa = ia.spec.offsetInterval.nonEmpty
-    val hasDb = ib.spec.offsetInterval.nonEmpty
-
     // Key-range narrowing (round 8): when the ON condition carries an
     // equality conjunct, each pass's STATE-side frame is pre-filtered to
     // the joining delta's key range — a parquet-pushable BETWEEN that
     // prunes row groups at the scan (buffer tiers are generational and
-    // key-sorted below, so for arrival-correlated keys the state read is
-    // ~O(slice), not O(state)). Sound per pass: a state row outside the
-    // delta's key range cannot satisfy the equality conjunct against any
-    // delta row, whatever the other conjuncts require.
-    val equiC =
+    // key-sorted at write, so for arrival-correlated keys the state read
+    // is ~O(slice), not O(state)). Sound per pass: a state row outside
+    // the delta's key range cannot satisfy the equality conjunct against
+    // any delta row, whatever the other conjuncts require. Narrowing runs
+    // over the DERIVED frames: for direct sides the filter hits the raw
+    // buffer scan directly; for derived sides Catalyst pushes the
+    // predicate through the derivation's projects/filters whenever the
+    // key maps to a scanned column.
+    val equiC: Option[(String, String)] =
       leftJoinEquiConjunct(spec, dASchema, dB(ib.df.limit(0)).schema)
-    def keyRange(df: DataFrame, k: String): Option[(Any, Any)] = {
+    private def keyRange(df: DataFrame, k: String): Option[(Any, Any)] = {
       val r = df.agg(min(col(k)), max(col(k))).head
       if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
     }
-    def narrowTo(df: DataFrame, k: String, range: Option[(Any, Any)]): DataFrame =
+    private def narrowTo(
+        df: DataFrame, k: String, range: Option[(Any, Any)]): DataFrame =
       range match {
         case Some((lo, hi)) => df.where(col(k) >= lit(lo) && col(k) <= lit(hi))
         case None           => df.where(lit(false)) // delta has no non-null keys
       }
-    // Narrowing runs over the DERIVED frames: for direct sides the filter
-    // hits the raw buffer scan as before; for derived sides Catalyst
-    // pushes the predicate through the derivation's projects/filters
-    // whenever the key maps to a scanned column.
-    val fullBJoinable = equiC match {
+    val fullBJoinable: DataFrame = equiC match {
       case Some((lk, rk)) if hasDa => narrowTo(dFullB, rk, keyRange(dDeltaA, lk))
       case _                       => dFullB
     }
     // ΔB's key band, computed once: it narrows old-A, and in the
     // row-keyed scheme also the matched set (a matched row with an
     // out-of-band key cannot whole-row-equal an in-band old-A row)
-    val dbBand: Option[Option[(Any, Any)]] =
+    private val dbBand: Option[Option[(Any, Any)]] =
       equiC.filter(_ => hasDb).map { case (_, rk) => keyRange(dDeltaB, rk) }
-    val oldAJoinable = (equiC, dbBand) match {
+    val oldAJoinable: DataFrame = (equiC, dbBand) match {
       case (Some((lk, _)), Some(r)) => narrowTo(dOldA, lk, r)
       case _                        => dOldA
     }
-    val matched0Joinable =
+    private val matched0Joinable: DataFrame =
       if (rowKeyedMatch) (equiC, dbBand) match {
         case (Some((lk, _)), Some(r)) => narrowTo(matched0, lk, r)
         case _                        => matched0
       }
       else matched0 // offset scheme: a narrow long column, scan as-is
 
-    val prevUnmatchedNowMatched =
+    /** Previously-unmatched old left rows that ΔB just matched — the p3
+      * retraction term's left frame (derived rows). Pinned: consumed by
+      * the p3 pass AND the matched-state update. */
+    lazy val prevUnmatchedNowMatched: DataFrame =
       if (hasDb) {
         val unmatchedOld =
           if (rowKeyedMatch)
@@ -2200,9 +2187,61 @@ final class IncrementalExecutor(
           else
             oldAJoinable.alias("__a").join(matched0Joinable.alias("__m"),
               col(s"__a.$offCol") === col(s"__m.$offCol"), "left_anti")
-        // pinned: consumed by the p3 pass AND the matched-state update
         pin(matchJoin(unmatchedOld, dDeltaB, "left_semi"))
       } else dOldA.limit(0)
+
+    /** Buffer clustering columns for input `alias`: the side's equi key
+      * when the raw buffer has a same-named column (the common
+      * passthrough case — sort order is a storage optimization, never a
+      * correctness input). */
+    def bufferCluster(alias: String, raw: DataFrame): Seq[String] = {
+      def inRaw(k: String): Boolean =
+        raw.schema.fields.exists(_.name.equalsIgnoreCase(k))
+      equiC match {
+        case Some((lk, _)) if alias == spec.left && inRaw(lk)  => Seq(lk)
+        case Some((_, rk)) if alias == spec.right && inRaw(rk) => Seq(rk)
+        case _                                                 => Nil
+      }
+    }
+
+    /** Append this run's matched-state delta: ΔA rows matching anything
+      * now, plus the previously-unmatched old rows ΔB just matched —
+      * disjoint from matched0 (offset scheme), or at worst duplicating
+      * value-equal rows already there (row scheme; presence anti-joins
+      * are duplicate-insensitive). Call exactly once per run. */
+    def updateMatched(): Unit = {
+      def matchedForm(df: DataFrame): DataFrame =
+        if (rowKeyedMatch) df else df.select(col(s"${spec.leftAlias}.$offCol"))
+      val newMatched = Seq(
+        if (hasDa) Some(matchedForm(matchJoin(dDeltaA, fullBJoinable, "left_semi")))
+        else None,
+        if (hasDb) Some(matchedForm(prevUnmatchedNowMatched)) else None
+      ).flatten.reduceOption(_.unionByName(_)).getOrElse(matched0.limit(0))
+      store.appendCarry(leftMatchedName, newMatched,
+        matched0.unionByName(newMatched),
+        // cluster row-keyed matched tiers on the equi key so the narrowed
+        // anti-join scan above prunes row groups on later runs
+        orderBy = if (rowKeyedMatch) equiC.map(_._1).toSeq else Nil)
+    }
+  }
+
+  private def runLeftDeltaJoin(spec: PlanClassifier.LeftJoinDelta): ExecResult = {
+    val pl = new LeftDeltaPlumbing(spec)
+    import pl.{dDeltaA, dDeltaB, dFullB, fullBJoinable, oldAJoinable,
+      prevUnmatchedNowMatched, hasDa, hasDb}
+    val ia = pl.ia; val ib = pl.ib
+    val olds = inputs.map(i =>
+      i.spec.queryAlias -> store.read(bufferName(i.spec.queryAlias), i.df.schema)).toMap
+    val oldA = pl.oldA; val oldB = pl.oldB
+
+    /** Run the chain with both join-side frames ALREADY DERIVED: register
+      * them under the side view names and skip the derivation pre-steps.
+      * Identical to the round-8 raw pass when both sides are direct. */
+    def pass(aDf: DataFrame, bDf: DataFrame): DataFrame = {
+      aDf.drop("__seq").createOrReplaceTempView(pl.leftView)
+      bDf.drop("__seq").createOrReplaceTempView(pl.rightView)
+      runStepsUntapped(skipAliases = pl.skipAliases)
+    }
 
     // Emission: three batch passes, or the Structured Streaming face —
     // same multiset of (row, op) either way (the append terms are
@@ -2218,7 +2257,7 @@ final class IncrementalExecutor(
         val p1 = if (hasDa) Some(pass(dDeltaA, fullBJoinable)) else None
         val p2 =
           if (hasDb)
-            Some(pass(matchJoin(oldAJoinable, dDeltaB, "left_semi"), dDeltaB))
+            Some(pass(pl.matchJoin(oldAJoinable, dDeltaB, "left_semi"), dDeltaB))
           else None
         val p3 =
           if (hasDb) Some(pass(prevUnmatchedNowMatched, dFullB.limit(0)))
@@ -2245,40 +2284,13 @@ final class IncrementalExecutor(
       "output")
 
     inputs.foreach { i =>
-      // cluster join buffers by their equi key so the key-range-narrowed
-      // passes above prune row groups on later runs. For a derived side
-      // the equi key is a derived column: cluster only when the raw
-      // buffer has a same-named column (the common passthrough case —
-      // sort order is a storage optimization, never a correctness input)
-      def inRaw(k: String): Boolean =
-        i.df.schema.fields.exists(_.name.equalsIgnoreCase(k))
-      val cluster = equiC match {
-        case Some((lk, _))
-            if i.spec.queryAlias == spec.left && inRaw(lk) =>
-          Seq(lk)
-        case Some((_, rk))
-            if i.spec.queryAlias == spec.right && inRaw(rk) =>
-          Seq(rk)
-        case _ => Nil
-      }
+      // cluster join buffers by the side's equi key so the key-range-
+      // narrowed passes above prune row groups on later runs
       store.appendCarry(bufferName(i.spec.queryAlias),
-        i.df, olds(i.spec.queryAlias).unionByName(i.df), orderBy = cluster)
+        i.df, olds(i.spec.queryAlias).unionByName(i.df),
+        orderBy = pl.bufferCluster(i.spec.queryAlias, i.df))
     }
-    // matched-state is append-only: ΔA rows matching anything now, plus the
-    // previously-unmatched old rows ΔB just matched — disjoint from matched0
-    // (offset scheme), or at worst duplicating value-equal rows already
-    // there (row scheme; presence anti-joins are duplicate-insensitive)
-    def matchedForm(df: DataFrame): DataFrame =
-      if (rowKeyedMatch) df else df.select(col(s"${spec.leftAlias}.$offCol"))
-    val newMatched = Seq(
-      if (hasDa) Some(matchedForm(matchJoin(dDeltaA, fullBJoinable, "left_semi")))
-      else None,
-      if (hasDb) Some(matchedForm(prevUnmatchedNowMatched)) else None
-    ).flatten.reduceOption(_.unionByName(_)).getOrElse(matched0.limit(0))
-    store.appendCarry(leftMatchedName, newMatched, matched0.unionByName(newMatched),
-      // cluster row-keyed matched tiers on the equi key so the narrowed
-      // anti-join scan above prunes row groups on later runs
-      orderBy = if (rowKeyedMatch) equiC.map(_._1).toSeq else Nil)
+    pl.updateMatched()
 
     val prevSnap = store.read(snapshotName, shape.schema)
     retractsRaw match {
@@ -2390,15 +2402,20 @@ final class IncrementalExecutor(
   }
 
   /** [[runSteps]] with the output step's DataFrame supplied directly (the
-    * partials plan) instead of parsed from its SQL. */
-  private def runStepsWithOutput(outDf: => DataFrame): DataFrame = {
+    * partials plan) instead of parsed from its SQL. `skipAliases` as in
+    * [[runStepsUntapped]] (pre-registered override views). */
+  private def runStepsWithOutput(
+      outDf: => DataFrame,
+      skipAliases: Set[String] = Set.empty): DataFrame = {
     var out: DataFrame = null
     steps.zipWithIndex.foreach { case ((alias, rwStep), i) =>
-      val df = Snitch.tap(
-        if (i == outputIdx) outDf else spark.sql(rwStep.sql),
-        alias.getOrElse("output"))
-      alias.foreach(df.createOrReplaceTempView)
-      if (i == outputIdx) out = df
+      if (!alias.exists(skipAliases.contains)) {
+        val df = Snitch.tap(
+          if (i == outputIdx) outDf else spark.sql(rwStep.sql),
+          alias.getOrElse("output"))
+        alias.foreach(df.createOrReplaceTempView)
+        if (i == outputIdx) out = df
+      }
     }
     out
   }
@@ -2440,12 +2457,16 @@ final class IncrementalExecutor(
       case i  => i
     }
 
-  private def runSteps(ss: Seq[(Option[String], SqlRewriter.Rewritten)]): DataFrame = {
+  private def runSteps(
+      ss: Seq[(Option[String], SqlRewriter.Rewritten)],
+      skipAliases: Set[String] = Set.empty): DataFrame = {
     var out: DataFrame = null
     ss.zipWithIndex.foreach { case ((alias, rwStep), i) =>
-      val df = Snitch.tap(spark.sql(rwStep.sql), alias.getOrElse("output"))
-      alias.foreach(df.createOrReplaceTempView)
-      if (i == outputIdx) out = df
+      if (!alias.exists(skipAliases.contains)) {
+        val df = Snitch.tap(spark.sql(rwStep.sql), alias.getOrElse("output"))
+        alias.foreach(df.createOrReplaceTempView)
+        if (i == outputIdx) out = df
+      }
     }
     out
   }

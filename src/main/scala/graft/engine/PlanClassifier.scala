@@ -556,10 +556,9 @@ object PlanClassifier {
         chains.resolveInnerJoinTree() match {
           case Some(jd) => (Some(jd), None)
           case None =>
-            // direct sides only here: the partials executor evaluates the
-            // ON condition against raw input frames (the plain left-join
-            // changelog path accepts derived sides; this one not yet)
-            chains.resolveSingleLeftJoin().filter(!_.derived) match {
+            // derived sides ride the shared LeftDeltaPlumbing in the
+            // partials executor, same as the plain left-join changelog
+            chains.resolveSingleLeftJoin() match {
               case Some(lj) => (None, Some(lj))
               case None     => return None
             }

@@ -2995,6 +2995,108 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("agg above a left join through pre-step derivations: merge and recompute agree") {
+    import spark.implicits._
+    // The round-9 widened shape under aggregation: BOTH left-join sides
+    // derived by stateless pre-steps (the left derivation drops the
+    // offset column, so the partials path runs on row-keyed matched
+    // state), same script as the direct test — run 1 all-unmatched (NULL
+    // group), run 2 matches everything (NULL-group death through the
+    // hidden row-count partial), run 4 retracts a run-1 order (merge →
+    // net-and-recompute flip).
+    val rnd = new scala.util.Random(59)
+    val dirF = tmp(); val dirC = tmp()
+    val pre = Seq(
+      Some("enriched") ->
+        "SELECT event_time, order_id, quantity * 2 AS q2 FROM orders",
+      Some("shiploads") ->
+        "SELECT order_id AS ship_order, num_shipped FROM shipments")
+    def q(sum: String): Seq[(Option[String], String)] = pre :+ (None ->
+      s"""SELECT e.event_time AS event_time, s.num_shipped AS ship_sz,
+         |  count(*) AS n, $sum AS q_total, avg(e.q2) AS q_avg
+         |FROM enriched e LEFT JOIN shiploads s ON e.order_id = s.ship_order
+         |GROUP BY e.event_time, s.num_shipped""".stripMargin)
+    val qFast = q("sum(e.q2)")
+    val qSlow = q("sum(e.q2) + 0")
+    var offA = 0L; var offB = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 5).foreach { run =>
+      val orders: Seq[OrderRow] = run match {
+        case 1 => Seq(
+          OrderRow(offA, Op.Append, t(ts(1)), t(ts(1)), 1, 10),
+          OrderRow(offA + 1, Op.Append, t(ts(1)), t(ts(1)), 2, 20))
+        case _ => (0 until rnd.nextInt(3)).map(i =>
+          OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)),
+            1 + rnd.nextInt(5), 10 * (1 + rnd.nextInt(4))))
+      }
+      if (run == 1) firstOrder = orders.head
+      val orderSlice =
+        if (run == 4)
+          orders :+ OrderRow(offA + orders.length, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val ships: Seq[Shipment] = run match {
+        case 1 => Nil
+        case 2 => Seq( // match BOTH run-1 orders: the NULL group dies
+          Shipment(offB, Op.Append, t(ts(2)), t(ts(2)), 1, 5),
+          Shipment(offB + 1, Op.Append, t(ts(2)), t(ts(2)), 2, 5))
+        case _ => (0 until rnd.nextInt(3)).map(i =>
+          Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)),
+            1 + rnd.nextInt(5), 5 * (1 + rnd.nextInt(3))))
+      }
+      val nA = orderSlice.length; val nB = ships.length
+      def stage(dir: java.nio.file.Path): (String, String) = {
+        val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+        if (run == 1) // schema-only fixture: schemaFile must always exist
+          writeSlice(Seq(Shipment(0, Op.Append, t(ts(1)), t(ts(1)), 999, 1)),
+            s"$dir/sschema.parquet")
+        if (nA > 0) writeSlice(orderSlice, o)
+        if (nB > 0) writeSlice(ships, s)
+        (o, s)
+      }
+      val (oF, sF) = stage(dirF); val (oC, sC) = stage(dirC)
+      def drive(tag: String, dir: java.nio.file.Path, o: String, s: String,
+          qs: Seq[(Option[String], String)], prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(qs: _*),
+          Vector(
+            mkInput("orders", if (nA > 0) o else null,
+              s"$dir/o1.parquet", nA, startOffset = offA, wms = Seq(ts(run))),
+            mkInput("shipments", if (nB > 0) s else null,
+              s"$dir/sschema.parquet", nB, startOffset = offB, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, oF, sF, qFast, prevF))
+      prevC = Some(drive("c", dirC, oC, sC, qSlow, prevC))
+      offA += nA; offB += nB
+      val sel = Seq("offset", "op", "event_time", "ship_sz", "n", "q_total", "q_avg")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+      if (run == 1)
+        assert(outF.exists(r => r.isNullAt(3) && r.getLong(4) == 2L))
+      if (run == 2) {
+        assert(outF.exists(r => r.getInt(1) == Op.Retract && r.isNullAt(3)),
+          s"expected NULL-group retraction in run 2: $outF")
+        assert(outF.exists(r => r.getInt(1) == Op.Append && !r.isNullAt(3)))
+      }
+    }
+    assert(nextOut("f") > 0)
+  }
+
   test("DISTINCT emits only never-seen rows across runs") {
     import spark.implicits._
     val dir = tmp()

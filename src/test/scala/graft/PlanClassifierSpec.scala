@@ -604,13 +604,15 @@ class PlanClassifierSpec extends AnyFunSuite {
       Some("b1") -> "SELECT order_id AS oid FROM orders",
       None -> "SELECT a1.order_id FROM a1 LEFT JOIN b1 ON a1.order_id = b1.oid")
     assert(m4.leftJoinDelta.isEmpty)
-    // the aggregate-above-left-join partials path stays direct-only
+    // the aggregate-above-left-join partials path accepts derived sides
+    // through the same plumbing
     val m5 = sd(
       Some("e") -> "SELECT order_id, quantity FROM orders",
       None -> ("SELECT e.order_id AS order_id, sum(s.num_shipped) AS t " +
         "FROM e LEFT JOIN shipments s ON e.order_id = s.order_id " +
         "GROUP BY e.order_id"))
-    assert(m5.aggMerge.forall(_.leftJoin.isEmpty))
+    assert(m5.aggMerge.exists(_.leftJoin.exists(l =>
+      l.leftDerive.map(_._1) == Vector("e") && l.rightDerive.isEmpty)))
   }
 
   test("a mergeable aggregate above an inner join carries the join spec") {
