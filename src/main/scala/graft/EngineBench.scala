@@ -20,7 +20,9 @@ import graft.protocol._
   * runs the two-join-chain variant (n-ary join-tree delta path vs
   * CTE-forced recompute); `join3` the bridge-chain variant whose third
   * position is reachable only transitively (the multi-hop narrowing
-  * target); `reusejoin` the reused-join-step chain;
+  * target); `leftjoinmix` the same data with the inner join in a
+  * pre-step LEFT-joined to invoices (multi-relation left side);
+  * `reusejoin` the reused-join-step chain;
   * `leftjoin` the every-run-churn left-join changelog chain;
   * `leftjoinpre` its derived-sides variant (pre-step chains feeding the
   * join, row-keyed matched state); `aggleft` the sum/count-above-left-join
@@ -35,6 +37,9 @@ object EngineBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("join")) { runJoinChain(args.drop(1)); return }
     if (args.headOption.contains("join3")) { runJoin3Chain(args.drop(1)); return }
+    if (args.headOption.contains("leftjoinmix")) {
+      runJoin3Chain(args.drop(1), leftMix = true); return
+    }
     if (args.headOption.contains("reusejoin")) { runReuseJoinChain(args.drop(1)); return }
     if (args.headOption.contains("leftjoin")) { runLeftJoinChain(args.drop(1)); return }
     if (args.headOption.contains("leftjoinpre")) {
@@ -745,7 +750,7 @@ object EngineBench {
     * halves stay flat. The CTE-forced twin recomputes the full two-join
     * tree and multiset-diffs the snapshot every run.
     */
-  private def runJoin3Chain(args: Array[String]): Unit = {
+  private def runJoin3Chain(args: Array[String], leftMix: Boolean = false): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
     val spark = SparkSession.builder().master("local[8]")
@@ -820,17 +825,39 @@ object EngineBench {
       val total = (System.nanoTime() - t0) / 1e9
       (total, firstHalf, total - firstHalf)
     }
-    val qFast =
-      """SELECT o.event_time AS event_time, o.order_id AS order_id,
-        |  o.quantity AS quantity, i.amount AS amount
-        |FROM orders o JOIN shipments s ON o.order_id = s.order_id
-        |JOIN invoices i ON s.invoice_id = i.invoice_id""".stripMargin
-    val qSlow =
-      s"""WITH j AS (${qFast.replace("\n", " ")})
-         |SELECT event_time, order_id, quantity, amount FROM j""".stripMargin
-    val (tR, r1, r2) = drive("recompute", Vector(SqlQueryStep(None, qSlow)))
-    val (tD, d1, d2) = drive("delta", Vector(SqlQueryStep(None, qFast)))
-    println(f"""{"metric":"engine_join3","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
+    // `leftMix = true` (leftjoinmix): the round-9 mixed tree — the inner
+    // join (orders ⋈ shipments) in a pre-step, LEFT-joined to invoices.
+    // ΔL comes from the telescoping decomposition over BOTH left
+    // relations; matched state is row-keyed on derived L rows.
+    val (qFastSteps, qSlowSteps) =
+      if (leftMix) {
+        val preSql =
+          """SELECT o.event_time AS event_time, o.order_id AS order_id,
+            |  o.quantity AS quantity, s.invoice_id AS invoice_id
+            |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+        val outSql =
+          """SELECT j.event_time AS event_time, j.order_id AS order_id,
+            |  j.quantity AS quantity, i.amount AS amount
+            |FROM j LEFT JOIN invoices i ON j.invoice_id = i.invoice_id""".stripMargin
+        (Vector(SqlQueryStep(Some("j"), preSql), SqlQueryStep(None, outSql)),
+          Vector(SqlQueryStep(Some("j"), preSql), SqlQueryStep(None,
+            s"""WITH w AS (${outSql.replace("\n", " ")})
+               |SELECT event_time, order_id, quantity, amount FROM w""".stripMargin)))
+      } else {
+        val qFast =
+          """SELECT o.event_time AS event_time, o.order_id AS order_id,
+            |  o.quantity AS quantity, i.amount AS amount
+            |FROM orders o JOIN shipments s ON o.order_id = s.order_id
+            |JOIN invoices i ON s.invoice_id = i.invoice_id""".stripMargin
+        (Vector(SqlQueryStep(None, qFast)),
+          Vector(SqlQueryStep(None,
+            s"""WITH j AS (${qFast.replace("\n", " ")})
+               |SELECT event_time, order_id, quantity, amount FROM j""".stripMargin)))
+      }
+    val (tR, r1, r2) = drive("recompute", qSlowSteps)
+    val (tD, d1, d2) = drive("delta", qFastSteps)
+    val metric = if (leftMix) "engine_leftjoinmix" else "engine_join3"
+    println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
     spark.stop()
   }
 

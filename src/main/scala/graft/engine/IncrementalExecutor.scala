@@ -276,7 +276,8 @@ final class IncrementalExecutor(
         case PlanClassifier.Mode.SnapshotDiff(_, Some(spec), _, _, _, _)
             if spec.join.forall(_.rels.forall(byAlias(_).isDefined)) &&
               spec.leftJoin.forall(lj =>
-                byAlias(lj.left).isDefined && byAlias(lj.right).isDefined) =>
+                lj.allLeftRels.forall(byAlias(_).isDefined) &&
+                  byAlias(lj.right).isDefined) =>
           if (hiddenAvgsDivisible(spec))
             runIncrementalAgg(spec,
               neverFlips = spec.invertible && !stepsReferenceOp)
@@ -289,7 +290,8 @@ final class IncrementalExecutor(
               dd.join.forall(_.rels.forall(byAlias(_).isDefined)) =>
           runDistinctDelta(dd)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, _, Some(lj))
-            if byAlias(lj.left).isDefined && byAlias(lj.right).isDefined =>
+            if lj.allLeftRels.forall(byAlias(_).isDefined) &&
+              byAlias(lj.right).isDefined =>
           runLeftDeltaJoin(lj)
         case _ => runSnapshotDiff(d.keys, d.rankTouch)
       }
@@ -2061,31 +2063,42 @@ final class IncrementalExecutor(
     * identity for direct sides.
     */
   private final class LeftDeltaPlumbing(spec: PlanClassifier.LeftJoinDelta) {
-    val ia: LoadedInput = byAlias(spec.left).get
+    /** Left-side inputs, in [[PlanClassifier.LeftJoinDelta.allLeftRels]]
+      * order — several when the side's deepest pre-step is an inner-join
+      * tree (round 9, second widening). */
+    val leftIns: Vector[LoadedInput] = spec.allLeftRels.map(byAlias(_).get)
+    val ia: LoadedInput = leftIns.head
     val ib: LoadedInput = byAlias(spec.right).get
-    val oldA: DataFrame = store.read(bufferName(spec.left), ia.df.schema)
+    val leftOlds: Map[String, DataFrame] = spec.allLeftRels.map(r =>
+      r -> store.read(bufferName(r), byAlias(r).get.df.schema)).toMap
+    val oldA: DataFrame = leftOlds(spec.left)
     val oldB: DataFrame = store.read(bufferName(spec.right), ib.df.schema)
     val fullB: DataFrame = oldB.unionByName(ib.df)
     val offCol: String = ia.spec.vocab.offsetColumn
-    val hasDa: Boolean = ia.spec.offsetInterval.nonEmpty
+    val hasDa: Boolean = leftIns.exists(_.spec.offsetInterval.nonEmpty)
     val hasDb: Boolean = ib.spec.offsetInterval.nonEmpty
 
-    private def deriveSide(
-        terminal: String,
-        chain: Vector[(String, String)],
-        raw: DataFrame): DataFrame =
-      if (chain.isEmpty) raw.drop("__seq")
-      else {
-        raw.drop("__seq").createOrReplaceTempView(terminal)
-        var out: DataFrame = null
-        chain.foreach { case (alias, sql) =>
-          out = spark.sql(sql) // eager analysis pins the view binding
-          out.createOrReplaceTempView(alias)
-        }
-        out
+    private def deriveChain(
+        frames: Map[String, DataFrame],
+        chain: Vector[(String, String)]): DataFrame = {
+      frames.foreach { case (r, df) =>
+        df.drop("__seq").createOrReplaceTempView(r)
       }
-    def dA(raw: DataFrame): DataFrame = deriveSide(spec.left, spec.leftDerive, raw)
-    def dB(raw: DataFrame): DataFrame = deriveSide(spec.right, spec.rightDerive, raw)
+      var out: DataFrame = null
+      chain.foreach { case (alias, sql) =>
+        out = spark.sql(sql) // eager analysis pins the view binding
+        out.createOrReplaceTempView(alias)
+      }
+      out
+    }
+    /** The left side derived from one raw frame per terminal relation. */
+    def dL(frames: Map[String, DataFrame]): DataFrame =
+      if (spec.leftDerive.isEmpty) frames(spec.left).drop("__seq")
+      else deriveChain(frames, spec.leftDerive)
+    def dA(raw: DataFrame): DataFrame = dL(Map(spec.left -> raw))
+    def dB(raw: DataFrame): DataFrame =
+      if (spec.rightDerive.isEmpty) raw.drop("__seq")
+      else deriveChain(Map(spec.right -> raw), spec.rightDerive)
     // view names the join step reads its sides from (last derivation
     // alias, or the terminal relation for a direct side); the caller's
     // pass registers the derived frames there and skips the derivation
@@ -2103,15 +2116,84 @@ final class IncrementalExecutor(
         .join(bDf.drop("__seq").alias(spec.rightAlias),
           expr(spec.conditionSql), joinType)
 
+    /** The pre-step inner join's equi edges, kept only when both raw
+      * columns exist with the SAME type (cross-type equalities resolve by
+      * cast, so a native-ordering min/max band would not bound the
+      * matching rows — the round-8 narrowing lesson). */
+    private val innerEdges: Vector[(String, String, String, String)] =
+      spec.leftEdges.filter { case (ra, ca, rb, cb) =>
+        (for {
+          ia2 <- byAlias(ra); ib2 <- byAlias(rb)
+          fa <- ia2.df.schema.fields.find(_.name.equalsIgnoreCase(ca))
+          fb <- ib2.df.schema.fields.find(_.name.equalsIgnoreCase(cb))
+        } yield fa.dataType == fb.dataType).getOrElse(false)
+      }
+
+    /** BFS-narrow per-relation frames from already-narrowed seeds across
+      * the inner-join equi edges (transitive, as in the join-delta
+      * terms): each neighbor is BETWEEN-filtered by the narrowed frame's
+      * edge-key min/max — parquet-pushable on the raw buffer scans. Sound
+      * within an inner join: a row whose edge key falls outside a
+      * narrowed neighbor's band joins nothing in the term. */
+    private def narrowFrames(
+        base: Map[String, DataFrame], seed: Set[String]): Map[String, DataFrame] = {
+      if (innerEdges.isEmpty) return base
+      val adj: Map[String, Seq[(String, String, String)]] =
+        innerEdges.flatMap { case (ra, ca, rb, cb) =>
+          Seq(ra -> ((rb, ca, cb)), rb -> ((ra, cb, ca)))
+        }.groupMap(_._1)(_._2)
+      val out = scala.collection.mutable.Map[String, DataFrame]() ++ base
+      val done = scala.collection.mutable.Set[String]() ++ seed
+      var frontier = seed
+      while (frontier.nonEmpty) {
+        val next = scala.collection.mutable.Set[String]()
+        frontier.foreach { r =>
+          adj.getOrElse(r, Nil).foreach { case (nb, cHere, cThere) =>
+            if (!done(nb) && out.contains(nb)) {
+              val rng = out(r).agg(min(col(cHere)), max(col(cHere))).head
+              out(nb) =
+                if (rng.isNullAt(0)) out(nb).where(lit(false))
+                else out(nb).where(col(cThere) >= lit(rng.get(0)) &&
+                  col(cThere) <= lit(rng.get(1)))
+              next += nb
+            }
+          }
+        }
+        done ++= next
+        frontier = next.toSet
+      }
+      out.toMap
+    }
+
     // Derived frames of the standard raw frames. Lazy vals: each
-    // deriveSide call re-registers views, but spark.sql analyzes eagerly,
-    // so earlier frames keep their bindings.
-    lazy val dDeltaA: DataFrame = dA(ia.df)
+    // derive call re-registers views, but spark.sql analyzes eagerly, so
+    // earlier frames keep their bindings. For a multi-relation left side
+    // the delta is the standard telescoping decomposition
+    // Δ(A⋈B⋈…) = Σᵢ (old₁…oldᵢ₋₁, Δᵢ, fullᵢ₊₁…) — inner joins and
+    // row-local steps are multilinear in the relation multisets — and
+    // the old frame binds every relation to its buffer. Each term's
+    // non-delta frames are BFS-narrowed from the delta position.
+    lazy val dDeltaA: DataFrame =
+      if (leftIns.size == 1) dA(ia.df)
+      else {
+        val rels = spec.allLeftRels
+        val terms = rels.indices.flatMap { i =>
+          val ini = leftIns(i)
+          if (ini.spec.offsetInterval.isEmpty) None
+          else Some(dL(narrowFrames(rels.zipWithIndex.map { case (r, k) =>
+            val in = leftIns(k)
+            r -> (if (k < i) leftOlds(r)
+                  else if (k == i) in.df
+                  else leftOlds(r).unionByName(in.df))
+          }.toMap, seed = Set(rels(i)))))
+        }
+        terms.reduceOption(_.unionByName(_)).getOrElse(dOldA.limit(0))
+      }
     lazy val dDeltaB: DataFrame = dB(ib.df)
-    lazy val dOldA: DataFrame = dA(oldA)
+    lazy val dOldA: DataFrame = dL(leftOlds)
     lazy val dFullB: DataFrame = dB(fullB)
     val dASchema: org.apache.spark.sql.types.StructType =
-      dA(ia.df.limit(0)).schema
+      dL(spec.allLeftRels.map(r => r -> byAlias(r).get.df.limit(0)).toMap).schema
 
     // Matched-state keying: left-row offsets when the left side is direct
     // (round-8 scheme, existing checkpoints); whole DERIVED left rows when
@@ -2161,8 +2243,23 @@ final class IncrementalExecutor(
     private val dbBand: Option[Option[(Any, Any)]] =
       equiC.filter(_ => hasDb).map { case (_, rk) => keyRange(dDeltaB, rk) }
     val oldAJoinable: DataFrame = (equiC, dbBand) match {
-      case (Some((lk, _)), Some(r)) => narrowTo(dOldA, lk, r)
-      case _                        => dOldA
+      case (Some((lk, _)), Some(r)) =>
+        // multi-relation left side: when the L-join key's lineage reaches
+        // a raw relation column, seed THAT relation's old buffer with
+        // ΔB's band and BFS the band across the inner edges — every scan
+        // under the old-L join is pruned, not just the joined output
+        val interior = spec.leftColSources.get(lk.toLowerCase) match {
+          case Some((rel, raw)) if leftIns.size > 1 && leftOlds.contains(rel) =>
+            val seeded = leftOlds.updated(rel, r match {
+              case Some((lo, hi)) =>
+                leftOlds(rel).where(col(raw) >= lit(lo) && col(raw) <= lit(hi))
+              case None => leftOlds(rel).where(lit(false))
+            })
+            dL(narrowFrames(seeded, Set(rel)))
+          case _ => dOldA
+        }
+        narrowTo(interior, lk, r)
+      case _ => dOldA
     }
     private val matched0Joinable: DataFrame =
       if (rowKeyedMatch) (equiC, dbBand) match {
@@ -2198,9 +2295,10 @@ final class IncrementalExecutor(
       def inRaw(k: String): Boolean =
         raw.schema.fields.exists(_.name.equalsIgnoreCase(k))
       equiC match {
-        case Some((lk, _)) if alias == spec.left && inRaw(lk)  => Seq(lk)
+        case Some((lk, _))
+            if spec.allLeftRels.contains(alias) && inRaw(lk) => Seq(lk)
         case Some((_, rk)) if alias == spec.right && inRaw(rk) => Seq(rk)
-        case _                                                 => Nil
+        case _ => Nil
       }
     }
 

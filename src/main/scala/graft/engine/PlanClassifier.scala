@@ -143,7 +143,23 @@ object PlanClassifier {
       rightAlias: String,
       conditionSql: String,
       leftDerive: Vector[(String, String)] = Vector.empty,
-      rightDerive: Vector[(String, String)] = Vector.empty) {
+      rightDerive: Vector[(String, String)] = Vector.empty,
+      leftRels: Vector[String] = Vector.empty,
+      leftEdges: Vector[(String, String, String, String)] = Vector.empty,
+      leftColSources: Map[String, (String, String)] = Map.empty) {
+    /** Every terminal input relation of the left side: `leftRels` when the
+      * side's deepest pre-step is an inner-join of several relations
+      * (round 9, second widening), else just `left`.
+      *
+      * `leftEdges` carries that step's equi conjuncts as
+      * (relA, colA, relB, colB) raw-column edges and `leftColSources` the
+      * best-effort passthrough lineage from the side's OUTPUT columns
+      * (lowercased) down to (relation, raw column) — both feed the
+      * executor's per-relation key-range narrowing of the telescoping
+      * terms (type checks happen there, against the raw schemas).
+      */
+    def allLeftRels: Vector[String] =
+      if (leftRels.isEmpty) Vector(left) else leftRels
     def derived: Boolean = leftDerive.nonEmpty || rightDerive.nonEmpty
   }
 
@@ -1259,6 +1275,118 @@ object PlanClassifier {
         }
       }
 
+    /** [[derivationChain]] generalized for a LEFT join's LEFT side: the
+      * DEEPEST pre-step may be an INNER-join tree of several DISTINCT
+      * direct input relations (the enrich-with-a-join pattern); every
+      * other chain step stays single-scan. Inner joins and row-local
+      * steps are multilinear in the relation multisets, so the standard
+      * telescoping Δ(A⋈B) = ΔA⋈B_full ∪ A_old⋈ΔB gives the side's delta
+      * and old frames. Returns the ordered terminal relations plus the
+      * (alias, sql) chain (deepest first). None under [[terminal]]'s
+      * conditions, or when the multi-scan step contains anything but
+      * inner joins over direct, distinct relations (set-ops and
+      * self-joins break the per-relation frame binding).
+      */
+    def leftSideChain(
+        name: String,
+        seen: Set[String] = Set.empty): Option[(Vector[String], Vector[(String, String)])] =
+      if (seen(name) || duplicateAlias) None
+      else stepByAlias.get(name) match {
+        case None => Some((Vector(name), Vector.empty))
+        case Some(p) => scans(p) match {
+          case Seq(one) =>
+            leftSideChain(one, seen + name).map { case (ts, chain) =>
+              (ts, chain :+ (name -> stepSqlByAlias(name)))
+            }
+          case many =>
+            import org.apache.spark.sql.catalyst.plans.Inner
+            val joins = p.collect { case j: Join => j }
+            val setOps = p.collect {
+              case u: Union => u: LogicalPlan
+              case i: Intersect => i
+              case e: Except => e
+            }
+            val ok = joins.nonEmpty &&
+              joins.forall(_.joinType == Inner) &&
+              setOps.isEmpty &&
+              many.forall(n => !stepByAlias.contains(n)) &&
+              many.distinct.size == many.size
+            if (ok) Some((many.toVector, Vector(name -> stepSqlByAlias(name))))
+            else None
+        }
+      }
+
+    /** Equi edges and passthrough column lineage of a [[leftSideChain]]
+      * whose deepest step is a multi-relation inner join — the executor's
+      * per-relation narrowing seeds. Best-effort: only plain
+      * `qual.col = qual.col` conjuncts become edges and only aliased or
+      * bare attribute projections contribute lineage; anything else is
+      * simply absent (no narrowing on that column, never wrong results).
+      * Type checks happen in the executor against the raw schemas.
+      */
+    def leftSideMeta(chain: Vector[(String, String)])
+        : (Vector[(String, String, String, String)], Map[String, (String, String)]) = {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+      val deepest = chain.headOption.flatMap(h => stepByAlias.get(h._1))
+        .getOrElse(return (Vector.empty, Map.empty))
+      val relByQual: Map[String, String] = deepest.collect {
+        case s: SubqueryAlias => s.child match {
+          case r: UnresolvedRelation =>
+            Seq(s.alias.toLowerCase -> r.multipartIdentifier.last)
+          case _ => Nil
+        }
+        case r: UnresolvedRelation =>
+          Seq(r.multipartIdentifier.last.toLowerCase -> r.multipartIdentifier.last)
+      }.flatten.toMap
+      def conj(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conj(l) ++ conj(r)
+        case other     => Seq(other)
+      }
+      val edges = deepest.collect { case j: Join => j }.flatMap(j =>
+        j.condition.toSeq.flatMap(conj).collect {
+          case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+              if l.nameParts.length == 2 && r.nameParts.length == 2 =>
+            for {
+              ra <- relByQual.get(l.nameParts.head.toLowerCase)
+              rb <- relByQual.get(r.nameParts.head.toLowerCase)
+              if ra != rb
+            } yield (ra, l.nameParts.last, rb, r.nameParts.last)
+        }.flatten).toVector
+      def topProject(p: LogicalPlan): Seq[NamedExpression] = p match {
+        case s: SubqueryAlias => topProject(s.child)
+        case s: Sort          => topProject(s.child)
+        case pr: Project      => pr.projectList
+        case _                => Nil
+      }
+      var src: Map[String, (String, String)] = topProject(deepest).flatMap {
+        case Alias(a: UnresolvedAttribute, n) if a.nameParts.length == 2 =>
+          relByQual.get(a.nameParts.head.toLowerCase)
+            .map(r => n.toLowerCase -> (r, a.nameParts.last))
+        case a: UnresolvedAttribute if a.nameParts.length == 2 =>
+          relByQual.get(a.nameParts.head.toLowerCase)
+            .map(r => a.nameParts.last.toLowerCase -> (r, a.nameParts.last))
+        case _ => None
+      }.toMap
+      // higher single-scan steps rename through: bare or step-qualified
+      // attrs and alias-of-attr compose; a star carries everything not
+      // shadowed; expressions drop out of the lineage
+      chain.drop(1).foreach { case (alias, _) =>
+        val items = stepByAlias.get(alias).map(topProject).getOrElse(Nil)
+        val hasStar = items.exists(_.isInstanceOf[UnresolvedStar])
+        val mapped: Map[String, (String, String)] = items.flatMap {
+          case Alias(a: UnresolvedAttribute, n) =>
+            src.get(a.nameParts.last.toLowerCase).map(n.toLowerCase -> _)
+          case a: UnresolvedAttribute =>
+            src.get(a.nameParts.last.toLowerCase)
+              .map(a.nameParts.last.toLowerCase -> _)
+          case _ => None
+        }.toMap
+        src = (if (hasStar) src else Map.empty[String, (String, String)]) ++ mapped
+      }
+      (edges, src)
+    }
+
     /** Every pre-step alias consumed exactly once, the given inputs scanned
       * exactly once each, nothing else referenced anywhere — the
       * use-once discipline the delta decomposition needs. */
@@ -1400,9 +1528,10 @@ object PlanClassifier {
     def resolveSingleLeftJoin(): Option[LeftJoinDelta] = {
       import org.apache.spark.sql.catalyst.plans.LeftOuter
       val joins = plans.flatMap(_._2.collect { case j: Join => j })
-      if (joins.size != 1) return None
-      val j = joins.head
-      if (j.joinType != LeftOuter || j.condition.isEmpty) return None
+      val leftOuters = joins.filter(_.joinType == LeftOuter)
+      if (leftOuters.size != 1) return None
+      val j = leftOuters.head
+      if (j.condition.isEmpty) return None
       def relAlias(p: LogicalPlan): Option[(String, String)] = p match {
         case s: SubqueryAlias =>
           s.child match {
@@ -1417,13 +1546,28 @@ object PlanClassifier {
       for {
         (a, la) <- relAlias(j.left)
         (b, rb) <- relAlias(j.right)
-        (ta, da) <- derivationChain(a)
+        (tas, da) <- leftSideChain(a)
         (tb, db) <- derivationChain(b)
-        // distinct terminals: the Δ/old framing needs two independent
-        // inputs (a self-left-join through derivations would let one
-        // side's "old" frame observe the other side's delta)
-        if ta != tb && soundUse(Seq(ta, tb))
-      } yield LeftJoinDelta(ta, la, tb, rb, j.condition.get.sql, da, db)
+        // distinct terminals: the Δ/old framing needs independent inputs
+        // (a self-left-join through derivations would let one side's
+        // "old" frame observe the other side's delta)
+        if !tas.contains(tb) && soundUse(tas :+ tb)
+        // every OTHER join in the chain must be an inner join inside the
+        // left side's deepest step (the shape leftSideChain validated) —
+        // a join anywhere else is outside this decomposition
+        deepestJoins = da.headOption
+          .flatMap(h => stepByAlias.get(h._1))
+          .map(_.collect { case jn: Join => jn }.size).getOrElse(0)
+        if joins.size == 1 + deepestJoins
+      } yield {
+        val (edges, colSrc) =
+          if (tas.size > 1) leftSideMeta(da)
+          else (Vector.empty[(String, String, String, String)],
+            Map.empty[String, (String, String)])
+        LeftJoinDelta(tas.head, la, tb, rb, j.condition.get.sql, da, db,
+          leftRels = if (tas.size > 1) tas else Vector.empty,
+          leftEdges = edges, leftColSources = colSrc)
+      }
     }
   }
 
@@ -1468,7 +1612,10 @@ object PlanClassifier {
       spark: SparkSession,
       steps: Seq[(Option[String], SqlRewriter.Rewritten)],
       f: Facts): Option[LeftJoinDelta] = {
-    val onlyJoin = f.regularJoins == 1 && f.plainAggs.isEmpty &&
+    // >= 1: beyond the LEFT join itself, the only other joins admitted
+    // are inner joins inside the left side's deepest pre-step —
+    // [[StepChains.resolveSingleLeftJoin]] verifies that structure
+    val onlyJoin = f.regularJoins >= 1 && f.plainAggs.isEmpty &&
       f.rankSpecs.isEmpty && !f.otherWindowFns && !f.distinctOrLimit &&
       !f.hasSubquery && f.intervalUppers.isEmpty &&
       !steps.exists(_._2.timeVarying)

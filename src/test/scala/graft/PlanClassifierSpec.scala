@@ -613,6 +613,31 @@ class PlanClassifierSpec extends AnyFunSuite {
         "GROUP BY e.order_id"))
     assert(m5.aggMerge.exists(_.leftJoin.exists(l =>
       l.leftDerive.map(_._1) == Vector("e") && l.rightDerive.isEmpty)))
+    // left side = inner-join pre-step of two DISTINCT direct relations
+    // (enrich-with-a-join): carries the rels + the join step as the
+    // derive chain head
+    val m6 = sd(
+      Some("j") -> ("SELECT o.event_time AS event_time, o.order_id AS oid, " +
+        "p.qty AS qty FROM orders o JOIN picks p ON o.order_id = p.order_id"),
+      None -> ("SELECT j.event_time, j.oid, j.qty, s.num_shipped FROM j " +
+        "LEFT JOIN shipments s ON j.oid = s.order_id"))
+    assert(m6.leftJoinDelta.exists(l =>
+      l.allLeftRels == Vector("orders", "picks") &&
+        l.leftDerive.map(_._1) == Vector("j") && l.right == "shipments"))
+    // a second left join inside the pre-step does not qualify
+    val m7 = sd(
+      Some("j") -> ("SELECT o.order_id AS oid, p.qty AS qty FROM orders o " +
+        "LEFT JOIN picks p ON o.order_id = p.order_id"),
+      None -> ("SELECT j.oid, s.num_shipped FROM j " +
+        "LEFT JOIN shipments s ON j.oid = s.order_id"))
+    assert(m7.leftJoinDelta.isEmpty)
+    // a self-join pre-step breaks the per-relation frame binding
+    val m8 = sd(
+      Some("j") -> ("SELECT a.order_id AS oid FROM orders a " +
+        "JOIN orders b ON a.order_id = b.order_id"),
+      None -> ("SELECT j.oid, s.num_shipped FROM j " +
+        "LEFT JOIN shipments s ON j.oid = s.order_id"))
+    assert(m8.leftJoinDelta.isEmpty)
   }
 
   test("a mergeable aggregate above an inner join carries the join spec") {
