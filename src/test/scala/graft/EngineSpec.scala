@@ -3214,6 +3214,114 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("agg above a left join over an inner-join pre-step: merge and recompute agree") {
+    import spark.implicits._
+    // The mixed-tree shape under aggregation: (orders ⋈ picks) in a
+    // pre-step, LEFT-joined to shipments, summed — the partials path
+    // over the telescoping left delta with row-keyed matched state.
+    // Twin: `+ 0` forces recompute. Run 1 all-unmatched (NULL group),
+    // run 3's planted shipment matches the planted order (NULL-group
+    // shrink through negated partials), run 4 retracts (flip).
+    val rnd = new scala.util.Random(11)
+    val dirF = tmp(); val dirC = tmp()
+    val pre = Seq(
+      Some("j") -> ("SELECT o.event_time AS event_time, o.order_id AS oid, " +
+        "o.quantity AS quantity FROM orders o JOIN picks p ON o.order_id = p.order_id"))
+    def q(sum: String): Seq[(Option[String], String)] = pre :+ (None ->
+      s"""SELECT j.event_time AS event_time, s.num_shipped AS ship_sz,
+         |  count(*) AS n, $sum AS q_total
+         |FROM j LEFT JOIN shipments s ON j.oid = s.order_id
+         |GROUP BY j.event_time, s.num_shipped""".stripMargin)
+    val qFast = q("sum(j.quantity)")
+    val qSlow = q("sum(j.quantity) + 0")
+    var offA = 0L; var offP = 0L; var offB = 0L
+    var nextOut = Map("f" -> 0L, "c" -> 0L)
+    var prevF: Option[String] = None; var prevC: Option[String] = None
+    var firstOrder: OrderRow = null
+    (1 to 6).foreach { run =>
+      val nA0 = if (run == 1) 2 else rnd.nextInt(3)
+      val orders0 = (0 until nA0).map { i =>
+        OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 10 * (1 + rnd.nextInt(4)))
+      }
+      val orders =
+        if (run == 1)
+          orders0 :+ OrderRow(offA + nA0, Op.Append, t(ts(run)), t(ts(run)), 99, 50)
+        else orders0
+      if (run == 1) firstOrder = orders.head
+      val orderSlice =
+        if (run == 4)
+          orders :+ OrderRow(offA + orders.length, Op.Retract, t(ts(run)),
+            firstOrder.event_time, firstOrder.order_id, firstOrder.quantity)
+        else orders
+      val picks: Seq[Shipment] = run match {
+        case 1 => Seq(1L, 2L, 3L, 99L).zipWithIndex.map { case (id, i) =>
+          Shipment(offP + i, Op.Append, t(ts(1)), t(ts(1)), id, 7)
+        }
+        case _ => (0 until rnd.nextInt(2)).map(i =>
+          Shipment(offP + i, Op.Append, t(ts(run)), t(ts(run)),
+            1 + rnd.nextInt(3), 8))
+      }
+      val ships0 = (0 until rnd.nextInt(3)).map { i =>
+        Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)),
+          1 + rnd.nextInt(3), 5 * (1 + rnd.nextInt(3)))
+      }
+      val ships =
+        if (run == 3)
+          ships0 :+ Shipment(offB + ships0.length, Op.Append, t(ts(run)),
+            t(ts(run)), 99, 20)
+        else ships0
+      val nA = orderSlice.length; val nP = picks.length; val nB = ships.length
+      def stage(dir: java.nio.file.Path): (String, String, String) = {
+        val o = s"$dir/o$run.parquet"; val p = s"$dir/p$run.parquet"
+        val s = s"$dir/s$run.parquet"
+        if (run == 1)
+          writeSlice(Seq(Shipment(0, Op.Append, t(ts(1)), t(ts(1)), 999, 1)),
+            s"$dir/schemafix.parquet")
+        if (nA > 0) writeSlice(orderSlice, o)
+        if (nP > 0) writeSlice(picks, p)
+        if (nB > 0) writeSlice(ships, s)
+        (o, p, s)
+      }
+      val (oF, pF, sF) = stage(dirF); val (oC, pC, sC) = stage(dirC)
+      def drive(tag: String, dir: java.nio.file.Path,
+          o: String, p: String, s: String,
+          qs: Seq[(Option[String], String)], prev: Option[String]): String = {
+        val resp = runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(qs: _*),
+          Vector(
+            mkInput("orders", if (nA > 0) o else null,
+              s"$dir/o1.parquet", nA, startOffset = offA, wms = Seq(ts(run))),
+            mkInput("picks", if (nP > 0) p else null,
+              s"$dir/schemafix.parquet", nP, startOffset = offP, wms = Seq(ts(run))),
+            mkInput("shipments", if (nB > 0) s else null,
+              s"$dir/schemafix.parquet", nB, startOffset = offB, wms = Seq(ts(run)))),
+          nextOffset = nextOut(tag), prevCheckpointPath = prev,
+          newCheckpointPath = s"$dir/cp$run",
+          newDataPath = s"$dir/out$run.parquet"))
+        nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+        s"$dir/cp$run"
+      }
+      prevF = Some(drive("f", dirF, oF, pF, sF, qFast, prevF))
+      prevC = Some(drive("c", dirC, oC, pC, sC, qSlow, prevC))
+      offA += nA; offP += nP; offB += nB
+      val sel = Seq("offset", "op", "event_time", "ship_sz", "n", "q_total")
+      def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+        val p = s"$dir/out$run.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          readOut(p).orderBy("offset")
+            .select(sel.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+        else Seq.empty
+      }
+      val outF = readRun(dirF); val outC = readRun(dirC)
+      assert(outF == outC, s"run $run diverged:\nF=$outF\nC=$outC")
+      if (run == 1) // everything unmatched: NULL ship_sz groups
+        assert(outF.exists(r => r.isNullAt(3)))
+    }
+    assert(nextOut("f") > 0)
+  }
+
   test("DISTINCT emits only never-seen rows across runs") {
     import spark.implicits._
     val dir = tmp()

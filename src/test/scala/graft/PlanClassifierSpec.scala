@@ -638,6 +638,18 @@ class PlanClassifierSpec extends AnyFunSuite {
       None -> ("SELECT j.oid, s.num_shipped FROM j " +
         "LEFT JOIN shipments s ON j.oid = s.order_id"))
     assert(m8.leftJoinDelta.isEmpty)
+    // the same mixed tree under a mergeable aggregate rides the partials
+    // path with the full spec (rels + edges + lineage)
+    val m9 = sd(
+      Some("j") -> ("SELECT o.event_time AS event_time, o.order_id AS oid, " +
+        "o.quantity AS quantity FROM orders o JOIN picks p ON o.order_id = p.order_id"),
+      None -> ("SELECT j.event_time AS event_time, s.num_shipped AS ship_sz, " +
+        "sum(j.quantity) AS q FROM j LEFT JOIN shipments s ON j.oid = s.order_id " +
+        "GROUP BY j.event_time, s.num_shipped"))
+    assert(m9.aggMerge.exists(_.leftJoin.exists(l =>
+      l.allLeftRels == Vector("orders", "picks") &&
+        l.leftEdges == Vector(("orders", "order_id", "picks", "order_id")) &&
+        l.leftColSources.get("oid") == Some(("orders", "order_id")))))
   }
 
   test("a mergeable aggregate above an inner join carries the join spec") {
