@@ -3028,7 +3028,10 @@ class EngineSpec extends AnyFunSuite {
          |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id
          |GROUP BY o.event_time, s.num_shipped""".stripMargin
     val qFast = q("sum(o.quantity)")
-    val qSlow = q("sum(o.quantity) + 0")
+    // the non-mergeable stddev_pop genuinely forces the recompute path —
+    // a bare `+ 0` rides the merge path via exprCols hidden partials and
+    // would compare the partials executor against itself
+    val qSlow = q("CAST(sum(o.quantity) + stddev_pop(o.quantity) * 0 AS BIGINT)")
     var offA = 0L; var offB = 0L
     var nextOut = Map("f" -> 0L, "c" -> 0L)
     var prevF: Option[String] = None; var prevC: Option[String] = None
@@ -3134,7 +3137,9 @@ class EngineSpec extends AnyFunSuite {
          |FROM enriched e LEFT JOIN shiploads s ON e.order_id = s.ship_order
          |GROUP BY e.event_time, s.num_shipped""".stripMargin)
     val qFast = q("sum(e.q2)")
-    val qSlow = q("sum(e.q2) + 0")
+    // stddev_pop (non-mergeable) forces TRUE recompute — see the direct
+    // agg-left test
+    val qSlow = q("CAST(sum(e.q2) + stddev_pop(e.q2) * 0 AS BIGINT)")
     var offA = 0L; var offB = 0L
     var nextOut = Map("f" -> 0L, "c" -> 0L)
     var prevF: Option[String] = None; var prevC: Option[String] = None
@@ -3233,7 +3238,9 @@ class EngineSpec extends AnyFunSuite {
          |FROM j LEFT JOIN shipments s ON j.oid = s.order_id
          |GROUP BY j.event_time, s.num_shipped""".stripMargin)
     val qFast = q("sum(j.quantity)")
-    val qSlow = q("sum(j.quantity) + 0")
+    // stddev_pop (non-mergeable) forces TRUE recompute — see the direct
+    // agg-left test
+    val qSlow = q("CAST(sum(j.quantity) + stddev_pop(j.quantity) * 0 AS BIGINT)")
     var offA = 0L; var offP = 0L; var offB = 0L
     var nextOut = Map("f" -> 0L, "c" -> 0L)
     var prevF: Option[String] = None; var prevC: Option[String] = None
