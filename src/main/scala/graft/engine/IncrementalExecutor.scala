@@ -2203,11 +2203,50 @@ final class IncrementalExecutor(
     // matched→unmatched together, and the anti-join below is presence-
     // based, so duplicate state rows are harmless.
     val rowKeyedMatch: Boolean = spec.leftDerive.nonEmpty
-    val matched0: DataFrame = store.read(leftMatchedName,
+    private val matchedSchema: org.apache.spark.sql.types.StructType =
       if (rowKeyedMatch) dASchema
       else org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(offCol,
-          org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.LongType)))
+    /** The matched-state projection of a [[matchJoin]] output: the left
+      * offset column (direct scheme) or the whole derived row. */
+    private def matchedForm(df: DataFrame): DataFrame =
+      if (rowKeyedMatch) df else df.select(col(s"${spec.leftAlias}.$offCol"))
+    /** Matched state, with a one-time checkpoint migration: a checkpoint
+      * whose chain previously executed on the recompute path (pre-widening
+      * code, or a shape the classifier only now admits) holds input
+      * buffers but no `left_matched` state. Reading that as empty would
+      * treat every already-matched old left row as previously unmatched,
+      * so the first ΔB re-match would emit a −D retraction of a
+      * null-padded row that was never in the output. Rebuild it from the
+      * old buffers instead: this path only runs over fully append-only
+      * history ([[retractiveNow]] is ledger-sticky, and the dispatch flips
+      * to [[runSnapshotDiff]] on the first retraction), so "ever matched"
+      * ≡ "matches the full old right side". Persistence is free —
+      * [[updateMatched]]'s appendCarry writes the FULL matched frame when
+      * the previous checkpoint lacks `left_matched` — so the rebuild runs
+      * once, not per run. A PRESENT state whose on-disk columns disagree
+      * with this chain's scheme (offset- vs row-keyed — only possible if
+      * the dataset's query changed shape between runs) can neither be
+      * carried (appendCarry hard-links the old tiers) nor silently
+      * NULL-projected; halt honestly, mirroring the invertible-partials
+      * migration guard.
+      */
+    lazy val matched0: DataFrame =
+      if (store.has(leftMatchedName)) {
+        val onDisk = store.fileSchema(leftMatchedName).get
+        if (onDisk.fields.map(_.name.toLowerCase).toSet !=
+            matchedSchema.fields.map(_.name.toLowerCase).toSet)
+          throw new IllegalStateException(
+            s"checkpoint state '$leftMatchedName' was written under a " +
+              s"different matched-state scheme (${onDisk.fieldNames.mkString(",")} " +
+              s"vs ${matchedSchema.fieldNames.mkString(",")}); resuming would " +
+              "corrupt the left-join changelog")
+        store.read(leftMatchedName, matchedSchema)
+      } else if ((spec.allLeftRels :+ spec.right)
+          .exists(r => store.has(bufferName(r))))
+        pin(matchedForm(matchJoin(dOldA, dB(oldB), "left_semi")))
+      else store.read(leftMatchedName, matchedSchema)
 
     // Key-range narrowing (round 8): when the ON condition carries an
     // equality conjunct, each pass's STATE-side frame is pre-filtered to
@@ -2308,8 +2347,6 @@ final class IncrementalExecutor(
       * value-equal rows already there (row scheme; presence anti-joins
       * are duplicate-insensitive). Call exactly once per run. */
     def updateMatched(): Unit = {
-      def matchedForm(df: DataFrame): DataFrame =
-        if (rowKeyedMatch) df else df.select(col(s"${spec.leftAlias}.$offCol"))
       val newMatched = Seq(
         if (hasDa) Some(matchedForm(matchJoin(dDeltaA, fullBJoinable, "left_semi")))
         else None,

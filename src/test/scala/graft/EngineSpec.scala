@@ -2308,6 +2308,133 @@ class EngineSpec extends AnyFunSuite {
     assert(nextOut("f") > 0)
   }
 
+  test("left-join delta migrates checkpoints that predate matched-state") {
+    import spark.implicits._
+    // A checkpoint written by the RECOMPUTE path (here: the CTE-wrapped
+    // twin — the same executor pre-widening classifier versions used for
+    // these chains) holds input buffers but no `left_matched` state.
+    // Resuming on the delta path must not read the matched set as empty:
+    // the first ΔB row re-matching an ALREADY-matched old left row would
+    // then emit a spurious −D of a null-padded row that was never in the
+    // output. The plumbing rebuilds the matched set from the old buffers
+    // (sound: this path only runs over append-only history) and
+    // appendCarry persists the rebuilt full on the first migrated run.
+    // Covered for both schemes: offset-keyed (direct sides) and
+    // row-keyed (derived left side).
+    def scenario(derived: Boolean): Unit = {
+      val dirF = tmp(); val dirC = tmp()
+      val (qFast, qSlow) =
+        if (!derived) {
+          val join =
+            """SELECT o.event_time as event_time, o.order_id, o.quantity,
+              |  s.num_shipped
+              |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+          (Seq(None -> join),
+            Seq(None -> (s"WITH j AS ($join)\n" +
+              "SELECT event_time, order_id, quantity, num_shipped FROM j")))
+        } else {
+          val pre = Seq(
+            Some("enriched") -> ("SELECT event_time, order_id, quantity " +
+              "FROM orders WHERE quantity > 10"),
+            Some("shiploads") -> ("SELECT order_id AS ship_order, num_shipped " +
+              "FROM shipments WHERE num_shipped >= 10"))
+          val join =
+            """SELECT e.event_time as event_time, e.order_id, e.quantity,
+              |  s.num_shipped
+              |FROM enriched e LEFT JOIN shiploads s ON e.order_id = s.ship_order""".stripMargin
+          (pre :+ (None -> join),
+            pre :+ (None -> (s"WITH j AS ($join)\n" +
+              "SELECT event_time, order_id, quantity, num_shipped FROM j")))
+        }
+      // run 3 is the migration run: ΔB re-matches already-matched order 2
+      // (must NOT retract) and first-matches order 1 (must retract its
+      // null-pad); run 4 late-matches order 3 against the REBUILT state
+      val orderRuns = Map(
+        1 -> Seq((1L, 20L), (2L, 30L)),
+        2 -> Seq((3L, 40L)),
+        4 -> Seq((4L, 50L)),
+        5 -> Seq((1L, 60L)))
+      val shipRuns = Map(
+        1 -> Seq((2L, 10L)),
+        3 -> Seq((2L, 15L), (1L, 20L)),
+        4 -> Seq((3L, 25L)),
+        5 -> Seq((4L, 10L)))
+      var offA = 0L; var offB = 0L
+      var nextOut = Map("f" -> 0L, "c" -> 0L)
+      var prevF: Option[String] = None; var prevC: Option[String] = None
+      (1 to 5).foreach { run =>
+        val orders = orderRuns.getOrElse(run, Seq.empty).zipWithIndex.map {
+          case ((id, q), i) =>
+            OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)), id, q)
+        }
+        val ships = shipRuns.getOrElse(run, Seq.empty).zipWithIndex.map {
+          case ((id, n), i) =>
+            Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)), id, n)
+        }
+        val nA = orders.length; val nB = ships.length
+        def stage(dir: java.nio.file.Path): (String, String) = {
+          val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+          if (nA > 0) writeSlice(orders, o)
+          if (nB > 0) writeSlice(ships, s)
+          (o, s)
+        }
+        val (oF, sF) = stage(dirF); val (oC, sC) = stage(dirC)
+        def drive(tag: String, dir: java.nio.file.Path, o: String, s: String,
+            qs: Seq[(Option[String], String)], prev: Option[String]): String = {
+          val resp = runT(TransformRequest(
+            "did:out", "out", ts(run + 10), DatasetVocabulary(),
+            transform(qs: _*),
+            Vector(
+              mkInput("orders", if (nA > 0) o else null,
+                s"$dir/o1.parquet", nA, startOffset = offA, wms = Seq(ts(run))),
+              mkInput("shipments", if (nB > 0) s else null,
+                s"$dir/s1.parquet", nB, startOffset = offB, wms = Seq(ts(run)))),
+            nextOffset = nextOut(tag), prevCheckpointPath = prev,
+            newCheckpointPath = s"$dir/cp$run",
+            newDataPath = s"$dir/out$run.parquet"))
+          nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+          s"$dir/cp$run"
+        }
+        // chain F: recompute twin for runs 1–2 (the "old version"), plain
+        // delta-path query from run 3 on (the upgrade)
+        prevF = Some(drive("f", dirF, oF, sF, if (run <= 2) qSlow else qFast, prevF))
+        prevC = Some(drive("c", dirC, oC, sC, qSlow, prevC))
+        offA += nA; offB += nB
+        val sel = Seq("offset", "op", "event_time", "order_id", "quantity",
+          "num_shipped")
+        def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+          val p = s"$dir/out$run.parquet"
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            readOut(p).orderBy("offset")
+              .select(sel.map(org.apache.spark.sql.functions.col): _*)
+              .collect().toSeq
+          else Seq.empty
+        }
+        val outF = readRun(dirF); val outC = readRun(dirC)
+        assert(outF == outC,
+          s"derived=$derived run $run diverged:\nF=$outF\nC=$outC")
+        if (run == 3) {
+          // exactly ONE retraction (order 1's null-pad); a spurious −D for
+          // already-matched order 2 is the migration bug this test pins
+          val retracts = outF.filter(_.getInt(1) == Op.Retract)
+          assert(retracts.map(_.getLong(3)) == Seq(1L),
+            s"derived=$derived run 3 retracts: $retracts")
+          assert(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dirF/cp3/left_matched")))
+          if (!derived) {
+            // rebuilt base {order 2 → offset 1} ∪ this run's late match
+            // {order 1 → offset 0}
+            val m = readOut(s"$dirF/cp3/left_matched")
+              .collect().map(_.getLong(0)).toSet
+            assert(m == Set(0L, 1L), s"migrated matched offsets: $m")
+          }
+        }
+      }
+    }
+    scenario(derived = false)
+    scenario(derived = true)
+  }
+
   test("left-join delta through pre-step derivations and recompute emit identical changelogs") {
     import spark.implicits._
     // Seeded random append-only slices where BOTH left-join sides are
