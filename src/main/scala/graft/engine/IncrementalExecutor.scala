@@ -838,7 +838,9 @@ final class IncrementalExecutor(
       leftColsLc: Set[String],
       rightColsLc: Set[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
     wide.createOrReplaceTempView("__lj_joined")
     var result: DataFrame = null
     steps.zipWithIndex.foreach { case ((alias, rw), i) =>
@@ -849,7 +851,20 @@ final class IncrementalExecutor(
           val collapsed = parsed.transformUp {
             case _: Join => UnresolvedRelation(Seq("__lj_joined"))
           }
-          val remapped = collapsed.transformAllExpressions {
+          // the step's top-level output names (select-list / aggregate
+          // aliases): a bare ref in the step's ORDER BY binds to these
+          // FIRST under batch analysis, so it is not ambiguous there even
+          // when the name exists on both join sides
+          val topNames: Set[String] = collapsed.collectFirst {
+            case p: Project   => p.projectList
+            case a: Aggregate => a.aggregateExpressions
+          }.map(_.flatMap {
+            case al: Alias             => Some(al.name.toLowerCase)
+            case ua: UnresolvedAttribute => Some(ua.nameParts.last.toLowerCase)
+            case _                     => None
+          }.toSet).getOrElse(Set.empty)
+          def exprRule(sortAboveOutput: Boolean)
+              : PartialFunction[Expression, Expression] = {
             case a: UnresolvedAttribute
                 if a.nameParts.length == 2 &&
                   (a.nameParts.head.equalsIgnoreCase(spec.rightAlias) ||
@@ -863,10 +878,15 @@ final class IncrementalExecutor(
             case a: UnresolvedAttribute
                 if a.nameParts.length == 1 &&
                   rightColsLc.contains(a.nameParts.head.toLowerCase) &&
-                  leftColsLc.contains(a.nameParts.head.toLowerCase) =>
+                  leftColsLc.contains(a.nameParts.head.toLowerCase) &&
+                  !(sortAboveOutput &&
+                    topNames.contains(a.nameParts.head.toLowerCase)) =>
               // the same SQL through the batch pass raises
               // AMBIGUOUS_REFERENCE — binding silently to the wide view's
-              // left column would diverge from the byte-identity contract
+              // left column would diverge from the byte-identity contract.
+              // Exception: a top-level ORDER BY ref naming a select-list
+              // output, which batch resolves against the projection
+              // (leave it bare for Spark to bind to the alias).
               throw new InvalidQueryException(
                 s"reference '${a.nameParts.head}' is ambiguous: it exists " +
                   "on both sides of the join — qualify it with the input " +
@@ -877,7 +897,22 @@ final class IncrementalExecutor(
                   !leftColsLc.contains(a.nameParts.head.toLowerCase) =>
               UnresolvedAttribute(Seq("__right_" + a.nameParts.head))
           }
-          org.apache.spark.sql.GraftPlanExec.ofRows(spark, remapped)
+          // the top-level sort (under optional LIMITs) resolves bare refs
+          // against the step output; everything else is strict
+          def remapTop(p: LogicalPlan): LogicalPlan = p match {
+            case g: GlobalLimit => g.copy(child = remapTop(g.child))
+            case l: LocalLimit  => l.copy(child = remapTop(l.child))
+            case s: Sort =>
+              s.copy(
+                order = s.order.map(so =>
+                  so.transformUp(exprRule(sortAboveOutput = true))
+                    .asInstanceOf[org.apache.spark.sql.catalyst.expressions.SortOrder]),
+                child = s.child.transformAllExpressions(
+                  exprRule(sortAboveOutput = false)))
+            case other =>
+              other.transformAllExpressions(exprRule(sortAboveOutput = false))
+          }
+          org.apache.spark.sql.GraftPlanExec.ofRows(spark, remapTop(collapsed))
         } else spark.sql(rw.sql)
       alias.foreach(df.createOrReplaceTempView)
       if (i == outputIdx) result = df

@@ -955,6 +955,56 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming left-join ORDER BY over a select alias is not ambiguous") {
+    // `ORDER BY order_id` where order_id names BOTH a select-list alias
+    // and a column on both join sides: batch resolves it against the
+    // projection's output (no AMBIGUOUS_REFERENCE), so the streaming
+    // wide-view remap must accept it too and stay byte-identical — the
+    // ambiguity rejection applies only where batch itself would throw
+    // (bare refs in the select list, pinned by the sibling test above).
+    import spark.implicits._
+    import EngineFixtures.{OrderRow, Shipment}
+    val dir = Files.createTempDirectory("graft-proto-stream-lj-orderby")
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        OrderRow(0, 0, t(ts(1)), t(ts(1)), 2, 20),
+        OrderRow(1, 0, t(ts(1)), t(ts(1)), 1, 10))).toDF(), o1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Shipment(0, 0, t(ts(1)), t(ts(1)), 1, 5))).toDF(), s1)
+    val q = """SELECT o.event_time as event_time, o.order_id as order_id,
+              |  s.num_shipped as num_shipped
+              |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id
+              |ORDER BY order_id""".stripMargin
+    def drive(engine: String, tag: String): TransformResponse = {
+      new graft.engine.TransformEngine(spark).executeTransform(TransformRequest(
+        "did:odf:out", "out", ts(10), DatasetVocabulary(),
+        Transform(engine = engine, queries = Vector(SqlQueryStep(None, q))),
+        Vector(
+          TransformRequestInput(
+            datasetId = "did:odf:o", datasetAlias = "orders",
+            queryAlias = "orders", offsetInterval = Some(OffsetInterval(0, 1)),
+            dataPaths = Vector(o1), schemaFile = o1,
+            explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1)))),
+          TransformRequestInput(
+            datasetId = "did:odf:s", datasetAlias = "shipments",
+            queryAlias = "shipments", offsetInterval = Some(OffsetInterval(0, 0)),
+            dataPaths = Vector(s1), schemaFile = s1,
+            explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1))))),
+        nextOffset = 0, prevCheckpointPath = None,
+        newCheckpointPath = s"$dir/$tag/cp1",
+        newDataPath = s"$dir/$tag/out1.parquet"))
+    }
+    val rb = drive("spark", "batch")
+    assert(rb.isInstanceOf[TransformResponse.Success], s"batch: $rb")
+    val rs = drive("spark-streaming", "stream")
+    assert(rs.isInstanceOf[TransformResponse.Success], s"stream: $rs")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(s"$dir/batch/out1.parquet")),
+      Files.readAllBytes(Paths.get(s"$dir/stream/out1.parquet"))),
+      "ORDER-BY-alias left-join slices are not byte-identical")
+  }
+
   test("streaming Top-N rejects tied sort keys instead of collapsing rows") {
     // StreamingTopN keys its state on (ord, tie); with no distinct
     // tiebreak written, two distinct rows with the same price in one
