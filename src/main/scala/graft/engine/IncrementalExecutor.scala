@@ -2165,11 +2165,10 @@ final class IncrementalExecutor(
       }
 
     /** BFS-narrow per-relation frames from already-narrowed seeds across
-      * the inner-join equi edges (transitive, as in the join-delta
-      * terms): each neighbor is BETWEEN-filtered by the narrowed frame's
-      * edge-key min/max — parquet-pushable on the raw buffer scans. Sound
-      * within an inner join: a row whose edge key falls outside a
-      * narrowed neighbor's band joins nothing in the term. */
+      * the inner-join equi edges — [[narrowByEquiEdges]] keyed on
+      * relation names. Sound within an inner join: a row whose edge key
+      * falls outside a narrowed neighbor's band joins nothing in the
+      * term. */
     private def narrowFrames(
         base: Map[String, DataFrame], seed: Set[String]): Map[String, DataFrame] = {
       if (innerEdges.isEmpty) return base
@@ -2177,27 +2176,8 @@ final class IncrementalExecutor(
         innerEdges.flatMap { case (ra, ca, rb, cb) =>
           Seq(ra -> ((rb, ca, cb)), rb -> ((ra, cb, ca)))
         }.groupMap(_._1)(_._2)
-      val out = scala.collection.mutable.Map[String, DataFrame]() ++ base
-      val done = scala.collection.mutable.Set[String]() ++ seed
-      var frontier = seed
-      while (frontier.nonEmpty) {
-        val next = scala.collection.mutable.Set[String]()
-        frontier.foreach { r =>
-          adj.getOrElse(r, Nil).foreach { case (nb, cHere, cThere) =>
-            if (!done(nb) && out.contains(nb)) {
-              val rng = out(r).agg(min(col(cHere)), max(col(cHere))).head
-              out(nb) =
-                if (rng.isNullAt(0)) out(nb).where(lit(false))
-                else out(nb).where(col(cThere) >= lit(rng.get(0)) &&
-                  col(cThere) <= lit(rng.get(1)))
-              next += nb
-            }
-          }
-        }
-        done ++= next
-        frontier = next.toSet
-      }
-      out.toMap
+      narrowByEquiEdges[String](
+        base, base.keySet, seed.map(s => s -> base(s)).toMap, adj)
     }
 
     // Derived frames of the standard raw frames. Lazy vals: each
@@ -2307,16 +2287,16 @@ final class IncrementalExecutor(
         case Some((lo, hi)) => df.where(col(k) >= lit(lo) && col(k) <= lit(hi))
         case None           => df.where(lit(false)) // delta has no non-null keys
       }
-    val fullBJoinable: DataFrame = equiC match {
+    lazy val fullBJoinable: DataFrame = equiC match {
       case Some((lk, rk)) if hasDa => narrowTo(dFullB, rk, keyRange(dDeltaA, lk))
       case _                       => dFullB
     }
     // ΔB's key band, computed once: it narrows old-A, and in the
     // row-keyed scheme also the matched set (a matched row with an
     // out-of-band key cannot whole-row-equal an in-band old-A row)
-    private val dbBand: Option[Option[(Any, Any)]] =
+    private lazy val dbBand: Option[Option[(Any, Any)]] =
       equiC.filter(_ => hasDb).map { case (_, rk) => keyRange(dDeltaB, rk) }
-    val oldAJoinable: DataFrame = (equiC, dbBand) match {
+    lazy val oldAJoinable: DataFrame = (equiC, dbBand) match {
       case (Some((lk, _)), Some(r)) =>
         // multi-relation left side: when the L-join key's lineage reaches
         // a raw relation column, seed THAT relation's old buffer with
@@ -2335,7 +2315,7 @@ final class IncrementalExecutor(
         narrowTo(interior, lk, r)
       case _ => dOldA
     }
-    private val matched0Joinable: DataFrame =
+    private lazy val matched0Joinable: DataFrame =
       if (rowKeyedMatch) (equiC, dbBand) match {
         case (Some((lk, _)), Some(r)) => narrowTo(matched0, lk, r)
         case _                        => matched0
@@ -2400,8 +2380,13 @@ final class IncrementalExecutor(
     import pl.{dDeltaA, dDeltaB, dFullB, fullBJoinable, oldAJoinable,
       prevUnmatchedNowMatched, hasDa, hasDb}
     val ia = pl.ia; val ib = pl.ib
-    val olds = inputs.map(i =>
-      i.spec.queryAlias -> store.read(bufferName(i.spec.queryAlias), i.df.schema)).toMap
+    // reuse the plumbing's buffer reads instead of re-listing state dirs
+    val olds = inputs.map { i =>
+      val a = i.spec.queryAlias
+      a -> pl.leftOlds.getOrElse(a,
+        if (a == spec.right) pl.oldB
+        else store.read(bufferName(a), i.df.schema))
+    }.toMap
     val oldA = pl.oldA; val oldB = pl.oldB
 
     /** Run the chain with both join-side frames ALREADY DERIVED: register
@@ -2797,10 +2782,6 @@ final class IncrementalExecutor(
     val loaded = positions.map(r => byAlias(r).get)
     val olds = positions.distinct.map(r =>
       r -> store.read(bufferName(r), byAlias(r).get.df.schema)).toMap
-    def keyRange(df: DataFrame, c: String): Option[(Any, Any)] = {
-      val r = df.agg(min(col(c)), max(col(c))).head
-      if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
-    }
     // Undirected adjacency over ALL positions: pos → (neighbor, colOnPos,
     // colOnNeighbor), one entry per equi edge.
     val adjAll: Map[Int, Seq[(Int, String, String)]] =
@@ -2812,54 +2793,73 @@ final class IncrementalExecutor(
       else {
         // Key-range narrowing (round 8; transitive since round 9): in
         // term i, Δ_i's key range BETWEEN-filters every position
-        // REACHABLE from i across equi edges — directly-adjacent
-        // positions by Δ_i's own range, and each further hop by the
-        // min/max of the already-narrowed previous hop (in an A⋈B⋈C
-        // chain, Δ_A narrows B, and narrowed-B's key band then narrows
-        // C). Sound per term: an output row must satisfy EVERY edge
-        // equality, so a k-row whose edge key lies outside the narrowed
-        // neighbor frame's key range cannot join any row that survives
-        // into the term. The BETWEENs are parquet-pushable (buffers are
-        // key-clustered at write), and the hop ranges are min/max aggs
-        // over already-pruned scans. Edges are extracted from INNER
-        // joins only (extractEquiEdges), so dropping NULL-keyed and
-        // out-of-band rows never removes an output row.
-        def base(j: Int): DataFrame =
-          if (j < i) olds(positions(j))
-          else if (j == i) loaded(j).df
-          else olds(positions(j)).unionByName(loaded(j).df)
-        val narrowedF =
-          scala.collection.mutable.Map[Int, DataFrame](i -> loaded(i).df)
-        var frontier = Set(i)
-        while (frontier.nonEmpty) {
-          val next = scala.collection.mutable.Map.empty[Int, DataFrame]
-          frontier.foreach { j =>
-            adjAll.getOrElse(j, Nil).foreach { case (k, _, _) =>
-              if (!narrowedF.contains(k) && !next.contains(k)) {
-                // apply every edge from an already-narrowed node into k
-                // (multiple edges and triangle paths all tighten)
-                next(k) = adjAll.getOrElse(k, Nil)
-                  .filter { case (v, _, _) => narrowedF.contains(v) }
-                  .foldLeft(base(k)) { case (d, (v, ck, cv)) =>
-                    keyRange(narrowedF(v), cv) match {
-                      case Some((lo, hi)) =>
-                        d.where(col(ck) >= lit(lo) && col(ck) <= lit(hi))
-                      // neighbor has no non-null keys ⇒ nothing can join
-                      case None => d.where(lit(false))
-                    }
-                  }
-              }
-            }
-          }
-          next.foreach { case (k, d) => narrowedF(k) = d }
-          frontier = next.keySet.toSet
-        }
-        Some(passFn(positions.indices.map { j =>
-          narrowedF.getOrElse(j, base(j))
-        }.toVector))
+        // REACHABLE from i across equi edges ([[narrowByEquiEdges]]
+        // keyed on positions) — in an A⋈B⋈C chain, Δ_A narrows B, and
+        // narrowed-B's key band then narrows C. Sound per term: an
+        // output row must satisfy EVERY edge equality, so a k-row whose
+        // edge key lies outside the narrowed neighbor frame's key range
+        // cannot join any row that survives into the term. Edges are
+        // extracted from INNER joins only (extractEquiEdges), so
+        // dropping NULL-keyed and out-of-band rows never removes an
+        // output row.
+        val base: Map[Int, DataFrame] = positions.indices.map { j =>
+          j -> (if (j < i) olds(positions(j))
+                else if (j == i) loaded(j).df
+                else olds(positions(j)).unionByName(loaded(j).df))
+        }.toMap
+        val narrowed = narrowByEquiEdges[Int](
+          base, positions.indices.toSet, Map(i -> loaded(i).df), adjAll)
+        Some(passFn(positions.indices.map(narrowed).toVector))
       }
     }
     (parts, () => passFn(positions.map(p => byAlias(p).get.df)).limit(0))
+  }
+
+  /** Transitive key-range narrowing over an undirected equi-edge graph —
+    * the one BFS shared by [[LeftDeltaPlumbing]]'s relation-keyed
+    * `narrowFrames` and [[joinDeltaTerms]]' position-keyed terms. Seeds
+    * are the already-delta frames; each hop BETWEEN-filters an unreached
+    * node's base frame with the edge-key min/max of EVERY
+    * already-narrowed neighbor (multiple edges and triangle paths all
+    * tighten; a neighbor with no non-null keys prunes the node to
+    * empty). The filters are parquet-pushable on key-clustered buffer
+    * tiers, and each hop's min/max agg runs over the already-pruned
+    * scan. Nodes unreachable from the seeds keep their base frames.
+    * Nodes discovered in the SAME hop do not tighten each other — their
+    * mutual bands are unordered; they tighten only later hops.
+    */
+  private def narrowByEquiEdges[K](
+      base: Map[K, DataFrame],
+      nodes: Set[K],
+      seeds: Map[K, DataFrame],
+      adj: Map[K, Seq[(K, String, String)]]): Map[K, DataFrame] = {
+    def keyRange(df: DataFrame, c: String): Option[(Any, Any)] = {
+      val r = df.agg(min(col(c)), max(col(c))).head
+      if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+    }
+    val narrowed = scala.collection.mutable.Map[K, DataFrame]() ++ seeds
+    var frontier: Set[K] = seeds.keySet
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.Map.empty[K, DataFrame]
+      frontier.foreach { j =>
+        adj.getOrElse(j, Nil).foreach { case (k, _, _) =>
+          if (!narrowed.contains(k) && !next.contains(k) && nodes(k)) {
+            next(k) = adj.getOrElse(k, Nil)
+              .filter { case (v, _, _) => narrowed.contains(v) }
+              .foldLeft(base(k)) { case (d, (v, ck, cv)) =>
+                keyRange(narrowed(v), cv) match {
+                  case Some((lo, hi)) =>
+                    d.where(col(ck) >= lit(lo) && col(ck) <= lit(hi))
+                  case None => d.where(lit(false))
+                }
+              }
+          }
+        }
+      }
+      next.foreach { case (k, d) => narrowed(k) = d }
+      frontier = next.keySet.toSet
+    }
+    nodes.iterator.map(k => k -> narrowed.getOrElse(k, base(k))).toMap
   }
 
   private def minWm(ins: Seq[LoadedInput]): Option[Instant] =
