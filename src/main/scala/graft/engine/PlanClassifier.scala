@@ -1059,10 +1059,65 @@ object PlanClassifier {
     val totalSetOps = plans.map(_.collect {
       case _: Except => (); case _: Intersect => ()
     }.size).sum
-    if (limits > 0 || totalSetOps == 0) return None
     val outIdx = steps.lastIndexWhere(_._1.isEmpty) match {
       case -1 => steps.length - 1
       case i  => i
+    }
+    // pure-UNION shapes inside ONE step belong to extractDistinctMerge
+    // (which runs first); a UNION inside a PRE-step is only reachable
+    // through the inlining below, so it counts as a trigger here
+    val preStepUnions = plans.zipWithIndex.collect {
+      case (p, i) if i != outIdx =>
+        p.collect { case _: Union => () }.size
+    }.sum
+    if (limits > 0 || (totalSetOps == 0 && preStepUnions == 0)) return None
+    // Inline single-use pre-step references into the output plan BEFORE
+    // the tree walk, so set-ops HIDING IN PRE-STEPS (round 9; previously
+    // O(history) recompute) fold into the same composed multiplicity
+    // merge: a pre-step here can only hold stateless row-local ops and
+    // set-op/DISTINCT nodes (the Facts guards above exclude everything
+    // else), both of which the walk itself validates — any node it cannot
+    // fold fails the extraction, keeping the honest recompute. Use-once
+    // keeps the consumed-count accounting exact; cycles, duplicate
+    // aliases, and a consumed output alias bail out.
+    val preByAlias: Map[String, LogicalPlan] = plans.zipWithIndex.collect {
+      case (p, i) if i != outIdx && steps(i)._1.isDefined =>
+        steps(i)._1.get -> p
+    }.toMap
+    val outAliasScanned = steps(outIdx)._1.exists(a =>
+      plans.exists(_.collect {
+        case r: UnresolvedRelation if r.multipartIdentifier.last == a => ()
+      }.nonEmpty))
+    val dupAlias = preByAlias.size !=
+      steps.zipWithIndex.count(x => x._1._1.isDefined && x._2 != outIdx)
+    val scanCounts: Map[String, Int] = plans.flatMap(_.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.last
+    }).groupBy(identity).view.mapValues(_.size).toMap
+    def holdsSetNodes(p: LogicalPlan): Boolean = p.exists {
+      case _: Except | _: Intersect | _: Union | _: Distinct => true
+      case _                                                 => false
+    }
+    // stateless pre-steps may be scanned at several sites (each inline
+    // copy is its own leaf, exactly as the shared view was); set-node-
+    // bearing ones must be single-use so the consumed-count accounting
+    // below stays exact
+    if (dupAlias || outAliasScanned ||
+        preByAlias.exists { case (a, p) =>
+          holdsSetNodes(p) && scanCounts.getOrElse(a, 0) != 1 })
+      return None
+    def inlinePre(p: LogicalPlan, stack: Set[String]): Option[LogicalPlan] = {
+      var ok = true
+      val out = p.transformUp {
+        case r: UnresolvedRelation
+            if preByAlias.contains(r.multipartIdentifier.last) =>
+          val n = r.multipartIdentifier.last
+          if (stack(n)) { ok = false; r }
+          else inlinePre(preByAlias(n), stack + n) match {
+            case Some(ip) => SubqueryAlias(n, ip)
+            case None     => ok = false; r
+          }
+      }
+      if (ok) Some(out) else None
     }
     def unwrap(p: LogicalPlan): LogicalPlan = p match {
       case s: SubqueryAlias => unwrap(s.child)
@@ -1109,12 +1164,18 @@ object PlanClassifier {
         Some(s"__s${leaves.size - 1}")
       case _ => None
     }
-    val multSql = walk(unwrap(plans(outIdx))) match {
+    val inlinedOut = inlinePre(plans(outIdx), Set.empty) match {
+      case Some(p) => p
+      case None    => return None
+    }
+    val multSql = walk(unwrap(inlinedOut)) match {
       case Some(m) => m
       case None    => return None
     }
     // every set-op and DISTINCT in the whole chain must be consumed by the
-    // tree — one in a pre-step or under a leaf cannot be folded
+    // tree — one under a leaf (or in a pre-step the output never scans)
+    // cannot be folded. Counts stay exact under use-once inlining: each
+    // pre-step's nodes are walked exactly once.
     if (consumedSetOps != totalSetOps || consumedDistincts != f.distincts)
       return None
     if (leaves.size < 2) return None

@@ -3975,6 +3975,103 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("set-ops hiding in pre-steps fold into the multiplicity merge") {
+    import spark.implicits._
+    // Round 9: single-use pre-steps are inlined into the output plan
+    // before the set-op tree walk, so a chain whose set-ops live in
+    // PRE-STEPS (previously O(history) recompute) rides the same composed
+    // multiplicity merge. Seeded appends+retractions on both inputs; the
+    // CTE twin recomputes. The agg_partials assertion proves the fast
+    // chain actually took the merge path (non-vacuous).
+    val chains: Seq[(String, Seq[(Option[String], String)], String)] = Seq(
+      ("pre-step EXCEPT ALL",
+        Seq(
+          Some("v") -> ("SELECT event_time, symbol FROM lhs " +
+            "EXCEPT ALL SELECT event_time, symbol FROM rhs"),
+          None -> "SELECT DISTINCT event_time, symbol FROM v"),
+        """WITH v AS (SELECT event_time, symbol FROM lhs
+          |  EXCEPT ALL SELECT event_time, symbol FROM rhs)
+          |SELECT DISTINCT event_time, symbol FROM v""".stripMargin),
+      ("nested set-op pre-steps",
+        Seq(
+          Some("u") -> ("SELECT event_time, symbol FROM lhs " +
+            "UNION ALL SELECT event_time, symbol FROM lhs"),
+          Some("v") -> ("SELECT event_time, symbol FROM u " +
+            "EXCEPT ALL SELECT event_time, symbol FROM rhs"),
+          None -> "SELECT DISTINCT event_time, symbol FROM v"),
+        """WITH u AS (SELECT event_time, symbol FROM lhs
+          |  UNION ALL SELECT event_time, symbol FROM lhs),
+          |v AS (SELECT event_time, symbol FROM u
+          |  EXCEPT ALL SELECT event_time, symbol FROM rhs)
+          |SELECT DISTINCT event_time, symbol FROM v""".stripMargin),
+      ("UNION DISTINCT inside a pre-step",
+        Seq(
+          Some("u") -> ("SELECT event_time, symbol FROM lhs " +
+            "UNION SELECT event_time, symbol FROM rhs"),
+          None -> "SELECT event_time, symbol FROM u"),
+        """WITH u AS (SELECT event_time, symbol FROM lhs
+          |  UNION SELECT event_time, symbol FROM rhs)
+          |SELECT event_time, symbol FROM u""".stripMargin))
+    chains.foreach { case (tag0, qFast, qSlow) =>
+      val rnd = new scala.util.Random(tag0.hashCode)
+      val dirF = tmp(); val dirC = tmp()
+      var offL = 0L; var offR = 0L
+      var nextOut = Map("f" -> 0L, "c" -> 0L)
+      var prevF: Option[String] = None; var prevC: Option[String] = None
+      var liveL = Vector.empty[Ticker]; var liveR = Vector.empty[Ticker]
+      (1 to 5).foreach { run =>
+        def mkSlice(live: Vector[Ticker], off: Long): (Seq[Ticker], Vector[Ticker]) = {
+          val appends = (0 until 1 + rnd.nextInt(3)).map { i =>
+            Ticker(off + i, Op.Append, t(ts(run)), t(ts(1)),
+              ("A".head + rnd.nextInt(3)).toChar.toString, 1)
+          }
+          val nRet = if (run >= 2 && live.nonEmpty) rnd.nextInt(live.size + 1) else 0
+          val shuffled = rnd.shuffle(live)
+          val retractRows = shuffled.take(nRet).zipWithIndex.map { case (p, i) =>
+            p.copy(offset = off + appends.length + i, op = Op.Retract,
+              system_time = t(ts(run)))
+          }
+          (appends ++ retractRows, shuffled.drop(nRet) ++ appends)
+        }
+        val (sliceL, newLiveL) = mkSlice(liveL, offL); liveL = newLiveL
+        val (sliceR, newLiveR) = mkSlice(liveR, offR); liveR = newLiveR
+        def drive(tag: String, dir: java.nio.file.Path,
+            qs: Seq[(Option[String], String)], prev: Option[String]): String = {
+          val inL = s"$dir/l$run.parquet"; val inR = s"$dir/r$run.parquet"
+          writeSlice(sliceL, inL); writeSlice(sliceR, inR)
+          val resp = runT(TransformRequest(
+            "did:out", "out", ts(run + 10), DatasetVocabulary(),
+            transform(qs: _*),
+            Vector(
+              mkInput("lhs", inL, inL, sliceL.length, startOffset = offL,
+                wms = Seq(ts(run))),
+              mkInput("rhs", inR, inR, sliceR.length, startOffset = offR,
+                wms = Seq(ts(run)))),
+            nextOffset = nextOut(tag), prevCheckpointPath = prev,
+            newCheckpointPath = s"$dir/cp$run",
+            newDataPath = s"$dir/out$run.parquet"))
+          nextOut += tag -> resp.newOffsetInterval.map(_.end + 1).getOrElse(nextOut(tag))
+          s"$dir/cp$run"
+        }
+        prevF = Some(drive("f", dirF, qFast, prevF))
+        prevC = Some(drive("c", dirC, Seq(None -> qSlow), prevC))
+        offL += sliceL.length; offR += sliceR.length
+        def readRun(dir: java.nio.file.Path): Seq[org.apache.spark.sql.Row] = {
+          val p = s"$dir/out$run.parquet"
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            readOut(p).orderBy("offset")
+              .select("offset", "op", "event_time", "symbol").collect().toSeq
+          else Seq.empty
+        }
+        val outF = readRun(dirF); val outC = readRun(dirC)
+        assert(outF == outC, s"$tag0 run $run diverged:\nF=$outF\nC=$outC")
+      }
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dirF/cp5/agg_partials")),
+        s"$tag0: fast chain left the multiplicity merge path")
+    }
+  }
+
   test("distinct-delta path and recompute path emit identical changelogs") {
     import spark.implicits._
     // Seeded random slices with a small value domain (guaranteed dups)

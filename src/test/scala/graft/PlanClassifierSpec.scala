@@ -801,14 +801,65 @@ class PlanClassifierSpec extends AnyFunSuite {
     // LIMIT anywhere keeps recompute
     assert(am("SELECT DISTINCT * FROM (SELECT symbol FROM a EXCEPT ALL " +
       "SELECT symbol FROM b LIMIT 5) v").isEmpty)
-    // a set-op hiding in a PRE-STEP cannot be folded — recompute
+    // set-ops hiding in PRE-STEPS (round 9): single-use pre-steps are
+    // inlined into the output plan before the tree walk, so the chain
+    // folds into the same composed multiplicity merge
     def amChain(qs: (Option[String], String)*) =
       PlanClassifier.classify(spark,
         qs.toSeq.map { case (a, q) => (a, SqlRewriter.rewrite(q, st, None)) })
         .asInstanceOf[Mode.SnapshotDiff].aggMerge
+    val pre = amChain(
+      Some("v") -> "SELECT symbol FROM a EXCEPT ALL SELECT symbol FROM b",
+      None -> "SELECT DISTINCT symbol FROM v")
+    assert(pre.exists(s => s.keys == Seq("symbol") && s.invertible &&
+      s.multiplicitySql.contains(
+        "(CASE WHEN (greatest((__s0) - (__s1), 0)) > 0 THEN 1 ELSE 0 END)")))
+    // nested: a set-op pre-step consumed through another pre-step
+    val nestedPre = amChain(
+      Some("u") -> "SELECT symbol FROM a UNION ALL SELECT symbol FROM b",
+      Some("v") -> "SELECT symbol FROM u EXCEPT ALL SELECT symbol FROM c",
+      None -> "SELECT DISTINCT symbol FROM v")
+    assert(nestedPre.exists(_.multiplicitySql.contains(
+      "(CASE WHEN (greatest(((__s0) + (__s1)) - (__s2), 0)) > 0 " +
+        "THEN 1 ELSE 0 END)")))
+    // a STATELESS pre-step may feed several leaves (each inline copy is
+    // its own side count, as the shared view was)
+    assert(amChain(
+      Some("w") -> "SELECT symbol FROM a WHERE price > 0",
+      None -> ("SELECT symbol FROM w EXCEPT ALL " +
+        "SELECT symbol FROM w WHERE symbol = 'x'")).isDefined)
+    // a UNION-ALL pre-step scanned at both sides of one output EXCEPT is
+    // the TWO-SIDE extractor's shape (leaves over the pre-step view) —
+    // still served, by extractSetOpMerge
+    assert(amChain(
+      Some("v") -> "SELECT symbol FROM a UNION ALL SELECT symbol FROM b",
+      None -> "SELECT symbol FROM v EXCEPT SELECT symbol FROM v")
+      .exists(_.havingSql.contains("__sl > 0 AND __sr = 0")))
+    // a SET-NODE-BEARING (EXCEPT) pre-step scanned twice breaks the
+    // consumed-count accounting — recompute (the two-side extractor also
+    // rejects it: two EXCEPT nodes)
     assert(amChain(
       Some("v") -> "SELECT symbol FROM a EXCEPT ALL SELECT symbol FROM b",
+      None -> "SELECT symbol FROM v EXCEPT SELECT symbol FROM v").isEmpty)
+    // a filter ABOVE the pre-step's EXCEPT is not a foldable tree node —
+    // recompute, not a wrong fold (a filter above a pure UNION pre-step
+    // is linear and stays served by extractDistinctMerge's refcount)
+    assert(amChain(
+      Some("v") -> ("SELECT symbol FROM (SELECT symbol FROM a EXCEPT ALL " +
+        "SELECT symbol FROM b) t WHERE symbol IS NOT NULL"),
       None -> "SELECT DISTINCT symbol FROM v").isEmpty)
+    // DISTINCT-over-a-union-ALL-pre-step stays served (distinct-merge's
+    // refcount over the linear pre-step view)
+    assert(amChain(
+      Some("u") -> "SELECT symbol FROM a UNION ALL SELECT symbol FROM b",
+      None -> "SELECT DISTINCT symbol FROM u").isDefined)
+    // a UNION (distinct) hiding INSIDE a pre-step under a plain
+    // passthrough output is only reachable through the tree fold
+    assert(amChain(
+      Some("u") -> "SELECT symbol FROM a UNION SELECT symbol FROM b",
+      None -> "SELECT symbol FROM u")
+      .exists(_.multiplicitySql.contains(
+        "(CASE WHEN ((__s0) + (__s1)) > 0 THEN 1 ELSE 0 END)")))
   }
 
   test("reused pre-step aliases carry an inlined join-delta spec") {
