@@ -78,6 +78,28 @@ object ScaleUp {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def shift(c: Int, stride: Long)(cols: String*)(df: DataFrame): DataFrame =
       cols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(c * stride)))
+    /** Banding is only sound when every shifted key lives BELOW its
+      * stride at the source scale — otherwise replica c's key range
+      * overlaps replica c+1's and cross-replica joins silently change
+      * per-key fan-out (e.g. native TPC-H sf1 lineitem keys, or
+      * re-scaling an already-scaled dir). Fail loudly instead. */
+    def requireStrides(t: String)(pairs: (String, Long)*): Unit = {
+      val aggs = pairs.map { case (k, _) => max(col(k)).as(k) }
+      val row = read(t).agg(aggs.head, aggs.tail: _*).head
+      pairs.zipWithIndex.foreach { case ((k, stride), i) =>
+        val m = row.getLong(i)
+        require(m < stride,
+          s"ScaleUp: $t.$k max $m >= stride $stride — banded replicas " +
+            "would overlap; refusing to write a corrupt corpus")
+      }
+    }
+    requireStrides("customer")("c_custkey" -> CUST)
+    requireStrides("supplier")("s_suppkey" -> SUPP)
+    requireStrides("part")("p_partkey" -> PART)
+    requireStrides("orders")("o_orderkey" -> ORDER, "o_custkey" -> CUST)
+    requireStrides("lineitem")(
+      "l_orderkey" -> ORDER, "l_partkey" -> PART, "l_suppkey" -> SUPP)
+    requireStrides("events")("event_id" -> EVENT, "user_id" -> USER)
     def banded(t: String)(f: (DataFrame, Int) => DataFrame): Unit =
       (0 until factor).map(c => f(read(t), c)).reduce(_.unionByName(_))
         .repartition(16)
