@@ -128,9 +128,11 @@ object Bench {
     val explicit = sys.env.get("SPARK_GRAFT_PRIOR").map(new java.io.File(_))
     val file = explicit.orElse {
       val cwd = new java.io.File(".").getAbsoluteFile.getParentFile
+      // numeric round sort — lexicographic would pick r99 over r100
       Option(cwd.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName).lastOption
+        .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+        .lastOption
     }
     file.filter(_.isFile).map { f =>
       val txt = new String(
