@@ -294,14 +294,18 @@ object EngineBench {
       if (variant == "agg") {
         // group key = event_time (one group per slice; old groups
         // untouched by later runs — the narrowed scans should keep the
-        // per-run cost flat). The `+ 0` twin recomputes.
+        // per-run cost flat). The non-mergeable stddev_pop term forces the
+        // twin onto the GENUINE recompute path (a `+ 0` twin still
+        // classifies mergeable via exprCols and would measure the partials
+        // path against itself).
         def q(sum: String) =
           s"""SELECT o.event_time AS event_time, count(*) AS n,
              |  $sum AS q_total
              |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id
              |GROUP BY o.event_time""".stripMargin
         (Vector(SqlQueryStep(None, q("sum(o.quantity)"))),
-          Vector(SqlQueryStep(None, q("sum(o.quantity) + 0"))))
+          Vector(SqlQueryStep(None,
+            q("CAST(sum(o.quantity) + stddev_pop(o.quantity) * 0 AS BIGINT)"))))
       } else if (variant == "pre") {
         val pre = Vector(
           SqlQueryStep(Some("enriched"),
