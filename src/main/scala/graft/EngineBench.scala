@@ -61,6 +61,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-engine-bench").toString
@@ -139,6 +143,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-reuse-bench").toString
@@ -222,6 +230,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-leftjoin-bench").toString
@@ -358,6 +370,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-distinctjoin-bench").toString
@@ -449,6 +465,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-streamface-bench").toString
@@ -547,6 +567,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-reusejoin-bench").toString
@@ -640,6 +664,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-join-bench").toString
@@ -762,6 +790,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-join3-bench").toString
@@ -880,6 +912,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-nested-bench").toString
@@ -977,6 +1013,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-retractagg-bench").toString
@@ -1071,6 +1111,10 @@ object EngineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // engine-path benches price the PATHS, not the dispatch: pin the
+      // young-dataset recompute detour off unless explicitly enabled
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-retract-bench").toString

@@ -278,21 +278,40 @@ final class IncrementalExecutor(
               spec.leftJoin.forall(lj =>
                 lj.allLeftRels.forall(byAlias(_).isDefined) &&
                   byAlias(lj.right).isDefined) =>
-          if (hiddenAvgsDivisible(spec))
-            runIncrementalAgg(spec,
-              neverFlips = spec.invertible && !stepsReferenceOp)
-          else runSnapshotDiff(d.keys, d.rankTouch)
+          if (!hiddenAvgsDivisible(spec))
+            runSnapshotDiff(d.keys, d.rankTouch)
+          // Cost-based young-dataset detour: while history is under a few
+          // slices' worth, the recompute is the cheaper physical plan
+          // (EngineBench aggleft, BENCH_NOTES round 9). Safe for the whole
+          // merge family: tier state (lsm) and absolute aux state (agg-
+          // above-join chains) both rebuild from buffers at the flip run
+          // via the partials migration, and aux-free specs share the
+          // recompute's own snapshot state outright.
+          else if (youngAggDataset)
+            runSnapshotDiff(d.keys, d.rankTouch)
+          else runIncrementalAgg(spec,
+            neverFlips = spec.invertible && !stepsReferenceOp)
+        // The young detour below is uniform across the changelog-delta
+        // family: the join and DISTINCT paths keep no state beyond the
+        // buffers and the snapshot BOTH paths maintain identically (so the
+        // dispatch may even oscillate), while the left-join path's matched
+        // set makes the detour sticky — present matched state must stay
+        // current, absent matched state rebuilds from buffers at the flip.
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, Some(jd), _, _)
             if jd.rels.forall(byAlias(_).isDefined) =>
-          runDeltaJoin(jd)
+          if (youngDataset(None)) runSnapshotDiff(d.keys, d.rankTouch)
+          else runDeltaJoin(jd)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, Some(dd), _)
             if byAlias(dd.input).isDefined &&
               dd.join.forall(_.rels.forall(byAlias(_).isDefined)) =>
-          runDistinctDelta(dd)
+          if (youngDataset(None)) runSnapshotDiff(d.keys, d.rankTouch)
+          else runDistinctDelta(dd)
         case PlanClassifier.Mode.SnapshotDiff(_, _, _, _, _, Some(lj))
             if lj.allLeftRels.forall(byAlias(_).isDefined) &&
               byAlias(lj.right).isDefined =>
-          runLeftDeltaJoin(lj)
+          if (youngDataset(Some(IncrementalExecutor.leftMatchedName)))
+            runSnapshotDiff(d.keys, d.rankTouch)
+          else runLeftDeltaJoin(lj)
         case _ => runSnapshotDiff(d.keys, d.rankTouch)
       }
   }
@@ -386,6 +405,47 @@ final class IncrementalExecutor(
         !i.df.where(col(opCol).isin(Op.Retract, Op.CorrectFrom)).isEmpty)
     if (seen) Some(alias) else None
   }.toSet
+
+  /** Cost-based dispatch gate for the merge-path family (tiered
+    * invertible state AND the flippable absolute-aux shapes, e.g.
+    * agg-above-join chains): while the buffered history is under
+    * [[IncrementalExecutor.RecomputeYoungFactor]] slices' worth of rows,
+    * a full recompute + snapshot diff is the cheaper physical plan (one
+    * pass over a history at most K slices deep vs the merge path's fixed
+    * per-run state-tier and delta-term jobs), so young datasets ride
+    * [[runSnapshotDiff]] and flip to the merge path once they outgrow
+    * it — the flip pays one partials(+matched) rebuild via the same
+    * buffers migration that serves pre-widening checkpoints. Pure
+    * ledger/offset arithmetic, no Spark job. STICKY on existing
+    * `agg_partials` state (tiers or absolute aux — a grown dataset, or a
+    * streaming-face run that created them): the merge path must keep that
+    * state current, so a young recompute detour would strand it stale.
+    * Aux-free specs keep no such state (both paths share the absolute
+    * visible snapshot), so re-entering the detour is harmless for them.
+    * Checkpoints whose ledgers predate `bufferedRows` read history as the
+    * rows accumulated since upgrade, which only understates it: such
+    * chains stay on the recompute a few extra runs, then migrate — same
+    * as a first flip.
+    */
+  private def youngDataset(stickyState: Option[String]): Boolean = {
+    // factor 0 (spark.graft.recomputeYoungFactor) disables the detour —
+    // the test harness pins 0 so short seeded chains still exercise the
+    // delta/merge paths they were written to cover
+    val factor = spark.conf
+      .get("spark.graft.recomputeYoungFactor",
+        IncrementalExecutor.RecomputeYoungFactor.toString).toLong
+    factor > 0 && stickyState.forall(!store.has(_)) && {
+      val sliceRows = inputs.map(
+        _.spec.offsetInterval.map(oi => oi.end - oi.start + 1L).getOrElse(0L)).sum
+      val histRows = inputs.map(i =>
+        ledger.bufferedRows.getOrElse(i.spec.queryAlias, 0L)).sum
+      histRows < factor * math.max(sliceRows, 1L)
+    }
+  }
+
+  /** Agg-merge family detour, sticky on the partials state. */
+  private lazy val youngAggDataset: Boolean =
+    youngDataset(Some(IncrementalExecutor.aggStateName))
 
   /** True when any step's plan explicitly references a column EXCLUDED
     * from [[netChangelog]]'s netting identity: an input's operation column,
@@ -1678,8 +1738,18 @@ final class IncrementalExecutor(
     // directory.
     val storedTiersUsable = store.fileSchema(aggStateName).forall(s =>
       sliceAgg.schema.fieldNames.forall(s.fieldNames.contains))
+    // The same rebuild serves the FLIPPABLE aux-state family (agg-above-
+    // join chains, whose absolute agg_partials is likewise keyed on
+    // partial columns): a checkpoint whose young runs rode the cost-based
+    // recompute detour — or that predates a classifier widening — holds
+    // buffers and a snapshot but no agg_partials; reading that as empty
+    // would diff every old group as newborn. Sound here for the same
+    // reason: flippable specs only reach this path while history is
+    // append-only (the first retraction flips dispatch to the recompute),
+    // so netting is the identity and partials() over the buffers is the
+    // exact absolute state.
     val migrated: Option[DataFrame] =
-      if (lsm && !(store.has(aggStateName) && storedTiersUsable) &&
+      if ((lsm || needsAux) && !(store.has(aggStateName) && storedTiersUsable) &&
         inputs.exists(i => store.has(bufferName(i.spec.queryAlias)))) Some {
         inputs.foreach { i =>
           val buf = store.read(bufferName(i.spec.queryAlias), i.df.schema)
@@ -1696,7 +1766,7 @@ final class IncrementalExecutor(
     // No rebuild source AND unusable tiers: halting is the only honest
     // move — NULL-projected tiers would silently reset every group's
     // history to this run's slice.
-    if (lsm && migrated.isEmpty && store.has(aggStateName) &&
+    if ((lsm || needsAux) && migrated.isEmpty && store.has(aggStateName) &&
       !storedTiersUsable)
       throw new IllegalStateException(
         s"checkpoint state '$aggStateName' predates the invertible " +
@@ -1706,8 +1776,9 @@ final class IncrementalExecutor(
       if (lsm) migrated.getOrElse(
         sumTiers(store.read(aggStateName, sliceAgg.schema), keys,
           touched = Some(sliceAgg)))
-      else store.read(
-        if (needsAux) aggStateName else snapshotName, sliceAgg.schema)
+      else if (needsAux)
+        migrated.getOrElse(store.read(aggStateName, sliceAgg.schema))
+      else store.read(snapshotName, sliceAgg.schema)
     val keyEq =
       if (keys.isEmpty) lit(true)
       else keys.map(k => col(s"p.$k") <=> col(s"n.$k")).reduce(_ && _)
@@ -2878,6 +2949,24 @@ object IncrementalExecutor {
     * VISIBLE output so the recompute path can diff against it after a
     * retraction flips the chain over. */
   val aggStateName: String = "agg_partials"
+  /** Young-dataset dispatch threshold, in units of SLICE-sized scans: a
+    * full recompute of an invertible aggregate chain costs ≈ history/slice
+    * slice-scans (one pass over the buffered history; the snapshot it
+    * diffs is group-count-sized, so the diff is cheap), while the merge
+    * path costs a small constant number of slice-sized jobs PLUS its
+    * fixed per-run overhead — partials/matched tier reads and writes,
+    * and for join chains the telescoping delta terms (measured at ~2.5 s
+    * extra per run against the recompute twin in `EngineBench aggleft`,
+    * BENCH_NOTES round 9). Below this ratio the recompute is the cheaper
+    * physical plan at ANY absolute scale, because both sides are measured
+    * in units of slice scans — so a dataset's first runs ride the
+    * recompute, and the dispatch flips to the merge path once history
+    * outgrows the slice, paying the one-time partials rebuild the
+    * checkpoint-upgrade migration already implements. Sticky thereafter:
+    * a present `agg_partials` state pins the merge path even if a later
+    * oversized slice drops the ratio back under the threshold (a young
+    * detour would leave the tiers stale). */
+  val RecomputeYoungFactor: Long = 8L
   /** State name for the joined-stream window buffer in AsOfWindowed mode;
     * `__` keeps it clear of user query aliases. */
   val AsOfWindowBufferAlias: String = "__asof_window"

@@ -19,7 +19,17 @@ final case class Ledger(
     /** Inputs on which a retraction/correction op has ever been observed —
       * lets the executor skip the changelog-netting shuffle (and its
       * retraction-presence scan of full history) on append-only inputs. */
-    retractiveInputs: Set[String] = Set.empty
+    retractiveInputs: Set[String] = Set.empty,
+    /** Cumulative rows ever offered per input (sum of offsetInterval
+      * spans) — pure driver arithmetic, no Spark job. Equals the buffered
+      * history size for every stateful path (they all retain the full
+      * slice), which lets the dispatch price an O(history) recompute
+      * against the delta paths' fixed per-run overhead without touching
+      * the data ([[graft.engine.IncrementalExecutor]] young-dataset gate).
+      * Absent on checkpoints written before this field existed — counts
+      * then accumulate from the upgrade point, which only understates
+      * history (errs toward staying on the established path). */
+    bufferedRows: Map[String, Long] = Map.empty
 )
 
 /** Cross-run operator state as plain Parquet + a JSON watermark/offset ledger
@@ -221,7 +231,17 @@ final class StateStore(
           while (it.hasNext) b += it.next().asText()
           b.result()
         }.getOrElse(Set.empty[String])
-        Ledger(in, optTs("outputWatermark"), optTs("emitThreshold"), retractive)
+        val buffered = Option(node.get("bufferedRows")).map { m =>
+          val it = m.properties().iterator()
+          val b = Map.newBuilder[String, Long]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> e.getValue.asLong()
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, Long])
+        Ledger(in, optTs("outputWatermark"), optTs("emitThreshold"),
+          retractive, buffered)
       case _ => Ledger(Map.empty, None, None)
     }
 
@@ -233,9 +253,12 @@ final class StateStore(
     def opt(o: Option[Instant]) = o.map(w => Codec.jstr(w.toString)).getOrElse("null")
     val retr = ledger.retractiveInputs.toSeq.sorted
       .map(Codec.jstr).mkString("[", ",", "]")
+    val buf = ledger.bufferedRows.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${Codec.jstr(k)}: $v" }
+      .mkString("{", ",", "}")
     Files.writeString(
       Paths.get(newDir, "ledger.json"),
-      s"""{"inputWatermarks": $in, "outputWatermark": ${opt(ledger.outputWatermark)}, "emitThreshold": ${opt(ledger.emitThreshold)}, "retractiveInputs": $retr}"""
+      s"""{"inputWatermarks": $in, "outputWatermark": ${opt(ledger.outputWatermark)}, "emitThreshold": ${opt(ledger.emitThreshold)}, "retractiveInputs": $retr, "bufferedRows": $buf}"""
     )
   }
 }

@@ -126,7 +126,15 @@ final class TransformEngine(spark: SparkSession) {
           inputs.flatMap(i => i.watermark.map(i.spec.queryAlias -> _)).toMap,
         outputWatermark = newWm,
         emitThreshold = out.emitThreshold.orElse(ledger.emitThreshold),
-        retractiveInputs = ledger.retractiveInputs ++ out.retractiveInputs))
+        retractiveInputs = ledger.retractiveInputs ++ out.retractiveInputs,
+        // cumulative offered rows (offsetInterval arithmetic, no job) —
+        // the history-size input to the executor's young-dataset gate
+        bufferedRows = inputs.map { i =>
+          val span = i.spec.offsetInterval
+            .map(oi => oi.end - oi.start + 1L).getOrElse(0L)
+          i.spec.queryAlias ->
+            (ledger.bufferedRows.getOrElse(i.spec.queryAlias, 0L) + span)
+        }.toMap))
 
       TransformResponse.Success(
         newOffsetInterval =

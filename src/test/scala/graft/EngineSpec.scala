@@ -24,6 +24,10 @@ class EngineSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // seeded chains here are all "young" (a handful of slices); pin the
+    // cost-based recompute detour off so they keep exercising the merge
+    // paths they cover — the detour has its own dedicated tests
+    .config("spark.graft.recomputeYoungFactor", "0")
     .getOrCreate()
 
   def ts(day: Int, hour: Int = 0, min: Int = 0): Instant =
@@ -1278,6 +1282,214 @@ class EngineSpec extends AnyFunSuite {
     val tierFiles = cpLast.resolve("agg_partials").toFile.listFiles
       .count(_.getName.endsWith(".parquet"))
     assert(tierFiles < nRuns, s"tier compaction did not run: $tierFiles files")
+  }
+
+  test("young datasets ride the recompute and flip to merge tiers once grown") {
+    import spark.implicits._
+    // Cost-based dispatch: while buffered history is under
+    // spark.graft.recomputeYoungFactor slices' worth of rows, an invertible
+    // never-flip chain runs the generic recompute (cheaper: no state-tier
+    // jobs); once grown it flips to the merge path, paying the one-time
+    // partials rebuild from buffers. Emissions must be byte-identical to
+    // the always-recompute twin across BOTH phases and the flip itself,
+    // and the checkpoint layout must show the detour actually happened.
+    // Factor 2 with uniform 2-row slices: runs 1–2 young (history 0, 2),
+    // run 3 flips (history 4 ≥ 2×2), then a 12-row slice at run 7 drops
+    // the ratio back under 2 — the sticky gate must NOT detour (a young
+    // detour would strand the tiers stale).
+    val dirF = tmp(); val dirC = tmp()
+    val q = """SELECT event_time, symbol, count(*) as n, sum(price) as total
+              |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    val qTwin =
+      """SELECT event_time, symbol, count(*) as n,
+        |  CAST(sum(price) + stddev_pop(price) * 0 AS BIGINT) as total
+        |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    spark.conf.set("spark.graft.recomputeYoungFactor", "2")
+    try {
+      var off = 0L
+      (1 to 7).foreach { run =>
+        val rows =
+          if (run < 7) Seq(
+            Ticker(off, Op.Append, t(ts(run)), t(ts(1)), "A", run),
+            Ticker(off + 1, Op.Append, t(ts(run)), t(ts(2)), s"K$run", 7))
+          else (0 until 12).map(i =>
+            Ticker(off + i, Op.Append, t(ts(run)), t(ts(3)), s"B$i", i))
+        def drive(dir: java.nio.file.Path, steps: (Option[String], String)*)
+            : Unit = {
+          val in = s"$dir/in$run.parquet"
+          writeSlice(rows, in)
+          runT(TransformRequest(
+            "did:out", "out", ts(run + 10), DatasetVocabulary(),
+            transform(steps: _*),
+            Vector(mkInput("tickers", in, in, rows.length, startOffset = off,
+              wms = Seq(ts(run)))),
+            nextOffset = 0, prevCheckpointPath =
+              if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+            newCheckpointPath = s"$dir/cp$run",
+            newDataPath = s"$dir/out$run.parquet"))
+        }
+        drive(dirF, None -> q)
+        drive(dirC, None -> qTwin)
+        off += rows.length
+        def runRows(dir: java.nio.file.Path) =
+          readOut(s"$dir/out$run.parquet").orderBy("offset").collect().toSeq
+        assert(runRows(dirF) == runRows(dirC), s"run $run diverged from twin")
+        val hasTiers = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dirF/cp$run/agg_partials"))
+        if (run <= 2)
+          assert(!hasTiers, s"run $run (young) must not write merge tiers")
+        else
+          assert(hasTiers,
+            s"run $run must be on the merge path (flip at run 3, sticky after)")
+      }
+    } finally spark.conf.set("spark.graft.recomputeYoungFactor", "0")
+  }
+
+  test("young-flip rebuilds join partials and matched state exactly") {
+    import spark.implicits._
+    // The aggregate-above-LEFT-JOIN shape crosses the young boundary: the
+    // flip run must rebuild BOTH the joined partials and the left-matched
+    // set from raw buffers, so a right row arriving post-flip for an order
+    // buffered during the young phase must produce the same merge-path
+    // emission as the always-recompute twin (no spurious null-pad retract,
+    // no double retract).
+    val dirF = tmp(); val dirC = tmp()
+    def q(sum: String) =
+      s"""SELECT o.event_time as event_time, count(*) as n,
+         |  $sum as q_total, sum(s.num_shipped) as shipped
+         |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id
+         |GROUP BY o.event_time""".stripMargin
+    val qFast = q("sum(o.quantity)")
+    val qTwin = q("CAST(sum(o.quantity) + stddev_pop(o.quantity) * 0 AS BIGINT)")
+    // per-run slices: 2 orders + 1 shipment (slice 3 rows); factor 2 →
+    // run 1 young (hist 0), run 2 young (hist 3 < 6), run 3 flips
+    // (hist 6 ≥ 6). Shipments lag: run r ships an order from run r-1;
+    // run 4 (post-flip) ships order 1 (buffered in the YOUNG phase — only
+    // a rebuilt matched/partials state nets it correctly).
+    val orderRuns = Map(
+      1 -> Seq((1L, 20L), (2L, 30L)), 2 -> Seq((3L, 40L), (4L, 10L)),
+      3 -> Seq((5L, 50L), (6L, 60L)), 4 -> Seq((7L, 70L), (8L, 80L)))
+    val shipRuns = Map(
+      1 -> Seq((99L, 5L)), 2 -> Seq((2L, 10L)),
+      3 -> Seq((3L, 15L)), 4 -> Seq((1L, 25L)))
+    spark.conf.set("spark.graft.recomputeYoungFactor", "2")
+    try {
+      var offA = 0L; var offB = 0L
+      (1 to 4).foreach { run =>
+        val orders = orderRuns(run).zipWithIndex.map { case ((id, qty), i) =>
+          OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)), id, qty)
+        }
+        val ships = shipRuns(run).zipWithIndex.map { case ((id, n), i) =>
+          Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)), id, n)
+        }
+        def drive(dir: java.nio.file.Path, steps: (Option[String], String)*)
+            : Unit = {
+          val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+          writeSlice(orders, o); writeSlice(ships, s)
+          runT(TransformRequest(
+            "did:out", "out", ts(run + 10), DatasetVocabulary(),
+            transform(steps: _*),
+            Vector(
+              mkInput("orders", o, o, orders.length, startOffset = offA,
+                wms = Seq(ts(run))),
+              mkInput("shipments", s, s, ships.length, startOffset = offB,
+                wms = Seq(ts(run)))),
+            nextOffset = 0, prevCheckpointPath =
+              if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+            newCheckpointPath = s"$dir/cp$run",
+            newDataPath = s"$dir/out$run.parquet"))
+        }
+        drive(dirF, None -> qFast)
+        drive(dirC, None -> qTwin)
+        offA += orders.length; offB += ships.length
+        def runRows(dir: java.nio.file.Path) =
+          readOut(s"$dir/out$run.parquet").orderBy("offset").collect().toSeq
+        assert(runRows(dirF) == runRows(dirC), s"run $run diverged from twin")
+      }
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dirF/cp2/agg_partials")),
+        "runs 1-2 must ride the young recompute")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dirF/cp3/agg_partials")),
+        "run 3 must flip to the merge path")
+    } finally spark.conf.set("spark.graft.recomputeYoungFactor", "0")
+  }
+
+  test("young detour covers the changelog-delta family and flips exactly") {
+    import spark.implicits._
+    // Same cost-based detour, applied to the join / DISTINCT / left-join
+    // CHANGELOG paths. The join and DISTINCT paths keep no state beyond
+    // the buffers and snapshot both paths maintain identically; the
+    // left-join path's matched set must rebuild from buffers at the flip
+    // (a run-4 shipment matches an order buffered during the YOUNG phase,
+    // so its null-pad retract is only correct against rebuilt state).
+    // Twin = CTE-wrapped same SQL, which always takes the full recompute.
+    val joinQ =
+      """SELECT o.event_time as event_time, o.order_id, o.quantity,
+        |  s.num_shipped
+        |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    val leftQ = joinQ.replace("JOIN shipments", "LEFT JOIN shipments")
+    val distinctQ =
+      """SELECT DISTINCT o.event_time as event_time, s.num_shipped
+        |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    def twin(q: String) = s"WITH j AS ($q)\nSELECT * FROM j"
+    val orderRuns = Map(
+      1 -> Seq((1L, 20L), (2L, 30L)), 2 -> Seq((3L, 40L), (4L, 10L)),
+      3 -> Seq((5L, 50L), (6L, 60L)), 4 -> Seq((7L, 70L), (8L, 80L)))
+    val shipRuns = Map(
+      1 -> Seq((99L, 5L)), 2 -> Seq((2L, 10L)),
+      3 -> Seq((3L, 15L)), 4 -> Seq((1L, 25L)))
+    for ((name, q) <- Seq("join" -> joinQ, "distinct" -> distinctQ,
+        "left" -> leftQ)) {
+      val dirF = tmp(); val dirC = tmp()
+      spark.conf.set("spark.graft.recomputeYoungFactor", "2")
+      try {
+        var offA = 0L; var offB = 0L
+        (1 to 4).foreach { run =>
+          val orders = orderRuns(run).zipWithIndex.map { case ((id, qty), i) =>
+            OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)), id, qty)
+          }
+          val ships = shipRuns(run).zipWithIndex.map { case ((id, n), i) =>
+            Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)), id, n)
+          }
+          def drive(dir: java.nio.file.Path, sql: String): Unit = {
+            val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+            writeSlice(orders, o); writeSlice(ships, s)
+            runT(TransformRequest(
+              "did:out", "out", ts(run + 10), DatasetVocabulary(),
+              transform(None -> sql),
+              Vector(
+                mkInput("orders", o, o, orders.length, startOffset = offA,
+                  wms = Seq(ts(run))),
+                mkInput("shipments", s, s, ships.length, startOffset = offB,
+                  wms = Seq(ts(run)))),
+              nextOffset = 0, prevCheckpointPath =
+                if (run == 1) None else Some(s"$dir/cp${run - 1}"),
+              newCheckpointPath = s"$dir/cp$run",
+              newDataPath = s"$dir/out$run.parquet"))
+          }
+          drive(dirF, q)
+          drive(dirC, twin(q))
+          offA += orders.length; offB += ships.length
+          def runRows(dir: java.nio.file.Path) = {
+            val p = s"$dir/out$run.parquet"
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+              readOut(p).orderBy("offset").collect().toSeq
+            else Seq.empty
+          }
+          assert(runRows(dirF) == runRows(dirC),
+            s"$name run $run diverged from twin")
+        }
+        if (name == "left") {
+          assert(!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dirF/cp2/left_matched")),
+            "left runs 1-2 must ride the young recompute")
+          assert(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dirF/cp3/left_matched")),
+            "left run 3 must flip to the delta path")
+        }
+      } finally spark.conf.set("spark.graft.recomputeYoungFactor", "0")
+    }
   }
 
   test("signed merge and recompute emit identical changelogs under retractions") {

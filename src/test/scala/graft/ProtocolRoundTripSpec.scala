@@ -28,6 +28,10 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // pin the young-dataset recompute detour off: the byte-identity chains
+    // here assert merge-path state layout from run 1 (EngineSpec has the
+    // detour's dedicated tests)
+    .config("spark.graft.recomputeYoungFactor", "0")
     .getOrCreate()
 
   def ts(day: Int, hour: Int = 0): Instant =
