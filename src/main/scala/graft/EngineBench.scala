@@ -34,6 +34,25 @@ import graft.protocol._
   * touched-partition variant. Prints one JSON line.
   */
 object EngineBench {
+
+  /** One session config for every bench mode. Engine-path benches price
+    * the PATHS, not the dispatch: the young-dataset recompute detour is
+    * pinned off unless explicitly enabled via GRAFT_YOUNG_FACTOR — a mode
+    * that silently measured the dispatch instead of its path would be the
+    * same delta-vs-delta fiction the round-9 aggleft correction fixed. */
+  private def benchSession(): SparkSession = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.graft.recomputeYoungFactor",
+        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("join")) { runJoinChain(args.drop(1)); return }
     if (args.headOption.contains("join3")) { runJoin3Chain(args.drop(1)); return }
@@ -56,17 +75,7 @@ object EngineBench {
     if (args.headOption.contains("nested")) { runNestedAgg(args.drop(1)); return }
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-engine-bench").toString
 
     (1 to nSlices).foreach { s =>
@@ -138,17 +147,7 @@ object EngineBench {
   private def runReuseChain(args: Array[String]): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(5000)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-reuse-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     (1 to nSlices).foreach { s =>
@@ -225,17 +224,7 @@ object EngineBench {
   private def runLeftJoinChain(args: Array[String], variant: String = "plain"): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-leftjoin-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     (1 to nSlices).foreach { s =>
@@ -365,17 +354,7 @@ object EngineBench {
   private def runDistinctJoinChain(args: Array[String]): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-distinctjoin-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     (1 to nSlices).foreach { s =>
@@ -460,17 +439,7 @@ object EngineBench {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(16)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(5000)
     val nKeys = 200; val touched = 20
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-streamface-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     (1 to nSlices).foreach { s =>
@@ -562,17 +531,7 @@ object EngineBench {
   private def runReuseJoinChain(args: Array[String]): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(5000)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-reusejoin-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     (1 to nSlices).foreach { s =>
@@ -659,17 +618,7 @@ object EngineBench {
   private def runJoinChain(args: Array[String]): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(5000)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-join-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
 
@@ -785,17 +734,7 @@ object EngineBench {
   private def runJoin3Chain(args: Array[String], leftMix: Boolean = false): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-join3-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     (1 to nSlices).foreach { s =>
@@ -907,17 +846,7 @@ object EngineBench {
   private def runNestedAgg(args: Array[String]): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-nested-bench").toString
 
     (1 to nSlices).foreach { s =>
@@ -1008,17 +937,7 @@ object EngineBench {
     // group-count-sized and the invertible side's O(slice) tier-append
     // state write separates from any full-state rewrite.
     val nSymbols = args.lift(2).map(_.toInt).getOrElse(5000)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-retractagg-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
 
@@ -1106,17 +1025,7 @@ object EngineBench {
   private def runRetractState(args: Array[String]): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // engine-path benches price the PATHS, not the dispatch: pin the
-      // young-dataset recompute detour off unless explicitly enabled
-      .config("spark.graft.recomputeYoungFactor",
-        sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-retract-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
 

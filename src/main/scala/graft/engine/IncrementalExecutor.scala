@@ -421,26 +421,43 @@ final class IncrementalExecutor(
     * streaming-face run that created them): the merge path must keep that
     * state current, so a young recompute detour would strand it stale.
     * Aux-free specs keep no such state (both paths share the absolute
-    * visible snapshot), so re-entering the detour is harmless for them.
-    * Checkpoints whose ledgers predate `bufferedRows` read history as the
-    * rows accumulated since upgrade, which only understates it: such
-    * chains stay on the recompute a few extra runs, then migrate — same
-    * as a first flip.
+    * visible snapshot), so re-entering the detour is harmless for them —
+    * though the run-count bound means in practice only a dataset's first
+    * `factor` runs ever detour. Checkpoints whose ledgers predate
+    * `bufferedRows`/`stateRuns` have on-disk buffers without counts:
+    * history is UNKNOWN, and the gate stays on the established path.
     */
   private def youngDataset(stickyState: Option[String]): Boolean = {
     // factor 0 (spark.graft.recomputeYoungFactor) disables the detour —
     // the test harness pins 0 so short seeded chains still exercise the
-    // delta/merge paths they were written to cover
+    // delta/merge paths they were written to cover. A malformed setting
+    // falls back to the default rather than failing every transform.
     val factor = spark.conf
       .get("spark.graft.recomputeYoungFactor",
-        IncrementalExecutor.RecomputeYoungFactor.toString).toLong
-    factor > 0 && stickyState.forall(!store.has(_)) && {
-      val sliceRows = inputs.map(
-        _.spec.offsetInterval.map(oi => oi.end - oi.start + 1L).getOrElse(0L)).sum
-      val histRows = inputs.map(i =>
-        ledger.bufferedRows.getOrElse(i.spec.queryAlias, 0L)).sum
-      histRows < factor * math.max(sliceRows, 1L)
+        IncrementalExecutor.RecomputeYoungFactor.toString) match {
+      case s => scala.util.Try(s.trim.toLong)
+        .getOrElse(IncrementalExecutor.RecomputeYoungFactor)
     }
+    // An input with on-disk buffers but no ledger count (checkpoint
+    // written before bufferedRows existed) has UNKNOWN history — treating
+    // it as 0 would send a mature dataset through factor-many full
+    // recomputes after an engine upgrade. Stay on the established path.
+    def countsKnown = inputs.forall(i =>
+      !store.has(bufferName(i.spec.queryAlias)) ||
+        ledger.bufferedRows.contains(i.spec.queryAlias))
+    factor > 0 && stickyState.forall(!store.has(_)) &&
+      // run-count bound: "young" means BORN RECENTLY, not merely a low
+      // history/slice ratio — a mature dataset receiving one oversized
+      // backfill slice must not re-enter the detour (for join shapes the
+      // recompute's snapshot diff is O(history-output), which the
+      // slice-ratio model alone would underprice)
+      ledger.stateRuns < factor && countsKnown && {
+        val sliceRows =
+          inputs.map(_.spec.offsetInterval.map(_.span).getOrElse(0L)).sum
+        val histRows = inputs.map(i =>
+          ledger.bufferedRows.getOrElse(i.spec.queryAlias, 0L)).sum
+        histRows < factor * math.max(sliceRows, 1L)
+      }
   }
 
   /** Agg-merge family detour, sticky on the partials state. */
@@ -2957,11 +2974,13 @@ object IncrementalExecutor {
     * fixed per-run overhead — partials/matched tier reads and writes,
     * and for join chains the telescoping delta terms (measured at ~2.5 s
     * extra per run against the recompute twin in `EngineBench aggleft`,
-    * BENCH_NOTES round 9). Below this ratio the recompute is the cheaper
-    * physical plan at ANY absolute scale, because both sides are measured
-    * in units of slice scans — so a dataset's first runs ride the
-    * recompute, and the dispatch flips to the merge path once history
-    * outgrows the slice, paying the one-time partials rebuild the
+    * BENCH_NOTES round 9). The ratio is scale-free because both sides are
+    * measured in units of slice scans — but it models the fixed overhead
+    * as slice-proportional, which overprices the delta arm for oversized
+    * slices, so [[IncrementalExecutor.youngDataset]] additionally bounds
+    * the detour to a dataset's first `factor` RUNS: "young" means born
+    * recently, never a mature dataset whose latest slice happens to be
+    * huge. The flip pays the one-time partials rebuild the
     * checkpoint-upgrade migration already implements. Sticky thereafter:
     * a present `agg_partials` state pins the merge path even if a later
     * oversized slice drops the ratio back under the threshold (a young

@@ -26,10 +26,15 @@ final case class Ledger(
       * slice), which lets the dispatch price an O(history) recompute
       * against the delta paths' fixed per-run overhead without touching
       * the data ([[graft.engine.IncrementalExecutor]] young-dataset gate).
-      * Absent on checkpoints written before this field existed — counts
-      * then accumulate from the upgrade point, which only understates
-      * history (errs toward staying on the established path). */
-    bufferedRows: Map[String, Long] = Map.empty
+      * Absent on checkpoints written before this field existed; the gate
+      * treats an input with on-disk buffers but no count as UNKNOWN
+      * history and stays on the established path. */
+    bufferedRows: Map[String, Long] = Map.empty,
+    /** Completed transform runs recorded on this checkpoint chain. Bounds
+      * the young-dataset gate: a mature dataset receiving one oversized
+      * backfill slice must not re-enter the recompute detour just because
+      * history/slice dropped — the run count says it is not young. */
+    stateRuns: Long = 0L
 )
 
 /** Cross-run operator state as plain Parquet + a JSON watermark/offset ledger
@@ -240,8 +245,9 @@ final class StateStore(
           }
           b.result()
         }.getOrElse(Map.empty[String, Long])
+        val runs = Option(node.get("stateRuns")).map(_.asLong()).getOrElse(0L)
         Ledger(in, optTs("outputWatermark"), optTs("emitThreshold"),
-          retractive, buffered)
+          retractive, buffered, runs)
       case _ => Ledger(Map.empty, None, None)
     }
 
@@ -258,7 +264,7 @@ final class StateStore(
       .mkString("{", ",", "}")
     Files.writeString(
       Paths.get(newDir, "ledger.json"),
-      s"""{"inputWatermarks": $in, "outputWatermark": ${opt(ledger.outputWatermark)}, "emitThreshold": ${opt(ledger.emitThreshold)}, "retractiveInputs": $retr, "bufferedRows": $buf}"""
+      s"""{"inputWatermarks": $in, "outputWatermark": ${opt(ledger.outputWatermark)}, "emitThreshold": ${opt(ledger.emitThreshold)}, "retractiveInputs": $retr, "bufferedRows": $buf, "stateRuns": ${ledger.stateRuns}}"""
     )
   }
 }

@@ -127,14 +127,14 @@ final class TransformEngine(spark: SparkSession) {
         outputWatermark = newWm,
         emitThreshold = out.emitThreshold.orElse(ledger.emitThreshold),
         retractiveInputs = ledger.retractiveInputs ++ out.retractiveInputs,
-        // cumulative offered rows (offsetInterval arithmetic, no job) —
-        // the history-size input to the executor's young-dataset gate
+        // cumulative offered rows + run count (offsetInterval arithmetic,
+        // no job) — the history-size inputs to the young-dataset gate
         bufferedRows = inputs.map { i =>
-          val span = i.spec.offsetInterval
-            .map(oi => oi.end - oi.start + 1L).getOrElse(0L)
           i.spec.queryAlias ->
-            (ledger.bufferedRows.getOrElse(i.spec.queryAlias, 0L) + span)
-        }.toMap))
+            (ledger.bufferedRows.getOrElse(i.spec.queryAlias, 0L) +
+              i.spec.offsetInterval.map(_.span).getOrElse(0L))
+        }.toMap,
+        stateRuns = ledger.stateRuns + 1))
 
       TransformResponse.Success(
         newOffsetInterval =

@@ -30,7 +30,12 @@ final case class DatasetVocabulary(
 }
 
 /** Closed interval of record offsets. */
-final case class OffsetInterval(start: Long, end: Long)
+final case class OffsetInterval(start: Long, end: Long) {
+  /** Row count of the closed interval — the one definition shared by the
+    * ledger's cumulative `bufferedRows` accumulator and the dispatch
+    * gate's slice size, which must measure identical units. */
+  def span: Long = end - start + 1L
+}
 
 /** An explicit watermark attached to an input slice. */
 final case class RequestWatermark(systemTime: Instant, eventTime: Instant)

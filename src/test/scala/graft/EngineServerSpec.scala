@@ -22,6 +22,9 @@ class EngineServerSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // pin the young-dataset recompute detour off: short seeded chains here
+    // must exercise the same engine paths their assertions were written for
+    .config("spark.graft.recomputeYoungFactor", "0")
     .getOrCreate()
 
   def ts(day: Int, hour: Int = 0): Instant =

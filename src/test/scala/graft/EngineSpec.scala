@@ -1492,6 +1492,85 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("young detour respects the run bound and unknown-history checkpoints") {
+    import spark.implicits._
+    // Path marker: runSnapshotDiff writes the snapshot FULLY (all-new part
+    // file names, never tier-merged) while the delta paths appendCarry it
+    // (the previous checkpoint's files ride forward as hard links, and
+    // tier compaction may fold them into a merged-* file) — so a run is
+    // on the delta path iff its snapshot dir shares a file name with its
+    // predecessor's or holds a compaction product.
+    def snapFiles(cp: String): Set[String] = {
+      val d = new java.io.File(s"$cp/snapshot")
+      if (!d.exists) Set.empty
+      else d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    def deltaCarried(cur: String, prev: String): Boolean =
+      snapFiles(cur).intersect(snapFiles(prev)).nonEmpty ||
+        snapFiles(cur).exists(_.startsWith("merged-"))
+    val q =
+      """SELECT o.event_time as event_time, o.order_id, o.quantity,
+        |  s.num_shipped
+        |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    val dir = tmp()
+    spark.conf.set("spark.graft.recomputeYoungFactor", "2")
+    try {
+      var offA = 0L; var offB = 0L
+      def drive(run: Int, orders: Seq[OrderRow], ships: Seq[Shipment],
+          prev: Option[String], cp: String): Unit = {
+        val o = s"$dir/o$run.parquet"; val s = s"$dir/s$run.parquet"
+        writeSlice(orders, o); writeSlice(ships, s)
+        runT(TransformRequest(
+          "did:out", "out", ts(run + 10), DatasetVocabulary(),
+          transform(None -> q),
+          Vector(
+            mkInput("orders", o, o, orders.length, startOffset = offA,
+              wms = Seq(ts(run))),
+            mkInput("shipments", s, s, ships.length, startOffset = offB,
+              wms = Seq(ts(run)))),
+          nextOffset = 0, prevCheckpointPath = prev,
+          newCheckpointPath = cp, newDataPath = s"$dir/out$run.parquet"))
+        offA += orders.length; offB += ships.length
+      }
+      def mkOrders(run: Int, n: Int): Seq[OrderRow] = (0 until n).map(i =>
+        OrderRow(offA + i, Op.Append, t(ts(run)), t(ts(run)),
+          100L * run + i, 10L + i))
+      def mkShips(run: Int, ids: Seq[Long]): Seq[Shipment] =
+        ids.zipWithIndex.map { case (id, i) =>
+          Shipment(offB + i, Op.Append, t(ts(run)), t(ts(run)), id, 5L) }
+      // runs 1-2: 3-row slices, young by both ratio and run count
+      drive(1, mkOrders(1, 2), mkShips(1, Seq(100L)), None, s"$dir/cp1")
+      drive(2, mkOrders(2, 2), mkShips(2, Seq(200L)), Some(s"$dir/cp1"), s"$dir/cp2")
+      assert(!deltaCarried(s"$dir/cp2", s"$dir/cp1"),
+        "run 2 must still be on the young recompute (full snapshot rewrite)")
+      // run 3: stateRuns = 2 >= factor — the run bound ends the detour
+      drive(3, mkOrders(3, 2), mkShips(3, Seq(300L)), Some(s"$dir/cp2"), s"$dir/cp3")
+      assert(deltaCarried(s"$dir/cp3", s"$dir/cp2"),
+        "run 3 must be on the delta path (snapshot carried forward)")
+      // run 4: an oversized backfill slice drops history/slice back under
+      // the factor — the run bound must keep the mature chain on the
+      // delta path (a detour here would full-recompute and full-diff)
+      drive(4, mkOrders(4, 20), mkShips(4, Seq(400L)), Some(s"$dir/cp3"), s"$dir/cp4")
+      assert(deltaCarried(s"$dir/cp4", s"$dir/cp3"),
+        "an oversized slice on a mature chain must not re-enter the detour")
+      // upgrade scenario: a checkpoint with buffers but a ledger that
+      // predates bufferedRows/stateRuns has UNKNOWN history — the gate
+      // must stay on the established (delta) path, not burn factor-many
+      // full recomputes
+      val ledgerPath = java.nio.file.Paths.get(s"$dir/cp4/ledger.json")
+      val doctored = {
+        val j = java.nio.file.Files.readString(ledgerPath)
+        val cut = j.indexOf(", \"bufferedRows\"")
+        assert(cut > 0, s"unexpected ledger shape: $j")
+        j.substring(0, cut) + "}"
+      }
+      java.nio.file.Files.writeString(ledgerPath, doctored)
+      drive(5, mkOrders(5, 2), mkShips(5, Seq(500L)), Some(s"$dir/cp4"), s"$dir/cp5")
+      assert(deltaCarried(s"$dir/cp5", s"$dir/cp4"),
+        "unknown history (pre-upgrade ledger) must stay on the delta path")
+    } finally spark.conf.set("spark.graft.recomputeYoungFactor", "0")
+  }
+
   test("signed merge and recompute emit identical changelogs under retractions") {
     import spark.implicits._
     // Seeded random slices with appends AND retractions of still-live rows

@@ -19,6 +19,9 @@ class FormatsSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // pin the young-dataset recompute detour off: short seeded chains here
+    // must exercise the same engine paths their assertions were written for
+    .config("spark.graft.recomputeYoungFactor", "0")
     .getOrCreate()
 
   def transform(q: String): Transform =

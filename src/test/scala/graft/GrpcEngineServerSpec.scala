@@ -25,6 +25,9 @@ class GrpcEngineServerSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // pin the young-dataset recompute detour off: short seeded chains here
+    // must exercise the same engine paths their assertions were written for
+    .config("spark.graft.recomputeYoungFactor", "0")
     .getOrCreate()
 
   def ts(day: Int, hour: Int = 0): Instant =
