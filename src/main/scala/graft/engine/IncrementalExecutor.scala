@@ -194,6 +194,14 @@ final class IncrementalExecutor(
       // streaming operator keys state on raw input columns
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.leftJoinDelta.exists(!_.derived) && d.aggMerge.isEmpty => ()
+      // inner-join changelogs run Spark's NATIVE unbounded stream-stream
+      // inner equi-join (the one join shape Structured Streaming serves
+      // without a watermark bound) — restricted to one equi-join of two
+      // direct inputs; trees/θ-residuals stay batch
+      case d: PlanClassifier.Mode.SnapshotDiff
+          if d.joinDelta.isDefined && d.aggMerge.isEmpty &&
+            d.leftJoinDelta.isEmpty && d.distinctDelta.isEmpty &&
+            innerJoinFace.isDefined => ()
       // DISTINCT / UNION changelogs route their emission through
       // StreamingDistinct's keyed seen-state (batch state writes kept)
       case d: PlanClassifier.Mode.SnapshotDiff
@@ -209,9 +217,9 @@ final class IncrementalExecutor(
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
             "stateless, tumbling-window, interval-join, as-of join, " +
-            "left-join changelog, DISTINCT/UNION changelog, invertible " +
-            "GROUP BY changelog, and single-partition-column Top-N " +
-            "transforms only")
+            "inner-join changelog, left-join changelog, DISTINCT/UNION " +
+            "changelog, invertible GROUP BY changelog, and " +
+            "single-partition-column Top-N transforms only")
     }
     runMode()
   }
@@ -247,6 +255,15 @@ final class IncrementalExecutor(
           // this spec shape (invertible, op-free, divisible avgs), so the
           // tier-appended state interleaves with batch runs
           runIncrementalAgg(spec, neverFlips = true)
+        case (None, None)
+            if d.joinDelta.isDefined && d.distinctDelta.isEmpty &&
+              innerJoinFace.isDefined =>
+          if (retractiveNow.nonEmpty)
+            throw new InvalidQueryException(
+              "streaming execution mode does not support inner-join " +
+                "changelogs over inputs that have carried retractions — " +
+                "use the batch engine")
+          runDeltaJoin(d.joinDelta.get)
         case _ =>
           runTopNStreaming(streamTopN.getOrElse(throw new InvalidQueryException(
             "streaming execution mode cannot serve this updating shape")),
@@ -896,11 +913,148 @@ final class IncrementalExecutor(
     val leftLc = leftSchema.fieldNames.map(_.toLowerCase).toSet
     val rightLc = rightSchema.fieldNames.map(_.toLowerCase).toSet
     def project(df: DataFrame): DataFrame =
-      runChainOverLeftJoinView(df, spec, leftLc, rightLc)
+      runChainOverLeftJoinView(df, spec.left, spec.leftAlias,
+        spec.right, spec.rightAlias, leftLc, rightLc)
     val appends = project(wide.where(col(opCol) === Op.Append).drop(opCol))
     val retr = wide.where(col(opCol) === Op.Retract).drop(opCol)
     val retracts = if (retr.isEmpty) None else Some(project(retr))
     (Some(appends), retracts)
+  }
+
+  /** Shape proof for the Structured Streaming INNER-join face: every join
+    * in the chain collapses to ONE inner equi-join of two DIRECT, DISTINCT
+    * input relations on a single same-typed `l.x = r.y` conjunct. Unlike
+    * the left-join face there is no hand-rolled keyed-state operator —
+    * Spark's native unbounded stream-stream inner join serves the
+    * semantics directly (it is the one outer-join-free shape Structured
+    * Streaming supports without a watermark bound) — so the key needs no
+    * toString-canonicality restriction, only type equality (mixed-type
+    * equality resolves by cast in batch, which the staged key-range
+    * narrowing below must not re-order).
+    * Returns (leftRel, leftAlias, rightRel, rightAlias, leftKey, rightKey).
+    */
+  private lazy val innerJoinFace
+      : Option[(String, String, String, String, String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
+    val joins = (
+      try steps.map(s => spark.sessionState.sqlParser.parsePlan(s._2.sql))
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq.empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+      }
+    ).flatMap(_.collect { case j: Join => j })
+    def relAlias(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[(String, String)] = p match {
+      case s: SubqueryAlias => s.child match {
+        case r: UnresolvedRelation => Some((r.multipartIdentifier.last, s.alias))
+        case _                     => None
+      }
+      case r: UnresolvedRelation =>
+        Some((r.multipartIdentifier.last, r.multipartIdentifier.last))
+      case _ => None
+    }
+    for {
+      j <- Some(joins).collect { case Seq(only: Join) => only }
+      if j.joinType == Inner
+      (a, la) <- relAlias(j.left)
+      (b, rb) <- relAlias(j.right)
+      if !a.equalsIgnoreCase(b)
+      ia <- byAlias(a); ib <- byAlias(b)
+      cond <- j.condition
+      (ln, rn) <- cond match {
+        case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+            if l.nameParts.length == 2 && r.nameParts.length == 2 =>
+          val (lq, lc) = (l.nameParts.head, l.nameParts.last)
+          val (rq, rc) = (r.nameParts.head, r.nameParts.last)
+          if (lq.equalsIgnoreCase(la) && rq.equalsIgnoreCase(rb)) Some((lc, rc))
+          else if (lq.equalsIgnoreCase(rb) && rq.equalsIgnoreCase(la))
+            Some((rc, lc))
+          else None
+        case _ => None
+      }
+      lf <- ia.df.schema.fields.find(_.name.equalsIgnoreCase(ln))
+      rf <- ib.df.schema.fields.find(_.name.equalsIgnoreCase(rn))
+      if lf.dataType == rf.dataType
+      // the wide staging prefixes right columns with __right_; a left
+      // column already carrying the prefix would collide
+      if !ia.df.columns.exists(_.toLowerCase.startsWith("__right_"))
+    } yield (a, la, b, rb, lf.name, rf.name)
+  }
+
+  /** Structured Streaming face of the inner-join changelog
+    * ([[runDeltaJoin]]): Spark's NATIVE unbounded stream-stream inner
+    * equi-join, run as two AvailableNow rounds over scratch-staged
+    * parquet — a seed round whose emissions are discarded (it only loads
+    * both sides' state) and a slice round whose emissions are exactly the
+    * batch delta terms ΔA ⋈ (B_old ∪ ΔB)  ∪  A_old ⋈ ΔB, because a
+    * micro-batch of a symmetric hash join emits precisely the pairs
+    * involving at least one new row. Inner joins emit appends only, so
+    * unlike the left-join face there is no retract stream. Seeds are
+    * touched-key narrowed: a seed row whose key none of the slice rows
+    * carry cannot pair with anything new, and seed⋈seed pairs are
+    * discarded anyway — O(state ∩ touched + slice) staging.
+    * Returns the WIDE joined frame (left columns + `__right_*`), or None
+    * on a watermark-only run.
+    */
+  private def streamingInnerJoinEmission(
+      ia: LoadedInput,
+      ib: LoadedInput,
+      oldA: DataFrame,
+      oldB: DataFrame,
+      lk: String,
+      rk: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types.StructType
+    val hasDa = ia.spec.offsetInterval.isDefined
+    val hasDb = ib.spec.offsetInterval.isDefined
+    if (!hasDa && !hasDb) return None
+    val leftSchema = ia.df.drop("__seq").schema
+    def prepRight(df: DataFrame): DataFrame = {
+      val d = df.drop("__seq")
+      d.columns.foldLeft(d)(
+        (acc, c) => acc.withColumnRenamed(c, s"__right_$c"))
+    }
+    val rightStagedSchema = prepRight(ib.df).schema
+    val srcA = scratchDir("graft-ij-left")
+    val srcB = scratchDir("graft-ij-right")
+    val cp = scratchDir("graft-ij-cp")
+    val outDir = scratchDir("graft-ij-out")
+    def round(sink: (DataFrame, Long) => Unit): Unit = {
+      val q = spark.readStream.schema(leftSchema).parquet(srcA)
+        .join(
+          spark.readStream.schema(rightStagedSchema).parquet(srcB),
+          col(lk) === col(s"__right_$rk"), "inner")
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch(sink)
+        .start()
+      q.awaitTermination()
+    }
+    val touched = ia.df.select(col(lk))
+      .unionByName(ib.df.select(col(rk).as(lk)))
+      .where(col(lk).isNotNull).distinct()
+    oldA.drop("__seq").join(touched, Seq(lk), "left_semi")
+      .select(leftSchema.fieldNames.map(col): _*)
+      .write.mode("overwrite").parquet(srcA)
+    prepRight(
+      oldB.drop("__seq")
+        .join(touched.select(col(lk).as(rk)), Seq(rk), "left_semi"))
+      .select(rightStagedSchema.fieldNames.map(col): _*)
+      .write.mode("overwrite").parquet(srcB)
+    round((b, _) => { b.count(); () })
+    // one file per side ⇒ one micro-batch for the slice round
+    ia.df.drop("__seq").coalesce(1).write.mode("append").parquet(srcA)
+    prepRight(ib.df).coalesce(1).write.mode("append").parquet(srcB)
+    round((b, _) => b.write.mode("append").parquet(outDir))
+    val outSchema = StructType(leftSchema.fields ++ rightStagedSchema.fields)
+    val hasParts = Option(new java.io.File(outDir).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    Some(
+      if (hasParts) spark.read.schema(outSchema).parquet(outDir)
+      else TransformEngine.emptyDf(spark, outSchema))
   }
 
   /** Run the step chain with the (single) LEFT JOIN collapsed to a scan of
@@ -911,7 +1065,10 @@ final class IncrementalExecutor(
     */
   private def runChainOverLeftJoinView(
       wide: DataFrame,
-      spec: PlanClassifier.LeftJoinDelta,
+      leftRel: String,
+      leftAlias: String,
+      rightRel: String,
+      rightAlias: String,
       leftColsLc: Set[String],
       rightColsLc: Set[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
@@ -944,13 +1101,13 @@ final class IncrementalExecutor(
               : PartialFunction[Expression, Expression] = {
             case a: UnresolvedAttribute
                 if a.nameParts.length == 2 &&
-                  (a.nameParts.head.equalsIgnoreCase(spec.rightAlias) ||
-                    a.nameParts.head.equalsIgnoreCase(spec.right)) =>
+                  (a.nameParts.head.equalsIgnoreCase(rightAlias) ||
+                    a.nameParts.head.equalsIgnoreCase(rightRel)) =>
               UnresolvedAttribute(Seq("__right_" + a.nameParts.last))
             case a: UnresolvedAttribute
                 if a.nameParts.length == 2 &&
-                  (a.nameParts.head.equalsIgnoreCase(spec.leftAlias) ||
-                    a.nameParts.head.equalsIgnoreCase(spec.left)) =>
+                  (a.nameParts.head.equalsIgnoreCase(leftAlias) ||
+                    a.nameParts.head.equalsIgnoreCase(leftRel)) =>
               UnresolvedAttribute(Seq(a.nameParts.last))
             case a: UnresolvedAttribute
                 if a.nameParts.length == 1 &&
@@ -2107,8 +2264,30 @@ final class IncrementalExecutor(
     // watermark-only run on every input: nothing can join, emit nothing.
     // Pinned: the union of terms feeds the emission and the snapshot
     // carry-append — without pinning every consumer re-runs all terms.
+    // Structured Streaming face: swap only HOW the delta multiset is
+    // computed (native stream-stream inner join over staged seeds+slices,
+    // then the chain over the wide view); buffers/snapshot bookkeeping
+    // below is shared, so batch and streaming runs interleave on one
+    // checkpoint.
     val delta = pin(Snitch.tap(
-      parts.reduceOption(_.unionByName(_)).getOrElse(emptyFrame()),
+      if (streamingMode) {
+        val (l, la, r, ra, lk, rk) = innerJoinFace.getOrElse(
+          throw new InvalidQueryException(
+            "streaming execution mode serves inner-join changelogs only " +
+              "for a single equi-join of two direct inputs on one " +
+              "same-typed key — use the batch engine"))
+        val ia = byAlias(l).get; val ib = byAlias(r).get
+        streamingInnerJoinEmission(
+          ia, ib, olds(l), olds(r), lk, rk) match {
+          case Some(wide) =>
+            val leftLc =
+              ia.df.drop("__seq").columns.map(_.toLowerCase).toSet
+            val rightLc =
+              ib.df.drop("__seq").columns.map(_.toLowerCase).toSet
+            runChainOverLeftJoinView(wide, l, la, r, ra, leftLc, rightLc)
+          case None => emptyFrame()
+        }
+      } else parts.reduceOption(_.unionByName(_)).getOrElse(emptyFrame()),
       "output"))
 
     if (delta.columns.contains(vocab.operationTypeColumn))
