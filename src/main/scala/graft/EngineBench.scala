@@ -68,6 +68,7 @@ object EngineBench {
       runLeftJoinChain(args.drop(1), variant = "agg"); return
     }
     if (args.headOption.contains("streamface")) { runStreamFaceChain(args.drop(1)); return }
+    if (args.headOption.contains("streamjoin")) { runStreamJoinChain(args.drop(1)); return }
     if (args.headOption.contains("distinctjoin")) { runDistinctJoinChain(args.drop(1)); return }
     if (args.headOption.contains("reuse")) { runReuseChain(args.drop(1)); return }
     if (args.headOption.contains("retract")) { runRetractState(args.drop(1)); return }
@@ -516,6 +517,95 @@ object EngineBench {
           java.nio.file.Paths.get(s"$base/stream/out$n.parquet")))
     }
     println(f"""{"metric":"engine_streamface","slices":$nSlices,"rowsPerSlice":$rowsPer,"stream_sec":$tS%.1f,"stream_halves":[$s1%.1f,$s2%.1f],"batch_sec":$tB%.1f,"batch_halves":[$b1%.1f,$b2%.1f],"stream_over_batch":${tS / tB}%.2f,"byte_identical":$same}""")
+    spark.stop()
+  }
+
+  /** Price the NATIVE stream-stream inner-join face (round 9) against the
+    * batch delta-join path on the same chain: orders arrive per run and
+    * shipments lag one run (each run's ΔB matches the previous run's
+    * orders), so both engines emit O(slice) pairs per run while the
+    * buffered state grows — a flat streaming half-curve means the
+    * touched-key-narrowed seed staging is O(state ∩ touched + slice), not
+    * O(state). Byte-identity of every slice is asserted, making this the
+    * bench-scale extension of the ProtocolRoundTripSpec chains.
+    */
+  private def runStreamJoinChain(args: Array[String]): Unit = {
+    val nSlices = args.lift(0).map(_.toInt).getOrElse(16)
+    val rowsPer = args.lift(1).map(_.toInt).getOrElse(5000)
+    val spark = benchSession()
+    val base = java.nio.file.Files.createTempDirectory("graft-streamjoin-bench").toString
+    val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    (1 to nSlices).foreach { s =>
+      val off0 = (s - 1).toLong * rowsPer
+      spark.range(rowsPer).select(
+        (col("id") + off0).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"),
+        (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+          .cast("timestamp").as("event_time"),
+        (col("id") + off0).as("order_id"),
+        (pmod(col("id") * 31 + s, lit(100)) + 1).cast("long").as("quantity"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/o$s")
+      // ship the PREVIOUS run's orders (run 1 ships ids < 0: no matches,
+      // uniform slice sizes)
+      val shipBase = (s - 2).toLong * rowsPer
+      spark.range(rowsPer).select(
+        (col("id") + (s - 1).toLong * rowsPer).as("offset"), lit(0).as("op"),
+        lit(t0ts).as("system_time"),
+        (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+          .cast("timestamp").as("event_time"),
+        (col("id") + shipBase).as("order_id"),
+        (pmod(col("id") * 17 + s, lit(50)) + 1).cast("long").as("num_shipped"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/h$s")
+    }
+    def fileOf(kind: String, s: Int): String = {
+      val d = new java.io.File(s"$base/slices/$kind$s")
+      d.listFiles.filter(_.getName.endsWith(".parquet")).head.getPath
+    }
+    val q = """SELECT o.event_time AS event_time, o.order_id AS order_id,
+              |  o.quantity AS quantity, s.num_shipped AS num_shipped
+              |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    def drive(tag: String, engine: String): (Double, Double, Double) = {
+      var firstHalf = 0.0
+      val t0 = System.nanoTime()
+      var prev: Option[String] = None
+      (1 to nSlices).foreach { s =>
+        def input(alias: String, kind: String) = TransformRequestInput(
+          datasetId = s"did:$alias", datasetAlias = alias, queryAlias = alias,
+          vocab = DatasetVocabulary(),
+          offsetInterval = Some(OffsetInterval(
+            (s - 1).toLong * rowsPer, s.toLong * rowsPer - 1)),
+          dataPaths = Vector(fileOf(kind, s)), schemaFile = fileOf(kind, s),
+          explicitWatermarks = Vector(RequestWatermark(
+            Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s),
+            Instant.parse("2000-01-01T00:00:00Z").plusSeconds(s))))
+        val req = TransformRequest(
+          "did:out", "out", Instant.parse(f"2000-01-02T${s % 24}%02d:00:00Z"),
+          DatasetVocabulary(),
+          Transform(engine = engine, queries = Vector(SqlQueryStep(None, q))),
+          Vector(input("orders", "o"), input("shipments", "h")),
+          nextOffset = 0, prevCheckpointPath = prev,
+          newCheckpointPath = s"$base/$tag/cp$s",
+          newDataPath = s"$base/$tag/out$s.parquet")
+        new TransformEngine(spark).executeTransform(req) match {
+          case _: TransformResponse.Success => ()
+          case other                        => sys.error(s"$tag run $s failed: $other")
+        }
+        prev = Some(s"$base/$tag/cp$s")
+        if (s == nSlices / 2) firstHalf = (System.nanoTime() - t0) / 1e9
+      }
+      val total = (System.nanoTime() - t0) / 1e9
+      (total, firstHalf, total - firstHalf)
+    }
+    val (tB, b1, b2) = drive("batch", "spark")
+    val (tS, s1, s2) = drive("stream", "spark-streaming")
+    val same = (1 to nSlices).forall { n =>
+      java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$base/batch/out$n.parquet")),
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$base/stream/out$n.parquet")))
+    }
+    println(f"""{"metric":"engine_streamjoin","slices":$nSlices,"rowsPerSlice":$rowsPer,"stream_sec":$tS%.1f,"stream_halves":[$s1%.1f,$s2%.1f],"batch_sec":$tB%.1f,"batch_halves":[$b1%.1f,$b2%.1f],"stream_over_batch":${tS / tB}%.2f,"byte_identical":$same}""")
     spark.stop()
   }
 
