@@ -782,6 +782,97 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
       r.getAs[Int]("op"))).toSeq == Seq((3L, 9L, Op.Append)))
   }
 
+  test("streaming execution mode covers join-aggregate changelogs byte-identically") {
+    // An aggregate ABOVE a left join under engine = spark-streaming: the
+    // batch partials machinery computes the merged visible frame from the
+    // join delta terms, and StreamingAggDiff's keyed state emits the diff
+    // (+I for new groups, −U/+U when a late shipment changes a group's
+    // sums). Three-run chain — new groups, a late right row updating an
+    // existing group, an in-slice pair — must match batch slices and
+    // ledgers byte for byte, including interleaving on one checkpoint.
+    import spark.implicits._
+    import EngineFixtures.{OrderRow, Shipment}
+    val dir = Files.createTempDirectory("graft-proto-stream-ja")
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    val s2 = s"$dir/s2.parquet"
+    val o3 = s"$dir/o3.parquet"; val s3 = s"$dir/s3.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10),
+        OrderRow(1, 0, t(ts(1)), t(ts(1)), 2, 20))).toDF(), o1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Shipment(0, 0, t(ts(1)), t(ts(1)), 1, 5))).toDF(), s1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Shipment(1, 0, t(ts(2)), t(ts(2)), 2, 7))).toDF(), s2)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(OrderRow(2, 0, t(ts(3)), t(ts(3)), 3, 30))).toDF(), o3)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Shipment(2, 0, t(ts(3)), t(ts(3)), 3, 9))).toDF(), s3)
+    val q =
+      """SELECT o.event_time as event_time, count(*) as n,
+        |  sum(o.quantity) as q_total, sum(s.num_shipped) as shipped
+        |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id
+        |GROUP BY o.event_time""".stripMargin
+    def chain(engines: Seq[String], tag: String): Unit = {
+      import graft.engine.TransformEngine
+      def input(alias: String, path: Option[String], schema: String,
+          oi: Option[OffsetInterval], wm: Instant) = TransformRequestInput(
+        datasetId = s"did:odf:$alias", datasetAlias = alias,
+        queryAlias = alias, offsetInterval = oi,
+        dataPaths = path.toVector, schemaFile = schema,
+        explicitWatermarks = Vector(RequestWatermark(wm, wm)))
+      def tr(num: Int, ins: Vector[TransformRequestInput], nextOff: Long,
+          prev: Option[String]) = TransformRequest(
+        "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+        Transform(engine = engines(num - 1),
+          queries = Vector(SqlQueryStep(None, q))),
+        ins, nextOffset = nextOff, prevCheckpointPath = prev,
+        newCheckpointPath = s"$dir/$tag/cp$num",
+        newDataPath = s"$dir/$tag/out$num.parquet")
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(tr(1, Vector(
+        input("orders", Some(o1), o1, Some(OffsetInterval(0, 1)), ts(1)),
+        input("shipments", Some(s1), s1, Some(OffsetInterval(0, 0)), ts(1))),
+        0, None))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$tag run1: $r1")
+      val r2 = e.executeTransform(tr(2, Vector(
+        input("orders", None, o1, None, ts(2)),
+        input("shipments", Some(s2), s1, Some(OffsetInterval(1, 1)), ts(2))),
+        1, Some(s"$dir/$tag/cp1")))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$tag run2: $r2")
+      val r3 = e.executeTransform(tr(3, Vector(
+        input("orders", Some(o3), o1, Some(OffsetInterval(2, 2)), ts(3)),
+        input("shipments", Some(s3), s1, Some(OffsetInterval(2, 2)), ts(3))),
+        3, Some(s"$dir/$tag/cp2")))
+      assert(r3.isInstanceOf[TransformResponse.Success], s"$tag run3: $r3")
+    }
+    chain(Seq.fill(3)("spark"), "batch")
+    chain(Seq.fill(3)("spark-streaming"), "stream")
+    chain(Seq("spark", "spark-streaming", "spark"), "mixed")
+    (1 to 3).foreach { n =>
+      for (tag <- Seq("stream", "mixed")) {
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(Paths.get(s"$dir/batch/out$n.parquet")),
+          Files.readAllBytes(Paths.get(s"$dir/$tag/out$n.parquet"))),
+          s"run-$n $tag join-agg slices are not byte-identical")
+        assert(
+          Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+            Files.readString(Paths.get(s"$dir/$tag/cp$n/ledger.json")))
+      }
+    }
+    // run 1: one ts(1) group (n=2, q=30, shipped=5); run 2: the late
+    // shipment updates it (−U shipped=5 / +U shipped=12); run 3: the new
+    // ts(3) group appends
+    val o2r = spark.read.parquet(s"$dir/stream/out2.parquet")
+      .orderBy("offset").collect()
+    assert(o2r.map(r => (r.getAs[Long]("shipped"), r.getAs[Int]("op"))).toSeq ==
+      Seq((5L, Op.CorrectFrom), (12L, Op.CorrectTo)))
+    val o3r = spark.read.parquet(s"$dir/stream/out3.parquet").collect()
+    assert(o3r.map(r => (r.getAs[Long]("n"), r.getAs[Long]("q_total"),
+      r.getAs[Long]("shipped"), r.getAs[Int]("op"))).toSeq ==
+      Seq((1L, 30L, 9L, Op.Append)))
+  }
+
   test("streaming inner join rejects shapes the native face cannot serve") {
     // Join TREES (>2 relations) and θ-conditions stay batch-only: the
     // native stream-stream join needs one equi-key of two direct inputs,
