@@ -213,18 +213,19 @@ final class IncrementalExecutor(
       // signed slice split feeds the same diff.
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.aggMerge.exists(streamingServableAggSpec) => ()
-      // aggregates ABOVE a join ride the same StreamingAggDiff face — the
-      // keyed visible diff is shape-agnostic; only the batch-side partials
-      // computation (join delta terms) differs
+      // aggregates ABOVE a join and plain min/max chains ride the same
+      // StreamingAggDiff face — the keyed visible diff is shape-agnostic;
+      // only the batch-side slice-aggregate computation differs
       case d: PlanClassifier.Mode.SnapshotDiff
-          if d.aggMerge.exists(streamingServableJoinAggSpec) => ()
+          if d.aggMerge.exists(streamingServableFlipAggSpec) => ()
       case _ =>
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
             "stateless, tumbling-window, interval-join, as-of join, " +
             "inner-join changelog, left-join changelog, DISTINCT/UNION " +
-            "changelog, invertible GROUP BY changelog, join-aggregate " +
-            "changelog, and single-partition-column Top-N transforms only")
+            "changelog, GROUP BY changelog (invertible, min/max, or " +
+            "join-aggregate), and single-partition-column Top-N " +
+            "transforms only")
     }
     runMode()
   }
@@ -260,17 +261,17 @@ final class IncrementalExecutor(
           // this spec shape (invertible, op-free, divisible avgs), so the
           // tier-appended state interleaves with batch runs
           runIncrementalAgg(spec, neverFlips = true)
-        case (_, Some(spec)) if streamingServableJoinAggSpec(spec) =>
-          // flippable join-bearing aggregate: neverFlips mirrors the batch
-          // dispatch (absolute aux state + visible snapshot), so the modes
-          // interleave on one checkpoint; a carried retraction would flip
-          // batch execution onto the recompute path, which streaming
-          // cannot serve
+        case (_, Some(spec)) if streamingServableFlipAggSpec(spec) =>
+          // flippable aggregate (join-bearing, or plain min/max):
+          // neverFlips mirrors the batch dispatch (absolute aux state +
+          // visible snapshot), so the modes interleave on one checkpoint;
+          // a carried retraction would flip batch execution onto the
+          // recompute path, which streaming cannot serve
           if (retractiveNow.nonEmpty)
             throw new InvalidQueryException(
-              "streaming execution mode does not support join-aggregate " +
-                "changelogs over inputs that have carried retractions — " +
-                "use the batch engine")
+              "streaming execution mode does not support flippable " +
+                "aggregate changelogs over inputs that have carried " +
+                "retractions — use the batch engine")
           runIncrementalAgg(spec,
             neverFlips = spec.invertible && !stepsReferenceOp)
         case (None, None)
@@ -1676,27 +1677,35 @@ final class IncrementalExecutor(
       !plainDistinctSpec(spec) && !stepsReferenceOp &&
       hiddenAvgsDivisible(spec)
 
-  /** JOIN-bearing aggregate changelogs served by the SAME
+  /** FLIPPABLE aggregate changelogs served by the SAME
     * [[streamingAggDiffEmission]] face (round 9): the emission is a keyed
     * diff of two visible frames, which is shape-agnostic — only the
-    * batch-side partials computation differs (join delta terms feed
-    * sliceAgg). Requires the aux partials plan (left-join aggregates
-    * always carry it; inner-join aggregates when avg/HAVING/expression
-    * columns force it), direct join sides (mirroring the batch dispatch
-    * guard), and — checked at dispatch — an append-only history: these
-    * specs are flippable, and the batch engine's retraction flip lands on
-    * the recompute path the streaming mode cannot serve.
+    * batch-side slice-aggregate computation differs. Two sub-families:
+    * JOIN-bearing aggregates (join delta terms feed sliceAgg; requires
+    * the aux partials plan — left-join aggregates always carry it,
+    * inner-join aggregates when avg/HAVING/expression columns force it —
+    * and direct join sides, mirroring the batch dispatch guard), and
+    * plain min/max chains (non-invertible, so flippable, but the
+    * monotone-over-appends fast path and its snapshot state are exactly
+    * the batch dispatch). Both flip to the recompute path on the first
+    * input retraction in batch, which the streaming mode cannot serve —
+    * checked at dispatch.
     */
-  private def streamingServableJoinAggSpec(
-      spec: PlanClassifier.AggMergeSpec): Boolean =
-    (spec.join.isDefined || spec.leftJoin.isDefined) &&
-      spec.multiplicitySql.isEmpty && spec.partialsPlan.isDefined &&
-      !plainDistinctSpec(spec) && !stepsReferenceOp &&
-      hiddenAvgsDivisible(spec) &&
+  private def streamingServableFlipAggSpec(
+      spec: PlanClassifier.AggMergeSpec): Boolean = {
+    val joinBearing = (spec.join.isDefined || spec.leftJoin.isDefined) &&
+      spec.partialsPlan.isDefined &&
       spec.join.forall(_.rels.forall(byAlias(_).isDefined)) &&
       spec.leftJoin.forall(lj =>
         lj.allLeftRels.forall(byAlias(_).isDefined) &&
           byAlias(lj.right).isDefined)
+    val plainMinMax =
+      !spec.invertible && spec.join.isEmpty && spec.leftJoin.isEmpty
+    (joinBearing || plainMinMax) &&
+      spec.multiplicitySql.isEmpty &&
+      !plainDistinctSpec(spec) && !stepsReferenceOp &&
+      hiddenAvgsDivisible(spec)
+  }
 
   /** Streaming face of the invertible GROUP BY changelog: two AvailableNow
     * rounds over one fresh scratch checkpoint (the [[twoPhaseTopN]] /
@@ -2061,7 +2070,7 @@ final class IncrementalExecutor(
           .select((visibleSchema.fieldNames.map(col) :+
             col(vocab.operationTypeColumn)).toIndexedSeq: _*)
       case None if streamingMode && (streamingServableAggSpec(spec) ||
-          streamingServableJoinAggSpec(spec)) =>
+          streamingServableFlipAggSpec(spec)) =>
         // Streaming face (round 9): previously-visible touched rows seed
         // StreamingAggDiff's per-group state, the merged visible rows and
         // death tombstones run as a second AvailableNow round, and the

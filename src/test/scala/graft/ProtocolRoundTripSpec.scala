@@ -260,9 +260,10 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     val po = spark.read.parquet(s"$dir/pstream/out1.parquet").collect()
     assert(po.length == 1 && po(0).getAs[Int]("min") == 10
       && po(0).getAs[Int]("max") == 12)
-    // and an unsupported shape (non-invertible min/max changelog — the
-    // invertible GROUP BY face does not cover it) under the streaming
-    // engine is rejected, not silently run in batch
+    // and an unsupported shape (an ALL-variant set-op changelog — its
+    // multiplicity-arithmetic diff has no streaming face; min/max GROUP BY
+    // moved to the supported list in round 9) under the streaming engine
+    // is rejected, not silently run in batch
     val bad = runProcess("transform",
       s"""|datasetId: "did:odf:out"
           |datasetAlias: out
@@ -271,7 +272,7 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
           |transform:
           |  kind: Sql
           |  engine: spark-streaming
-          |  query: "SELECT event_time, symbol, min(price) AS mn FROM tickers GROUP BY event_time, symbol"
+          |  query: "SELECT event_time, symbol FROM tickers EXCEPT ALL SELECT event_time, symbol FROM tickers WHERE price > 11"
           |queryInputs:
           |- datasetId: "did:odf:in"
           |  queryAlias: tickers
@@ -1000,6 +1001,84 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
         assert(m.contains("streaming execution mode"), m)
       case other => fail(s"expected InvalidQuery on derived-side left join, got $other")
     }
+  }
+
+  test("streaming execution mode covers min/max GROUP BY changelogs byte-identically") {
+    // A non-invertible (min/max) GROUP BY under engine = spark-streaming
+    // rides the same StreamingAggDiff face as the invertible family — the
+    // keyed visible diff is shape-agnostic, and the batch monotone fast
+    // path supplies the merged frame. Three-run chain: initial groups, a
+    // new max for one group while another group's arrival changes nothing
+    // (must emit NOTHING for it), and a new group plus a new min.
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto-stream-minmax")
+    val q = """SELECT event_time, symbol, max(price) as hi, min(price) as lo
+              |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    val slices: Seq[Seq[Ticker]] = Seq(
+      Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+        Ticker(1, 0, t(ts(1)), t(ts(1)), "B", 20)),
+      Seq( // A's max rises; B's arrival equals its current hi/lo — silent
+        Ticker(2, 0, t(ts(2)), t(ts(1)), "A", 15),
+        Ticker(3, 0, t(ts(2)), t(ts(1)), "B", 20)),
+      Seq( // new group C; A's min drops
+        Ticker(4, 0, t(ts(3)), t(ts(1)), "C", 7),
+        Ticker(5, 0, t(ts(3)), t(ts(1)), "A", 1)))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      graft.engine.ParquetSliceSink.writeSingleFile(
+        spark.createDataset(rows).toDF(), s"$dir/in${i + 1}.parquet")
+    }
+    val nextOffs = Seq(0L, 2L, 4L)
+    def chain(engines: Seq[String], tag: String): Unit = {
+      val e = new graft.engine.TransformEngine(spark)
+      slices.zipWithIndex.foreach { case (rows, i) =>
+        val n = i + 1
+        val r = e.executeTransform(TransformRequest(
+          "did:odf:out", "out", ts(10 + n), DatasetVocabulary(),
+          Transform(engine = engines(i),
+            queries = Vector(SqlQueryStep(None, q))),
+          Vector(TransformRequestInput(
+            datasetId = "did:odf:in", datasetAlias = "tickers",
+            queryAlias = "tickers",
+            offsetInterval = Some(OffsetInterval(rows.head.offset, rows.last.offset)),
+            dataPaths = Vector(s"$dir/in$n.parquet"),
+            schemaFile = s"$dir/in1.parquet",
+            explicitWatermarks = Vector(RequestWatermark(ts(n), ts(n))))),
+          nextOffset = nextOffs(i),
+          prevCheckpointPath = if (n == 1) None else Some(s"$dir/$tag/cp${n - 1}"),
+          newCheckpointPath = s"$dir/$tag/cp$n",
+          newDataPath = s"$dir/$tag/out$n.parquet"))
+        assert(r.isInstanceOf[TransformResponse.Success], s"$tag run$n: $r")
+      }
+    }
+    chain(Seq.fill(3)("spark"), "batch")
+    chain(Seq.fill(3)("spark-streaming"), "stream")
+    chain(Seq("spark", "spark-streaming", "spark"), "mixed")
+    (1 to 3).foreach { n =>
+      for (tag <- Seq("stream", "mixed")) {
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(Paths.get(s"$dir/batch/out$n.parquet")),
+          Files.readAllBytes(Paths.get(s"$dir/$tag/out$n.parquet"))),
+          s"run-$n $tag min/max slices are not byte-identical")
+        assert(
+          Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+            Files.readString(Paths.get(s"$dir/$tag/cp$n/ledger.json")))
+      }
+    }
+    // run 2: only A changes hands (−U hi=10 / +U hi=15); B is silent
+    val o2r = spark.read.parquet(s"$dir/stream/out2.parquet")
+      .orderBy("offset").collect()
+    assert(o2r.map(r => (r.getAs[String]("symbol"), r.getAs[Long]("hi"),
+      r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", 10L, Op.CorrectFrom), ("A", 15L, Op.CorrectTo)))
+    // run 3: C appends; A's lo drops
+    val o3r = spark.read.parquet(s"$dir/stream/out3.parquet")
+      .orderBy("offset").collect()
+    assert(o3r.map(r => (r.getAs[String]("symbol"), r.getAs[Long]("lo"),
+      r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", 10L, Op.CorrectFrom), ("A", 1L, Op.CorrectTo),
+        ("C", 7L, Op.Append)))
   }
 
   test("streaming execution mode covers invertible GROUP BY changelogs byte-identically") {
