@@ -461,7 +461,10 @@ final class IncrementalExecutor(
     * though the run-count bound means in practice only a dataset's first
     * `factor` runs ever detour. Checkpoints whose ledgers predate
     * `bufferedRows`/`stateRuns` have on-disk buffers without counts:
-    * history is UNKNOWN, and the gate stays on the established path.
+    * history is UNKNOWN, and the gate stays on the established path —
+    * PERMANENTLY, via the ledger's sticky `historyUnknown` marker (the
+    * post-upgrade ledger would otherwise restart the count at one slice's
+    * span and satisfy the gate from run 2, round-9 ADVICE #1).
     */
   private def youngDataset(stickyState: Option[String]): Boolean = {
     // factor 0 (spark.graft.recomputeYoungFactor) disables the detour —
@@ -474,20 +477,13 @@ final class IncrementalExecutor(
       case s => scala.util.Try(s.trim.toLong)
         .getOrElse(IncrementalExecutor.RecomputeYoungFactor)
     }
-    // An input with on-disk buffers but no ledger count (checkpoint
-    // written before bufferedRows existed) has UNKNOWN history — treating
-    // it as 0 would send a mature dataset through factor-many full
-    // recomputes after an engine upgrade. Stay on the established path.
-    def countsKnown = inputs.forall(i =>
-      !store.has(bufferName(i.spec.queryAlias)) ||
-        ledger.bufferedRows.contains(i.spec.queryAlias))
-    factor > 0 && stickyState.forall(!store.has(_)) &&
+    factor > 0 && !historyUnknownNow && stickyState.forall(!store.has(_)) &&
       // run-count bound: "young" means BORN RECENTLY, not merely a low
       // history/slice ratio — a mature dataset receiving one oversized
       // backfill slice must not re-enter the detour (for join shapes the
       // recompute's snapshot diff is O(history-output), which the
       // slice-ratio model alone would underprice)
-      ledger.stateRuns < factor && countsKnown && {
+      ledger.stateRuns < factor && {
         val sliceRows =
           inputs.map(_.spec.offsetInterval.map(_.span).getOrElse(0L)).sum
         val histRows = inputs.map(i =>
@@ -495,6 +491,18 @@ final class IncrementalExecutor(
         histRows < factor * math.max(sliceRows, 1L)
       }
   }
+
+  /** An input with on-disk buffers but no ledger count (checkpoint written
+    * before `bufferedRows` existed) has UNKNOWN history — treating it as 0
+    * would send a mature dataset through factor-many full recomputes after
+    * an engine upgrade. True once observed, forever (the ledger marker is
+    * sticky): a restarted count can never recover the pre-upgrade history.
+    * [[graft.engine.TransformEngine]] persists this into the new ledger.
+    */
+  lazy val historyUnknownNow: Boolean =
+    ledger.historyUnknown || inputs.exists(i =>
+      store.has(bufferName(i.spec.queryAlias)) &&
+        !ledger.bufferedRows.contains(i.spec.queryAlias))
 
   /** Agg-merge family detour, sticky on the partials state. */
   private lazy val youngAggDataset: Boolean =

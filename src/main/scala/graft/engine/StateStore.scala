@@ -34,7 +34,15 @@ final case class Ledger(
       * the young-dataset gate: a mature dataset receiving one oversized
       * backfill slice must not re-enter the recompute detour just because
       * history/slice dropped — the run count says it is not young. */
-    stateRuns: Long = 0L
+    stateRuns: Long = 0L,
+    /** Sticky marker that a run ever observed on-disk input buffers with no
+      * `bufferedRows` count (a checkpoint written before that field
+      * existed): the dataset's TRUE history size is unknowable from then
+      * on — post-upgrade runs would restart the count at one slice's span
+      * and misprice a mature dataset as young for up to factor−1 full
+      * recomputes (round-9 ADVICE #1). Once true, the young-dataset gate
+      * never detours this dataset again. */
+    historyUnknown: Boolean = false
 )
 
 /** Cross-run operator state as plain Parquet + a JSON watermark/offset ledger
@@ -246,8 +254,10 @@ final class StateStore(
           b.result()
         }.getOrElse(Map.empty[String, Long])
         val runs = Option(node.get("stateRuns")).map(_.asLong()).getOrElse(0L)
+        val histUnknown =
+          Option(node.get("historyUnknown")).exists(_.asBoolean())
         Ledger(in, optTs("outputWatermark"), optTs("emitThreshold"),
-          retractive, buffered, runs)
+          retractive, buffered, runs, histUnknown)
       case _ => Ledger(Map.empty, None, None)
     }
 
@@ -264,7 +274,7 @@ final class StateStore(
       .mkString("{", ",", "}")
     Files.writeString(
       Paths.get(newDir, "ledger.json"),
-      s"""{"inputWatermarks": $in, "outputWatermark": ${opt(ledger.outputWatermark)}, "emitThreshold": ${opt(ledger.emitThreshold)}, "retractiveInputs": $retr, "bufferedRows": $buf, "stateRuns": ${ledger.stateRuns}}"""
+      s"""{"inputWatermarks": $in, "outputWatermark": ${opt(ledger.outputWatermark)}, "emitThreshold": ${opt(ledger.emitThreshold)}, "retractiveInputs": $retr, "bufferedRows": $buf, "stateRuns": ${ledger.stateRuns}, "historyUnknown": ${ledger.historyUnknown}}"""
     )
   }
 }

@@ -128,13 +128,18 @@ final class TransformEngine(spark: SparkSession) {
         emitThreshold = out.emitThreshold.orElse(ledger.emitThreshold),
         retractiveInputs = ledger.retractiveInputs ++ out.retractiveInputs,
         // cumulative offered rows + run count (offsetInterval arithmetic,
-        // no job) — the history-size inputs to the young-dataset gate
-        bufferedRows = inputs.map { i =>
+        // no job) — the history-size inputs to the young-dataset gate.
+        // MERGED over the prior map: an alias absent from this run keeps
+        // its cumulative count instead of restarting at 0 on reappearance
+        // (round-9 ADVICE #2).
+        bufferedRows = ledger.bufferedRows ++ inputs.map { i =>
           i.spec.queryAlias ->
             (ledger.bufferedRows.getOrElse(i.spec.queryAlias, 0L) +
               i.spec.offsetInterval.map(_.span).getOrElse(0L))
         }.toMap,
-        stateRuns = ledger.stateRuns + 1))
+        stateRuns = ledger.stateRuns + 1,
+        // sticky: buffers seen without counts ⇒ history unknowable forever
+        historyUnknown = exec.historyUnknownNow))
 
       TransformResponse.Success(
         newOffsetInterval =

@@ -35,12 +35,36 @@ object StreamingAggDiff {
 
   import Payload.{deser, ser}
 
-  /** Group identity = Base64 of the serialized key-value vector — total
-    * over NULL keys (a legitimate row identity under GROUP BY) and
-    * canonical for the engine's aggregate outputs: grouping already
-    * normalized -0.0/NaN, and decimal keys share one scale per column. */
+  /** Group identity = Base64 of the serialized CANONICALIZED key-value
+    * vector — total over NULL keys (a legitimate row identity under GROUP
+    * BY) and canonical for the engine's aggregate outputs: grouping
+    * already normalized -0.0/NaN, and decimal keys share one scale per
+    * column. Canonicalization strips container identity that Java
+    * serialization would otherwise leak into the key: a struct key read
+    * back from parquet state is a GenericRowWithSchema carrying the FILE's
+    * StructType while the freshly-merged frame's row carries the PLAN's —
+    * value-equal keys, different bytes — which would split one group into
+    * two and emit -D/+I where the batch diff emits -U/+U (round-9 ADVICE
+    * #3). Rows/arrays/seqs flatten to plain Vectors of canonical leaves;
+    * MapType cannot appear in a GROUP BY key (not orderable in SQL).
+    */
   def keyOf(keyValues: Seq[Any]): String =
-    java.util.Base64.getEncoder.encodeToString(ser(keyValues))
+    java.util.Base64.getEncoder.encodeToString(
+      ser(keyValues.toVector.map(canonical)))
+
+  private[streaming] def canonical(v: Any): Any = v match {
+    case r: Row                       => r.toSeq.toVector.map(canonical)
+    case a: Array[Byte]               => a.toVector
+    case a: Array[_]                  => a.toVector.map(canonical)
+    case s: scala.collection.Seq[_]   => s.toVector.map(canonical)
+    // belt-and-suspenders mirrors of grouping's float normalization for
+    // nested positions the optimizer may not rewrite
+    case d: java.lang.Double if d.isNaN              => java.lang.Double.valueOf(Double.NaN)
+    case d: java.lang.Double if d.doubleValue == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.isNaN               => java.lang.Float.valueOf(Float.NaN)
+    case f: java.lang.Float if f.floatValue == 0.0f  => java.lang.Float.valueOf(0.0f)
+    case other                        => other
+  }
 
   def record(phase: Int, keyValues: Seq[Any], rowValues: Seq[Any]): Phased =
     Phased(phase, keyOf(keyValues),
@@ -57,6 +81,14 @@ object StreamingAggDiff {
       x.doubleValue == y.doubleValue || (x.isNaN && y.isNaN)
     case (x: java.lang.Float, y: java.lang.Float) =>
       x.floatValue == y.floatValue || (x.isNaN && y.isNaN)
+    // recurse into containers so nested NaN/-0.0/binary positions keep the
+    // batch diff's null-safe semantics (a struct's Row.equals would call
+    // plain == on nested doubles, where NaN != NaN)
+    case (x: Row, y: Row)       => rowEq(x.toSeq, y.toSeq)
+    case (x: Array[_], y: Array[_]) =>
+      rowEq(x.toSeq, y.toSeq)
+    case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
+      rowEq(x.toSeq, y.toSeq)
     case (x, y) => x == y
   }
   private def rowEq(a: Seq[Any], b: Seq[Any]): Boolean =

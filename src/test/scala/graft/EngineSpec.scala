@@ -7,7 +7,7 @@ import java.time.Instant
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{RawQueryEngine, TransformEngine}
+import graft.engine.{Codec, RawQueryEngine, TransformEngine}
 import graft.protocol._
 
 /** Golden behavioral tests for the transform/raw-query engines, mirroring the
@@ -1568,6 +1568,19 @@ class EngineSpec extends AnyFunSuite {
       drive(5, mkOrders(5, 2), mkShips(5, Seq(500L)), Some(s"$dir/cp4"), s"$dir/cp5")
       assert(deltaCarried(s"$dir/cp5", s"$dir/cp4"),
         "unknown history (pre-upgrade ledger) must stay on the delta path")
+      // round-9 ADVICE #1: the run AFTER the doctored one is the real
+      // trap — run 5's fresh ledger restarted bufferedRows at one slice's
+      // span with stateRuns=1, which satisfies the ratio + run-count
+      // bounds; the sticky historyUnknown marker must keep the mature
+      // chain on the delta path anyway
+      val l5 = Codec.json.readTree(
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$dir/cp5/ledger.json")))
+      assert(l5.get("historyUnknown").asBoolean(),
+        "run 5 must persist the sticky historyUnknown marker")
+      drive(6, mkOrders(6, 2), mkShips(6, Seq(600L)), Some(s"$dir/cp5"), s"$dir/cp6")
+      assert(deltaCarried(s"$dir/cp6", s"$dir/cp5"),
+        "post-upgrade run 2 must not re-enter the detour (sticky marker)")
     } finally spark.conf.set("spark.graft.recomputeYoungFactor", "0")
   }
 
