@@ -26,7 +26,11 @@ import graft.protocol._
   * `leftjoin` the every-run-churn left-join changelog chain;
   * `leftjoinpre` its derived-sides variant (pre-step chains feeding the
   * join, row-keyed matched state); `aggleft` the sum/count-above-left-join
-  * partials chain (key-range-narrowed since round 9);
+  * partials chain (key-range-narrowed since round 9). `join`, `join3`,
+  * `leftjoin`/`leftjoinpre` accept an optional THIRD arg `hot` (e.g.
+  * `join3 16 5000 0.3`): the fraction of each foreign-key slice pinned to
+  * the oldest key — the zipfian skew adversary whose delta key band spans
+  * the full history range (round-9 VERDICT #2);
   * `distinctjoin` the DISTINCT-over-join (DistinctDelta) chain;
   * `streamface` the batch-vs-streaming as-of cost curve; `reuse` the
   * reused pre-step chain; `retract` the state-bytes plateau variant;
@@ -48,6 +52,11 @@ object EngineBench {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.graft.recomputeYoungFactor",
         sys.env.getOrElse("GRAFT_YOUNG_FACTOR", "0"))
+      // A/B lever for the skew adversary: GRAFT_MAX_BANDS=1 restores the
+      // legacy single min/max narrowing band
+      .config("spark.graft.maxNarrowBands",
+        sys.env.getOrElse("GRAFT_MAX_BANDS",
+          graft.engine.IncrementalExecutor.MaxNarrowBands.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark
@@ -225,6 +234,7 @@ object EngineBench {
   private def runLeftJoinChain(args: Array[String], variant: String = "plain"): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
+    val hot = args.lift(2).map(_.toDouble).getOrElse(0.0)
     val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-leftjoin-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
@@ -239,14 +249,21 @@ object EngineBench {
         (pmod(col("id") * 31 + s, lit(100)) + 1).cast("long").as("quantity"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/o$s")
       // ship the PREVIOUS run's orders (run 1 ships nothing real: ids < 0
-      // never match, keeping slice sizes uniform)
+      // never match, keeping slice sizes uniform); under `hot` skew a
+      // fixed fraction reference ORDER 1 every run — the delta band over
+      // the orders buffer and matched state spans the full history
       val shipBase = (s - 2).toLong * rowsPer
+      val shipKey =
+        if (hot > 0)
+          when(pmod(col("id") * 7 + s, lit(1000)) < lit((hot * 1000).toInt),
+            lit(1L)).otherwise(col("id") + shipBase)
+        else col("id") + shipBase
       spark.range(rowsPer).select(
         (col("id") + (s - 1).toLong * rowsPer).as("offset"), lit(0).as("op"),
         lit(t0ts).as("system_time"),
         (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
           .cast("timestamp").as("event_time"),
-        (col("id") + shipBase).as("order_id"),
+        shipKey.cast("long").as("order_id"),
         (pmod(col("id") * 17 + s, lit(50)) + 1).cast("long").as("num_shipped"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/h$s")
     }
@@ -339,7 +356,8 @@ object EngineBench {
       case "agg" => "engine_aggleft"
       case _     => "engine_leftjoin"
     }
-    println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
+    val hotField = if (hot > 0) s""","hot":$hot""" else ""
+    println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer$hotField%s,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
     spark.stop()
   }
 
@@ -708,6 +726,7 @@ object EngineBench {
   private def runJoinChain(args: Array[String]): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(5000)
+    val hot = args.lift(2).map(_.toDouble).getOrElse(0.0)
     val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-join-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
@@ -723,13 +742,22 @@ object EngineBench {
         (col("id") + off0).as("order_id"),
         (pmod(col("id") * 31 + s, lit(100)) + 1).cast("long").as("quantity"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/o$s")
-      // shipments: each references one (possibly much older) order
+      // shipments: each references one (possibly much older) order; under
+      // `hot` skew a fixed fraction all reference ORDER 1 — the oldest key
+      // — so every run's delta key band spans the full history range (the
+      // zipfian narrowing adversary, round-9 VERDICT #2)
+      val shipKey =
+        if (hot > 0)
+          when(pmod(col("id") * 7 + s, lit(1000)) < lit((hot * 1000).toInt),
+            lit(1L))
+            .otherwise(col("id") + off0)
+        else pmod(col("id") * 2654435761L + s, lit(off0 + rowsPer))
       spark.range(rowsPer).select(
         (col("id") + off0).as("offset"), lit(0).as("op"),
         lit(t0ts).as("system_time"),
         (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
           .cast("timestamp").as("event_time"),
-        pmod(col("id") * 2654435761L + s, lit(off0 + rowsPer)).as("order_id"),
+        shipKey.cast("long").as("order_id"),
         (pmod(col("id") * 17 + s, lit(50)) + 1).cast("long").as("num_shipped"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/s$s")
     }
@@ -803,7 +831,8 @@ object EngineBench {
 
     val tRecompute = drive("recompute", cteSteps)
     val tDelta = drive("delta", chainSteps)
-    println(f"""{"metric":"engine_join_chain","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tDelta%.1f,"recompute_sec":$tRecompute%.1f,"speedup":${tRecompute / tDelta}%.2f}""")
+    val hotField = if (hot > 0) s""","hot":$hot""" else ""
+    println(f"""{"metric":"engine_join_chain","slices":$nSlices,"rowsPerSlice":$rowsPer$hotField%s,"delta_sec":$tDelta%.1f,"recompute_sec":$tRecompute%.1f,"speedup":${tRecompute / tDelta}%.2f}""")
     spark.stop()
   }
 
@@ -824,6 +853,7 @@ object EngineBench {
   private def runJoin3Chain(args: Array[String], leftMix: Boolean = false): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
+    val hot = args.lift(2).map(_.toDouble).getOrElse(0.0)
     val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-join3-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
@@ -838,11 +868,18 @@ object EngineBench {
         (col("id") + off0).as("order_id"),
         (pmod(col("id") * 31 + s, lit(100)) + 1).cast("long").as("quantity"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/o$s")
-      // shipments: the bridge — order_id AND invoice_id, both monotone
+      // shipments: the bridge — order_id AND invoice_id, both monotone;
+      // under `hot` skew a fixed fraction reference ORDER 1, collapsing
+      // the Δ_shipments→orders narrowing band to the full history range
+      val bridgeKey =
+        if (hot > 0)
+          when(pmod(col("id") * 7 + s, lit(1000)) < lit((hot * 1000).toInt),
+            lit(1L)).otherwise(col("id") + off0)
+        else col("id") + off0
       spark.range(rowsPer).select(
         (col("id") + off0).as("offset"), lit(0).as("op"),
         lit(t0ts).as("system_time"), evt.as("event_time"),
-        (col("id") + off0).as("order_id"),
+        bridgeKey.cast("long").as("order_id"),
         (col("id") + off0 + 1000000000L).as("invoice_id"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/h$s")
       // invoices: monotone invoice_id matching the bridge 1:1
@@ -922,7 +959,8 @@ object EngineBench {
     val (tR, r1, r2) = drive("recompute", qSlowSteps)
     val (tD, d1, d2) = drive("delta", qFastSteps)
     val metric = if (leftMix) "engine_leftjoinmix" else "engine_join3"
-    println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
+    val hotField = if (hot > 0) s""","hot":$hot""" else ""
+    println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer$hotField%s,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
     spark.stop()
   }
 

