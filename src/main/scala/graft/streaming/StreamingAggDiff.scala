@@ -94,6 +94,62 @@ object StreamingAggDiff {
   private def rowEq(a: Seq[Any], b: Seq[Any]): Boolean =
     a.length == b.length && a.lazyZip(b).forall(vEq)
 
+  /** Phased records → MULTISET changelog rows for ALL-variant set ops
+    * (round-10): per value the keyed state is the previously-visible
+    * multiplicity (payload = key values :+ k), a phase-1 record carries
+    * the merged multiplicity, and the emission is |Δk| copies of the
+    * value with Append (Δ>0) or Retract (Δ<0) — exactly the batch
+    * engine's `diffMultiplicity` arithmetic. A phase-2 tombstone (value
+    * present before the merge, gone after) retracts the stored
+    * multiplicity. Identical duplicated rows are interchangeable under
+    * the engine's deterministic emission sort, so the copies' iterator
+    * order is immaterial.
+    */
+  def multiplicityDiff(
+      spark: SparkSession,
+      phased: DataFrame,
+      visibleSchema: StructType,
+      opCol: String
+  ): DataFrame = {
+    val outSchema = StructType(visibleSchema.fields :+
+      StructField(opCol, IntegerType, nullable = false))
+    def emitCopies(out: scala.collection.mutable.Builder[Row, Vector[Row]],
+        vals: Seq[Any], delta: Long): Unit = {
+      val op = if (delta > 0) Op.Append else Op.Retract
+      var i = 0L
+      while (i < math.abs(delta)) { out += Row.fromSeq(vals :+ op); i += 1 }
+    }
+    def multOf(payload: Array[Byte]): (Seq[Any], Long) = {
+      val vals = deser(payload)
+      (vals.init, vals.last.asInstanceOf[java.lang.Long].longValue)
+    }
+    phased.as[Phased](Encoders.product[Phased])
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        func = (_: String, rows: Iterator[Phased], state: GroupState[Array[Byte]]) => {
+          val out = Vector.newBuilder[Row]
+          rows.foreach { p =>
+            p.phase match {
+              case 0 => state.update(p.payload)
+              case 1 =>
+                val (vals, kNew) = multOf(p.payload)
+                val kOld = state.getOption.map(multOf(_)._2).getOrElse(0L)
+                if (kNew != kOld) emitCopies(out, vals, kNew - kOld)
+                state.update(p.payload)
+              case _ =>
+                state.getOption.foreach { b =>
+                  val (vals, kOld) = multOf(b)
+                  if (kOld != 0) emitCopies(out, vals, -kOld)
+                }
+                state.remove()
+            }
+          }
+          out.result().iterator
+        })(Encoders.BINARY, Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Phased records → changelog rows (visible columns + op). */
   def diff(
       spark: SparkSession,

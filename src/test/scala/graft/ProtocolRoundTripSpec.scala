@@ -260,10 +260,10 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     val po = spark.read.parquet(s"$dir/pstream/out1.parquet").collect()
     assert(po.length == 1 && po(0).getAs[Int]("min") == 10
       && po(0).getAs[Int]("max") == 12)
-    // and an unsupported shape (an ALL-variant set-op changelog — its
-    // multiplicity-arithmetic diff has no streaming face; min/max GROUP BY
-    // moved to the supported list in round 9) under the streaming engine
-    // is rejected, not silently run in batch
+    // and an unsupported shape (a scalar-subquery updating chain — the
+    // generic recompute path has no streaming face; ALL-variant set-op
+    // changelogs moved to the supported list in round 10) under the
+    // streaming engine is rejected, not silently run in batch
     val bad = runProcess("transform",
       s"""|datasetId: "did:odf:out"
           |datasetAlias: out
@@ -272,7 +272,7 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
           |transform:
           |  kind: Sql
           |  engine: spark-streaming
-          |  query: "SELECT event_time, symbol FROM tickers EXCEPT ALL SELECT event_time, symbol FROM tickers WHERE price > 11"
+          |  query: "SELECT event_time, symbol FROM tickers WHERE price > (SELECT min(price) FROM tickers)"
           |queryInputs:
           |- datasetId: "did:odf:in"
           |  queryAlias: tickers
@@ -1178,6 +1178,106 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
       ("B", 2, 1L, 20L, 20.0), ("B", 3, 2L, 25L, 12.5)))
     assert(ops(3) == Seq(("A", 1, 1L, 10L, 10.0)))
     assert(ops(4) == Seq(("A", 0, 1L, 7L, 7.0)))
+  }
+
+  test("streaming execution mode covers multiset set-op changelogs byte-identically") {
+    // An ALL-variant set op (EXCEPT ALL) under engine = spark-streaming
+    // routes its |Δk| multiplicity emission through
+    // StreamingAggDiff.multiplicityDiff's keyed previous-multiplicity
+    // state (round 10); the refcount merge algebra and tiered state
+    // writes stay batch. Four-run chain — initial appends with an
+    // in-slice duplicate, a RETRACTION dropping one value's multiplicity,
+    // a mixed run with a no-change value and a zero-multiplicity new
+    // value, and a watermark-only run — must match the batch engine's
+    // slices and ledgers byte for byte under an all-streaming AND a
+    // mixed batch/streaming chain on one checkpoint lineage.
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto-stream-setop")
+    val q =
+      """SELECT event_time, symbol FROM tickers
+        |EXCEPT ALL
+        |SELECT event_time, symbol FROM tickers WHERE price > 10""".stripMargin
+    val slices: Seq[Seq[Ticker]] = Seq(
+      Seq( // A multiplicity 2 (two rows ≤ 10), B multiplicity 1
+        Ticker(0, 0, t(ts(11)), t(ts(1)), "A", 10),
+        Ticker(1, 0, t(ts(11)), t(ts(1)), "A", 10),
+        Ticker(2, 0, t(ts(11)), t(ts(1)), "A", 20),
+        Ticker(3, 0, t(ts(11)), t(ts(1)), "B", 5)),
+      Seq( // retract one A@10 — A's multiplicity drops 2 → 1: one -D
+        Ticker(4, 1, t(ts(12)), t(ts(1)), "A", 10)),
+      Seq( // B@7 raises B 1 → 2 (+I); C@50 enters at multiplicity 0 (no op)
+        Ticker(5, 0, t(ts(13)), t(ts(1)), "B", 7),
+        Ticker(6, 0, t(ts(13)), t(ts(1)), "C", 50)))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      graft.engine.ParquetSliceSink.writeSingleFile(
+        spark.createDataset(rows).toDF(), s"$dir/in${i + 1}.parquet")
+    }
+    val nextOffs = Seq(0L, 3L, 4L)
+    def chain(engines: Seq[String], tag: String): Unit = {
+      val e = new graft.engine.TransformEngine(spark)
+      slices.zipWithIndex.foreach { case (rows, i) =>
+        val n = i + 1
+        val r = e.executeTransform(TransformRequest(
+          "did:odf:out", "out", ts(10 + n), DatasetVocabulary(),
+          Transform(engine = engines(i),
+            queries = Vector(SqlQueryStep(None, q))),
+          Vector(TransformRequestInput(
+            datasetId = "did:odf:in", datasetAlias = "tickers",
+            queryAlias = "tickers",
+            offsetInterval = Some(OffsetInterval(rows.head.offset, rows.last.offset)),
+            dataPaths = Vector(s"$dir/in$n.parquet"),
+            schemaFile = s"$dir/in1.parquet",
+            explicitWatermarks = Vector(RequestWatermark(ts(n), ts(n))))),
+          nextOffset = nextOffs(i),
+          prevCheckpointPath = if (n == 1) None else Some(s"$dir/$tag/cp${n - 1}"),
+          newCheckpointPath = s"$dir/$tag/cp$n",
+          newDataPath = s"$dir/$tag/out$n.parquet"))
+        assert(r.isInstanceOf[TransformResponse.Success], s"$tag run$n: $r")
+      }
+      val r4 = e.executeTransform(TransformRequest(
+        "did:odf:out", "out", ts(14), DatasetVocabulary(),
+        Transform(engine = engines(3),
+          queries = Vector(SqlQueryStep(None, q))),
+        Vector(TransformRequestInput(
+          datasetId = "did:odf:in", datasetAlias = "tickers",
+          queryAlias = "tickers", offsetInterval = None,
+          dataPaths = Vector.empty, schemaFile = s"$dir/in1.parquet",
+          explicitWatermarks = Vector(RequestWatermark(ts(4), ts(4))))),
+        nextOffset = 5, prevCheckpointPath = Some(s"$dir/$tag/cp3"),
+        newCheckpointPath = s"$dir/$tag/cp4",
+        newDataPath = s"$dir/$tag/out4.parquet"))
+      assert(r4.isInstanceOf[TransformResponse.Success], s"$tag run4: $r4")
+    }
+    chain(Seq.fill(4)("spark"), "batch")
+    chain(Seq.fill(4)("spark-streaming"), "stream")
+    chain(Seq("spark", "spark-streaming", "spark", "spark-streaming"), "mixed")
+    (1 to 4).foreach { n =>
+      for (tag <- Seq("stream", "mixed")) {
+        val b = Paths.get(s"$dir/batch/out$n.parquet")
+        val s = Paths.get(s"$dir/$tag/out$n.parquet")
+        assert(Files.exists(b) == Files.exists(s),
+          s"run-$n $tag slice existence diverged")
+        if (Files.exists(b))
+          assert(java.util.Arrays.equals(
+            Files.readAllBytes(b), Files.readAllBytes(s)),
+            s"run-$n $tag set-op slices are not byte-identical")
+        assert(
+          Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+            Files.readString(Paths.get(s"$dir/$tag/cp$n/ledger.json")))
+      }
+    }
+    // op-level spot checks on the streaming slices
+    def ops(n: Int): Seq[(String, Int)] = {
+      val p = s"$dir/stream/out$n.parquet"
+      if (!Files.exists(Paths.get(p))) Seq.empty
+      else spark.read.parquet(p).orderBy("offset").collect().toSeq
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op")))
+    }
+    assert(ops(1) == Seq(("A", 0), ("A", 0), ("B", 0)))
+    assert(ops(2) == Seq(("A", 1)))
+    assert(ops(3) == Seq(("B", 0)))
+    assert(ops(4) == Seq.empty)
   }
 
   test("streaming left join rejects non-string-canonical key types") {
