@@ -189,11 +189,12 @@ final class IncrementalExecutor(
           if d.rankTouch.isDefined && streamTopN.isDefined => ()
       // updating left-join changelogs route through StreamingLeftJoin's
       // keyed state (null-pad-retract contract); the under-aggregate
-      // composition stays with the batch agg paths, and derived-side
-      // shapes (pre-step chains feeding the join) are batch-only — the
-      // streaming operator keys state on raw input columns
+      // composition stays with the batch agg paths. Derived-side shapes
+      // (pre-step chains feeding the join) serve since round 10: the
+      // operator keys state on the DERIVED side rows — identity for
+      // direct sides, so existing chains are byte-unchanged
       case d: PlanClassifier.Mode.SnapshotDiff
-          if d.leftJoinDelta.exists(!_.derived) && d.aggMerge.isEmpty => ()
+          if d.leftJoinDelta.isDefined && d.aggMerge.isEmpty => ()
       // inner-join changelogs run Spark's NATIVE unbounded stream-stream
       // inner equi-join (the one join shape Structured Streaming serves
       // without a watermark bound) — restricted to one equi-join of two
@@ -245,7 +246,7 @@ final class IncrementalExecutor(
     case d: PlanClassifier.Mode.SnapshotDiff if streamingMode =>
       (d.leftJoinDelta, d.aggMerge) match {
         case (Some(lj), None)
-            if !lj.derived && byAlias(lj.left).isDefined &&
+            if lj.allLeftRels.forall(byAlias(_).isDefined) &&
               byAlias(lj.right).isDefined =>
           if (retractiveNow.nonEmpty)
             throw new InvalidQueryException(
@@ -880,16 +881,21 @@ final class IncrementalExecutor(
     */
   private def streamingLeftJoinEmission(
       spec: PlanClassifier.LeftJoinDelta,
-      oldA: DataFrame,
-      oldB: DataFrame,
-      ia: LoadedInput,
-      ib: LoadedInput,
-      hasDa: Boolean,
-      hasDb: Boolean): (Option[DataFrame], Option[DataFrame]) = {
+      pl: LeftDeltaPlumbing): (Option[DataFrame], Option[DataFrame]) = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import pl.{hasDa, hasDb}
     if (!hasDa && !hasDb) return (None, None) // watermark-only run
-    val leftSchema = ia.df.drop("__seq").schema
-    val rightSchema = ib.df.drop("__seq").schema
+    // DERIVED side frames throughout (round 10) — identity modulo __seq
+    // for direct sides, so the round-8/9 direct face is byte-unchanged;
+    // for derived sides the keyed-state algebra is the same over derived
+    // rows (stateless derivations are row-local), and dDeltaA is already
+    // the telescoping delta for inner-join-tree left pre-steps.
+    val aDelta = pl.dDeltaA.drop("__seq")
+    val bDelta = pl.dDeltaB.drop("__seq")
+    val aOld = pl.dOldA.drop("__seq")
+    val bOld = pl.dB(pl.oldB).drop("__seq")
+    val leftSchema = aOld.schema
+    val rightSchema = bOld.schema
     val (lk, rk) = leftJoinEquiKey(spec, leftSchema, rightSchema).getOrElse(
       throw new InvalidQueryException(
         "streaming execution mode serves left-join changelogs only for a " +
@@ -902,7 +908,7 @@ final class IncrementalExecutor(
     }
     val rightCols = rightSchema.fieldNames.toSeq
       .map(c => s"__right_$c" -> s"__right_$c")
-    val rightStagedSchema = prepRight(ib.df).schema
+    val rightStagedSchema = prepRight(bDelta).schema
     val srcA = scratchDir("graft-lj-left")
     val srcB = scratchDir("graft-lj-right")
     val cp = scratchDir("graft-lj-cp")
@@ -925,21 +931,21 @@ final class IncrementalExecutor(
     // bypass state entirely), so seeding only the touched groups is
     // byte-identical and bounds the replay to O(state ∩ touched keys)
     // instead of the full buffers.
-    val touchedKeys = ia.df.select(col(lk))
-      .unionByName(ib.df.select(col(rk).as(lk)))
+    val touchedKeys = aDelta.select(col(lk))
+      .unionByName(bDelta.select(col(rk).as(lk)))
       .where(col(lk).isNotNull).distinct()
-    oldA.drop("__seq").join(touchedKeys, Seq(lk), "left_semi")
+    aOld.join(touchedKeys, Seq(lk), "left_semi")
       .select(leftSchema.fieldNames.map(col): _*)
       .write.mode("overwrite").parquet(srcA)
-    prepRight(oldB).join(touchedKeys, Seq(lk), "left_semi")
+    prepRight(bOld).join(touchedKeys, Seq(lk), "left_semi")
       .select(rightStagedSchema.fieldNames.map(col): _*)
       .write.mode("overwrite").parquet(srcB)
     // seed state; the stateful operator only commits when it executes
     round((b, _) => { b.count(); () })
     // one file per side ⇒ one micro-batch, so in-slice ΔA×ΔB pairs join
     // directly instead of via null-pad churn (matching the batch terms)
-    ia.df.drop("__seq").coalesce(1).write.mode("append").parquet(srcA)
-    prepRight(ib.df).coalesce(1).write.mode("append").parquet(srcB)
+    aDelta.coalesce(1).write.mode("append").parquet(srcA)
+    prepRight(bDelta).coalesce(1).write.mode("append").parquet(srcB)
     round((b, _) => b.write.mode("append").parquet(outDir))
     val outSchema = StructType(leftSchema.fields ++
       rightCols.map { case (r, o) =>
@@ -952,9 +958,13 @@ final class IncrementalExecutor(
       else TransformEngine.emptyDf(spark, outSchema)
     val leftLc = leftSchema.fieldNames.map(_.toLowerCase).toSet
     val rightLc = rightSchema.fieldNames.map(_.toLowerCase).toSet
+    // collapse the join to the wide view under the DERIVED view names —
+    // the derivation pre-steps still run as plain SQL (their views are
+    // never consumed by the collapsed step; raw slice views were
+    // registered by the plumbing's derive calls, so they analyze)
     def project(df: DataFrame): DataFrame =
-      runChainOverLeftJoinView(df, spec.left, spec.leftAlias,
-        spec.right, spec.rightAlias, leftLc, rightLc)
+      runChainOverLeftJoinView(df, pl.leftView, spec.leftAlias,
+        pl.rightView, spec.rightAlias, leftLc, rightLc)
     val appends = project(wide.where(col(opCol) === Op.Append).drop(opCol))
     val retr = wide.where(col(opCol) === Op.Retract).drop(opCol)
     val retracts = if (retr.isEmpty) None else Some(project(retr))
@@ -2824,7 +2834,7 @@ final class IncrementalExecutor(
     // shared — the streaming face only swaps how the changelog is computed.
     val (appends, retractsRaw) =
       if (streamingMode)
-        streamingLeftJoinEmission(spec, oldA, oldB, ia, ib, hasDa, hasDb)
+        streamingLeftJoinEmission(spec, pl)
       else {
         val p1 = if (hasDa) Some(pass(dDeltaA, fullBJoinable)) else None
         val p2 =

@@ -958,49 +958,104 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming mode rejects left-join changelogs with derived sides") {
-    // The widened batch LeftJoinDelta accepts sides fed through stateless
-    // pre-steps; StreamingLeftJoin keys state on raw input columns, so
-    // the derived shape must stay batch-only — InvalidQuery under
-    // engine = spark-streaming, never a silently different result.
+  test("streaming execution mode covers derived-side left-join changelogs byte-identically") {
+    // Round 10: a LEFT JOIN whose sides are fed through stateless
+    // pre-steps serves under engine = spark-streaming — the staged seeds
+    // and micro-batch slices are the batch LeftDeltaPlumbing's DERIVED
+    // frames (identity for direct sides), so StreamingLeftJoin's keyed
+    // state runs over derived rows and the emissions equal the batch
+    // delta passes. Three-run chain — null-pad, late-right retraction of
+    // the null-pad, in-slice pair — must match batch slices and ledgers
+    // byte for byte, including a mixed batch/streaming chain (the
+    // streaming run-2 retraction reconstructs run-1's matched bits from
+    // the buffers alone).
     import spark.implicits._
     import EngineFixtures.{OrderRow, Shipment}
     val dir = Files.createTempDirectory("graft-proto-stream-lj-derived")
     val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    val s2 = s"$dir/s2.parquet"
+    val o3 = s"$dir/o3.parquet"; val s3 = s"$dir/s3.parquet"
     graft.engine.ParquetSliceSink.writeSingleFile(
-      spark.createDataset(Seq(OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10))).toDF(), o1)
+      spark.createDataset(Seq(
+        OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10),
+        OrderRow(1, 0, t(ts(1)), t(ts(1)), 2, 20))).toDF(), o1)
     graft.engine.ParquetSliceSink.writeSingleFile(
       spark.createDataset(Seq(Shipment(0, 0, t(ts(1)), t(ts(1)), 1, 5))).toDF(), s1)
-    val r = new graft.engine.TransformEngine(spark).executeTransform(
-      TransformRequest(
-        "did:odf:out", "out", ts(10), DatasetVocabulary(),
-        Transform(engine = "spark-streaming",
-          queries = Vector(
-            SqlQueryStep(Some("enriched"),
-              "SELECT event_time, order_id, quantity * 10 AS value FROM orders"),
-            SqlQueryStep(None,
-              """SELECT e.event_time as event_time, e.order_id as order_id,
-                |  e.value as value, s.num_shipped as num_shipped
-                |FROM enriched e LEFT JOIN shipments s
-                |  ON e.order_id = s.order_id""".stripMargin))),
-        Vector(
-          TransformRequestInput(
-            datasetId = "did:odf:o", datasetAlias = "orders",
-            queryAlias = "orders", offsetInterval = Some(OffsetInterval(0, 0)),
-            dataPaths = Vector(o1), schemaFile = o1,
-            explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1)))),
-          TransformRequestInput(
-            datasetId = "did:odf:s", datasetAlias = "shipments",
-            queryAlias = "shipments", offsetInterval = Some(OffsetInterval(0, 0)),
-            dataPaths = Vector(s1), schemaFile = s1,
-            explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1))))),
-        nextOffset = 0, prevCheckpointPath = None,
-        newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
-    r match {
-      case TransformResponse.InvalidQuery(m) =>
-        assert(m.contains("streaming execution mode"), m)
-      case other => fail(s"expected InvalidQuery on derived-side left join, got $other")
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Shipment(1, 0, t(ts(2)), t(ts(2)), 2, 7))).toDF(), s2)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(OrderRow(2, 0, t(ts(3)), t(ts(3)), 3, 30))).toDF(), o3)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Shipment(2, 0, t(ts(3)), t(ts(3)), 3, 9))).toDF(), s3)
+    val steps = Vector(
+      SqlQueryStep(Some("enriched"),
+        "SELECT event_time, order_id, quantity * 10 AS value FROM orders"),
+      SqlQueryStep(Some("shipped"),
+        "SELECT order_id AS ship_order, num_shipped FROM shipments"),
+      SqlQueryStep(None,
+        """SELECT e.event_time as event_time, e.order_id as order_id,
+          |  e.value as value, s.num_shipped as num_shipped
+          |FROM enriched e LEFT JOIN shipped s
+          |  ON e.order_id = s.ship_order""".stripMargin))
+    def chain(engines: Seq[String], tag: String): Unit = {
+      import graft.engine.TransformEngine
+      def input(alias: String, path: Option[String], schema: String,
+          oi: Option[OffsetInterval], wm: Instant) = TransformRequestInput(
+        datasetId = s"did:odf:$alias", datasetAlias = alias,
+        queryAlias = alias, offsetInterval = oi,
+        dataPaths = path.toVector, schemaFile = schema,
+        explicitWatermarks = Vector(RequestWatermark(wm, wm)))
+      def tr(num: Int, ins: Vector[TransformRequestInput], nextOff: Long,
+          prev: Option[String]) = TransformRequest(
+        "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+        Transform(engine = engines(num - 1), queries = steps),
+        ins, nextOffset = nextOff, prevCheckpointPath = prev,
+        newCheckpointPath = s"$dir/$tag/cp$num",
+        newDataPath = s"$dir/$tag/out$num.parquet")
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(tr(1, Vector(
+        input("orders", Some(o1), o1, Some(OffsetInterval(0, 1)), ts(1)),
+        input("shipments", Some(s1), s1, Some(OffsetInterval(0, 0)), ts(1))),
+        0, None))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$tag run1: $r1")
+      val r2 = e.executeTransform(tr(2, Vector(
+        input("orders", None, o1, None, ts(2)),
+        input("shipments", Some(s2), s1, Some(OffsetInterval(1, 1)), ts(2))),
+        2, Some(s"$dir/$tag/cp1")))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$tag run2: $r2")
+      val r3 = e.executeTransform(tr(3, Vector(
+        input("orders", Some(o3), o1, Some(OffsetInterval(2, 2)), ts(3)),
+        input("shipments", Some(s3), s1, Some(OffsetInterval(2, 2)), ts(3))),
+        4, Some(s"$dir/$tag/cp2")))
+      assert(r3.isInstanceOf[TransformResponse.Success], s"$tag run3: $r3")
     }
+    chain(Seq.fill(3)("spark"), "batch")
+    chain(Seq.fill(3)("spark-streaming"), "stream")
+    chain(Seq("spark", "spark-streaming", "spark"), "mixed")
+    (1 to 3).foreach { n =>
+      for (tag <- Seq("stream", "mixed")) {
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(Paths.get(s"$dir/batch/out$n.parquet")),
+          Files.readAllBytes(Paths.get(s"$dir/$tag/out$n.parquet"))),
+          s"run-$n $tag derived left-join slices are not byte-identical")
+        assert(
+          Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+            Files.readString(Paths.get(s"$dir/$tag/cp$n/ledger.json")))
+      }
+    }
+    val o1r = spark.read.parquet(s"$dir/stream/out1.parquet")
+      .orderBy("offset").collect()
+    assert(o1r.map(r => (r.getAs[Long]("order_id"), r.getAs[Long]("value"),
+      r.getAs[Any]("num_shipped"), r.getAs[Int]("op"))).toSeq ==
+      Seq((1L, 100L, 5L, Op.Append), (2L, 200L, null, Op.Append)))
+    val o2r = spark.read.parquet(s"$dir/stream/out2.parquet")
+      .orderBy("offset").collect()
+    assert(o2r.map(r => (r.getAs[Long]("order_id"), r.getAs[Any]("num_shipped"),
+      r.getAs[Int]("op"))).toSeq ==
+      Seq((2L, null, Op.Retract), (2L, 7L, Op.Append)))
+    val o3r = spark.read.parquet(s"$dir/stream/out3.parquet").collect()
+    assert(o3r.map(r => (r.getAs[Long]("order_id"), r.getAs[Any]("num_shipped"),
+      r.getAs[Int]("op"))).toSeq == Seq((3L, 9L, Op.Append)))
   }
 
   test("streaming execution mode covers min/max GROUP BY changelogs byte-identically") {

@@ -87,7 +87,13 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
       retractProb: Double = 0.0,
       ridesRetractions: Boolean = false,
       uniqueValues: Boolean = false,
-      dupProb: Double = 0.0)
+      dupProb: Double = 0.0,
+      /** Multi-step chains (derived-side shapes); overrides `sql`. */
+      steps: Option[scala.util.Random => Vector[SqlQueryStep]] = None) {
+    def mkSteps(rnd: scala.util.Random): Vector[SqlQueryStep] =
+      steps.map(_(rnd))
+        .getOrElse(Vector(SqlQueryStep(None, sql(rnd))))
+  }
 
   private val shapes: Seq[Shape] = Seq(
     Shape("stateless", Seq("tickers"), rnd => {
@@ -156,6 +162,22 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
       s"""SELECT event_time, symbol, ${aggs.mkString(", ")}
          |FROM tickers GROUP BY event_time, symbol""".stripMargin
     }, retractProb = 0.2),
+    Shape("left-join-derived", Seq("orders", "shipments"),
+      sql = _ => "", retractProb = 0.2,
+      steps = Some(rnd => {
+        val k = 2 + rnd.nextInt(5)
+        val filt = if (rnd.nextBoolean()) " WHERE num_shipped > 1" else ""
+        Vector(
+          SqlQueryStep(Some("enriched"),
+            s"SELECT event_time, order_id, quantity * $k AS qtyk FROM orders"),
+          SqlQueryStep(Some("shipped"),
+            s"SELECT order_id AS ship_order, num_shipped FROM shipments$filt"),
+          SqlQueryStep(None,
+            """SELECT e.event_time as event_time, e.order_id as order_id,
+              |  e.qtyk as qtyk, s.num_shipped as num_shipped
+              |FROM enriched e LEFT JOIN shipped s
+              |  ON e.order_id = s.ship_order""".stripMargin))
+      })),
     Shape("setop-all", Seq("lhs", "rhs"), rnd => {
       val op = if (rnd.nextBoolean()) "EXCEPT ALL" else "INTERSECT ALL"
       s"""SELECT event_time, symbol FROM lhs
@@ -179,7 +201,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     sess.conf.set("spark.graft.recomputeYoungFactor", "0")
     val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory(s"graft-equiv-${shape.name}")
-    val sql = shape.sql(rnd)
+    val querySteps = shape.mkSteps(rnd)
     val runs = 3 + rnd.nextInt(2)
 
     // ── Generate the whole chain's slices up front (shared by both modes)
@@ -254,7 +276,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
       TransformRequest(
         "did:odf:out", "out", sysT.plusSeconds(600 + run), DatasetVocabulary(),
         Transform(engine = engine,
-          queries = Vector(SqlQueryStep(None, sql)),
+          queries = querySteps,
           temporalTables = shape.temporal),
         sliceOf.map { case (alias, (path, oi, _)) =>
           TransformRequestInput(

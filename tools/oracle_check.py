@@ -47,8 +47,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; ScaleUp output (sf1) is a
+        # Spark directory of part files — register either layout
+        path = f"{sf_dir}/{t}.parquet"
+        import os
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
