@@ -196,13 +196,14 @@ final class IncrementalExecutor(
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.leftJoinDelta.isDefined && d.aggMerge.isEmpty => ()
       // inner-join changelogs run Spark's NATIVE unbounded stream-stream
-      // inner equi-join (the one join shape Structured Streaming serves
-      // without a watermark bound) — restricted to one equi-join of two
-      // direct inputs; trees/θ-residuals stay batch
+      // inner equi-joins (the one join shape Structured Streaming serves
+      // without a watermark bound), CHAINED along the join tree since
+      // round 10 — left-deep chains/stars of direct inputs on same-typed
+      // equi-keys; θ-residuals and derived sides stay batch
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.joinDelta.isDefined && d.aggMerge.isEmpty &&
             d.leftJoinDelta.isEmpty && d.distinctDelta.isEmpty &&
-            innerJoinFace.isDefined => ()
+            innerTreeFace.isDefined => ()
       // DISTINCT / UNION changelogs route their emission through
       // StreamingDistinct's keyed seen-state (batch state writes kept)
       case d: PlanClassifier.Mode.SnapshotDiff
@@ -229,11 +230,11 @@ final class IncrementalExecutor(
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
             "stateless, tumbling-window, interval-join, as-of join, " +
-            "inner-join changelog, left-join changelog, DISTINCT/UNION " +
-            "changelog, multiset set-op changelog (ALL variants), " +
-            "GROUP BY changelog (invertible, min/max, or " +
-            "join-aggregate), and single-partition-column Top-N " +
-            "transforms only")
+            "inner-join changelog (incl. equi-join trees), left-join " +
+            "changelog, DISTINCT/UNION changelog, multiset set-op " +
+            "changelog (ALL variants), GROUP BY changelog (invertible, " +
+            "min/max, or join-aggregate), and single-partition-column " +
+            "Top-N transforms only")
     }
     runMode()
   }
@@ -290,7 +291,7 @@ final class IncrementalExecutor(
           runIncrementalAgg(spec, neverFlips = !stepsReferenceOp)
         case (None, None)
             if d.joinDelta.isDefined && d.distinctDelta.isEmpty &&
-              innerJoinFace.isDefined =>
+              innerTreeFace.isDefined =>
           if (retractiveNow.nonEmpty)
             throw new InvalidQueryException(
               "streaming execution mode does not support inner-join " +
@@ -971,33 +972,39 @@ final class IncrementalExecutor(
     (Some(appends), retracts)
   }
 
-  /** Shape proof for the Structured Streaming INNER-join face: every join
-    * in the chain collapses to ONE inner equi-join of two DIRECT, DISTINCT
-    * input relations on a single same-typed `l.x = r.y` conjunct. Unlike
-    * the left-join face there is no hand-rolled keyed-state operator —
-    * Spark's native unbounded stream-stream inner join serves the
-    * semantics directly (it is the one outer-join-free shape Structured
-    * Streaming supports without a watermark bound) — so the key needs no
-    * toString-canonicality restriction, only type equality (mixed-type
-    * equality resolves by cast in batch, which the staged key-range
-    * narrowing below must not re-order).
-    * Returns (leftRel, leftAlias, rightRel, rightAlias, leftKey, rightKey).
+  /** Shape proof for the Structured Streaming INNER-join face: the chain
+    * holds exactly one join-bearing step, and that step's join tree is a
+    * left-deep chain of INNER equi-joins over DIRECT, DISTINCT input
+    * relations — each ON clause one same-typed `earlier.x = new.y`
+    * conjunct (the tree may be a path or a star: each new relation may
+    * key against ANY earlier one). Unlike the left-join face there is no
+    * hand-rolled keyed-state operator — Spark's native unbounded
+    * stream-stream inner join serves the semantics directly (it is the
+    * one outer-join-free shape Structured Streaming supports without a
+    * watermark bound, and since Spark 3.4's multi-stateful-operator
+    * support the joins CHAIN: a micro-batch of cascaded symmetric hash
+    * joins emits exactly the result tuples involving at least one new
+    * row, which is the inner-tree delta multiset) — so keys need no
+    * toString-canonicality restriction, only type equality.
+    *
+    * `rels` lists (relation, alias) in chain order; `edges(k)` keys
+    * `rels(k + 1)` as `rels(m).mCol = rels(k + 1).nCol`.
     */
-  private lazy val innerJoinFace
-      : Option[(String, String, String, String, String, String)] = {
+  private case class InnerTreeFace(
+      rels: Vector[(String, String)],
+      edges: Vector[(Int, String, String)])
+
+  private lazy val innerTreeFace: Option[InnerTreeFace] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.Inner
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
-    val joins = (
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, SubqueryAlias}
+    val parsedSteps =
       try steps.map(s => spark.sessionState.sqlParser.parsePlan(s._2.sql))
       catch {
-        case scala.util.control.NonFatal(_) =>
-          Seq.empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+        case scala.util.control.NonFatal(_) => Seq.empty[LogicalPlan]
       }
-    ).flatMap(_.collect { case j: Join => j })
-    def relAlias(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : Option[(String, String)] = p match {
+    def relAlias(p: LogicalPlan): Option[(String, String)] = p match {
       case s: SubqueryAlias => s.child match {
         case r: UnresolvedRelation => Some((r.multipartIdentifier.last, s.alias))
         case _                     => None
@@ -1006,106 +1013,187 @@ final class IncrementalExecutor(
         Some((r.multipartIdentifier.last, r.multipartIdentifier.last))
       case _ => None
     }
+    // flatten a left-deep inner chain: leaf, or Join(chain, leaf, Inner)
+    def flatten(p: LogicalPlan)
+        : Option[Vector[(String, String, Option[Expression])]] = p match {
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        for {
+          left <- flatten(j.left)
+          (r, ra) <- relAlias(j.right)
+        } yield left :+ ((r, ra, j.condition))
+      case other => relAlias(other).map { case (r, ra) => Vector((r, ra, None)) }
+    }
+    val joinSteps = parsedSteps.filter(
+      _.collectFirst { case j: Join => j }.isDefined)
     for {
-      j <- Some(joins).collect { case Seq(only: Join) => only }
-      if j.joinType == Inner
-      (a, la) <- relAlias(j.left)
-      (b, rb) <- relAlias(j.right)
-      if !a.equalsIgnoreCase(b)
-      ia <- byAlias(a); ib <- byAlias(b)
-      cond <- j.condition
-      (ln, rn) <- cond match {
-        case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
-            if l.nameParts.length == 2 && r.nameParts.length == 2 =>
-          val (lq, lc) = (l.nameParts.head, l.nameParts.last)
-          val (rq, rc) = (r.nameParts.head, r.nameParts.last)
-          if (lq.equalsIgnoreCase(la) && rq.equalsIgnoreCase(rb)) Some((lc, rc))
-          else if (lq.equalsIgnoreCase(rb) && rq.equalsIgnoreCase(la))
-            Some((rc, lc))
-          else None
-        case _ => None
+      step <- Some(joinSteps).collect { case Seq(only) => only }
+      top <- step.collectFirst { case j: Join => j }
+      flat <- flatten(top)
+      // every Join node of the step accounted for by the flatten — a join
+      // hiding inside a derived table would otherwise slip through
+      if step.collect { case j: Join => j }.length == flat.length - 1
+      rels = flat.map(f => (f._1, f._2))
+      if rels.map(_._1.toLowerCase).distinct.length == rels.length
+      if rels.map(_._2.toLowerCase).distinct.length == rels.length
+      loadedOpt = rels.map(r => byAlias(r._1))
+      if loadedOpt.forall(_.isDefined)
+      loaded = loadedOpt.map(_.get)
+      // the wide staging prefixes non-first relations' columns with
+      // __right_ / __r{i}_; a first-relation column already carrying such
+      // a prefix would collide in the wide view
+      if !loaded.head.df.columns.exists(c =>
+        c.toLowerCase.startsWith("__right_") ||
+          c.toLowerCase.matches("__r[0-9]+_.*"))
+      edgesOpt = flat.zipWithIndex.drop(1).map { case ((_, _, condOpt), idx) =>
+        condOpt.flatMap {
+          case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+              if l.nameParts.length == 2 && r.nameParts.length == 2 =>
+            val newAlias = rels(idx)._2
+            val (lq, lc) = (l.nameParts.head, l.nameParts.last)
+            val (rq, rc) = (r.nameParts.head, r.nameParts.last)
+            val resolved =
+              if (lq.equalsIgnoreCase(newAlias)) Some((lc, rq, rc))
+              else if (rq.equalsIgnoreCase(newAlias)) Some((rc, lq, lc))
+              else None
+            resolved.flatMap { case (newCol, otherQ, otherC) =>
+              val m = rels.take(idx).indexWhere(_._2.equalsIgnoreCase(otherQ))
+              if (m < 0) None
+              else for {
+                nf <- loaded(idx).df.schema.fields
+                  .find(_.name.equalsIgnoreCase(newCol))
+                mf <- loaded(m).df.schema.fields
+                  .find(_.name.equalsIgnoreCase(otherC))
+                if nf.dataType == mf.dataType
+              } yield (m, mf.name, nf.name)
+            }
+          case _ => None
+        }
       }
-      lf <- ia.df.schema.fields.find(_.name.equalsIgnoreCase(ln))
-      rf <- ib.df.schema.fields.find(_.name.equalsIgnoreCase(rn))
-      if lf.dataType == rf.dataType
-      // the wide staging prefixes right columns with __right_; a left
-      // column already carrying the prefix would collide
-      if !ia.df.columns.exists(_.toLowerCase.startsWith("__right_"))
-    } yield (a, la, b, rb, lf.name, rf.name)
+      if edgesOpt.forall(_.isDefined)
+    } yield InnerTreeFace(rels, edgesOpt.map(_.get))
   }
 
   /** Structured Streaming face of the inner-join changelog
     * ([[runDeltaJoin]]): Spark's NATIVE unbounded stream-stream inner
-    * equi-join, run as two AvailableNow rounds over scratch-staged
-    * parquet — a seed round whose emissions are discarded (it only loads
-    * both sides' state) and a slice round whose emissions are exactly the
-    * batch delta terms ΔA ⋈ (B_old ∪ ΔB)  ∪  A_old ⋈ ΔB, because a
-    * micro-batch of a symmetric hash join emits precisely the pairs
-    * involving at least one new row. Inner joins emit appends only, so
-    * unlike the left-join face there is no retract stream. Seeds are
-    * touched-key narrowed: a seed row whose key none of the slice rows
-    * carry cannot pair with anything new, and seed⋈seed pairs are
-    * discarded anyway — O(state ∩ touched + slice) staging.
-    * Returns the WIDE joined frame (left columns + `__right_*`), or None
-    * on a watermark-only run.
+    * equi-joins, CHAINED along the face's tree and run as two
+    * AvailableNow rounds over scratch-staged parquet — a seed round whose
+    * emissions are discarded (it only loads every relation's state) and a
+    * slice round whose emissions are exactly the batch delta multiset,
+    * because a micro-batch of cascaded symmetric hash joins emits
+    * precisely the result tuples involving at least one new row. Inner
+    * joins emit appends only, so unlike the left-join face there is no
+    * retract stream.
+    *
+    * Seed narrowing is a Yannakakis-style semi-join sweep: a seed row is
+    * staged only if its keys can reach a slice row through the join tree
+    * (n−1 rounds of per-edge semi-joins against the slice ∪ previously
+    * needed neighbor keys — an over-approximation of the rows appearing
+    * in some mixed old/new result tuple, which is sound: extra seeds only
+    * add discarded seed-round pairs, while a dropped needed seed would
+    * lose a slice-round pair). A multi-edge relation ORs its per-edge
+    * semi-joins multiset-exactly (match-first-edge ∪ anti-then-match-
+    * next) — a plain union would duplicate seed rows matched by two
+    * edges, and duplicated state duplicates emissions.
+    *
+    * Returns the WIDE joined frame (first relation's columns +
+    * `__right_*` + `__r{i}_*`), or None on a watermark-only run.
     */
-  private def streamingInnerJoinEmission(
-      ia: LoadedInput,
-      ib: LoadedInput,
-      oldA: DataFrame,
-      oldB: DataFrame,
-      lk: String,
-      rk: String): Option[DataFrame] = {
+  private def streamingInnerTreeEmission(
+      face: InnerTreeFace,
+      loaded: Vector[LoadedInput],
+      olds: Vector[DataFrame]): Option[DataFrame] = {
     import org.apache.spark.sql.types.StructType
-    val hasDa = ia.spec.offsetInterval.isDefined
-    val hasDb = ib.spec.offsetInterval.isDefined
-    if (!hasDa && !hasDb) return None
-    val leftSchema = ia.df.drop("__seq").schema
-    def prepRight(df: DataFrame): DataFrame = {
+    val n = face.rels.length
+    if (!loaded.exists(_.spec.offsetInterval.isDefined)) return None
+    def prefix(i: Int): String =
+      if (i == 0) "" else if (i == 1) "__right_" else s"__r${i}_"
+    def prep(i: Int)(df: DataFrame): DataFrame = {
       val d = df.drop("__seq")
-      d.columns.foldLeft(d)(
-        (acc, c) => acc.withColumnRenamed(c, s"__right_$c"))
+      if (i == 0) d
+      else d.columns.foldLeft(d)(
+        (acc, c) => acc.withColumnRenamed(c, prefix(i) + c))
     }
-    val rightStagedSchema = prepRight(ib.df).schema
-    val srcA = scratchDir("graft-ij-left")
-    val srcB = scratchDir("graft-ij-right")
+    val stagedSchemas = Vector.tabulate(n)(i => prep(i)(loaded(i).df).schema)
+    val srcDirs = Vector.tabulate(n)(i => scratchDir(s"graft-ij-r$i"))
     val cp = scratchDir("graft-ij-cp")
     val outDir = scratchDir("graft-ij-out")
     def round(sink: (DataFrame, Long) => Unit): Unit = {
-      val q = spark.readStream.schema(leftSchema).parquet(srcA)
-        .join(
-          spark.readStream.schema(rightStagedSchema).parquet(srcB),
-          col(lk) === col(s"__right_$rk"), "inner")
-        .writeStream.outputMode("append")
+      val joined = (1 until n).foldLeft(
+        spark.readStream.schema(stagedSchemas(0)).parquet(srcDirs(0))) {
+        (acc, k) =>
+          val (m, mc, nc) = face.edges(k - 1)
+          acc.join(
+            spark.readStream.schema(stagedSchemas(k)).parquet(srcDirs(k)),
+            col(prefix(m) + mc) === col(prefix(k) + nc), "inner")
+      }
+      val q = joined.writeStream.outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", cp)
         .foreachBatch(sink)
         .start()
       q.awaitTermination()
     }
-    val touched = ia.df.select(col(lk))
-      .unionByName(ib.df.select(col(rk).as(lk)))
-      .where(col(lk).isNotNull).distinct()
-    oldA.drop("__seq").join(touched, Seq(lk), "left_semi")
-      .select(leftSchema.fieldNames.map(col): _*)
-      .write.mode("overwrite").parquet(srcA)
-    prepRight(
-      oldB.drop("__seq")
-        .join(touched.select(col(lk).as(rk)), Seq(rk), "left_semi"))
-      .select(rightStagedSchema.fieldNames.map(col): _*)
-      .write.mode("overwrite").parquet(srcB)
+    // --- seed narrowing sweep ---
+    val slices = loaded.map(_.df.drop("__seq"))
+    val oldsClean = olds.map(_.drop("__seq"))
+    // incident(i) = (myCol, neighborIdx, neighborCol)
+    val incident: Vector[Vector[(String, Int, String)]] = {
+      val buf = Array.fill(n)(Vector.empty[(String, Int, String)])
+      face.edges.zipWithIndex.foreach { case ((m, mc, nc), k) =>
+        buf(m) = buf(m) :+ ((mc, k + 1, nc))
+        buf(k + 1) = buf(k + 1) :+ ((nc, m, mc))
+      }
+      buf.toVector
+    }
+    def keysOf(df: DataFrame, c: String, as: String): DataFrame =
+      df.select(col(c).as(as)).where(col(as).isNotNull).distinct()
+    // multiset-exact OR of semi-joins
+    def semiOr(base: DataFrame, preds: Seq[(String, DataFrame)]): DataFrame = {
+      var remaining = base
+      var acc: Option[DataFrame] = None
+      preds.foreach { case (c, keys) =>
+        val hit = remaining.join(keys, Seq(c), "left_semi")
+        acc = Some(acc.fold(hit)(_.unionByName(hit)))
+        remaining = remaining.join(keys, Seq(c), "left_anti")
+      }
+      acc.getOrElse(base.limit(0))
+    }
+    var needed: Vector[Option[DataFrame]] = Vector.fill(n)(None)
+    (1 until n).foreach { _ =>
+      val prev = needed
+      needed = Vector.tabulate(n) { i =>
+        val preds = incident(i).map { case (ci, j, cj) =>
+          val src = prev(j).fold(slices(j))(nj =>
+            slices(j).unionByName(nj.select(slices(j).columns.map(col): _*)))
+          (ci, keysOf(src, cj, ci))
+        }
+        Some(semiOr(oldsClean(i), preds))
+      }
+    }
+    needed.zipWithIndex.foreach { case (sOpt, i) =>
+      prep(i)(sOpt.getOrElse(oldsClean(i)))
+        .select(stagedSchemas(i).fieldNames.map(col): _*)
+        .write.mode("overwrite").parquet(srcDirs(i))
+    }
     round((b, _) => { b.count(); () })
-    // one file per side ⇒ one micro-batch for the slice round
-    ia.df.drop("__seq").coalesce(1).write.mode("append").parquet(srcA)
-    prepRight(ib.df).coalesce(1).write.mode("append").parquet(srcB)
+    // one file per relation ⇒ the slice round sees each slice atomically
+    (0 until n).foreach(i =>
+      prep(i)(loaded(i).df).coalesce(1).write.mode("append")
+        .parquet(srcDirs(i)))
     round((b, _) => b.write.mode("append").parquet(outDir))
-    val outSchema = StructType(leftSchema.fields ++ rightStagedSchema.fields)
+    val outSchema = StructType(stagedSchemas.flatMap(_.fields).toArray)
     val hasParts = Option(new java.io.File(outDir).listFiles())
       .exists(_.exists(_.getName.endsWith(".parquet")))
     Some(
       if (hasParts) spark.read.schema(outSchema).parquet(outDir)
       else TransformEngine.emptyDf(spark, outSchema))
   }
+
+  /** A relation of a pre-joined wide view: qualified refs `alias.x` /
+    * `rel.x` rewrite to `prefix + x`; the first relation's prefix is
+    * empty (its columns keep their names in the wide frame). */
+  private case class JoinedRelView(
+      rel: String, alias: String, colsLc: Set[String], prefix: String)
 
   /** Run the step chain with the (single) LEFT JOIN collapsed to a scan of
     * the pre-joined wide view: `rightAlias.x` → `__right_x`,
@@ -1120,7 +1208,22 @@ final class IncrementalExecutor(
       rightRel: String,
       rightAlias: String,
       leftColsLc: Set[String],
-      rightColsLc: Set[String]): DataFrame = {
+      rightColsLc: Set[String]): DataFrame =
+    runChainOverJoinTreeView(wide, Vector(
+      JoinedRelView(leftRel, leftAlias, leftColsLc, ""),
+      JoinedRelView(rightRel, rightAlias, rightColsLc, "__right_")))
+
+  /** N-ary generalization of [[runChainOverLeftJoinView]] for the inner
+    * tree face: the join-bearing step collapses to a scan of the wide
+    * view; a qualified ref rewrites through its relation's prefix, a bare
+    * ref owned by exactly one non-first relation gets that prefix, and a
+    * bare ref owned by two or more relations raises the same ambiguity
+    * the batch pass would (except a top-level ORDER BY ref naming a
+    * select-list output, which batch resolves against the projection).
+    */
+  private def runChainOverJoinTreeView(
+      wide: DataFrame,
+      views: Vector[JoinedRelView]): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.{
@@ -1147,39 +1250,43 @@ final class IncrementalExecutor(
             case ua: UnresolvedAttribute => Some(ua.nameParts.last.toLowerCase)
             case _                     => None
           }.toSet).getOrElse(Set.empty)
+          // alias matches take precedence over bare relation-name matches
+          // (an alias could shadow another relation's name)
+          def qualView(q: String): Option[JoinedRelView] =
+            views.find(_.alias.equalsIgnoreCase(q))
+              .orElse(views.find(_.rel.equalsIgnoreCase(q)))
+          def owners(nameLc: String): Vector[JoinedRelView] =
+            views.filter(_.colsLc.contains(nameLc))
           def exprRule(sortAboveOutput: Boolean)
               : PartialFunction[Expression, Expression] = {
             case a: UnresolvedAttribute
                 if a.nameParts.length == 2 &&
-                  (a.nameParts.head.equalsIgnoreCase(rightAlias) ||
-                    a.nameParts.head.equalsIgnoreCase(rightRel)) =>
-              UnresolvedAttribute(Seq("__right_" + a.nameParts.last))
-            case a: UnresolvedAttribute
-                if a.nameParts.length == 2 &&
-                  (a.nameParts.head.equalsIgnoreCase(leftAlias) ||
-                    a.nameParts.head.equalsIgnoreCase(leftRel)) =>
-              UnresolvedAttribute(Seq(a.nameParts.last))
+                  qualView(a.nameParts.head).isDefined =>
+              UnresolvedAttribute(Seq(
+                qualView(a.nameParts.head).get.prefix + a.nameParts.last))
             case a: UnresolvedAttribute
                 if a.nameParts.length == 1 &&
-                  rightColsLc.contains(a.nameParts.head.toLowerCase) &&
-                  leftColsLc.contains(a.nameParts.head.toLowerCase) &&
+                  owners(a.nameParts.head.toLowerCase).length > 1 &&
                   !(sortAboveOutput &&
                     topNames.contains(a.nameParts.head.toLowerCase)) =>
               // the same SQL through the batch pass raises
               // AMBIGUOUS_REFERENCE — binding silently to the wide view's
-              // left column would diverge from the byte-identity contract.
-              // Exception: a top-level ORDER BY ref naming a select-list
-              // output, which batch resolves against the projection
-              // (leave it bare for Spark to bind to the alias).
+              // first-relation column would diverge from the byte-identity
+              // contract. Exception: a top-level ORDER BY ref naming a
+              // select-list output, which batch resolves against the
+              // projection (leave it bare for Spark to bind to the alias).
               throw new InvalidQueryException(
                 s"reference '${a.nameParts.head}' is ambiguous: it exists " +
-                  "on both sides of the join — qualify it with the input " +
-                  "alias")
+                  "on more than one side of the join — qualify it with " +
+                  "the input alias")
             case a: UnresolvedAttribute
-                if a.nameParts.length == 1 &&
-                  rightColsLc.contains(a.nameParts.head.toLowerCase) &&
-                  !leftColsLc.contains(a.nameParts.head.toLowerCase) =>
-              UnresolvedAttribute(Seq("__right_" + a.nameParts.head))
+                if a.nameParts.length == 1 && {
+                  val o = owners(a.nameParts.head.toLowerCase)
+                  o.length == 1 && o.head.prefix.nonEmpty
+                } =>
+              UnresolvedAttribute(Seq(
+                owners(a.nameParts.head.toLowerCase).head.prefix +
+                  a.nameParts.head))
           }
           // the top-level sort (under optional LIMITs) resolves bare refs
           // against the step output; everything else is strict
@@ -2432,20 +2539,22 @@ final class IncrementalExecutor(
     // checkpoint.
     val delta = pin(Snitch.tap(
       if (streamingMode) {
-        val (l, la, r, ra, lk, rk) = innerJoinFace.getOrElse(
+        val face = innerTreeFace.getOrElse(
           throw new InvalidQueryException(
             "streaming execution mode serves inner-join changelogs only " +
-              "for a single equi-join of two direct inputs on one " +
-              "same-typed key — use the batch engine"))
-        val ia = byAlias(l).get; val ib = byAlias(r).get
-        streamingInnerJoinEmission(
-          ia, ib, olds(l), olds(r), lk, rk) match {
+              "for left-deep chains of equi-joins over direct inputs on " +
+              "same-typed keys — use the batch engine"))
+        val loaded = face.rels.map { case (rel, _) => byAlias(rel).get }
+        streamingInnerTreeEmission(
+          face, loaded, face.rels.map(r => olds(r._1))) match {
           case Some(wide) =>
-            val leftLc =
-              ia.df.drop("__seq").columns.map(_.toLowerCase).toSet
-            val rightLc =
-              ib.df.drop("__seq").columns.map(_.toLowerCase).toSet
-            runChainOverLeftJoinView(wide, l, la, r, ra, leftLc, rightLc)
+            runChainOverJoinTreeView(wide, face.rels.zipWithIndex.map {
+              case ((rel, alias), i) =>
+                JoinedRelView(rel, alias,
+                  loaded(i).df.drop("__seq").columns
+                    .map(_.toLowerCase).toSet,
+                  if (i == 0) "" else if (i == 1) "__right_" else s"__r${i}_")
+            })
           case None => emptyFrame()
         }
       } else parts.reduceOption(_.unionByName(_)).getOrElse(emptyFrame()),

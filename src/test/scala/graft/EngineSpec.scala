@@ -5065,4 +5065,6 @@ object EngineFixtures {
       event_time: Timestamp, dbl_key: Double, quantity: Long)
   case class DblShip(offset: Long, op: Int, system_time: Timestamp,
       event_time: Timestamp, dbl_key: Double, num_shipped: Long)
+  case class Carrier(offset: Long, op: Int, system_time: Timestamp,
+      event_time: Timestamp, ship_key: Long, carrier: String)
 }

@@ -783,6 +783,111 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
       r.getAs[Int]("op"))).toSeq == Seq((3L, 9L, Op.Append)))
   }
 
+  test("streaming execution mode covers inner-join TREE changelogs byte-identically") {
+    // A 3-relation equi-join chain (orders ⋈ shipments ON order_id
+    // ⋈ carriers ON num_shipped = ship_key) under engine =
+    // spark-streaming runs CHAINED native stream-stream inner joins over
+    // the staged seed + slice rounds. Four-run chain: a full in-run
+    // 3-tuple; an in-slice bridge pair (new shipment + new carrier
+    // joining old orders state); a carrier-ONLY slice whose tuple needs
+    // OLD orders AND OLD shipments seeds — the multi-hop case the
+    // Yannakakis seed sweep exists for; and a watermark-only run. All
+    // must match batch slices and ledgers byte for byte, including
+    // interleaving on one checkpoint.
+    import spark.implicits._
+    import EngineFixtures.{Carrier, OrderRow, Shipment}
+    val dir = Files.createTempDirectory("graft-proto-stream-ij3")
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    val c1 = s"$dir/c1.parquet"
+    val s2 = s"$dir/s2.parquet"; val c2 = s"$dir/c2.parquet"
+    val c3 = s"$dir/c3.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        OrderRow(0, 0, t(ts(1)), t(ts(1)), 1, 10),
+        OrderRow(1, 0, t(ts(1)), t(ts(1)), 2, 20))).toDF(), o1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Shipment(0, 0, t(ts(1)), t(ts(1)), 1, 5))).toDF(), s1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Carrier(0, 0, t(ts(1)), t(ts(1)), 5, "acme"))).toDF(), c1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Shipment(1, 0, t(ts(2)), t(ts(2)), 2, 7))).toDF(), s2)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Carrier(1, 0, t(ts(2)), t(ts(2)), 7, "bee"))).toDF(), c2)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(Carrier(2, 0, t(ts(3)), t(ts(3)), 5, "cee"))).toDF(), c3)
+    val q = """SELECT o.event_time as event_time, o.order_id as order_id,
+              |  s.num_shipped as num_shipped, c.carrier as carrier
+              |FROM orders o
+              |JOIN shipments s ON o.order_id = s.order_id
+              |JOIN carriers c ON s.num_shipped = c.ship_key""".stripMargin
+    def chain(engines: Seq[String], tag: String): Unit = {
+      import graft.engine.TransformEngine
+      def input(alias: String, path: Option[String], schema: String,
+          oi: Option[OffsetInterval], wm: Instant) = TransformRequestInput(
+        datasetId = s"did:odf:$alias", datasetAlias = alias,
+        queryAlias = alias, offsetInterval = oi,
+        dataPaths = path.toVector, schemaFile = schema,
+        explicitWatermarks = Vector(RequestWatermark(wm, wm)))
+      def tr(num: Int, ins: Vector[TransformRequestInput], nextOff: Long,
+          prev: Option[String]) = TransformRequest(
+        "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+        Transform(engine = engines(num - 1),
+          queries = Vector(SqlQueryStep(None, q))),
+        ins, nextOffset = nextOff, prevCheckpointPath = prev,
+        newCheckpointPath = s"$dir/$tag/cp$num",
+        newDataPath = s"$dir/$tag/out$num.parquet")
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(tr(1, Vector(
+        input("orders", Some(o1), o1, Some(OffsetInterval(0, 1)), ts(1)),
+        input("shipments", Some(s1), s1, Some(OffsetInterval(0, 0)), ts(1)),
+        input("carriers", Some(c1), c1, Some(OffsetInterval(0, 0)), ts(1))),
+        0, None))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$tag run1: $r1")
+      val r2 = e.executeTransform(tr(2, Vector(
+        input("orders", None, o1, None, ts(2)),
+        input("shipments", Some(s2), s1, Some(OffsetInterval(1, 1)), ts(2)),
+        input("carriers", Some(c2), c1, Some(OffsetInterval(1, 1)), ts(2))),
+        1, Some(s"$dir/$tag/cp1")))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$tag run2: $r2")
+      val r3 = e.executeTransform(tr(3, Vector(
+        input("orders", None, o1, None, ts(3)),
+        input("shipments", None, s1, None, ts(3)),
+        input("carriers", Some(c3), c1, Some(OffsetInterval(2, 2)), ts(3))),
+        2, Some(s"$dir/$tag/cp2")))
+      assert(r3.isInstanceOf[TransformResponse.Success], s"$tag run3: $r3")
+      val r4 = e.executeTransform(tr(4, Vector(
+        input("orders", None, o1, None, ts(4)),
+        input("shipments", None, s1, None, ts(4)),
+        input("carriers", None, c1, None, ts(4))),
+        3, Some(s"$dir/$tag/cp3")))
+      assert(r4.isInstanceOf[TransformResponse.Success], s"$tag run4: $r4")
+    }
+    chain(Seq.fill(4)("spark"), "batch")
+    chain(Seq.fill(4)("spark-streaming"), "stream")
+    chain(Seq("spark", "spark-streaming", "spark-streaming", "spark"), "mixed")
+    (1 to 4).foreach { n =>
+      for (tag <- Seq("stream", "mixed")) {
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(Paths.get(s"$dir/batch/out$n.parquet")),
+          Files.readAllBytes(Paths.get(s"$dir/$tag/out$n.parquet"))),
+          s"run-$n $tag inner-join-tree slices are not byte-identical")
+        assert(
+          Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+            Files.readString(Paths.get(s"$dir/$tag/cp$n/ledger.json")))
+      }
+    }
+    def tuples(p: String): Seq[(Long, Long, String)] =
+      spark.read.parquet(p).orderBy("offset").collect().toSeq
+        .map(r => (r.getAs[Long]("order_id"), r.getAs[Long]("num_shipped"),
+          r.getAs[String]("carrier")))
+    assert(tuples(s"$dir/stream/out1.parquet") == Seq((1L, 5L, "acme")))
+    assert(tuples(s"$dir/stream/out2.parquet") == Seq((2L, 7L, "bee")))
+    // the carrier-only slice pairs entirely against seeded state
+    assert(tuples(s"$dir/stream/out3.parquet") == Seq((1L, 5L, "cee")))
+    assert(!Files.exists(Paths.get(s"$dir/stream/out4.parquet")) ||
+      spark.read.parquet(s"$dir/stream/out4.parquet").isEmpty)
+  }
+
   test("streaming execution mode covers join-aggregate changelogs byte-identically") {
     // An aggregate ABOVE a left join under engine = spark-streaming: the
     // batch partials machinery computes the merged visible frame from the
@@ -875,10 +980,10 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
   }
 
   test("streaming inner join rejects shapes the native face cannot serve") {
-    // Join TREES (>2 relations) and θ-conditions stay batch-only: the
-    // native stream-stream join needs one equi-key of two direct inputs,
-    // so anything else must surface as InvalidQuery under the streaming
-    // engine flag, never a silently different result.
+    // θ-conditions stay batch-only (join TREES serve since round 10):
+    // the native stream-stream joins need pure equi-keys over direct
+    // inputs, so a residual predicate must surface as InvalidQuery under
+    // the streaming engine flag, never a silently different result.
     import spark.implicits._
     import EngineFixtures.{OrderRow, Shipment}
     val dir = Files.createTempDirectory("graft-proto-stream-ij-bad")

@@ -68,6 +68,8 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
         Stock(r.offset, r.op, t(r.sys), t(r.ev), r.skey, r.v.toInt))).toDF()
       case "lhs" | "rhs" => sess.createDataset(rows.map(r =>
         Ticker(r.offset, r.op, t(r.sys), t(r.ev), r.skey, r.v.toInt))).toDF()
+      case "carriers" => sess.createDataset(rows.map(r =>
+        Carrier(r.offset, r.op, t(r.sys), t(r.ev), r.key, r.skey))).toDF()
       case other => sys.error(s"no fixture for alias $other")
     }
   }
@@ -142,6 +144,17 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
         |  o.quantity as quantity, s.num_shipped as num_shipped
         |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin,
       retractProb = 0.2),
+    Shape("inner-join-tree", Seq("orders", "shipments", "carriers"), rnd => {
+      // randomly a CHAIN (carriers keyed off the bridge relation) or a
+      // STAR (keyed off the first relation) — both 3-relation trees the
+      // round-10 chained native-join face serves
+      val bridge = if (rnd.nextBoolean()) "s.order_id" else "o.order_id"
+      s"""SELECT o.event_time as event_time, o.order_id as order_id,
+         |  s.num_shipped as num_shipped, c.carrier as carrier
+         |FROM orders o
+         |JOIN shipments s ON o.order_id = s.order_id
+         |JOIN carriers c ON $bridge = c.ship_key""".stripMargin
+    }, retractProb = 0.2),
     Shape("distinct-union", Seq("tickers"), rnd =>
       if (rnd.nextBoolean())
         "SELECT DISTINCT event_time, symbol, price FROM tickers"
