@@ -226,6 +226,14 @@ final class IncrementalExecutor(
       // are invertible, so retractions ride through
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.aggMerge.exists(streamingServableMultiplicitySpec) => ()
+      // generic recompute tail (round-10): shapes with NO delta/merge
+      // proof ride the batch recompute path on EVERY run — including
+      // through retractions, which the buffer netting absorbs — so the
+      // changelog emission routes through the keyed / multiplicity
+      // streaming diffs and the state writes stay byte-identical to batch
+      case d: PlanClassifier.Mode.SnapshotDiff
+          if d.aggMerge.isEmpty && d.joinDelta.isEmpty &&
+            d.distinctDelta.isEmpty && d.leftJoinDelta.isEmpty => ()
       case _ =>
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
@@ -233,8 +241,8 @@ final class IncrementalExecutor(
             "inner-join changelog (incl. equi-join trees), left-join " +
             "changelog, DISTINCT/UNION changelog, multiset set-op " +
             "changelog (ALL variants), GROUP BY changelog (invertible, " +
-            "min/max, or join-aggregate), and single-partition-column " +
-            "Top-N transforms only")
+            "min/max, or join-aggregate), Top-N, and recompute-path " +
+            "changelog transforms only")
     }
     runMode()
   }
@@ -299,9 +307,21 @@ final class IncrementalExecutor(
                 "use the batch engine")
           runDeltaJoin(d.joinDelta.get)
         case _ =>
-          runTopNStreaming(streamTopN.getOrElse(throw new InvalidQueryException(
-            "streaming execution mode cannot serve this updating shape")),
-            d.keys)
+          val noFastPath = d.aggMerge.isEmpty && d.joinDelta.isEmpty &&
+            d.distinctDelta.isEmpty && d.leftJoinDelta.isEmpty
+          streamTopN match {
+            // the dedicated Top-N face keeps its pinned shapes; a
+            // retraction history drops to the generic recompute face
+            // below, mirroring the batch dispatch (which recomputes these
+            // shapes on every run regardless)
+            case Some(tn) if retractiveNow.isEmpty =>
+              runTopNStreaming(tn, d.keys)
+            case _ if noFastPath =>
+              runSnapshotDiff(d.keys, d.rankTouch)
+            case _ =>
+              throw new InvalidQueryException(
+                "streaming execution mode cannot serve this updating shape")
+          }
       }
     case d: PlanClassifier.Mode.SnapshotDiff =>
       // min/max are not invertible and an inner join is only monotone over
@@ -556,7 +576,13 @@ final class IncrementalExecutor(
     *   written un-narrowed either way. Netting commutes with the filter:
     *   the partition columns are part of the netting identity.
     */
-  private def bufferedFulls(touch: Option[PlanClassifier.RankTouch] = None)
+  /** `streamViews = false` forces BATCH temp views even under streaming
+    * mode — the generic recompute face runs the recompute itself in batch
+    * (byte-identical to the batch engine) and only routes the changelog
+    * emission through the streaming diff operators. */
+  private def bufferedFulls(
+      touch: Option[PlanClassifier.RankTouch] = None,
+      streamViews: Boolean = streamingMode)
       : (Seq[(LoadedInput, DataFrame)], Set[String]) = {
     val retractive = retractiveNow
     val fulls = inputs.map { i =>
@@ -571,7 +597,7 @@ final class IncrementalExecutor(
           semiOnTouched(netted, i, t.cols, "left_semi")
         case _ => netted
       }
-      if (streamingMode) streamView(i.spec.queryAlias, view)
+      if (streamViews) streamView(i.spec.queryAlias, view)
       else view.createOrReplaceTempView(i.spec.queryAlias)
       i -> full
     }
@@ -1662,7 +1688,7 @@ final class IncrementalExecutor(
     // back to the full recompute otherwise.
     var activeTouch = touch.flatMap(t =>
       inputs.find(_.spec.queryAlias == t.input).map(_ => t))
-    var (fulls, retractive) = bufferedFulls(activeTouch)
+    var (fulls, retractive) = bufferedFulls(activeTouch, streamViews = false)
     var snapshot = runSteps(steps)
     // keys, when promised, must survive to the output; a keyless (multiset
     // diff) chain can still narrow — the diff pairs rows within touched
@@ -1671,7 +1697,7 @@ final class IncrementalExecutor(
       keys.forall(_.forall(snapshot.columns.contains)) &&
         t.cols.forall(snapshot.columns.contains))
     if (touch.isDefined && activeTouch.isEmpty) {
-      val rebuilt = bufferedFulls(None)
+      val rebuilt = bufferedFulls(None, streamViews = false)
       fulls = rebuilt._1; retractive = rebuilt._2
       snapshot = runSteps(steps)
     }
@@ -1693,12 +1719,29 @@ final class IncrementalExecutor(
           semiOnTouched(prev, i, t.cols, "left_anti"))
       case None => (prev, prev.limit(0))
     }
-    val emitted = effKeys match {
-      case Some(ks) =>
-        Changelog.diffSnapshots(prevCmp, snapshot, ks, vocab.operationTypeColumn)
-      case None =>
-        Changelog.diffMultiset(prevCmp, snapshot, vocab.operationTypeColumn)
-    }
+    // Streaming face of the generic recompute path (round-10): the
+    // recompute and every state write below are IDENTICAL to batch — only
+    // the changelog emission routes through the keyed / multiplicity
+    // streaming diff, so the modes interleave on one checkpoint. Shapes
+    // with no incremental fast path ride the recompute on every batch run
+    // (including through retractions, which the buffer netting absorbs),
+    // so serving their emission this way can never diverge from a batch
+    // twin's state layout.
+    val emitted =
+      if (streamingMode) {
+        requireStreamDiffable(snapshot.schema, keyed = effKeys.isDefined)
+        effKeys match {
+          case Some(ks) =>
+            streamingAggDiffEmission(prevCmp, snapshot, ks, snapshot.schema)
+          case None =>
+            streamingMultisetEmission(prevCmp, snapshot)
+        }
+      } else effKeys match {
+        case Some(ks) =>
+          Changelog.diffSnapshots(prevCmp, snapshot, ks, vocab.operationTypeColumn)
+        case None =>
+          Changelog.diffMultiset(prevCmp, snapshot, vocab.operationTypeColumn)
+      }
 
     // buffer = previous buffer ∪ slice exactly (never pruned here), so the
     // carry-append path applies: O(slice) I/O, not an O(history) rewrite.
@@ -1919,6 +1962,52 @@ final class IncrementalExecutor(
       (s, in) => StreamingAggDiff.multiplicityDiff(
         s, in, visibleSchema, vocab.operationTypeColumn),
       visibleSchema)
+  }
+
+  /** Streaming face of the generic KEYLESS recompute diff (round-10):
+    * count multiplicities per distinct row (the same groupBy
+    * [[Changelog.diffMultiset]] pairs by, so emitted values carry the
+    * identical grouped representatives) and route them through the
+    * multiset machinery keyed on the whole row — emissions are the ±|Δ|
+    * copies the batch multiset diff reports.
+    */
+  private def streamingMultisetEmission(
+      prev: DataFrame, next: DataFrame): DataFrame = {
+    val cols = next.columns.toSeq
+    def counted(df: DataFrame): DataFrame =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__mult_k"))
+    streamingMultiplicityEmission(
+      counted(prev), counted(next), cols, "__mult_k", next.schema)
+  }
+
+  /** The streaming diff keys groups on a canonicalized serialization of
+    * the key values ([[graft.streaming.StreamingAggDiff.keyOf]]), which is
+    * total over every GROUP-BY-able type but NOT over maps (unordered
+    * container bytes are not canonical, and map columns are not orderable
+    * for the deterministic emission sort). Keyed diffs only serialize the
+    * group keys — maps cannot appear there (not orderable in SQL) — but a
+    * KEYLESS diff keys on the whole output row, so any map-typed output
+    * column must reject rather than risk a value-equal row splitting into
+    * two keys. The engine-reserved multiplicity column name is fenced for
+    * the same reason.
+    */
+  private def requireStreamDiffable(
+      schema: org.apache.spark.sql.types.StructType, keyed: Boolean): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType     => true
+      case a: ArrayType   => hasMap(a.elementType)
+      case s: StructType  => s.fields.exists(f => hasMap(f.dataType))
+      case _              => false
+    }
+    if (!keyed && schema.fields.exists(f => hasMap(f.dataType)))
+      throw new InvalidQueryException(
+        "streaming execution mode cannot serve a keyless updating query " +
+          "with map-typed output columns — use the batch engine")
+    if (!keyed && schema.fieldNames.contains("__mult_k"))
+      throw new InvalidQueryException(
+        "streaming execution mode reserves the column name '__mult_k' — " +
+          "rename the output column or use the batch engine")
   }
 
   /** Shared two-AvailableNow-round scaffold of the keyed streaming diff

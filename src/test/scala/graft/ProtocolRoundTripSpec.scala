@@ -260,11 +260,38 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     val po = spark.read.parquet(s"$dir/pstream/out1.parquet").collect()
     assert(po.length == 1 && po(0).getAs[Int]("min") == 10
       && po(0).getAs[Int]("max") == 12)
-    // and an unsupported shape (a scalar-subquery updating chain — the
-    // generic recompute path has no streaming face; ALL-variant set-op
-    // changelogs moved to the supported list in round 10) under the
-    // streaming engine is rejected, not silently run in batch
+    // and an unsupported shape under the streaming engine is rejected,
+    // not silently run in batch. Round 10 serves the generic recompute
+    // tail (scalar subqueries included), so the remaining rejects are
+    // merge-path specs no face covers: an OP-READING min/max aggregate —
+    // the flip-aggregate face requires op-free chains, and its merge spec
+    // keeps it off the generic recompute face
     val bad = runProcess("transform",
+      s"""|datasetId: "did:odf:out"
+          |datasetAlias: out
+          |systemTime: "2000-01-15T00:00:00Z"
+          |nextOffset: 0
+          |transform:
+          |  kind: Sql
+          |  engine: spark-streaming
+          |  query: "SELECT event_time, symbol, min(price) AS mn FROM tickers WHERE op = 0 GROUP BY event_time, symbol"
+          |queryInputs:
+          |- datasetId: "did:odf:in"
+          |  queryAlias: tickers
+          |  offsetInterval:
+          |    start: 0
+          |    end: 2
+          |  dataPaths:
+          |  - "$in1"
+          |  schemaFile: "$in1"
+          |newCheckpointPath: "$dir/bad/cp1"
+          |newDataPath: "$dir/bad/out1.parquet"
+          |""".stripMargin, dir, "bad")
+    assert(bad.contains("kind: InvalidQuery"), bad)
+    assert(bad.contains("streaming execution mode"), bad)
+    // the round-10 generic face SERVES the scalar-subquery recompute
+    // chain that rejected through round 9 — spot-check it succeeds
+    val generic = runProcess("transform",
       s"""|datasetId: "did:odf:out"
           |datasetAlias: out
           |systemTime: "2000-01-15T00:00:00Z"
@@ -282,11 +309,10 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
           |  dataPaths:
           |  - "$in1"
           |  schemaFile: "$in1"
-          |newCheckpointPath: "$dir/bad/cp1"
-          |newDataPath: "$dir/bad/out1.parquet"
-          |""".stripMargin, dir, "bad")
-    assert(bad.contains("kind: InvalidQuery"), bad)
-    assert(bad.contains("streaming execution mode"), bad)
+          |newCheckpointPath: "$dir/generic/cp1"
+          |newDataPath: "$dir/generic/out1.parquet"
+          |""".stripMargin, dir, "generic")
+    assert(generic.contains("kind: Success"), generic)
   }
 
   test("streaming execution mode covers interval joins byte-identically") {
@@ -1438,6 +1464,110 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     assert(ops(2) == Seq(("A", 1)))
     assert(ops(3) == Seq(("B", 0)))
     assert(ops(4) == Seq.empty)
+  }
+
+  test("streaming execution mode covers generic recompute changelogs byte-identically") {
+    // Shapes with NO incremental fast path (here: a non-decomposable
+    // count(DISTINCT) aggregate, and a DISTINCT over a re-keying
+    // EXCEPT ALL subquery) ride the batch recompute on every run; under
+    // engine = spark-streaming their changelog emission routes through
+    // the keyed / multiplicity streaming diff while the recompute and
+    // every state write stay batch — so retractions RIDE (the buffer
+    // netting absorbs them) and mixed chains interleave on one
+    // checkpoint. Four-run chains incl. a retraction run and a
+    // watermark-only run must match batch byte for byte.
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto-stream-generic")
+    def slice(path: String, rows: Seq[Ticker]): String = {
+      graft.engine.ParquetSliceSink.writeSingleFile(
+        spark.createDataset(rows).toDF(), path); path
+    }
+    val a1 = slice(s"$dir/a1.parquet", Seq(
+      Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+      Ticker(1, 0, t(ts(1)), t(ts(1)), "A", 20),
+      Ticker(2, 0, t(ts(1)), t(ts(1)), "B", 10)))
+    val a2 = slice(s"$dir/a2.parquet", Seq(
+      Ticker(3, 0, t(ts(2)), t(ts(2)), "A", 10),  // dup value for A
+      Ticker(4, 1, t(ts(2)), t(ts(1)), "A", 20))) // retract A@20
+    val a4 = slice(s"$dir/a4.parquet", Seq(
+      Ticker(5, 0, t(ts(4)), t(ts(4)), "C", 30)))
+    def chain(queries: Vector[SqlQueryStep], engines: Seq[String],
+        sub: String, tag: String): Unit = {
+      import graft.engine.TransformEngine
+      def tr(num: Int, path: Option[String], oi: Option[OffsetInterval],
+          wm: Instant, nextOff: Long, prev: Option[String]) = TransformRequest(
+        "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+        Transform(engine = engines(num - 1), queries = queries),
+        Vector(TransformRequestInput(
+          datasetId = "did:odf:in", datasetAlias = "tickers",
+          queryAlias = "tickers", offsetInterval = oi,
+          dataPaths = path.toVector, schemaFile = a1,
+          explicitWatermarks = Vector(RequestWatermark(wm, wm)))),
+        nextOffset = nextOff, prevCheckpointPath = prev,
+        newCheckpointPath = s"$dir/$sub/$tag/cp$num",
+        newDataPath = s"$dir/$sub/$tag/out$num.parquet")
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(
+        tr(1, Some(a1), Some(OffsetInterval(0, 2)), ts(1), 0, None))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$sub $tag run1: $r1")
+      val r2 = e.executeTransform(
+        tr(2, Some(a2), Some(OffsetInterval(3, 4)), ts(2), 2,
+          Some(s"$dir/$sub/$tag/cp1")))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$sub $tag run2: $r2")
+      val r3 = e.executeTransform(
+        tr(3, None, None, ts(3), 3, Some(s"$dir/$sub/$tag/cp2")))
+      assert(r3.isInstanceOf[TransformResponse.Success], s"$sub $tag run3: $r3")
+      val r4 = e.executeTransform(
+        tr(4, Some(a4), Some(OffsetInterval(5, 5)), ts(4), 3,
+          Some(s"$dir/$sub/$tag/cp3")))
+      assert(r4.isInstanceOf[TransformResponse.Success], s"$sub $tag run4: $r4")
+    }
+    val keyedQ = Vector(SqlQueryStep(None,
+      """SELECT max(event_time) AS event_time, symbol,
+        |  count(DISTINCT price) AS n
+        |FROM tickers GROUP BY symbol""".stripMargin))
+    // DISTINCT over a RE-KEYING set-op subquery (price dropped): neither
+    // a refcount DISTINCT spec nor a multiplicity fold applies —
+    // keyless full-row multiset recompute (PlanClassifierSpec pins it)
+    val multisetQ = Vector(SqlQueryStep(None,
+      """SELECT DISTINCT event_time, symbol FROM (
+        |  SELECT event_time, symbol, price FROM tickers WHERE price < 25
+        |  EXCEPT ALL
+        |  SELECT event_time, symbol, price FROM tickers WHERE price > 15
+        |) v""".stripMargin))
+    for ((sub, q) <- Seq("keyed" -> keyedQ, "multiset" -> multisetQ)) {
+      chain(q, Seq.fill(4)("spark"), sub, "batch")
+      chain(q, Seq.fill(4)("spark-streaming"), sub, "stream")
+      chain(q, Seq("spark", "spark-streaming", "spark-streaming", "spark"),
+        sub, "mixed")
+      (1 to 4).foreach { n =>
+        for (tag <- Seq("stream", "mixed")) {
+          val b = Paths.get(s"$dir/$sub/batch/out$n.parquet")
+          val s = Paths.get(s"$dir/$sub/$tag/out$n.parquet")
+          assert(Files.exists(b) == Files.exists(s),
+            s"$sub run-$n $tag slice existence diverged")
+          if (Files.exists(b))
+            assert(java.util.Arrays.equals(
+              Files.readAllBytes(b), Files.readAllBytes(s)),
+              s"$sub run-$n $tag generic slices are not byte-identical")
+          assert(
+            Files.readString(Paths.get(s"$dir/$sub/batch/cp$n/ledger.json")) ==
+              Files.readString(Paths.get(s"$dir/$sub/$tag/cp$n/ledger.json")),
+            s"$sub run-$n $tag ledgers diverged")
+        }
+      }
+    }
+    // keyed: run 2's dup value + retraction nets A to one distinct price
+    // (-U n=2 / +U n=1); run 4 appends the C group
+    val k2 = spark.read.parquet(s"$dir/keyed/stream/out2.parquet")
+      .orderBy("offset").collect()
+    assert(k2.map(r => (r.getAs[String]("symbol"), r.getAs[Long]("n"),
+      r.getAs[Int]("op"))).toSeq == Seq(("A", 2L, Op.CorrectFrom),
+      ("A", 1L, Op.CorrectTo)), k2.mkString(","))
+    val k4 = spark.read.parquet(s"$dir/keyed/stream/out4.parquet").collect()
+    assert(k4.map(r => (r.getAs[String]("symbol"), r.getAs[Long]("n"),
+      r.getAs[Int]("op"))).toSeq == Seq(("C", 1L, Op.Append)))
   }
 
   test("streaming left join rejects non-string-canonical key types") {

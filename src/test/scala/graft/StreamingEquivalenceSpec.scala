@@ -197,6 +197,25 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
          |$op
          |SELECT event_time, symbol FROM rhs""".stripMargin
     }, retractProb = 0.4, ridesRetractions = true, dupProb = 0.5),
+    Shape("generic-keyed-recompute", Seq("tickers"), rnd => {
+      // a non-decomposable aggregate keeps the recompute path (no merge
+      // spec); the round-10 generic face serves its keyed diff emission
+      val keys = if (rnd.nextBoolean()) "symbol" else "event_time, symbol"
+      s"""SELECT max(event_time) AS event_time, symbol,
+         |  count(DISTINCT price) AS n
+         |FROM tickers GROUP BY $keys""".stripMargin
+    }, retractProb = 0.35, ridesRetractions = true, dupProb = 0.3),
+    Shape("generic-multiset-recompute", Seq("tickers"), rnd => {
+      // DISTINCT over a RE-KEYING set-op subquery: no refcount spec, no
+      // multiplicity fold — keyless full-row multiset recompute served
+      // by the round-10 generic face
+      val x = 20 + rnd.nextInt(20); val y = 5 + rnd.nextInt(20)
+      s"""SELECT DISTINCT event_time, symbol FROM (
+         |  SELECT event_time, symbol, price FROM tickers WHERE price < $x
+         |  EXCEPT ALL
+         |  SELECT event_time, symbol, price FROM tickers WHERE price > $y
+         |) v""".stripMargin
+    }, retractProb = 0.35, ridesRetractions = true, dupProb = 0.5),
     Shape("join-aggregate", Seq("orders", "shipments"), rnd => {
       val extra = if (rnd.nextBoolean()) ", sum(o.quantity) as q_total" else ""
       s"""SELECT o.event_time as event_time, count(*) as n$extra,
