@@ -547,9 +547,16 @@ object EngineBench {
     * O(state). Byte-identity of every slice is asserted, making this the
     * bench-scale extension of the ProtocolRoundTripSpec chains.
     */
+  /** `streamjoin N R [tree]`: with `tree`, a third relation (carriers,
+    * keyed on the order ids of the run-before-last — so a full 3-tuple
+    * completes only by joining OLD orders⋈shipments state, the
+    * multi-hop case the chained-native-join face's seed sweep exists
+    * for) prices the round-10 inner-join TREE face. */
   private def runStreamJoinChain(args: Array[String]): Unit = {
-    val nSlices = args.lift(0).map(_.toInt).getOrElse(16)
-    val rowsPer = args.lift(1).map(_.toInt).getOrElse(5000)
+    val tree = args.contains("tree")
+    val posArgs = args.filterNot(_ == "tree")
+    val nSlices = posArgs.lift(0).map(_.toInt).getOrElse(16)
+    val rowsPer = posArgs.lift(1).map(_.toInt).getOrElse(5000)
     val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-streamjoin-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
@@ -574,14 +581,37 @@ object EngineBench {
         (col("id") + shipBase).as("order_id"),
         (pmod(col("id") * 17 + s, lit(50)) + 1).cast("long").as("num_shipped"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/h$s")
+      if (tree) {
+        // carriers reference the order ids of TWO runs back: those orders
+        // were shipped LAST run, so the 3-tuple completes only against
+        // old A⋈B state — every run exercises the multi-hop seed path
+        val carBase = (s - 3).toLong * rowsPer
+        spark.range(rowsPer).select(
+          (col("id") + (s - 1).toLong * rowsPer).as("offset"), lit(0).as("op"),
+          lit(t0ts).as("system_time"),
+          (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
+            .cast("timestamp").as("event_time"),
+          (col("id") + carBase).as("ship_key"),
+          concat(lit("carrier-"), pmod(col("id") + s, lit(7))).as("carrier"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/c$s")
+      }
     }
     def fileOf(kind: String, s: Int): String = {
       val d = new java.io.File(s"$base/slices/$kind$s")
       d.listFiles.filter(_.getName.endsWith(".parquet")).head.getPath
     }
-    val q = """SELECT o.event_time AS event_time, o.order_id AS order_id,
-              |  o.quantity AS quantity, s.num_shipped AS num_shipped
-              |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin
+    val q =
+      if (tree)
+        """SELECT o.event_time AS event_time, o.order_id AS order_id,
+          |  o.quantity AS quantity, s.num_shipped AS num_shipped,
+          |  c.carrier AS carrier
+          |FROM orders o
+          |JOIN shipments s ON o.order_id = s.order_id
+          |JOIN carriers c ON s.order_id = c.ship_key""".stripMargin
+      else
+        """SELECT o.event_time AS event_time, o.order_id AS order_id,
+          |  o.quantity AS quantity, s.num_shipped AS num_shipped
+          |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin
     def drive(tag: String, engine: String): (Double, Double, Double) = {
       var firstHalf = 0.0
       val t0 = System.nanoTime()
@@ -600,7 +630,8 @@ object EngineBench {
           "did:out", "out", Instant.parse(f"2000-01-02T${s % 24}%02d:00:00Z"),
           DatasetVocabulary(),
           Transform(engine = engine, queries = Vector(SqlQueryStep(None, q))),
-          Vector(input("orders", "o"), input("shipments", "h")),
+          (Vector(input("orders", "o"), input("shipments", "h")) ++
+            (if (tree) Vector(input("carriers", "c")) else Vector.empty)),
           nextOffset = 0, prevCheckpointPath = prev,
           newCheckpointPath = s"$base/$tag/cp$s",
           newDataPath = s"$base/$tag/out$s.parquet")
@@ -623,7 +654,8 @@ object EngineBench {
         java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(s"$base/stream/out$n.parquet")))
     }
-    println(f"""{"metric":"engine_streamjoin","slices":$nSlices,"rowsPerSlice":$rowsPer,"stream_sec":$tS%.1f,"stream_halves":[$s1%.1f,$s2%.1f],"batch_sec":$tB%.1f,"batch_halves":[$b1%.1f,$b2%.1f],"stream_over_batch":${tS / tB}%.2f,"byte_identical":$same}""")
+    val metric = if (tree) "engine_streamjoin3" else "engine_streamjoin"
+    println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer,"stream_sec":$tS%.1f,"stream_halves":[$s1%.1f,$s2%.1f],"batch_sec":$tB%.1f,"batch_halves":[$b1%.1f,$b2%.1f],"stream_over_batch":${tS / tB}%.2f,"byte_identical":$same}""")
     spark.stop()
   }
 

@@ -234,6 +234,14 @@ final class IncrementalExecutor(
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.aggMerge.isEmpty && d.joinDelta.isEmpty &&
             d.distinctDelta.isEmpty && d.leftJoinDelta.isEmpty => ()
+      // post-retraction (round-10): once a retraction is in the history,
+      // the batch twin of every non-invertible shape is PERMANENTLY on
+      // the recompute path, so the generic face serves shapes no delta
+      // face covers (e.g. op-reading flippable aggregates)
+      case d: PlanClassifier.Mode.SnapshotDiff
+          if retractiveNow.nonEmpty && !d.aggMerge.exists(spec =>
+            spec.invertible && !stepsReferenceOp &&
+              hiddenAvgsDivisible(spec)) => ()
       case _ =>
         throw new InvalidQueryException(
           "streaming execution mode (engine = spark-streaming) supports " +
@@ -253,15 +261,23 @@ final class IncrementalExecutor(
     case PlanClassifier.Mode.AsOfWindowed    => runAsOf(windowed = true)
     case w: PlanClassifier.Mode.Windowed     => runWindowed(w.upperMillis)
     case d: PlanClassifier.Mode.SnapshotDiff if streamingMode =>
-      (d.leftJoinDelta, d.aggMerge) match {
+      // Retraction histories (round-10): any shape whose BATCH twin flips
+      // permanently to the recompute path on the first retraction — i.e.
+      // everything except the invertible merge family, which subtracts
+      // retracted partials through the merge algebra — serves through the
+      // generic recompute face: the recompute and state writes ARE the
+      // batch flip's own, so the modes keep interleaving on one
+      // checkpoint. The invertible family stays on its merge faces below
+      // (which ride retractions through the signed slice split), except
+      // the refcount DISTINCT face, whose first-occurrence emission is
+      // only sound over non-retractive histories and still rejects there.
+      if (retractiveNow.nonEmpty && !d.aggMerge.exists(spec =>
+          spec.invertible && !stepsReferenceOp && hiddenAvgsDivisible(spec)))
+        runSnapshotDiff(d.keys, d.rankTouch)
+      else (d.leftJoinDelta, d.aggMerge) match {
         case (Some(lj), None)
             if lj.allLeftRels.forall(byAlias(_).isDefined) &&
               byAlias(lj.right).isDefined =>
-          if (retractiveNow.nonEmpty)
-            throw new InvalidQueryException(
-              "streaming execution mode does not support left-join " +
-                "changelogs over inputs that have carried retractions — " +
-                "use the batch engine")
           runLeftDeltaJoin(lj)
         case (_, Some(spec)) if plainDistinctSpec(spec) =>
           if (retractiveNow.nonEmpty)
@@ -281,14 +297,11 @@ final class IncrementalExecutor(
         case (_, Some(spec)) if streamingServableFlipAggSpec(spec) =>
           // flippable aggregate (join-bearing, or plain min/max):
           // neverFlips mirrors the batch dispatch (absolute aux state +
-          // visible snapshot), so the modes interleave on one checkpoint;
-          // a carried retraction would flip batch execution onto the
-          // recompute path, which streaming cannot serve
-          if (retractiveNow.nonEmpty)
-            throw new InvalidQueryException(
-              "streaming execution mode does not support flippable " +
-                "aggregate changelogs over inputs that have carried " +
-                "retractions — use the batch engine")
+          // visible snapshot), so the modes interleave on one checkpoint.
+          // A non-invertible spec with a carried retraction never reaches
+          // here — the intercept above routed it to the generic recompute
+          // face, exactly where batch flips; an INVERTIBLE join-bearing
+          // spec rides the merge path through retractions like batch.
           runIncrementalAgg(spec,
             neverFlips = spec.invertible && !stepsReferenceOp)
         case (_, Some(spec)) if streamingServableMultiplicitySpec(spec) =>
@@ -300,21 +313,16 @@ final class IncrementalExecutor(
         case (None, None)
             if d.joinDelta.isDefined && d.distinctDelta.isEmpty &&
               innerTreeFace.isDefined =>
-          if (retractiveNow.nonEmpty)
-            throw new InvalidQueryException(
-              "streaming execution mode does not support inner-join " +
-                "changelogs over inputs that have carried retractions — " +
-                "use the batch engine")
+          // retraction histories were intercepted above (batch flips
+          // these to recompute permanently; the generic face serves them)
           runDeltaJoin(d.joinDelta.get)
         case _ =>
           val noFastPath = d.aggMerge.isEmpty && d.joinDelta.isEmpty &&
             d.distinctDelta.isEmpty && d.leftJoinDelta.isEmpty
           streamTopN match {
-            // the dedicated Top-N face keeps its pinned shapes; a
-            // retraction history drops to the generic recompute face
-            // below, mirroring the batch dispatch (which recomputes these
-            // shapes on every run regardless)
-            case Some(tn) if retractiveNow.isEmpty =>
+            // the dedicated Top-N face keeps its pinned shapes
+            // (retraction histories were intercepted above)
+            case Some(tn) =>
               runTopNStreaming(tn, d.keys)
             case _ if noFastPath =>
               runSnapshotDiff(d.keys, d.rankTouch)

@@ -133,17 +133,17 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
          |  SELECT event_time, symbol, price,
          |    row_number() OVER (PARTITION BY symbol ORDER BY price DESC) AS rn
          |  FROM tickers) WHERE rn <= $n""".stripMargin
-    }, uniqueValues = true),
+    }, uniqueValues = true, retractProb = 0.2, ridesRetractions = true),
     Shape("left-join", Seq("orders", "shipments"), _ =>
       """SELECT o.event_time as event_time, o.order_id as order_id,
         |  o.quantity as quantity, s.num_shipped as num_shipped
         |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id""".stripMargin,
-      retractProb = 0.2),
+      retractProb = 0.2, ridesRetractions = true),
     Shape("inner-join", Seq("orders", "shipments"), _ =>
       """SELECT o.event_time as event_time, o.order_id as order_id,
         |  o.quantity as quantity, s.num_shipped as num_shipped
         |FROM orders o JOIN shipments s ON o.order_id = s.order_id""".stripMargin,
-      retractProb = 0.2),
+      retractProb = 0.2, ridesRetractions = true),
     Shape("inner-join-tree", Seq("orders", "shipments", "carriers"), rnd => {
       // randomly a CHAIN (carriers keyed off the bridge relation) or a
       // STAR (keyed off the first relation) — both 3-relation trees the
@@ -154,7 +154,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
          |FROM orders o
          |JOIN shipments s ON o.order_id = s.order_id
          |JOIN carriers c ON $bridge = c.ship_key""".stripMargin
-    }, retractProb = 0.2),
+    }, retractProb = 0.2, ridesRetractions = true),
     Shape("distinct-union", Seq("tickers"), rnd =>
       if (rnd.nextBoolean())
         "SELECT DISTINCT event_time, symbol, price FROM tickers"
@@ -174,9 +174,9 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
         .take(1 + rnd.nextInt(2))
       s"""SELECT event_time, symbol, ${aggs.mkString(", ")}
          |FROM tickers GROUP BY event_time, symbol""".stripMargin
-    }, retractProb = 0.2),
+    }, retractProb = 0.2, ridesRetractions = true),
     Shape("left-join-derived", Seq("orders", "shipments"),
-      sql = _ => "", retractProb = 0.2,
+      sql = _ => "", retractProb = 0.2, ridesRetractions = true,
       steps = Some(rnd => {
         val k = 2 + rnd.nextInt(5)
         val filt = if (rnd.nextBoolean()) " WHERE num_shipped > 1" else ""
@@ -222,7 +222,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
          |  sum(s.num_shipped) as shipped
          |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id
          |GROUP BY o.event_time""".stripMargin
-    }, retractProb = 0.15))
+    }, retractProb = 0.15, ridesRetractions = true))
 
   /** Drive one seeded chain for `shape`; returns (streamedRuns, fellBack).
     * Runs on its own `newSession()` (isolated temp-view catalog over the
