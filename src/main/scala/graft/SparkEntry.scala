@@ -984,6 +984,35 @@ object SparkEntry {
       Similarity.nearDupPairsLSH(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.45, dim = 64, nBits = 16, bandBits = 4)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── Repeated-window detection (exact-substring dedup signal, the Lee
+    // et al. "Deduplicating Training Data" shape): slide full 30-token
+    // windows at stride 15, hash each, and report every window text that
+    // occurs more than once in the corpus. 100 TB shape: explode is
+    // linear in token count / stride and carries only (doc_id, 32-char
+    // hash); the groupBy shuffles the window table on the hash — uniform
+    // by construction, no skew mitigation needed — and the HAVING filter
+    // prunes the (vast) singleton tail before the emit.
+    "q57_repeated_windows" -> ((s, dir) => {
+      val win = 30; val stride = 15
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= win)
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            floor((size(col("toks")) - win) / stride).cast("int"))).as("i"),
+          col("toks"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("i") * stride + 1, lit(win))))
+            .as("window_hash"))
+        .groupBy(col("window_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("first_doc"))
+        .where(col("n_occ") > 1)
+        .orderBy(col("n_occ").desc, col("window_hash"))
     })
   )
 
@@ -1983,6 +2012,26 @@ object SparkEntry {
          |WHERE list_inner_product(va, vb)
          |    / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb))) >= 0.45
          |ORDER BY 1, 2""".stripMargin
-    }
+    },
+
+    "q57_repeated_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, CAST((len(toks)-30)//15 AS BIGINT))) AS i
+        |  FROM d WHERE len(toks) >= 30),
+        |w AS (
+        |  SELECT doc_id,
+        |    md5(list_aggregate(toks[(i*15+1):(i*15+30)], 'string_agg', ' ')) AS window_hash
+        |  FROM u)
+        |SELECT window_hash,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM w GROUP BY window_hash HAVING count(*) > 1
+        |ORDER BY n_occ DESC, window_hash""".stripMargin
   )
 }
