@@ -269,8 +269,9 @@ final class IncrementalExecutor(
       // batch flip's own, so the modes keep interleaving on one
       // checkpoint. The invertible family stays on its merge faces below
       // (which ride retractions through the signed slice split), except
-      // the refcount DISTINCT face, whose first-occurrence emission is
-      // only sound over non-retractive histories and still rejects there.
+      // The refcount DISTINCT face rides too: its emission switches from
+      // first-occurrence to the keyed visible diff once support can
+      // cross back to zero (see the emission dispatch).
       if (retractiveNow.nonEmpty && !d.aggMerge.exists(spec =>
           spec.invertible && !stepsReferenceOp && hiddenAvgsDivisible(spec)))
         runSnapshotDiff(d.keys, d.rankTouch)
@@ -280,11 +281,6 @@ final class IncrementalExecutor(
               byAlias(lj.right).isDefined =>
           runLeftDeltaJoin(lj)
         case (_, Some(spec)) if plainDistinctSpec(spec) =>
-          if (retractiveNow.nonEmpty)
-            throw new InvalidQueryException(
-              "streaming execution mode does not support DISTINCT/UNION " +
-                "changelogs over inputs that have carried retractions — " +
-                "use the batch engine")
           // state layout must mirror the batch dispatch exactly so batch
           // and streaming runs interleave on one checkpoint
           runIncrementalAgg(spec,
@@ -2370,20 +2366,29 @@ final class IncrementalExecutor(
           prevTouched, mergedTouched, keys, mult, visibleSchema)
       case Some(mult) =>
         diffMultiplicity(prevTouched, mergedTouched, keys, mult, visibleSchema)
-      case None if streamingMode && plainDistinctSpec(spec) =>
+      case None if streamingMode && plainDistinctSpec(spec) &&
+          retractiveNow.isEmpty =>
         // Streaming face (round 8): the previously-visible touched values
         // seed StreamingDistinct's per-value state, then the slice's
         // values run as a second AvailableNow round whose emissions equal
-        // this diff — without retractions (gated at dispatch) the only
-        // support transition is 0 → positive, i.e. +I for never-seen
-        // values. State and ledger writes below are untouched, so batch
-        // and streaming runs interleave on one checkpoint.
+        // this diff — without retractions the only support transition is
+        // 0 → positive, i.e. +I for never-seen values. State and ledger
+        // writes below are untouched, so batch and streaming runs
+        // interleave on one checkpoint.
         streamingDistinctEmission(
           visible(prevTouched).select(keys.map(col): _*),
           sliceAgg.select(keys.map(col): _*))
           .withColumn(vocab.operationTypeColumn, lit(Op.Append))
           .select((visibleSchema.fieldNames.map(col) :+
             col(vocab.operationTypeColumn)).toIndexedSeq: _*)
+      case None if streamingMode && plainDistinctSpec(spec) =>
+        // Retraction histories (round 10): support can cross back to
+        // zero, which first-occurrence state cannot express — the keyed
+        // visible diff serves instead (values appearing emit +I, dying
+        // values emit -D carrying the stored row), exactly the
+        // diffSnapshots below; the signed refcount partials stay batch.
+        streamingAggDiffEmission(
+          visible(prevTouched), visible(mergedTouched), keys, visibleSchema)
       case None if streamingMode && (streamingServableAggSpec(spec) ||
           streamingServableFlipAggSpec(spec)) =>
         // Streaming face (round 9): previously-visible touched rows seed

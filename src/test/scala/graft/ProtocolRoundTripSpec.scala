@@ -543,10 +543,11 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     // StreamingDistinct's per-value seen-state from the previously-visible
     // values and runs the slice's values as a second AvailableNow round;
     // its +I emissions equal the batch merge diff (no retractions ⇒ the
-    // only support transition is 0 → positive). Three-run chain — in-slice
-    // dups, a dup-of-history, and a watermark-only run — must match batch
-    // slices and ledgers byte for byte; a retraction slice must be
-    // rejected as InvalidQuery, not served differently.
+    // only support transition is 0 → positive). Four-run chain — in-slice
+    // dups, a dup-of-history, a watermark-only run, and (round 10) a
+    // retraction run killing a single-support value, which flips the
+    // emission to the keyed visible diff and emits the -D — must match
+    // batch slices and ledgers byte for byte.
     import spark.implicits._
     import EngineFixtures.Ticker
     val dir = Files.createTempDirectory("graft-proto-stream-distinct")
@@ -564,7 +565,7 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
         Ticker(5, 0, t(ts(2)), t(ts(2)), "C", 30))).toDF(), in2)
     graft.engine.ParquetSliceSink.writeSingleFile(
       spark.createDataset(Seq(
-        Ticker(6, 1, t(ts(3)), t(ts(1)), "A", 10))).toDF(), in4)
+        Ticker(6, 1, t(ts(3)), t(ts(2)), "C", 30))).toDF(), in4)
     val q = "SELECT DISTINCT event_time, symbol, price FROM tickers"
     def tr(engine: String, tag: String, num: Int, path: Option[String],
         oi: Option[OffsetInterval], wm: Instant, nextOff: Long,
@@ -592,10 +593,14 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
       val r3 = e.executeTransform(
         tr(engine, tag, 3, None, None, ts(3), 3, Some(s"$dir/$tag/cp2")))
       assert(r3.isInstanceOf[TransformResponse.Success], s"$tag run3: $r3")
+      val r4 = e.executeTransform(
+        tr(engine, tag, 4, Some(in4), Some(OffsetInterval(6, 6)), ts(3), 3,
+          Some(s"$dir/$tag/cp3")))
+      assert(r4.isInstanceOf[TransformResponse.Success], s"$tag run4: $r4")
     }
     chain("spark", "batch")
     chain("spark-streaming", "stream")
-    (1 to 3).foreach { n =>
+    (1 to 4).foreach { n =>
       val b = Paths.get(s"$dir/batch/out$n.parquet")
       val s = Paths.get(s"$dir/stream/out$n.parquet")
       assert(Files.exists(b) == Files.exists(s),
@@ -615,11 +620,11 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     val o2 = spark.read.parquet(s"$dir/stream/out2.parquet").collect()
     assert(o2.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("op"))).toSeq ==
       Seq(("C", 0)))
-    // a retraction slice is rejected under streaming mode (batch serves it)
-    val r4 = new graft.engine.TransformEngine(spark).executeTransform(
-      tr("spark-streaming", "stream", 4, Some(in4),
-        Some(OffsetInterval(6, 6)), ts(3), 3, Some(s"$dir/stream/cp3")))
-    assert(r4.isInstanceOf[TransformResponse.InvalidQuery], s"run4: $r4")
+    // run 4 (round 10): the retraction kills C's only support — the
+    // keyed-visible-diff emission serves the -D under streaming
+    val o4 = spark.read.parquet(s"$dir/stream/out4.parquet").collect()
+    assert(o4.map(r => (r.getAs[String]("symbol"), r.getAs[Int]("price"),
+      r.getAs[Int]("op"))).toSeq == Seq(("C", 30, Op.Retract)), o4.mkString(","))
   }
 
   test("streaming execution mode covers left-join changelogs byte-identically") {

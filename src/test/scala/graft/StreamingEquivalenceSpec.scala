@@ -162,7 +162,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
         """SELECT event_time, symbol, price FROM tickers WHERE price % 2 = 0
           |UNION
           |SELECT event_time, symbol, price FROM tickers WHERE price % 3 = 0""".stripMargin,
-      retractProb = 0.2, dupProb = 0.5),
+      retractProb = 0.2, ridesRetractions = true, dupProb = 0.5),
     Shape("invertible-groupby", Seq("tickers"), rnd => {
       val aggs = Seq("count(*) as n", "sum(price) as total") ++
         (if (rnd.nextBoolean()) Seq("avg(price) as mean") else Nil)
