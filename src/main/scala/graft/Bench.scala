@@ -122,41 +122,91 @@ object Bench {
     spark.stop()
   }
 
-  /** Per-query times from the newest BENCH_r*.json in the working
-    * directory (or SPARK_GRAFT_PRIOR), for the outlier re-measure gate.
-    * The prior is only comparable at the recorded sf — its "sf" field
-    * must end with the same scale-factor directory name we are running
-    * at, else no vetting. Empty map = vetting disabled.
+  /** Per-query times from the newest readable BENCH_r*.json in the
+    * working directory (or SPARK_GRAFT_PRIOR), for the outlier re-measure
+    * gate. The prior is only comparable at the recorded sf — its "sf"
+    * field must end with the same scale-factor directory name we are
+    * running at, else that file is skipped. Empty map = vetting disabled.
+    *
+    * The driver wraps our stdout metric line as
+    * `{"n":…,"rc":…,"sf":0.1,"tail":"<escaped stdout>","parsed":{…}|null}`.
+    * Round 10 shipped unvetted because the then-current regex parser could
+    * only read a plain (unescaped) "queries" section: when the driver's own
+    * parse fails (`"parsed": null` — the tail can be front-TRUNCATED, e.g.
+    * BENCH_r09's starts mid-token at `metric\":`), the only copy of the
+    * metric line is the backslash-escaped "tail" string, which the regexes
+    * can't see. So: parse the wrapper with Jackson (the tail decodes to
+    * plain text for free), try parsed → tail → whole-file in order, and
+    * walk OLDER rounds until one yields a same-sf queries map.
     */
-  private def priorBench(sfDir: String): Map[String, Double] = {
-    val explicit = sys.env.get("SPARK_GRAFT_PRIOR").map(new java.io.File(_))
-    val file = explicit.orElse {
-      val cwd = new java.io.File(".").getAbsoluteFile.getParentFile
-      // numeric round sort — lexicographic would pick r99 over r100
-      Option(cwd.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-        .lastOption
-    }
-    file.filter(_.isFile).map { f =>
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val sfName = new java.io.File(sfDir).getName
-      val sfRec = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
-        .findFirstMatchIn(txt).map(_.group(1))
-      if (!sfRec.exists(_.endsWith(sfName))) Map.empty[String, Double]
+  private[graft] def priorBench(sfDir: String): Map[String, Double] = {
+    val sfName = new java.io.File(sfDir).getName
+    val candidates: Seq[java.io.File] =
+      sys.env.get("SPARK_GRAFT_PRIOR") match {
+        case Some(p) => Seq(new java.io.File(p))
+        case None =>
+          val cwd = new java.io.File(".").getAbsoluteFile.getParentFile
+          // numeric round sort — lexicographic would pick r9 over r10;
+          // newest first so the walk prefers the most recent readable round
+          Option(cwd.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+            .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt)
+            .toSeq
+      }
+    candidates.iterator
+      .flatMap(f => parsePriorFile(f, sfName))
+      .nextOption()
+      .getOrElse(Map.empty)
+  }
+
+  /** All plausible plain-text carriers of the metric line in one prior
+    * file, best first: the driver's parsed object, the JSON-decoded tail,
+    * then the raw file (covers a plain metric line we wrote ourselves).
+    */
+  private[graft] def parsePriorFile(
+      f: java.io.File, sfName: String): Option[Map[String, Double]] = {
+    if (!f.isFile) return None
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      catch { case _: Exception => null }
+    val sources: Seq[String] =
+      if (root == null) Seq(txt)
+      else Seq(
+        Option(root.get("parsed")).filterNot(_.isNull).map(_.toString),
+        Option(root.get("tail")).filterNot(_.isNull).map(_.asText()),
+        Some(txt)).flatten
+    sources.iterator.flatMap(extractQueries(_, sfName)).nextOption()
+  }
+
+  /** Pull the per-query seconds map out of one plain-text carrier, iff its
+    * recorded "sf" path ends with the scale-factor dir we are running at.
+    * Tolerates log-noise prefixes and a front-truncated metric line: only
+    * the `"queries":{…}` object and an `"sf":"…"` string need to survive.
+    */
+  private[graft] def extractQueries(
+      s: String, sfName: String): Option[Map[String, Double]] = {
+    val sfRec = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+      .findFirstMatchIn(s).map(_.group(1))
+    if (!sfRec.exists(_.endsWith(sfName))) None
+    else {
+      // last occurrence: a retried/concatenated stdout keeps the final run
+      val qsec = s.lastIndexOf("\"queries\"")
+      if (qsec < 0) None
       else {
-        val qsec = txt.indexOf("\"queries\"")
-        if (qsec < 0) Map.empty[String, Double]
+        val sub = s.substring(qsec)
+        val open = sub.indexOf('{')
+        val close = sub.indexOf('}') // queries is flat — first } closes it
+        if (open < 0 || close <= open) None
         else {
-          val sub = txt.substring(qsec)
-          val obj = sub.substring(sub.indexOf('{') + 1,
-            sub.indexOf('}') max (sub.indexOf('{') + 1))
-          "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(obj)
+          val obj = sub.substring(open + 1, close)
+          val m = "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(obj)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          if (m.nonEmpty) Some(m) else None
         }
       }
-    }.getOrElse(Map.empty)
+    }
   }
 }
