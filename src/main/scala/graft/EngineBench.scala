@@ -557,6 +557,11 @@ object EngineBench {
     val posArgs = args.filterNot(_ == "tree")
     val nSlices = posArgs.lift(0).map(_.toInt).getOrElse(16)
     val rowsPer = posArgs.lift(1).map(_.toInt).getOrElse(5000)
+    // zipfian adversary (round-11): a fraction of the PROBE side's bridge
+    // keys reference the very first order, so the streaming faces' seed
+    // staging (and, for the tree, the Yannakakis semi-join sweep) must
+    // pull the hot key's old state every run
+    val hot = posArgs.lift(2).map(_.toDouble).getOrElse(0.0)
     val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-streamjoin-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
@@ -573,12 +578,17 @@ object EngineBench {
       // ship the PREVIOUS run's orders (run 1 ships ids < 0: no matches,
       // uniform slice sizes)
       val shipBase = (s - 2).toLong * rowsPer
+      val shipKey =
+        if (hot > 0)
+          when(pmod(col("id") * 13 + s, lit(1000)) < lit((hot * 1000).toInt),
+            lit(0L)).otherwise(col("id") + shipBase)
+        else col("id") + shipBase
       spark.range(rowsPer).select(
         (col("id") + (s - 1).toLong * rowsPer).as("offset"), lit(0).as("op"),
         lit(t0ts).as("system_time"),
         (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
           .cast("timestamp").as("event_time"),
-        (col("id") + shipBase).as("order_id"),
+        shipKey.cast("long").as("order_id"),
         (pmod(col("id") * 17 + s, lit(50)) + 1).cast("long").as("num_shipped"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/h$s")
       if (tree) {
@@ -586,12 +596,17 @@ object EngineBench {
         // were shipped LAST run, so the 3-tuple completes only against
         // old A⋈B state — every run exercises the multi-hop seed path
         val carBase = (s - 3).toLong * rowsPer
+        val carKey =
+          if (hot > 0)
+            when(pmod(col("id") * 7 + s, lit(1000)) < lit((hot * 1000).toInt),
+              lit(0L)).otherwise(col("id") + carBase)
+          else col("id") + carBase
         spark.range(rowsPer).select(
           (col("id") + (s - 1).toLong * rowsPer).as("offset"), lit(0).as("op"),
           lit(t0ts).as("system_time"),
           (lit(t0ts) + expr(s"make_interval(0,0,0,0,0,0,$s)"))
             .cast("timestamp").as("event_time"),
-          (col("id") + carBase).as("ship_key"),
+          carKey.cast("long").as("ship_key"),
           concat(lit("carrier-"), pmod(col("id") + s, lit(7))).as("carrier"))
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/c$s")
       }
@@ -655,7 +670,8 @@ object EngineBench {
           java.nio.file.Paths.get(s"$base/stream/out$n.parquet")))
     }
     val metric = if (tree) "engine_streamjoin3" else "engine_streamjoin"
-    println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer,"stream_sec":$tS%.1f,"stream_halves":[$s1%.1f,$s2%.1f],"batch_sec":$tB%.1f,"batch_halves":[$b1%.1f,$b2%.1f],"stream_over_batch":${tS / tB}%.2f,"byte_identical":$same}""")
+    val hotField = if (hot > 0) s""","hot":$hot""" else ""
+    println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer$hotField%s,"stream_sec":$tS%.1f,"stream_halves":[$s1%.1f,$s2%.1f],"batch_sec":$tB%.1f,"batch_halves":[$b1%.1f,$b2%.1f],"stream_over_batch":${tS / tB}%.2f,"byte_identical":$same}""")
     spark.stop()
   }
 
@@ -886,6 +902,12 @@ object EngineBench {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
     val hot = args.lift(2).map(_.toDouble).getOrElse(0.0)
+    // hop-side adversary (round-11): a fraction of SHIPMENTS reference the
+    // FIRST invoice — the transitive hop Δ_orders → shipments → invoices
+    // then derives its invoices band from narrowed-shipment rows whose
+    // invoice keys mix one ancient id with fresh monotone ids, collapsing
+    // the hop's single min/max band to the full history range
+    val hotHop = args.lift(3).map(_.toDouble).getOrElse(0.0)
     val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-join3-bench").toString
     val t0ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
@@ -908,11 +930,16 @@ object EngineBench {
           when(pmod(col("id") * 7 + s, lit(1000)) < lit((hot * 1000).toInt),
             lit(1L)).otherwise(col("id") + off0)
         else col("id") + off0
+      val invoiceKey =
+        if (hotHop > 0)
+          when(pmod(col("id") * 13 + s, lit(1000)) < lit((hotHop * 1000).toInt),
+            lit(1000000000L)).otherwise(col("id") + off0 + 1000000000L)
+        else col("id") + off0 + 1000000000L
       spark.range(rowsPer).select(
         (col("id") + off0).as("offset"), lit(0).as("op"),
         lit(t0ts).as("system_time"), evt.as("event_time"),
         bridgeKey.cast("long").as("order_id"),
-        (col("id") + off0 + 1000000000L).as("invoice_id"))
+        invoiceKey.cast("long").as("invoice_id"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/h$s")
       // invoices: monotone invoice_id matching the bridge 1:1
       spark.range(rowsPer).select(
@@ -991,7 +1018,8 @@ object EngineBench {
     val (tR, r1, r2) = drive("recompute", qSlowSteps)
     val (tD, d1, d2) = drive("delta", qFastSteps)
     val metric = if (leftMix) "engine_leftjoinmix" else "engine_join3"
-    val hotField = if (hot > 0) s""","hot":$hot""" else ""
+    val hotField = (if (hot > 0) s""","hot":$hot""" else "") +
+      (if (hotHop > 0) s""","hotHop":$hotHop""" else "")
     println(f"""{"metric":"$metric%s","slices":$nSlices,"rowsPerSlice":$rowsPer$hotField%s,"delta_sec":$tD%.1f,"delta_halves":[$d1%.1f,$d2%.1f],"recompute_sec":$tR%.1f,"recompute_halves":[$r1%.1f,$r2%.1f],"speedup":${tR / tD}%.2f}""")
     spark.stop()
   }
@@ -1006,6 +1034,12 @@ object EngineBench {
   private def runNestedAgg(args: Array[String]): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
+    // touched-partition adversary (round-11): a fraction of EVERY slice's
+    // rows land on one hot symbol, so the narrowed path's touched set
+    // always includes the hot partition and must recompute its whole
+    // (growing) history each run — the honest worst case for semi-join
+    // touched-partition narrowing, since that state is genuinely touched
+    val hot = args.lift(2).map(_.toDouble).getOrElse(0.0)
     val spark = benchSession()
     val base = java.nio.file.Files.createTempDirectory("graft-nested-bench").toString
 
@@ -1015,14 +1049,20 @@ object EngineBench {
       // band s%10 — untouched bands' output partitions must be neither
       // recomputed nor re-diffed (the snapshot is output-cardinality-sized,
       // so the diff side is where O(history) recompute hurts most)
+      val coldSym = concat(lit("k"),
+        pmod(col("id") * 2654435761L + s, lit(100000)) + (s % 10) * 100000)
+      val sym =
+        if (hot > 0)
+          when(pmod(col("id") * 13 + s, lit(1000)) < lit((hot * 1000).toInt),
+            lit("khot")).otherwise(coldSym)
+        else coldSym
       spark.range(rowsPer).select(
         (col("id") + off0).as("offset"),
         lit(0).as("op"),
         lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")).as("system_time"),
         (lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
           + expr(s"make_interval(0,0,0,0,0,0,${s % 7})")).cast("timestamp").as("event_time"),
-        concat(lit("k"),
-          pmod(col("id") * 2654435761L + s, lit(100000)) + (s % 10) * 100000).as("symbol"),
+        sym.as("symbol"),
         (pmod(col("id") * 31 + s, lit(1000)) + 1).cast("int").as("price"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/slices/s$s")
     }
@@ -1073,7 +1113,8 @@ object EngineBench {
 
     val tWide = drive("wide", qWide)
     val tNarrow = drive("narrow", qNarrow)
-    println(f"""{"metric":"engine_nested_agg","slices":$nSlices,"rowsPerSlice":$rowsPer,"narrow_sec":$tNarrow%.1f,"wide_sec":$tWide%.1f,"speedup":${tWide / tNarrow}%.2f}""")
+    val hotField = if (hot > 0) s""","hot":$hot""" else ""
+    println(f"""{"metric":"engine_nested_agg","slices":$nSlices,"rowsPerSlice":$rowsPer$hotField%s,"narrow_sec":$tNarrow%.1f,"wide_sec":$tWide%.1f,"speedup":${tWide / tNarrow}%.2f}""")
     spark.stop()
   }
 

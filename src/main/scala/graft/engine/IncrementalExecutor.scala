@@ -226,6 +226,17 @@ final class IncrementalExecutor(
       // are invertible, so retractions ride through
       case d: PlanClassifier.Mode.SnapshotDiff
           if d.aggMerge.exists(streamingServableMultiplicitySpec) => ()
+      // op-reading aggregate chains (round-11): these are excluded from
+      // the RETRACTION-riding merge path only because netting rewrites
+      // op/offset/system-time representatives — but while the history is
+      // append-only the merge and recompute paths bind identical raw
+      // values, so the shape serves through the same runIncrementalAgg +
+      // keyed streaming diff with the batch dispatch's neverFlips=false,
+      // and the FIRST retraction flips both engines to the generic
+      // recompute face permanently (intercept below / batch dispatch)
+      case d: PlanClassifier.Mode.SnapshotDiff
+          if d.aggMerge.isDefined && stepsReferenceOp &&
+            retractiveNow.isEmpty => ()
       // generic recompute tail (round-10): shapes with NO delta/merge
       // proof ride the batch recompute path on EVERY run — including
       // through retractions, which the buffer netting absorbs — so the
@@ -306,6 +317,22 @@ final class IncrementalExecutor(
           // spec shape, and retractions ride the signed slice split like
           // the invertible GROUP BY face
           runIncrementalAgg(spec, neverFlips = !stepsReferenceOp)
+        // op-reading chains (round-11): mirror of the batch dispatch —
+        // resolvable joins + divisible avgs ride the flippable merge path
+        // with neverFlips=false (identical state writes, emission through
+        // the keyed streaming diff), everything else recomputes. No young
+        // detour here, matching the other streaming agg faces: a prior
+        // batch detour's missing partials rebuild via the buffers
+        // migration, and aux-free specs share the visible snapshot.
+        case (_, Some(spec)) if stepsReferenceOp &&
+            spec.join.forall(_.rels.forall(byAlias(_).isDefined)) &&
+            spec.leftJoin.forall(lj =>
+              lj.allLeftRels.forall(byAlias(_).isDefined) &&
+                byAlias(lj.right).isDefined) &&
+            hiddenAvgsDivisible(spec) =>
+          runIncrementalAgg(spec, neverFlips = false)
+        case (_, Some(spec)) if stepsReferenceOp =>
+          runSnapshotDiff(d.keys, d.rankTouch)
         case (None, None)
             if d.joinDelta.isDefined && d.distinctDelta.isEmpty &&
               innerTreeFace.isDefined =>
@@ -1188,16 +1215,45 @@ final class IncrementalExecutor(
       }
       acc.getOrElse(base.limit(0))
     }
+    // Round-materialized sweep: each round's semi-join predicates read
+    // only PARQUET-STAGED key frames from the previous round, so the plan
+    // stays constant-depth however deep the tree is. (Previously every
+    // round re-referenced the prior rounds' uncached `needed` frames, so
+    // the logical plan — and the keysOf().distinct() shuffles inside it —
+    // grew exponentially with tree depth; correct, but a 5–7 relation
+    // chain would hit severe planning/recompute blowup.) Only DISTINCT
+    // edge-key values cross rounds — the smallest thing that can: a key
+    // frame is bounded by the touched-key count, not by state size.
+    var keyCnt = 0
+    def stageKeys(df: DataFrame): DataFrame = {
+      keyCnt += 1
+      val dir = scratchDir(s"graft-ij-keys-$keyCnt")
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.schema(df.schema).parquet(dir)
+    }
+    // reachKeys(j)(c) = distinct values of edge column c over relation j's
+    // reachable OLD rows after the previous round (first round: none, so
+    // predicates see slice keys only — same as the original prev=None).
+    var reachKeys: Vector[Map[String, DataFrame]] = Vector.fill(n)(Map.empty)
     var needed: Vector[Option[DataFrame]] = Vector.fill(n)(None)
-    (1 until n).foreach { _ =>
-      val prev = needed
+    (1 until n).foreach { r =>
+      val prev = reachKeys
       needed = Vector.tabulate(n) { i =>
         val preds = incident(i).map { case (ci, j, cj) =>
-          val src = prev(j).fold(slices(j))(nj =>
-            slices(j).unionByName(nj.select(slices(j).columns.map(col): _*)))
-          (ci, keysOf(src, cj, ci))
+          val sliceKeys = keysOf(slices(j), cj, ci)
+          val k = prev(j).get(cj) match {
+            case Some(kj) => sliceKeys
+              .unionByName(kj.select(col(cj).as(ci))).distinct()
+            case None => sliceKeys
+          }
+          (ci, k)
         }
         Some(semiOr(oldsClean(i), preds))
+      }
+      if (r < n - 1) reachKeys = Vector.tabulate(n) { j =>
+        incident(j).map(_._1).distinct.map { c =>
+          c -> stageKeys(keysOf(needed(j).get, c, c))
+        }.toMap
       }
     }
     needed.zipWithIndex.foreach { case (sOpt, i) =>
@@ -1344,10 +1400,12 @@ final class IncrementalExecutor(
   private def runTopNStreaming(
       tn: PlanClassifier.StreamTopN,
       keys: Option[Seq[String]]): ExecResult = {
-    if (retractiveNow.nonEmpty)
-      throw new InvalidQueryException(
-        "streaming execution mode does not support Top-N over inputs that " +
-          "have carried retractions — use the batch engine")
+    // Retraction histories never reach this face: the round-10 dispatch
+    // intercept routes them to runSnapshotDiff (the generic recompute face
+    // serves Top-N over retractive inputs via the keyed visible diff), so
+    // this is a dispatch invariant, not a user-facing rejection.
+    assert(retractiveNow.isEmpty,
+      "retraction histories are served by the generic recompute face")
     val in = byAlias(tn.input).getOrElse(throw new InvalidQueryException(
       s"unknown input '${tn.input}'"))
     in.df.drop("__seq").createOrReplaceTempView(tn.input)
@@ -1988,12 +2046,17 @@ final class IncrementalExecutor(
     * the key values ([[graft.streaming.StreamingAggDiff.keyOf]]), which is
     * total over every GROUP-BY-able type but NOT over maps (unordered
     * container bytes are not canonical, and map columns are not orderable
-    * for the deterministic emission sort). Keyed diffs only serialize the
-    * group keys — maps cannot appear there (not orderable in SQL) — but a
-    * KEYLESS diff keys on the whole output row, so any map-typed output
-    * column must reject rather than risk a value-equal row splitting into
-    * two keys. The engine-reserved multiplicity column name is fenced for
-    * the same reason.
+    * for the deterministic emission sort). A KEYLESS diff keys on the
+    * whole output row, so a map-typed column could split a value-equal
+    * row into two keys. A KEYED diff only serializes the group keys —
+    * maps cannot appear there (not orderable in SQL) — but its VALUE
+    * comparison would accept map columns via Scala ==, while the batch
+    * twin ([[graft.operators.Changelog.diffSnapshots]]'s struct `<=>`)
+    * fails analysis on map types: serving the shape in one mode only
+    * would break the batch/streaming interleave contract, so both keyed
+    * and keyless map-typed outputs reject here (round-10 ADVICE #2). The
+    * engine-reserved multiplicity column name is fenced for the keyless
+    * case for the same splitting reason.
     */
   private def requireStreamDiffable(
       schema: org.apache.spark.sql.types.StructType, keyed: Boolean): Unit = {
@@ -2004,10 +2067,10 @@ final class IncrementalExecutor(
       case s: StructType  => s.fields.exists(f => hasMap(f.dataType))
       case _              => false
     }
-    if (!keyed && schema.fields.exists(f => hasMap(f.dataType)))
+    if (schema.fields.exists(f => hasMap(f.dataType)))
       throw new InvalidQueryException(
-        "streaming execution mode cannot serve a keyless updating query " +
-          "with map-typed output columns — use the batch engine")
+        "streaming execution mode cannot serve an updating query with " +
+          "map-typed output columns — use the batch engine")
     if (!keyed && schema.fieldNames.contains("__mult_k"))
       throw new InvalidQueryException(
         "streaming execution mode reserves the column name '__mult_k' — " +
@@ -2353,9 +2416,13 @@ final class IncrementalExecutor(
     // +I / disappears as -D even though its partials persist in state.
     // ALL-variant set ops are MULTISETS: their diff is per-value
     // multiplicity arithmetic (Δk appends / |Δk| retracts), not keyed rows.
+    // Under streamingMode every runIncrementalAgg call comes from the
+    // vetted streaming dispatch (servable agg/flip/multiplicity/DISTINCT
+    // specs plus the round-11 append-only op-reading class), so a
+    // streaming-mode run here ALWAYS routes its emission through a
+    // streaming diff operator — the batch diffs below are batch-only.
     val emitted = spec.multiplicitySql match {
-      case Some(mult) if streamingMode &&
-          streamingServableMultiplicitySpec(spec) =>
+      case Some(mult) if streamingMode =>
         // Streaming face (round 10): previously-visible touched
         // multiplicities seed StreamingAggDiff.multiplicityDiff's
         // per-value state, the merged multiplicities (+ tombstones) run
@@ -2389,8 +2456,7 @@ final class IncrementalExecutor(
         // diffSnapshots below; the signed refcount partials stay batch.
         streamingAggDiffEmission(
           visible(prevTouched), visible(mergedTouched), keys, visibleSchema)
-      case None if streamingMode && (streamingServableAggSpec(spec) ||
-          streamingServableFlipAggSpec(spec)) =>
+      case None if streamingMode =>
         // Streaming face (round 9): previously-visible touched rows seed
         // StreamingAggDiff's per-group state, the merged visible rows and
         // death tombstones run as a second AvailableNow round, and the

@@ -260,13 +260,11 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     val po = spark.read.parquet(s"$dir/pstream/out1.parquet").collect()
     assert(po.length == 1 && po(0).getAs[Int]("min") == 10
       && po(0).getAs[Int]("max") == 12)
-    // and an unsupported shape under the streaming engine is rejected,
-    // not silently run in batch. Round 10 serves the generic recompute
-    // tail (scalar subqueries included), so the remaining rejects are
-    // merge-path specs no face covers: an OP-READING min/max aggregate —
-    // the flip-aggregate face requires op-free chains, and its merge spec
-    // keeps it off the generic recompute face
-    val bad = runProcess("transform",
+    // an OP-READING min/max aggregate — rejected through round 10 —
+    // serves since round 11 while the history is append-only (the merge
+    // and recompute paths bind identical raw values until the first
+    // retraction, which flips both engines to the recompute face)
+    val opAgg = runProcess("transform",
       s"""|datasetId: "did:odf:out"
           |datasetAlias: out
           |systemTime: "2000-01-15T00:00:00Z"
@@ -275,6 +273,33 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
           |  kind: Sql
           |  engine: spark-streaming
           |  query: "SELECT event_time, symbol, min(price) AS mn FROM tickers WHERE op = 0 GROUP BY event_time, symbol"
+          |queryInputs:
+          |- datasetId: "did:odf:in"
+          |  queryAlias: tickers
+          |  offsetInterval:
+          |    start: 0
+          |    end: 2
+          |  dataPaths:
+          |  - "$in1"
+          |  schemaFile: "$in1"
+          |newCheckpointPath: "$dir/opagg/cp1"
+          |newDataPath: "$dir/opagg/out1.parquet"
+          |""".stripMargin, dir, "opagg")
+    assert(opAgg.contains("kind: Success"), opAgg)
+    // and an unsupported shape under the streaming engine is still
+    // rejected, not silently run in batch: a map-typed output column —
+    // the streaming diffs cannot key or compare map values canonically,
+    // and the batch twin's struct <=> fails analysis on maps, so the
+    // shape rejects identically in both modes
+    val bad = runProcess("transform",
+      s"""|datasetId: "did:odf:out"
+          |datasetAlias: out
+          |systemTime: "2000-01-15T00:00:00Z"
+          |nextOffset: 0
+          |transform:
+          |  kind: Sql
+          |  engine: spark-streaming
+          |  query: "SELECT event_time, symbol, map('p', price) AS m FROM tickers WHERE price > (SELECT min(price) FROM tickers)"
           |queryInputs:
           |- datasetId: "did:odf:in"
           |  queryAlias: tickers
@@ -919,6 +944,116 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/stream/out4.parquet").isEmpty)
   }
 
+  test("streaming inner-join trees serve a 5-relation chain byte-identically") {
+    // Depth test for the Yannakakis seed sweep (round-11): the sweep now
+    // restages each round's reachable-key frames to scratch parquet, so
+    // the semi-join plan stays constant-depth however deep the tree is —
+    // previously the logical plan grew exponentially with relation count
+    // and only n=3 was exercised. The far-end bridge run (an r5-only
+    // slice whose tuple needs OLD seeds from ALL of r1..r4, four hops
+    // away) is exactly the case that drives the most sweep rounds.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-proto-stream-ij5")
+    def slice(path: String, rows: Seq[(Long, Int, Long, Long)]): String = {
+      // (offset, op, pk, k): pk joins the previous relation's k
+      val df = spark.createDataset(rows).toDF("offset", "op", "pk", "k")
+        .withColumn("system_time",
+          org.apache.spark.sql.functions.lit(t(ts(1))))
+        .withColumn("event_time",
+          org.apache.spark.sql.functions.lit(t(ts(1))))
+        .select("offset", "op", "system_time", "event_time", "pk", "k")
+      graft.engine.ParquetSliceSink.writeSingleFile(df, path)
+      path
+    }
+    val r1a = slice(s"$dir/r1a.parquet", Seq((0L, 0, 0L, 1L)))
+    val r2a = slice(s"$dir/r2a.parquet", Seq((0L, 0, 1L, 2L)))
+    val r3a = slice(s"$dir/r3a.parquet", Seq((0L, 0, 2L, 3L)))
+    val r4a = slice(s"$dir/r4a.parquet", Seq((0L, 0, 3L, 4L)))
+    val r5a = slice(s"$dir/r5a.parquet", Seq((0L, 0, 99L, 99L)))
+    val r5b = slice(s"$dir/r5b.parquet", Seq((1L, 0, 4L, 50L)))
+    val r3c = slice(s"$dir/r3c.parquet", Seq((1L, 0, 2L, 33L)))
+    val r4c = slice(s"$dir/r4c.parquet", Seq((1L, 0, 33L, 44L)))
+    val r5c = slice(s"$dir/r5c.parquet", Seq((2L, 0, 44L, 70L)))
+    val q = """SELECT r1.event_time AS event_time, r1.k AS k1, r3.k AS k3,
+              |  r4.k AS k4, r5.k AS k5
+              |FROM r1
+              |JOIN r2 ON r1.k = r2.pk
+              |JOIN r3 ON r2.k = r3.pk
+              |JOIN r4 ON r3.k = r4.pk
+              |JOIN r5 ON r4.k = r5.pk""".stripMargin
+    def chain(engines: Seq[String], tag: String): Unit = {
+      import graft.engine.TransformEngine
+      def input(alias: String, path: Option[String], schema: String,
+          oi: Option[OffsetInterval], wm: Instant) = TransformRequestInput(
+        datasetId = s"did:odf:$alias", datasetAlias = alias,
+        queryAlias = alias, offsetInterval = oi,
+        dataPaths = path.toVector, schemaFile = schema,
+        explicitWatermarks = Vector(RequestWatermark(wm, wm)))
+      def tr(num: Int, ins: Vector[TransformRequestInput], nextOff: Long,
+          prev: Option[String]) = TransformRequest(
+        "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+        Transform(engine = engines(num - 1),
+          queries = Vector(SqlQueryStep(None, q))),
+        ins, nextOffset = nextOff, prevCheckpointPath = prev,
+        newCheckpointPath = s"$dir/$tag/cp$num",
+        newDataPath = s"$dir/$tag/out$num.parquet")
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(tr(1, Vector(
+        input("r1", Some(r1a), r1a, Some(OffsetInterval(0, 0)), ts(1)),
+        input("r2", Some(r2a), r2a, Some(OffsetInterval(0, 0)), ts(1)),
+        input("r3", Some(r3a), r3a, Some(OffsetInterval(0, 0)), ts(1)),
+        input("r4", Some(r4a), r4a, Some(OffsetInterval(0, 0)), ts(1)),
+        input("r5", Some(r5a), r5a, Some(OffsetInterval(0, 0)), ts(1))),
+        0, None))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$tag run1: $r1")
+      val r2 = e.executeTransform(tr(2, Vector(
+        input("r1", None, r1a, None, ts(2)),
+        input("r2", None, r2a, None, ts(2)),
+        input("r3", None, r3a, None, ts(2)),
+        input("r4", None, r4a, None, ts(2)),
+        input("r5", Some(r5b), r5a, Some(OffsetInterval(1, 1)), ts(2))),
+        0, Some(s"$dir/$tag/cp1")))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$tag run2: $r2")
+      val r3 = e.executeTransform(tr(3, Vector(
+        input("r1", None, r1a, None, ts(3)),
+        input("r2", None, r2a, None, ts(3)),
+        input("r3", Some(r3c), r3a, Some(OffsetInterval(1, 1)), ts(3)),
+        input("r4", Some(r4c), r4a, Some(OffsetInterval(1, 1)), ts(3)),
+        input("r5", Some(r5c), r5a, Some(OffsetInterval(2, 2)), ts(3))),
+        1, Some(s"$dir/$tag/cp2")))
+      assert(r3.isInstanceOf[TransformResponse.Success], s"$tag run3: $r3")
+    }
+    chain(Seq.fill(3)("spark"), "batch")
+    chain(Seq.fill(3)("spark-streaming"), "stream")
+    chain(Seq("spark", "spark-streaming", "spark"), "mixed")
+    (1 to 3).foreach { n =>
+      for (tag <- Seq("stream", "mixed")) {
+        val b = Paths.get(s"$dir/batch/out$n.parquet")
+        val s = Paths.get(s"$dir/$tag/out$n.parquet")
+        assert(Files.exists(b) == Files.exists(s),
+          s"run-$n $tag 5-chain slice existence diverged")
+        if (Files.exists(b))
+          assert(java.util.Arrays.equals(
+            Files.readAllBytes(b), Files.readAllBytes(s)),
+            s"run-$n $tag 5-chain slices are not byte-identical")
+        assert(
+          Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+            Files.readString(Paths.get(s"$dir/$tag/cp$n/ledger.json")))
+      }
+    }
+    // run 1: no tuple (r5 has no matching pk); run 2: the far-end bridge
+    // completes the 1-2-3-4-50 tuple from four hops of seeded state;
+    // run 3: the middle bridge forms 1-2-33-44-70 (old r1, r2 seeds only)
+    def tuples(p: String): Seq[(Long, Long, Long)] =
+      if (!Files.exists(Paths.get(p))) Seq.empty
+      else spark.read.parquet(p).orderBy("offset").collect().toSeq
+        .map(r => (r.getAs[Long]("k3"), r.getAs[Long]("k4"),
+          r.getAs[Long]("k5")))
+    assert(tuples(s"$dir/stream/out1.parquet").isEmpty)
+    assert(tuples(s"$dir/stream/out2.parquet") == Seq((3L, 4L, 50L)))
+    assert(tuples(s"$dir/stream/out3.parquet") == Seq((33L, 44L, 70L)))
+  }
+
   test("streaming execution mode covers join-aggregate changelogs byte-identically") {
     // An aggregate ABOVE a left join under engine = spark-streaming: the
     // batch partials machinery computes the merged visible frame from the
@@ -1008,6 +1143,107 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     assert(o3r.map(r => (r.getAs[Long]("n"), r.getAs[Long]("q_total"),
       r.getAs[Long]("shipped"), r.getAs[Int]("op"))).toSeq ==
       Seq((1L, 30L, 9L, Op.Append)))
+  }
+
+  test("streaming execution mode covers op-reading aggregate changelogs byte-identically") {
+    // A GROUP BY chain whose aggregate READS a system column (max(offset))
+    // — round 11: excluded from the retraction-riding merge path (netting
+    // rewrites offset representatives), but while the history is
+    // append-only the merge and recompute paths bind identical raw values,
+    // so the streaming engine serves it through runIncrementalAgg with the
+    // batch dispatch's neverFlips=false and the keyed StreamingAggDiff
+    // emission. Four-run chain — new groups, a group update bumping
+    // max(offset), a watermark-only run, and a retraction run that flips
+    // BOTH engines to the generic recompute face permanently — must match
+    // batch slices and ledgers byte for byte, interleaving on one
+    // checkpoint.
+    import spark.implicits._
+    import EngineFixtures.Ticker
+    val dir = Files.createTempDirectory("graft-proto-stream-opagg")
+    val in1 = s"$dir/in1.parquet"; val in2 = s"$dir/in2.parquet"
+    val in4 = s"$dir/in4.parquet"
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(0, 0, t(ts(1)), t(ts(1)), "A", 10),
+        Ticker(1, 0, t(ts(1)), t(ts(1)), "A", 11),
+        Ticker(2, 0, t(ts(1)), t(ts(1)), "B", 20))).toDF(), in1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(3, 0, t(ts(2)), t(ts(1)), "A", 12))).toDF(), in2)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      spark.createDataset(Seq(
+        Ticker(4, 1, t(ts(3)), t(ts(1)), "A", 11))).toDF(), in4)
+    val q = "SELECT event_time, symbol, count(*) AS n, " +
+      "max(offset) AS last_off FROM tickers GROUP BY event_time, symbol"
+    def tr(engine: String, tag: String, num: Int, path: Option[String],
+        oi: Option[OffsetInterval], wm: Instant, nextOff: Long,
+        prev: Option[String]) = TransformRequest(
+      "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+      Transform(engine = engine, queries = Vector(SqlQueryStep(None, q))),
+      Vector(TransformRequestInput(
+        datasetId = "did:odf:in", datasetAlias = "tickers",
+        queryAlias = "tickers", offsetInterval = oi,
+        dataPaths = path.toVector, schemaFile = in1,
+        explicitWatermarks = Vector(RequestWatermark(wm, wm)))),
+      nextOffset = nextOff, prevCheckpointPath = prev,
+      newCheckpointPath = s"$dir/$tag/cp$num",
+      newDataPath = s"$dir/$tag/out$num.parquet")
+    def chain(engines: Seq[String], tag: String): Unit = {
+      import graft.engine.TransformEngine
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(
+        tr(engines(0), tag, 1, Some(in1), Some(OffsetInterval(0, 2)), ts(1),
+          0, None))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$tag run1: $r1")
+      val r2 = e.executeTransform(
+        tr(engines(1), tag, 2, Some(in2), Some(OffsetInterval(3, 3)), ts(2),
+          2, Some(s"$dir/$tag/cp1")))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$tag run2: $r2")
+      val r3 = e.executeTransform(
+        tr(engines(2), tag, 3, None, None, ts(3), 4, Some(s"$dir/$tag/cp2")))
+      assert(r3.isInstanceOf[TransformResponse.Success], s"$tag run3: $r3")
+      val r4 = e.executeTransform(
+        tr(engines(3), tag, 4, Some(in4), Some(OffsetInterval(4, 4)), ts(3),
+          4, Some(s"$dir/$tag/cp3")))
+      assert(r4.isInstanceOf[TransformResponse.Success], s"$tag run4: $r4")
+    }
+    chain(Seq.fill(4)("spark"), "batch")
+    chain(Seq.fill(4)("spark-streaming"), "stream")
+    chain(Seq("spark", "spark-streaming", "spark", "spark-streaming"), "mixed")
+    (1 to 4).foreach { n =>
+      for (tag <- Seq("stream", "mixed")) {
+        val b = Paths.get(s"$dir/batch/out$n.parquet")
+        val s = Paths.get(s"$dir/$tag/out$n.parquet")
+        assert(Files.exists(b) == Files.exists(s),
+          s"run-$n $tag op-agg slice existence diverged")
+        if (Files.exists(b))
+          assert(java.util.Arrays.equals(
+            Files.readAllBytes(b), Files.readAllBytes(s)),
+            s"run-$n $tag op-agg slices are not byte-identical")
+        assert(
+          Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+            Files.readString(Paths.get(s"$dir/$tag/cp$n/ledger.json")))
+      }
+    }
+    // run 1: two groups appear; run 2: A's max(offset) bumps 1 → 3
+    // (−U/+U); run 4: the retraction drops one A row — the recompute
+    // face's netted history keeps n=2 with last_off unchanged, so only
+    // the count corrects
+    val o1 = spark.read.parquet(s"$dir/stream/out1.parquet")
+      .orderBy("symbol").collect()
+    assert(o1.map(r => (r.getAs[String]("symbol"), r.getAs[Long]("n"),
+      r.getAs[Long]("last_off"), r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", 2L, 1L, Op.Append), ("B", 1L, 2L, Op.Append)))
+    val o2 = spark.read.parquet(s"$dir/stream/out2.parquet")
+      .orderBy("offset").collect()
+    assert(o2.map(r => (r.getAs[Long]("n"), r.getAs[Long]("last_off"),
+      r.getAs[Int]("op"))).toSeq ==
+      Seq((2L, 1L, Op.CorrectFrom), (3L, 3L, Op.CorrectTo)))
+    val o4 = spark.read.parquet(s"$dir/stream/out4.parquet")
+      .orderBy("offset").collect()
+    assert(o4.map(r => (r.getAs[String]("symbol"), r.getAs[Long]("n"),
+      r.getAs[Int]("op"))).toSeq ==
+      Seq(("A", 3L, Op.CorrectFrom), ("A", 2L, Op.CorrectTo)), o4.mkString(","))
   }
 
   test("streaming inner join rejects shapes the native face cannot serve") {

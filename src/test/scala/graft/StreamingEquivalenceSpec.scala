@@ -222,7 +222,17 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
          |  sum(s.num_shipped) as shipped
          |FROM orders o LEFT JOIN shipments s ON o.order_id = s.order_id
          |GROUP BY o.event_time""".stripMargin
-    }, retractProb = 0.15, ridesRetractions = true))
+    }, retractProb = 0.15, ridesRetractions = true),
+    Shape("opread-agg", Seq("tickers"), rnd => {
+      // an aggregate READING a system column (round-11): append-only
+      // histories serve through the flippable merge path + keyed diff,
+      // and the first retraction flips both engines to the generic
+      // recompute face — either way the chain must stay byte-identical
+      val agg = if (rnd.nextBoolean()) "max(offset) AS mo"
+        else "min(offset) AS mo"
+      s"""SELECT event_time, symbol, count(*) AS n, $agg
+         |FROM tickers GROUP BY event_time, symbol""".stripMargin
+    }, retractProb = 0.3, ridesRetractions = true, dupProb = 0.3))
 
   /** Drive one seeded chain for `shape`; returns (streamedRuns, fellBack).
     * Runs on its own `newSession()` (isolated temp-view catalog over the
@@ -235,6 +245,17 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory(s"graft-equiv-${shape.name}")
     val querySteps = shape.mkSteps(rnd)
     val runs = 3 + rnd.nextInt(2)
+    // Zipfian hot-key mode (round-11): half the chains route ~50% of all
+    // appends to ONE key/symbol, so the delta faces' semi-join seed
+    // sweeps, key-band narrowing, and native stream-stream join staging
+    // are fuzzed under a key that touches most of state every run — the
+    // near-uniform draw alone never exercises that regime.
+    val hotKeys = rnd.nextBoolean()
+    def drawKey(): Long =
+      if (hotKeys && rnd.nextDouble() < 0.5) 1L else 1 + rnd.nextInt(6)
+    def drawSym(): String =
+      if (hotKeys && rnd.nextDouble() < 0.5) "A"
+      else ('A' + rnd.nextInt(3)).toChar.toString
 
     // ── Generate the whole chain's slices up front (shared by both modes)
     val off = scala.collection.mutable.Map(shape.aliases.map(_ -> 0L): _*)
@@ -264,8 +285,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
               val d = live(alias)(rnd.nextInt(live(alias).size))
               GRow(off(alias) + i, Op.Append, sysT, d.ev, d.key, d.skey, d.v)
             } else GRow(off(alias) + i, Op.Append, sysT, ts(evDay, rnd.nextInt(6)),
-              1 + rnd.nextInt(6),
-              ('A' + rnd.nextInt(3)).toChar.toString,
+              drawKey(), drawSym(),
               if (shape.uniqueValues) 1000 + uniq else rnd.nextInt(50).toLong)
           base
         }
