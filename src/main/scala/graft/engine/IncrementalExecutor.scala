@@ -691,6 +691,8 @@ final class IncrementalExecutor(
       case TimestampType | TimestampNTZType | DateType   =>
         lit("1970-01-01 00:00:00").cast(dt)
       case BooleanType                                   => lit(false)
+      case BinaryType                                    =>
+        lit(Array.emptyByteArray)
       case other => throw new InvalidQueryException(
         s"as-of join key type $other is not supported under streaming " +
           "execution mode")
@@ -852,27 +854,33 @@ final class IncrementalExecutor(
       (ln, rn) <- keys
       lf <- leftSchema.fields.find(_.name.equalsIgnoreCase(ln))
       rf <- rightSchema.fields.find(_.name.equalsIgnoreCase(rn))
-      // the operator groups on the key's string form, so mixed-type
-      // equality (which SQL would resolve by cast) is not servable, and
-      // the key type must be toString-canonical: byte arrays stringify by
-      // identity and float/double -0.0 vs 0.0 diverge from SQL equality
-      if lf.dataType == rf.dataType && stringCanonicalKeyType(lf.dataType)
+      // mixed-type equality (which SQL would resolve by cast) is not
+      // servable — the operator keys state on ONE side's value bytes. Any
+      // same-typed key SQL can equi-join serves (round 11): the operator
+      // groups on StreamingAggDiff.keyOf's canonical serialization, which
+      // agrees with SQL equality on binary (by content), float/double
+      // (-0.0 == 0.0, NaN == NaN), and nested struct/array positions; only
+      // map-bearing types (no canonical element order) stay rejected —
+      // which SQL's EqualTo cannot key on either.
+      if lf.dataType == rf.dataType && streamStateKeyType(lf.dataType)
     } yield (lf.name, rf.name)
   }
 
-  /** Types whose JVM `toString` agrees with SQL equality, so they can key
-    * per-group streaming state: atomic types minus BinaryType (identity
-    * hash strings) and Float/Double (-0.0 == 0.0 in SQL but not as text).
+  /** Types whose values can key per-group streaming state via
+    * [[graft.streaming.StreamingAggDiff.keyOf]]'s canonical serialization:
+    * everything except map-bearing types, whose element order has no
+    * canonical form (Spark's EqualTo rejects them as join keys too).
     */
-  private def stringCanonicalKeyType(
+  private def streamStateKeyType(
       dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
-    dt match {
-      case StringType | BooleanType | ByteType | ShortType | IntegerType |
-          LongType | DateType | TimestampType | TimestampNTZType => true
-      case _: DecimalType => true
-      case _ => false
+    def mapFree(t: DataType): Boolean = t match {
+      case _: MapType      => false
+      case s: StructType   => s.fields.forall(f => mapFree(f.dataType))
+      case a: ArrayType    => mapFree(a.elementType)
+      case _               => true
     }
+    mapFree(dt)
   }
 
   /** First `leftAlias.x = rightAlias.y` equality CONJUNCT of the ON

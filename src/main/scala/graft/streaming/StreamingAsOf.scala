@@ -88,12 +88,18 @@ object StreamingAsOf {
     // the join its "both sides sealed" hold-back rule. One watermark on the
     // union would be max-of-all-rows and release probes the build side has
     // not caught up to.
+    // canonical key serialization (not toString) — see
+    // [[StreamingLeftJoin.leftJoin]]: SQL equality groups -0.0 with 0.0,
+    // NaN with NaN, and byte arrays by content; toString diverges on all
+    // three and would split one SQL key group into two state groups
     val probeTagged = probe.map { r =>
-      Tagged(r.getAs[Any](keyCol).toString, isBuild = false,
+      Tagged(StreamingAggDiff.keyOf(Seq(r.getAs[Any](keyCol))),
+        isBuild = false,
         r.getAs[Timestamp](probeTime), 0L, ser(r.toSeq))
     }(taggedEnc).withWatermark("ts", delay)
     val buildTagged = build.map { r =>
-      Tagged(r.getAs[Any](keyCol).toString, isBuild = true,
+      Tagged(StreamingAggDiff.keyOf(Seq(r.getAs[Any](keyCol))),
+        isBuild = true,
         r.getAs[Timestamp](buildTime),
         buildSeqCol.map(c => r.getAs[Number](c).longValue()).getOrElse(0L),
         ser(buildCols.map { case (b, _) => r.getAs[Any](b) }))

@@ -65,11 +65,17 @@ object StreamingLeftJoin {
     val taggedEnc = Encoders.product[Tagged]
     val nRight = rightCols.size
 
+    // canonical key serialization (not toString): SQL equality groups
+    // -0.0 with 0.0, NaN with NaN, and byte arrays by content — toString
+    // diverges on all three, which would split one SQL key group into
+    // two state groups and emit null-pad churn batch never produces
     val leftKeyed = left.where(col(keyCol).isNotNull).map { r =>
-      Tagged(r.getAs[Any](keyCol).toString, isRight = false, ser(r.toSeq))
+      Tagged(StreamingAggDiff.keyOf(Seq(r.getAs[Any](keyCol))),
+        isRight = false, ser(r.toSeq))
     }(taggedEnc)
     val rightKeyed = right.where(col(keyCol).isNotNull).map { r =>
-      Tagged(r.getAs[Any](keyCol).toString, isRight = true,
+      Tagged(StreamingAggDiff.keyOf(Seq(r.getAs[Any](keyCol))),
+        isRight = true,
         ser(rightCols.map { case (rc, _) => r.getAs[Any](rc) }))
     }(taggedEnc)
 

@@ -103,4 +103,38 @@ class StreamingAsOfSpec extends AnyFunSuite {
         "select * from asof_out where price = 555").collect().isEmpty)
     } finally query.stop()
   }
+
+  test("float keys group by SQL equality: a -0.0 probe reads 0.0 versions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val probeMem = MemoryStream[(Double, Timestamp, Int)]
+    val buildMem = MemoryStream[(Double, Timestamp, Int)]
+    val probeDf = probeMem.toDF.toDF("k", "event_time", "price")
+    val buildDf = buildMem.toDF.toDF("k", "event_time", "volume")
+
+    val joined = StreamingAsOf.leftAsOf(
+      spark, probeDf, buildDf, "k", "event_time", "event_time",
+      buildCols = Seq("volume" -> "volume"), delay = "0 seconds")
+    val query = joined.writeStream
+      .format("memory").queryName("asof_double")
+      .outputMode("append").start()
+    try {
+      // the -0.0 probe must read the 0.0-keyed version (toString keying
+      // would put them in different state groups and emit a null pad),
+      // and the NaN probe must read the NaN-keyed version
+      probeMem.addData(
+        (-0.0, ts(2), 100), (Double.NaN, ts(2), 200),
+        (99.0, ts(10), 999)) // sentinel advances the probe watermark
+      buildMem.addData(
+        (0.0, ts(1), 5), (Double.NaN, ts(1), 7),
+        (99.0, ts(10), 9)) // sentinel advances the build watermark
+      query.processAllAvailable()
+      val got = spark.sql("select price, volume from asof_double")
+        .where(col("price") =!= 999)
+        .collect().map(r => (r.getInt(0),
+          if (r.isNullAt(1)) -1 else r.getInt(1))).toSet
+      assert(got == Set((100, 5), (200, 7)))
+    } finally query.stop()
+  }
 }

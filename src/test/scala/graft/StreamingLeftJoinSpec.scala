@@ -96,4 +96,71 @@ class StreamingLeftJoinSpec extends AnyFunSuite {
       assert(rows == Set((1L, null, Op.Append)))
     } finally query.stop()
   }
+
+  test("float keys group by SQL equality: -0.0 matches 0.0, NaN matches NaN") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val lMem = MemoryStream[(Double, Long)]
+    val rMem = MemoryStream[(Double, Long)]
+    val l = lMem.toDF.toDF("k", "quantity")
+    val r = rMem.toDF.toDF("k", "shipped")
+    val out = StreamingLeftJoin.leftJoin(spark, l, r, "k",
+      Seq("shipped" -> "shipped"))
+    val query = out.writeStream
+      .format("memory").queryName("lj_double")
+      .outputMode("append").start()
+    def drain(): Set[(Long, Any, Int)] = {
+      query.processAllAvailable()
+      spark.table("lj_double")
+        .select("quantity", "shipped", "op").collect()
+        .map(r => (r.getLong(0), r.get(1), r.getInt(2))).toSet
+    }
+    try {
+      // batch 1: left -0.0 unmatched, left NaN unmatched -> null-pads
+      lMem.addData((-0.0, 1L), (Double.NaN, 2L))
+      val b1 = drain()
+      assert(b1 == Set((1L, null, Op.Append), (2L, null, Op.Append)))
+
+      // batch 2: right 0.0 must match the -0.0 left row (SQL groups them),
+      // right NaN must match the NaN left row (SQL NaN = NaN in join keys)
+      rMem.addData((0.0, 10L), (Double.NaN, 20L))
+      val b2 = drain().diff(b1)
+      assert(b2 == Set(
+        (1L, null, Op.Retract), (1L, 10L, Op.Append),
+        (2L, null, Op.Retract), (2L, 20L, Op.Append)))
+    } finally query.stop()
+  }
+
+  test("binary keys group by content, not array identity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val lMem = MemoryStream[(Array[Byte], Long)]
+    val rMem = MemoryStream[(Array[Byte], Long)]
+    val l = lMem.toDF.toDF("k", "quantity")
+    val r = rMem.toDF.toDF("k", "shipped")
+    val out = StreamingLeftJoin.leftJoin(spark, l, r, "k",
+      Seq("shipped" -> "shipped"))
+    val query = out.writeStream
+      .format("memory").queryName("lj_binary")
+      .outputMode("append").start()
+    def drain(): Set[(Long, Any, Int)] = {
+      query.processAllAvailable()
+      spark.table("lj_binary")
+        .select("quantity", "shipped", "op").collect()
+        .map(r => (r.getLong(0), r.get(1), r.getInt(2))).toSet
+    }
+    try {
+      lMem.addData((Array[Byte](1, 2), 1L), (Array[Byte](3), 2L))
+      val b1 = drain()
+      assert(b1 == Set((1L, null, Op.Append), (2L, null, Op.Append)))
+
+      // a DISTINCT array instance with equal content must match (toString
+      // keying would hash by identity and never pair)
+      rMem.addData((Array[Byte](1, 2), 10L))
+      val b2 = drain().diff(b1)
+      assert(b2 == Set((1L, null, Op.Retract), (1L, 10L, Op.Append)))
+    } finally query.stop()
+  }
 }
