@@ -191,6 +191,24 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
               |FROM enriched e LEFT JOIN shipped s
               |  ON e.order_id = s.ship_order""".stripMargin))
       })),
+    Shape("left-join-double-key", Seq("orders", "shipments"),
+      // round-11: the face keys state on a canonical serialization, so
+      // DOUBLE equi-keys serve — fuzz fractional double keys through the
+      // derived-side face (the -0.0/NaN edges are pinned in
+      // StreamingLeftJoinSpec/ProtocolRoundTripSpec)
+      sql = _ => "", retractProb = 0.2, ridesRetractions = true,
+      steps = Some(rnd => {
+        val d = 2 + rnd.nextInt(3)
+        Vector(
+          SqlQueryStep(Some("ods"),
+            s"SELECT event_time, CAST(order_id AS DOUBLE) / $d AS okey, quantity FROM orders"),
+          SqlQueryStep(Some("shs"),
+            s"SELECT CAST(order_id AS DOUBLE) / $d AS ship_key, num_shipped FROM shipments"),
+          SqlQueryStep(None,
+            """SELECT o.event_time as event_time, o.okey as okey,
+              |  o.quantity as quantity, s.num_shipped as num_shipped
+              |FROM ods o LEFT JOIN shs s ON o.okey = s.ship_key""".stripMargin))
+      })),
     Shape("setop-all", Seq("lhs", "rhs"), rnd => {
       val op = if (rnd.nextBoolean()) "EXCEPT ALL" else "INTERSECT ALL"
       s"""SELECT event_time, symbol FROM lhs
