@@ -1906,12 +1906,12 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
       r.getAs[Int]("op"))).toSeq == Seq(("C", 1L, Op.Append)))
   }
 
-  test("streaming left join rejects non-string-canonical key types") {
-    // StreamingLeftJoin keys its per-group state on the key's string form;
-    // for DOUBLE keys -0.0 and 0.0 are equal under SQL join equality but
-    // stringify differently (and BinaryType stringifies by identity), so
-    // such keys must fall to InvalidQuery rather than silently dropping
-    // matches relative to batch.
+  test("streaming left join serves double keys (round-11 canonical keying)") {
+    // Until round 11 StreamingLeftJoin keyed its per-group state on the
+    // key's string form, so DOUBLE keys (where -0.0 and 0.0 are equal
+    // under SQL join equality but stringify differently) were rejected.
+    // The state now keys on the canonical serialization, so the shape
+    // serves — and the -0.0 order must pair with the 0.0 shipment.
     import spark.implicits._
     import EngineFixtures.{DblOrder, DblShip}
     val dir = Files.createTempDirectory("graft-proto-stream-lj-dbl")
@@ -1941,11 +1941,11 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
             explicitWatermarks = Vector(RequestWatermark(ts(1), ts(1))))),
         nextOffset = 0, prevCheckpointPath = None,
         newCheckpointPath = s"$dir/cp1", newDataPath = s"$dir/out1.parquet"))
-    r match {
-      case TransformResponse.InvalidQuery(m) =>
-        assert(m.contains("equi-key"), m)
-      case other => fail(s"expected InvalidQuery on double-typed key, got $other")
-    }
+    assert(r.isInstanceOf[TransformResponse.Success], s"run1: $r")
+    val rows = spark.read.parquet(s"$dir/out1.parquet").collect()
+    assert(rows.map(x => (x.getAs[Long]("quantity"),
+      x.getAs[Any]("num_shipped"), x.getAs[Int]("op"))).toSeq ==
+      Seq((10L, 5L, Op.Append)))
   }
 
   test("streaming left-join chain rejects ambiguous bare column references") {
