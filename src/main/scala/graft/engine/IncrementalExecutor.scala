@@ -3536,13 +3536,16 @@ final class IncrementalExecutor(
   /** Transitive key-range narrowing over an undirected equi-edge graph —
     * the one BFS shared by [[LeftDeltaPlumbing]]'s relation-keyed
     * `narrowFrames` and [[joinDeltaTerms]]' position-keyed terms. Seeds
-    * are the already-delta frames; each hop BETWEEN-filters an unreached
-    * node's base frame with the edge-key min/max of EVERY
-    * already-narrowed neighbor (multiple edges and triangle paths all
-    * tighten; a neighbor with no non-null keys prunes the node to
-    * empty). The filters are parquet-pushable on key-clustered buffer
-    * tiers, and each hop's min/max agg runs over the already-pruned
-    * scan. Nodes unreachable from the seeds keep their base frames.
+    * are the already-delta frames; each hop band-filters an unreached
+    * node's base frame with the gap-split key bands ([[keyBands]]) of
+    * EVERY already-narrowed neighbor (multiple edges and triangle paths
+    * all tighten; a neighbor with no non-null keys prunes the node to
+    * empty). The or-of-bands filters are parquet-pushable on
+    * key-clustered buffer tiers, and each hop's banding aggs run over
+    * the already-pruned scan — since round 11 hop neighbors band too
+    * (the single min/max collapsed under a hop-side zipfian key and the
+    * delta path lost to recompute, 0.87x in the `join3 hotHop` bench).
+    * Nodes unreachable from the seeds keep their base frames.
     * Nodes discovered in the SAME hop do not tighten each other — their
     * mutual bands are unordered; they tighten only later hops.
     */
@@ -3551,10 +3554,6 @@ final class IncrementalExecutor(
       nodes: Set[K],
       seeds: Map[K, DataFrame],
       adj: Map[K, Seq[(K, String, String)]]): Map[K, DataFrame] = {
-    def keyRange(df: DataFrame, c: String): Option[Seq[(Any, Any)]] = {
-      val r = df.agg(min(col(c)), max(col(c))).head
-      if (r.isNullAt(0)) None else Some(Seq((r.get(0), r.get(1))))
-    }
     val narrowed = scala.collection.mutable.Map[K, DataFrame]() ++ seeds
     var frontier: Set[K] = seeds.keySet
     while (frontier.nonEmpty) {
@@ -3565,16 +3564,19 @@ final class IncrementalExecutor(
             next(k) = adj.getOrElse(k, Nil)
               .filter { case (v, _, _) => narrowed.contains(v) }
               .foldLeft(base(k)) { case (d, (v, ck, cv)) =>
-                // seed (delta-sized) neighbors get gap-split multi-bands —
-                // a zipfian delta (ancient hot key + fresh monotone keys)
+                // EVERY narrowed neighbor gets gap-split multi-bands — a
+                // zipfian key set (ancient hot key + fresh monotone keys)
                 // collapses the single min/max band to the full history
-                // range and un-prunes every banded state scan (round-9
-                // VERDICT #2); hop neighbors are themselves buffer scans,
-                // where the extra bucketing job would cost more than the
-                // tighter bands save, so they keep the one-band min/max
-                val bands =
-                  if (seeds.contains(v)) keyBands(narrowed(v), cv)
-                  else keyRange(narrowed(v), cv)
+                // range and un-prunes every banded state scan downstream.
+                // Round 10 kept hop neighbors (buffer scans) on the plain
+                // min/max, reasoning the extra bucketing agg would cost
+                // more than it saves; the round-11 hop-side zipfian bench
+                // (`join3 … hotHop`) measured that reasoning wrong: the
+                // collapsed hop band made the delta path LOSE to recompute
+                // (0.87x), while the bucketing agg runs over the neighbor's
+                // already-pruned scan and is one extra pass, not O(state).
+                // GRAFT_MAX_BANDS=1 restores the legacy single band.
+                val bands = keyBands(narrowed(v), cv)
                 bands match {
                   case Some(bs) =>
                     d.where(bs.map { case (lo, hi) =>
