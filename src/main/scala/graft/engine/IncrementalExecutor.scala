@@ -686,7 +686,7 @@ final class IncrementalExecutor(
   private def sentinelLit(dt: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types._
     dt match {
-      case StringType                                    => lit(" __sentinel")
+      case StringType                                    => lit("\u0000__sentinel")
       case _: NumericType                                => lit(0).cast(dt)
       case TimestampType | TimestampNTZType | DateType   =>
         lit("1970-01-01 00:00:00").cast(dt)
@@ -3575,7 +3575,9 @@ final class IncrementalExecutor(
                 // collapsed hop band made the delta path LOSE to recompute
                 // (0.87x), while the bucketing agg runs over the neighbor's
                 // already-pruned scan and is one extra pass, not O(state).
-                // GRAFT_MAX_BANDS=1 restores the legacy single band.
+                // spark.graft.maxNarrowBands=1 restores the legacy
+                // single band (GRAFT_MAX_BANDS is the EngineBench
+                // harness's env alias feeding that conf).
                 val bands = keyBands(narrowed(v), cv)
                 bands match {
                   case Some(bs) =>

@@ -81,6 +81,29 @@ class BenchPriorSpec extends AnyFunSuite {
       new java.io.File("/nonexistent/bench.json"), "sf0.1") === None)
   }
 
+  test("final metric line stays compact even with a full-suite revet") {
+    // BENCH_r11 shipped parsed:null because the revet blob was appended to
+    // the single metric line and pushed its front out of the driver's
+    // tail-capture window. The revet record is now its OWN earlier line;
+    // the final line must stay under ~2 KB for the full 57-query suite.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> 123.45678901234567)
+    val line = Bench.metricLine(results, "/root/testdata/sf0.1")
+    assert(line.length < 2048, s"metric line is ${line.length} B")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(!line.contains("revetted"))
+    // the compact line still round-trips through the prior-bench parser
+    val m = Bench.extractQueries(line, "sf0.1")
+    assert(m.exists(_.size == names.size))
+    assert(m.get(names.head) === 123.4568)
+    // and the separate revet line is valid single-line JSON
+    val revet = Bench.revetLine(names.map(n => (n, 3.0, 0.8, 0.7)))
+    assert(!revet.contains("\n"))
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(revet)
+    assert(tree.get("metric").asText() === "revetted")
+    assert(tree.get("entries").size() === names.size)
+  }
+
   test("the real BENCH_r09.json (the round-10 casualty) now yields a prior map") {
     // Regression pin against the actual artifact that disabled the vet.
     val f = new java.io.File("BENCH_r09.json")
