@@ -83,6 +83,8 @@ object EngineBench {
     if (args.headOption.contains("retract")) { runRetractState(args.drop(1)); return }
     if (args.headOption.contains("retractagg")) { runRetractAgg(args.drop(1)); return }
     if (args.headOption.contains("nested")) { runNestedAgg(args.drop(1)); return }
+    if (args.headOption.contains("lshauto")) { runLshAuto(args.drop(1)); return }
+    if (args.headOption.contains("simhashauto")) { runSimhashAuto(args.drop(1)); return }
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)
     val spark = benchSession()
@@ -1031,6 +1033,63 @@ object EngineBench {
     * (inner `symbol AS sym` rename — same raw values, re-defined name)
     * recomputes and multiset-diffs full history every run.
     */
+  /** `lshauto [sfDir]`: the corpus-scaled RHP-LSH knob's scale point —
+    * time near-dup pairs on the embeddings table with the q56-pinned fixed
+    * geometry (nBits=16, bandBits=4: a 64-value band space whose candidate
+    * volume is Θ(n²/64)) against the auto geometry (expected bucket
+    * occupancy held constant: candidates Θ(n)). Min of two passes each. */
+  private def runLshAuto(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = benchSession()
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val n = emb.count() // also warms the scan
+    def minOf2(f: => Long): (Double, Long) = {
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (samples.map(_._1).min, samples.head._2)
+    }
+    val (tF, nF) = minOf2(graft.operators.Similarity
+      .nearDupPairsLSH(emb, "vec_id", "embedding", 0.45, 64, 16, 4).count())
+    val (tA, nA) = minOf2(graft.operators.Similarity
+      .nearDupPairsLSHAuto(emb, "vec_id", "embedding", 0.45, 64).count())
+    val (nBits, bandBits) = graft.operators.Similarity.autoLshConfig(n)
+    println(f"""{"metric":"lsh_auto","dir":"$dir%s","rows":$n,"fixed_sec":$tF%.2f,"fixed_pairs":$nF,"auto_sec":$tA%.2f,"auto_pairs":$nA,"auto_nBits":$nBits,"auto_bandBits":$bandBits}""")
+    spark.stop()
+  }
+
+  /** `simhashauto [sfDir]`: same scale point for the SimHash knob — the
+    * 4-table banded scheme (2^15-key space) against the auto block count.
+    * Both are EXACT; pair counts must match. */
+  private def runSimhashAuto(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = benchSession()
+    val docs = graft.core.Tables.t(spark, dir, "documents")
+    val n = docs.count()
+    def minOf2(f: => Long): (Double, Long) = {
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (samples.map(_._1).min, samples.head._2)
+    }
+    val (tB, nB) = minOf2(graft.operators.Dedup
+      .simhashNearDupDf(docs, "doc_id", "text").count())
+    val blocks = graft.operators.Dedup.autoSimhashBlocks(n)
+    // where auto still picks the 4-block banded scheme, time the next-up
+    // block count instead so the crossover stays visible
+    val blocksUp = if (blocks > 4) blocks
+      else graft.operators.Dedup.validSimhashBlocks(3).find(_ > 4).getOrElse(4)
+    val (tA, nA) = minOf2(graft.operators.Dedup
+      .simhashNearDupBlocked(docs, "doc_id", "text", 3, blocksUp).count())
+    require(nA == nB, s"blocked scheme diverged: $nA vs $nB")
+    println(f"""{"metric":"simhash_auto","dir":"$dir%s","rows":$n,"banded_sec":$tB%.2f,"pairs":$nB,"auto_blocks":$blocks,"blocked_${blocksUp}%d_sec":$tA%.2f}""")
+    spark.stop()
+  }
+
   private def runNestedAgg(args: Array[String]): Unit = {
     val nSlices = args.lift(0).map(_.toInt).getOrElse(30)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(20000)

@@ -357,6 +357,14 @@ object Dedup {
       .where(hamming64(col("__sa"), col("__sb")) <= maxHamming)
       .distinct() // signature pairs may collide in several bands
 
+    nearDupAssemble(sigDocs, candSigs, idCol)
+  }
+
+  /** Expand qualifying DISTINCT-signature pairs back to document pairs and
+    * add the same-signature (hamming 0) doc pairs — the shared tail of the
+    * banded and blocked simhash near-dup paths. */
+  private def nearDupAssemble(
+      sigDocs: DataFrame, candSigs: DataFrame, idCol: String): DataFrame = {
     val same = sigDocs.alias("p")
       .join(sigDocs.alias("q"),
         col("p.simhash") === col("q.simhash") &&
@@ -370,6 +378,100 @@ object Dedup {
         greatest(col("__ida"), col("__idb")).as("id_b"),
         hamming64(col("__sa"), col("__sb")).cast("long").as("hamming"))
     same.unionByName(cross)
+  }
+
+  /** The blocks values usable by [[simhashNearDupBlocked]] for a given
+    * `maxHamming`: divisors of [[SimhashBits]] exceeding maxHamming whose
+    * combination key fits the packing (≤48 bits below the table tag) and
+    * whose table count C(blocks, maxHamming) stays ≤128 — past that the
+    * per-signature explode factor (and the single projection's expression
+    * count) costs more than the key-space growth buys. */
+  def validSimhashBlocks(maxHamming: Int): Seq[Int] = {
+    def choose(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+    (maxHamming + 1 to SimhashBits).filter { b =>
+      SimhashBits % b == 0 &&
+        (b - maxHamming) * (SimhashBits / b) <= 48 &&
+        choose(b, maxHamming) <= 128
+    }
+  }
+
+  /** Corpus-scaled block count for [[simhashNearDupBlocked]]: the smallest
+    * valid blocks value whose combination-key space keeps expected bucket
+    * occupancy at or under `targetBucketRows`. The candidate volume of the
+    * blocked scheme is Θ(tables · n²/2^keyBits); a fixed key space is the
+    * q43 second-decade super-linearity — n²/2^keyBits doubles every time
+    * the corpus does. Growing keyBits with log2(n) (pay: more tables —
+    * C(blocks, maxHamming) of them) holds it flat. EXACTNESS is invariant
+    * under the knob: every valid blocks value recalls all qualifying pairs
+    * (pigeonhole), so unlike the RHP-LSH knob this one trades only
+    * constant-factor table count, never recall.
+    *
+    * The default target of 8 is deliberately tight: between switch points
+    * occupancy — and with it per-table candidate work n·occupancy/2 —
+    * still grows with n (quadratic within the plateau), so a small target
+    * bounds how far that plateau runs before the next key-space jump.
+    */
+  def autoSimhashBlocks(
+      corpusRows: Long,
+      maxHamming: Int = 3,
+      targetBucketRows: Long = 8
+  ): Int = {
+    val candidates = validSimhashBlocks(maxHamming)
+    val neededBits = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucketRows)) /
+        math.log(2.0)).toInt
+    candidates
+      .find(b => (b - maxHamming) * (SimhashBits / b) >= neededBits)
+      .getOrElse(candidates.last)
+  }
+
+  /** SimHash near-dup pairs via Manku et al. WWW'07 §3 BLOCK COMBINATIONS
+    * — the corpus-scaled generalization of [[simhashNearDupDf]]'s 1-block
+    * bands. The signature splits into `blocks` equal blocks; a pair within
+    * `maxHamming` differs in at most maxHamming blocks, so it agrees
+    * exactly on SOME (blocks − maxHamming)-subset of blocks (pigeonhole).
+    * One table per subset, keyed on the concatenation of that subset's
+    * block values: C(blocks, maxHamming) tables whose key space is
+    * 2^((blocks−maxHamming)·width) — e.g. maxHamming=3 goes from 4 tables
+    * × 2^15 keys (blocks=4, ≡ the banded scheme) to 20 tables × 2^30 keys
+    * (blocks=6): ~32000× fewer expected candidates per corpus-size-squared
+    * for 5× the explode. Same exact result set as brute force, same
+    * DISTINCT-signature-first swarm collapse as the banded path.
+    */
+  def simhashNearDupBlocked(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6
+  ): DataFrame = {
+    require(validSimhashBlocks(maxHamming).contains(blocks),
+      s"blocks=$blocks invalid for maxHamming=$maxHamming " +
+        s"(valid: ${validSimhashBlocks(maxHamming).mkString(",")})")
+    val w = SimhashBits / blocks
+    val keep = blocks - maxHamming
+    val mask = (1L << w) - 1
+    val combos = (0 until blocks).combinations(keep).toArray
+    val sigDocs = simhashDf(df, idCol, textCol)
+    val sigs = sigDocs.select(col("simhash")).distinct()
+    val keyed = sigs.select(col("simhash"),
+      explode(array(combos.zipWithIndex.map { case (combo, ci) =>
+        // pack the selected blocks' values below the table tag: keep·w ≤ 48
+        combo.zipWithIndex.foldLeft(lit(ci.toLong << 48)) {
+          case (acc, (bi, pos)) =>
+            acc.bitwiseOR(shiftleft(
+              shiftrightunsigned(col("simhash"), bi * w).bitwiseAND(lit(mask)),
+              pos * w))
+        }
+      }: _*)).as("__bk"))
+    val candSigs = keyed.alias("x")
+      .join(keyed.alias("y"),
+        col("x.__bk") === col("y.__bk") && col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("__sa"), col("y.simhash").as("__sb"))
+      .where(hamming64(col("__sa"), col("__sb")) <= maxHamming)
+      .distinct() // signature pairs may collide in several tables
+    nearDupAssemble(sigDocs, candSigs, idCol)
   }
 
   /** Paragraph/chunk-level dedup: split each document into consecutive

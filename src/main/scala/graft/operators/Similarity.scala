@@ -141,6 +141,59 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Corpus-scaled LSH sizing: pick the signature geometry from the corpus
+    * size so expected bucket occupancy — and with it candidate-pair volume
+    * — stays constant as the corpus grows. A FIXED band space is the one
+    * thing that super-linearizes banded LSH: candidates per band are
+    * Θ(n²/2^bandBits), so 10× data through the same bandBits is 100× the
+    * candidate work. Holding n/2^bandBits ≈ targetBucketRows instead makes
+    * candidates Θ(n·targetBucketRows) — linear.
+    *
+    * Band COUNT stays fixed (recall at the hunted threshold is set by the
+    * (bands, bandBits) pair; growing bandBits alone trades recall for
+    * scale, which is the documented knob — callers hunting a fixed recall
+    * at giant scale raise `bands` too). bandBits caps at 64/bands because
+    * the signature packs into one long; past ~16M rows at the default
+    * geometry the next lever is a wider (binary-typed) sketch.
+    *
+    * At the oracled small-corpus points this reproduces the pinned config
+    * exactly: 500–2000 rows → (16, 4), the q56 oracle geometry.
+    *
+    * @return (nBits, bandBits) with nBits = bands · bandBits
+    */
+  def autoLshConfig(
+      corpusRows: Long,
+      bands: Int = 4,
+      targetBucketRows: Long = 256
+  ): (Int, Int) = {
+    require(bands >= 1 && bands * 4 <= 64, "bands must fit 4..64/4 bits")
+    require(targetBucketRows >= 1, "targetBucketRows must be positive")
+    val occupancyBits = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucketRows)) /
+        math.log(2.0)).toInt
+    val bandBits = math.min(64 / bands, math.max(4, occupancyBits))
+    (bands * bandBits, bandBits)
+  }
+
+  /** [[nearDupPairsLSH]] with the signature geometry auto-sized from the
+    * actual corpus row count (one count job — trivial next to the join it
+    * sizes). The approximation contract is unchanged: recall follows the
+    * banding probability of the CHOSEN geometry, which this makes a
+    * monotone function of corpus size instead of a silent scale cliff.
+    */
+  def nearDupPairsLSHAuto(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bands: Int = 4,
+      targetBucketRows: Long = 256
+  ): DataFrame = {
+    val (nBits, bandBits) = autoLshConfig(corpus.count(), bands, targetBucketRows)
+    nearDupPairsLSH(corpus, idCol, vecCol, threshold, dim, nBits, bandBits)
+  }
+
   private def dotLocal(a: Array[Float], b: Array[Double]): Double = {
     var i = 0
     var s = 0.0

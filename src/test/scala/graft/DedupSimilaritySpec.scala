@@ -334,6 +334,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(banded.nonEmpty) // testdata plants near-dups; a vacuous pass hides breakage
   }
 
+  test("simhashNearDupBlocked: every valid blocks value equals the banded result") {
+    // The block-combination scheme is EXACT for every valid blocks value —
+    // the corpus-scaled knob trades table count, never recall. Pin the
+    // full result set against the banded path (itself pinned to brute
+    // force above) for the default scale-up value and the largest one.
+    val docs = graft.core.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val banded = Dedup.simhashNearDupDf(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded.nonEmpty)
+    for (blocks <- Seq(4, 6, 10)) {
+      val blocked =
+        Dedup.simhashNearDupBlocked(docs, "doc_id", "text", 3, blocks)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(blocked == banded, s"blocks=$blocks diverged")
+    }
+  }
+
+  test("auto knobs: corpus-scaled geometry, pinned small-corpus configs") {
+    // RHP-LSH: the auto config must REPRODUCE the oracled q56 geometry at
+    // the oracled corpus sizes, then grow the band space with log2(n).
+    assert(Similarity.autoLshConfig(500) == ((16, 4)))
+    assert(Similarity.autoLshConfig(2000) == ((16, 4)))
+    assert(Similarity.autoLshConfig(20000) == ((28, 7)))   // sf1
+    assert(Similarity.autoLshConfig(200000) == ((40, 10))) // 10× sf1
+    assert(Similarity.autoLshConfig(1L << 40) == ((64, 16))) // long-packed cap
+    // SimHash blocks: valid set for maxHamming=3, then occupancy-driven
+    assert(Dedup.validSimhashBlocks(3) == Seq(4, 5, 6, 10))
+    assert(Dedup.autoSimhashBlocks(500) == 4)
+    assert(Dedup.autoSimhashBlocks(50000) == 4)       // sf1: 2^15 keys hold
+    assert(Dedup.autoSimhashBlocks(500000) == 5)      // x100: needs 2^16+
+    assert(Dedup.autoSimhashBlocks(500000000L) == 6)  // needs 2^26+
+    assert(Dedup.autoSimhashBlocks(Long.MaxValue) == 10) // saturates at max
+  }
+
+  test("nearDupPairsLSHAuto at the pinned point equals the fixed-config path") {
+    val emb = graft.core.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+    val auto = Similarity.nearDupPairsLSHAuto(emb, "vec_id", "embedding",
+        threshold = 0.45, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Similarity.nearDupPairsLSH(emb, "vec_id", "embedding",
+        threshold = 0.45, dim = 64, nBits = 16, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+    assert(auto.nonEmpty)
+  }
+
   test("simhashNearDup: exact-duplicate swarm emits each pair exactly once") {
     import spark.implicits._
     val docs = Seq(

@@ -43,6 +43,54 @@ def eq(a, b):
     return a == b
 
 
+def connected_components_rows(con, sql):
+    """Exact replacement for q27's recursive-CTE connected components.
+
+    DuckDB's recursive CTE materializes, for every node, every (node,
+    reachable-comp) pair before the min() — super-linear in component
+    size; at sf1 (50k docs) it ground >4h while the Spark side ran in
+    seconds. This path is value-identical and near-linear past the pair
+    join: evaluate the oracle's own pair CTE `p` in DuckDB (with the
+    quadratic all-pairs join narrowed to shared-shingle candidates —
+    exact, since Jaccard >= 0.8 > 0 requires at least one shared
+    shingle), then min-label union-find in Python (root = component
+    minimum, matching the CTE's min(comp)), then the same
+    left-join-onto-documents coalesce. Falls back loudly (ValueError)
+    if the oracle SQL's text no longer matches the expected CTE shape.
+    """
+    cut = sql.index("e AS (")
+    head = sql[:cut].rstrip().rstrip(",") + "\n"
+    allpairs = "FROM s a JOIN s b ON a.doc_id < b.doc_id"
+    if allpairs not in head:
+        raise ValueError("q27 oracle SQL changed; update connected_components_rows")
+    cand = (
+        "FROM (SELECT DISTINCT x1.doc_id AS ca, x2.doc_id AS cb "
+        "FROM (SELECT doc_id, unnest(sh) AS g FROM s) x1 "
+        "JOIN (SELECT doc_id, unnest(sh) AS g FROM s) x2 "
+        "ON x1.g = x2.g AND x1.doc_id < x2.doc_id) c "
+        "JOIN s a ON a.doc_id = c.ca JOIN s b ON b.doc_id = c.cb")
+    pairs = con.execute(
+        head.replace(allpairs, cand) + "SELECT id_a, id_b FROM p").fetchall()
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    docs = con.execute("SELECT doc_id FROM documents ORDER BY doc_id").fetchall()
+    return ["doc_id", "cluster_id"], [(d[0], find(d[0])) for d in docs]
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -64,9 +112,16 @@ def main():
             n_fail += 1
             continue
         try:
-            orc = con.execute(sql)
-            o_cols = [d[0] for d in orc.description]
-            o_rows = orc.fetchall()
+            # only the STANDALONE connected-components query (q27) takes the
+            # union-find path — q31 embeds the same recursive CTE as an
+            # inner stage and must run its own SQL unchanged
+            if ("reach(id, comp) AS (" in sql and sql.rstrip().endswith(
+                    "LEFT JOIN cc ON documents.doc_id = cc.id\nORDER BY doc_id")):
+                o_cols, o_rows = connected_components_rows(con, sql)
+            else:
+                orc = con.execute(sql)
+                o_cols = [d[0] for d in orc.description]
+                o_rows = orc.fetchall()
             src = con.execute(
                 "SELECT * FROM read_parquet(?)", [parts])
             s_cols = [d[0] for d in src.description]
