@@ -2988,8 +2988,14 @@ final class IncrementalExecutor(
     // buffer scan directly; for derived sides Catalyst pushes the
     // predicate through the derivation's projects/filters whenever the
     // key maps to a scanned column.
+    // struct/array equi keys SERVE the join (canonical state keying) but
+    // skip range narrowing: their collected min/max cannot appear in a
+    // literal BETWEEN (Spark has no struct literals), and parquet cannot
+    // push such predicates anyway — dropping equiC here disables only the
+    // optimization, never the join itself
     val equiC: Option[(String, String)] =
       leftJoinEquiConjunct(spec, dASchema, dB(ib.df.limit(0)).schema)
+        .filter { case (lk, _) => bandableKeyType(dASchema, lk) }
     /** Or-of-bands filter — the delta side is always a SEED (slice-sized)
       * frame, so it gets the gap-split multi-bands of [[keyBands]]: a
       * zipfian delta (ancient hot key + fresh monotone keys) collapses a
@@ -3578,8 +3584,10 @@ final class IncrementalExecutor(
                 // spark.graft.maxNarrowBands=1 restores the legacy
                 // single band (GRAFT_MAX_BANDS is the EngineBench
                 // harness's env alias feeding that conf).
-                val bands = keyBands(narrowed(v), cv)
-                bands match {
+                // struct/array edge keys serve but can't band (no struct
+                // literals): keep the neighbor un-narrowed on such edges
+                if (!bandableKeyType(narrowed(v).schema, cv)) d
+                else keyBands(narrowed(v), cv) match {
                   case Some(bs) =>
                     d.where(bs.map { case (lo, hi) =>
                       col(ck) >= lit(lo) && col(ck) <= lit(hi)
@@ -3609,6 +3617,22 @@ final class IncrementalExecutor(
     * on key-clustered state tiers survives a hot key at one end of the
     * range — the zipfian adversary that collapses a single band.
     */
+  /** Key types [[keyBands]] can band: orderable ATOMIC types, whose
+    * collected min/max round-trip through `lit(...)` into parquet-pushable
+    * BETWEEN predicates. Struct/array keys (admitted as equi keys since
+    * round 11) are excluded — Spark has no literal for a collected Row,
+    * so callers must skip narrowing for them, never call keyBands. */
+  private def bandableKeyType(
+      schema: org.apache.spark.sql.types.StructType, c: String): Boolean = {
+    import org.apache.spark.sql.types._
+    schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
+      case _: NumericType => true
+      case StringType | TimestampType | TimestampNTZType | DateType |
+           BooleanType | BinaryType => true
+      case _ => false
+    }
+  }
+
   private def keyBands(df: DataFrame, c: String): Option[Seq[(Any, Any)]] = {
     val r = df.agg(min(col(c)), max(col(c))).head
     if (r.isNullAt(0)) return None

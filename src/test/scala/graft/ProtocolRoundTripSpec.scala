@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import java.time.Instant
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, struct}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.protocol._
@@ -827,6 +828,103 @@ class ProtocolRoundTripSpec extends AnyFunSuite {
     // run 1: the -0.0 order pairs with the 0.0 shipment (SQL equality);
     // the NaN order null-pads. run 2: the late NaN shipment retracts the
     // NaN null-pad and appends the pair. run 3: in-slice pair, no churn.
+    val r1 = spark.read.parquet(s"$dir/stream/out1.parquet")
+      .orderBy("offset").collect()
+    assert(r1.map(r => (r.getAs[Long]("quantity"), r.getAs[Any]("num_shipped"),
+      r.getAs[Int]("op"))).toSeq ==
+      Seq((10L, 5L, Op.Append), (20L, null, Op.Append)))
+    val r2 = spark.read.parquet(s"$dir/stream/out2.parquet")
+      .orderBy("offset").collect()
+    assert(r2.map(r => (r.getAs[Long]("quantity"), r.getAs[Any]("num_shipped"),
+      r.getAs[Int]("op"))).toSeq ==
+      Seq((20L, null, Op.Retract), (20L, 7L, Op.Append)))
+    val r3 = spark.read.parquet(s"$dir/stream/out3.parquet").collect()
+    assert(r3.map(r => (r.getAs[Long]("quantity"), r.getAs[Any]("num_shipped"),
+      r.getAs[Int]("op"))).toSeq == Seq((30L, 9L, Op.Append)))
+  }
+
+  test("streaming left join serves a STRUCT equi-key with nested -0.0/NaN") {
+    // Round-12 (ADVICE): streamStateKeyType admits struct-typed equi keys,
+    // whose canonical state keying leans on keyOf's Row flattening to
+    // erase the GenericRowWithSchema parquet-vs-plan schema split — the
+    // exact class the round-9 agg fix addressed. Pin it end-to-end: a
+    // struct<a double, b string> join key whose nested double carries
+    // -0.0 and NaN, three runs, batch/stream/mixed byte-identity.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-proto-stream-ljstruct")
+    val o1 = s"$dir/o1.parquet"; val s1 = s"$dir/s1.parquet"
+    val s2 = s"$dir/s2.parquet"
+    val o3 = s"$dir/o3.parquet"; val s3 = s"$dir/s3.parquet"
+    def frame(rows: Seq[(Long, Double, String, Long)], day: Int,
+        measure: String): DataFrame =
+      rows.map { case (off, a, b, m) => (off, 0, t(ts(day)), t(ts(day)), a, b, m) }
+        .toDF("offset", "op", "system_time", "event_time", "__a", "__b", measure)
+        .select(col("offset"), col("op"), col("system_time"), col("event_time"),
+          struct(col("__a").as("a"), col("__b").as("b")).as("k"), col(measure))
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      frame(Seq((0L, -0.0, "x", 10L), (1L, Double.NaN, "y", 20L)), 1, "quantity"), o1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      frame(Seq((0L, 0.0, "x", 5L)), 1, "num_shipped"), s1)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      frame(Seq((1L, Double.NaN, "y", 7L)), 2, "num_shipped"), s2)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      frame(Seq((2L, 3.5, "z", 30L)), 3, "quantity"), o3)
+    graft.engine.ParquetSliceSink.writeSingleFile(
+      frame(Seq((2L, 3.5, "z", 9L)), 3, "num_shipped"), s3)
+    val q = """SELECT o.event_time as event_time, o.k as k,
+              |  o.quantity as quantity, s.num_shipped as num_shipped
+              |FROM orders o LEFT JOIN shipments s ON o.k = s.k""".stripMargin
+    def chain(engines: Seq[String], tag: String): Unit = {
+      import graft.engine.TransformEngine
+      def input(alias: String, path: Option[String], schema: String,
+          oi: Option[OffsetInterval], wm: Instant) = TransformRequestInput(
+        datasetId = s"did:odf:$alias", datasetAlias = alias,
+        queryAlias = alias, offsetInterval = oi,
+        dataPaths = path.toVector, schemaFile = schema,
+        explicitWatermarks = Vector(RequestWatermark(wm, wm)))
+      def tr(num: Int, ins: Vector[TransformRequestInput], nextOff: Long,
+          prev: Option[String]) = TransformRequest(
+        "did:odf:out", "out", ts(10 + num), DatasetVocabulary(),
+        Transform(engine = engines(num - 1),
+          queries = Vector(SqlQueryStep(None, q))),
+        ins, nextOffset = nextOff, prevCheckpointPath = prev,
+        newCheckpointPath = s"$dir/$tag/cp$num",
+        newDataPath = s"$dir/$tag/out$num.parquet")
+      val e = new TransformEngine(spark)
+      val r1 = e.executeTransform(tr(1, Vector(
+        input("orders", Some(o1), o1, Some(OffsetInterval(0, 1)), ts(1)),
+        input("shipments", Some(s1), s1, Some(OffsetInterval(0, 0)), ts(1))),
+        0, None))
+      assert(r1.isInstanceOf[TransformResponse.Success], s"$tag run1: $r1")
+      val r2 = e.executeTransform(tr(2, Vector(
+        input("orders", None, o1, None, ts(2)),
+        input("shipments", Some(s2), s1, Some(OffsetInterval(1, 1)), ts(2))),
+        2, Some(s"$dir/$tag/cp1")))
+      assert(r2.isInstanceOf[TransformResponse.Success], s"$tag run2: $r2")
+      val r3 = e.executeTransform(tr(3, Vector(
+        input("orders", Some(o3), o1, Some(OffsetInterval(2, 2)), ts(3)),
+        input("shipments", Some(s3), s1, Some(OffsetInterval(2, 2)), ts(3))),
+        4, Some(s"$dir/$tag/cp2")))
+      assert(r3.isInstanceOf[TransformResponse.Success], s"$tag run3: $r3")
+    }
+    chain(Seq.fill(3)("spark"), "batch")
+    chain(Seq.fill(3)("spark-streaming"), "stream")
+    chain(Seq("spark", "spark-streaming", "spark"), "mixed")
+    (1 to 3).foreach { n =>
+      for (tag <- Seq("stream", "mixed")) {
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(Paths.get(s"$dir/batch/out$n.parquet")),
+          Files.readAllBytes(Paths.get(s"$dir/$tag/out$n.parquet"))),
+          s"run-$n $tag struct-key left-join slices are not byte-identical")
+        assert(
+          Files.readString(Paths.get(s"$dir/batch/cp$n/ledger.json")) ==
+            Files.readString(Paths.get(s"$dir/$tag/cp$n/ledger.json")))
+      }
+    }
+    // run 1: struct(-0.0,"x") pairs with struct(0.0,"x") under SQL struct
+    // equality; the NaN-keyed order null-pads. run 2: the late NaN-keyed
+    // shipment retracts that null-pad and appends the pair. run 3: clean
+    // in-slice pair.
     val r1 = spark.read.parquet(s"$dir/stream/out1.parquet")
       .orderBy("offset").collect()
     assert(r1.map(r => (r.getAs[Long]("quantity"), r.getAs[Any]("num_shipped"),

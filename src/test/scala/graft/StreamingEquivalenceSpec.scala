@@ -262,18 +262,31 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory(s"graft-equiv-${shape.name}")
     val querySteps = shape.mkSteps(rnd)
-    val runs = 3 + rnd.nextInt(2)
-    // Zipfian hot-key mode (round-11): half the chains route ~50% of all
-    // appends to ONE key/symbol, so the delta faces' semi-join seed
-    // sweeps, key-band narrowing, and native stream-stream join staging
-    // are fuzzed under a key that touches most of state every run — the
-    // near-uniform draw alone never exercises that regime.
-    val hotKeys = rnd.nextBoolean()
-    def drawKey(): Long =
-      if (hotKeys && rnd.nextDouble() < 0.5) 1L else 1 + rnd.nextInt(6)
-    def drawSym(): String =
-      if (hotKeys && rnd.nextDouble() < 0.5) "A"
-      else ('A' + rnd.nextInt(3)).toChar.toString
+    // Key modes, one third of chains each:
+    //  0 near-uniform — the baseline small static key space;
+    //  1 zipfian (round-11) — ~50% of appends hit ONE key, fuzzing the
+    //    delta faces' seed sweeps/key bands under a key that touches most
+    //    of state every run;
+    //  2 ancient (round-12) — every run's keys are RUN-LOCAL fresh values
+    //    except ~40% referencing the FIRST run's key range, so equi
+    //    matches happen mostly THROUGH state from many runs back — the
+    //    multi-hop Yannakakis sweep / stream-stream staging adversary the
+    //    bounded `streamjoin … tree hot` bench prices. Ancient chains run
+    //    deeper so "many runs back" is real.
+    val keyMode = rnd.nextInt(3)
+    val runs = (if (keyMode == 2) 5 else 3) + rnd.nextInt(2)
+    def drawKey(run: Int): Long = keyMode match {
+      case 1 if rnd.nextDouble() < 0.5 => 1L
+      case 2 =>
+        if (rnd.nextDouble() < 0.4) 1 + rnd.nextInt(2)
+        else run * 10L + rnd.nextInt(4)
+      case _ => 1 + rnd.nextInt(6)
+    }
+    def drawSym(run: Int): String = keyMode match {
+      case 1 if rnd.nextDouble() < 0.5 => "A"
+      case 2 => if (rnd.nextDouble() < 0.4) "A" else s"S$run"
+      case _ => ('A' + rnd.nextInt(3)).toChar.toString
+    }
 
     // ── Generate the whole chain's slices up front (shared by both modes)
     val off = scala.collection.mutable.Map(shape.aliases.map(_ -> 0L): _*)
@@ -303,7 +316,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
               val d = live(alias)(rnd.nextInt(live(alias).size))
               GRow(off(alias) + i, Op.Append, sysT, d.ev, d.key, d.skey, d.v)
             } else GRow(off(alias) + i, Op.Append, sysT, ts(evDay, rnd.nextInt(6)),
-              drawKey(), drawSym(),
+              drawKey(run), drawSym(run),
               if (shape.uniqueValues) 1000 + uniq else rnd.nextInt(50).toLong)
           base
         }

@@ -58,19 +58,32 @@ def connected_components_rows(con, sql):
     left-join-onto-documents coalesce. Falls back loudly (ValueError)
     if the oracle SQL's text no longer matches the expected CTE shape.
     """
-    cut = sql.index("e AS (")
-    head = sql[:cut].rstrip().rstrip(",") + "\n"
-    allpairs = "FROM s a JOIN s b ON a.doc_id < b.doc_id"
-    if allpairs not in head:
+    cut = sql.index("p AS (")
+    head = sql[:cut]
+    import re
+    thr = re.search(
+        r"/ len\(list_distinct\(list_concat\(a\.sh, b\.sh\)\)\) >= ([0-9.]+)", sql)
+    if thr is None:
         raise ValueError("q27 oracle SQL changed; update connected_components_rows")
-    cand = (
-        "FROM (SELECT DISTINCT x1.doc_id AS ca, x2.doc_id AS cb "
-        "FROM (SELECT doc_id, unnest(sh) AS g FROM s) x1 "
-        "JOIN (SELECT doc_id, unnest(sh) AS g FROM s) x2 "
-        "ON x1.g = x2.g AND x1.doc_id < x2.doc_id) c "
-        "JOIN s a ON a.doc_id = c.ca JOIN s b ON b.doc_id = c.cb")
-    pairs = con.execute(
-        head.replace(allpairs, cand) + "SELECT id_a, id_b FROM p").fetchall()
+    # Count-based Jaccard, value-identical to the oracle's pair CTE `p`
+    # because each doc's `sh` is a SET (list_distinct / single element):
+    # |A∩B| = per-pair count of shared shingles, |A∪B| = |A|+|B|−|A∩B|.
+    # The all-pairs join with per-pair list_intersect is O(n²) in docs and
+    # O(len) per pair; this is one unnest join (candidates only — Jaccard
+    # > 0 needs a shared shingle) into a hash aggregate, no list ops.
+    pairs = con.execute(head + f"""p AS (
+  WITH x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+  sz AS (SELECT doc_id, len(sh) AS n FROM s),
+  shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (za.n + zb.n - c) >= {thr.group(1)})
+SELECT id_a, id_b FROM p""").fetchall()
     parent = {}
 
     def find(x):
