@@ -1013,11 +1013,45 @@ object SparkEntry {
           min(col("doc_id")).as("first_doc"))
         .where(col("n_occ") > 1)
         .orderBy(col("n_occ").desc, col("window_hash"))
+    }),
+
+    // ── Corpus-scaled LSH geometry (round 12): the q56 pipeline with the
+    // signature geometry auto-sized from the corpus count (expected
+    // bucket occupancy ≤ 2048). At every oracled corpus size (500 / 2000
+    // / 20000 embeddings) the knob resolves to the pinned q56 geometry
+    // (16, 4), so q56's oracle pins the WIRING exactly; past ~32k rows
+    // the geometry grows with log2(n) — the scale behavior EngineBench
+    // lshauto prices (decade ratio 1.32x auto vs 3.8x fixed).
+    "q58_neardup_auto" -> ((s, dir) => {
+      Similarity.nearDupPairsLSHAuto(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45, dim = 64, targetBucketRows = 2048)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── Blocked simhash near-dup (round 12): q43 through the Manku
+    // WWW'07 block-combination tables with the block count auto-sized
+    // from the corpus (Dedup.autoSimhashBlocks). EXACT at every valid
+    // block count (pigeonhole recall + Hamming verify), so q43's
+    // brute-force oracle pins it at EVERY scale, not only the
+    // small-corpus point — the knob trades table count, never recall.
+    "q59_simhash_blocked" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.simhashNearDupBlocked(docs, "doc_id", "text", maxHamming = 3,
+          blocks = Dedup.autoSimhashBlocks(docs.count()))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
-  /** DuckDB-runnable oracle per query (same column names & order-by). */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB-runnable oracle per query (same column names & order-by).
+    * q58/q59 reuse q56's/q43's oracles verbatim: q58's auto geometry
+    * resolves to q56's pinned (16, 4) at every oracled corpus size, and
+    * q59's blocked candidate generation is exact, so the brute-force
+    * Hamming oracle holds at any block count. */
+  def oracleSql: Map[String, String] = oracleBase ++ Map(
+    "q58_neardup_auto" -> oracleBase("q56_neardup_verified"),
+    "q59_simhash_blocked" -> oracleBase("q43_simhash_neardup"))
+
+  private def oracleBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -11,6 +11,7 @@ name, rows sorted, exact value compare (with a float report on mismatch).
 import glob
 import json
 import math
+import re
 import sys
 
 import duckdb
@@ -43,35 +44,21 @@ def eq(a, b):
     return a == b
 
 
-def connected_components_rows(con, sql):
-    """Exact replacement for q27's recursive-CTE connected components.
-
-    DuckDB's recursive CTE materializes, for every node, every (node,
-    reachable-comp) pair before the min() — super-linear in component
-    size; at sf1 (50k docs) it ground >4h while the Spark side ran in
-    seconds. This path is value-identical and near-linear past the pair
-    join: evaluate the oracle's own pair CTE `p` in DuckDB (with the
-    quadratic all-pairs join narrowed to shared-shingle candidates —
-    exact, since Jaccard >= 0.8 > 0 requires at least one shared
-    shingle), then min-label union-find in Python (root = component
-    minimum, matching the CTE's min(comp)), then the same
-    left-join-onto-documents coalesce. Falls back loudly (ValueError)
-    if the oracle SQL's text no longer matches the expected CTE shape.
+def _count_jaccard_pairs(con, sql):
+    """Evaluate the oracle's pair CTE `p` (all-pairs shingle Jaccard)
+    as a count-based Jaccard: one unnest join (candidates only — Jaccard
+    > 0 needs a shared shingle) into a hash aggregate, no per-pair list
+    ops. Value-identical because each doc's `sh` is a SET (list_distinct
+    / single element): |A∩B| = per-pair shared-shingle count and
+    |A∪B| = |A|+|B|−|A∩B|. The SQL text before `p AS (` (tokenize /
+    shingle / any dedup prefix) is reused verbatim.
     """
-    cut = sql.index("p AS (")
-    head = sql[:cut]
-    import re
+    head = sql[:sql.index("\np AS (") + 1]  # \n anchor: "fp AS (" must not match
     thr = re.search(
         r"/ len\(list_distinct\(list_concat\(a\.sh, b\.sh\)\)\) >= ([0-9.]+)", sql)
     if thr is None:
-        raise ValueError("q27 oracle SQL changed; update connected_components_rows")
-    # Count-based Jaccard, value-identical to the oracle's pair CTE `p`
-    # because each doc's `sh` is a SET (list_distinct / single element):
-    # |A∩B| = per-pair count of shared shingles, |A∪B| = |A|+|B|−|A∩B|.
-    # The all-pairs join with per-pair list_intersect is O(n²) in docs and
-    # O(len) per pair; this is one unnest join (candidates only — Jaccard
-    # > 0 needs a shared shingle) into a hash aggregate, no list ops.
-    pairs = con.execute(head + f"""p AS (
+        raise ValueError("pair-CTE oracle SQL changed; update _count_jaccard_pairs")
+    return con.execute(head + f"""p AS (
   WITH x AS (SELECT doc_id, unnest(sh) AS g FROM s),
   sz AS (SELECT doc_id, len(sh) AS n FROM s),
   shared AS (
@@ -84,6 +71,12 @@ def connected_components_rows(con, sql):
   JOIN sz zb ON zb.doc_id = id_b
   WHERE CAST(c AS DOUBLE) / (za.n + zb.n - c) >= {thr.group(1)})
 SELECT id_a, id_b FROM p""").fetchall()
+
+
+def _min_label_components(pairs):
+    """Min-label union-find (root = component minimum), matching the
+    recursive CTE's min(comp) over undirected reachability. Returns a
+    find() closure defaulting unseen ids to themselves."""
     parent = {}
 
     def find(x):
@@ -100,8 +93,59 @@ SELECT id_a, id_b FROM p""").fetchall()
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
+    return find
+
+
+def connected_components_rows(con, sql):
+    """Exact replacement for q27's recursive-CTE connected components.
+
+    DuckDB's recursive CTE materializes, for every node, every (node,
+    reachable-comp) pair before the min() — super-linear in component
+    size; at sf1 (50k docs) it ground >4h while the Spark side ran in
+    seconds. This path is value-identical and near-linear past the pair
+    join: the count-based pair evaluation, min-label union-find, then
+    the same left-join-onto-documents coalesce. Validated row-identical
+    to the CTE at sf0.01 and sf0.1."""
+    find = _min_label_components(_count_jaccard_pairs(con, sql))
     docs = con.execute("SELECT doc_id FROM documents ORDER BY doc_id").fetchall()
     return ["doc_id", "cluster_id"], [(d[0], find(d[0])) for d in docs]
+
+
+def cleaned_corpus_rows(con, sql):
+    """Exact replacement for q31's EMBEDDED recursive-CTE stage: the
+    cleaning pipeline runs exact-dedup → near-dup clustering → language/
+    quality scoring; only the p/e/reach/cc CTEs are replaced. Pairs come
+    from the count-based evaluation over the oracle's own prefix (which
+    includes the exact-dedup `ex` the shingle CTE reads), components from
+    the same union-find, injected as temp table cc_py; the rest of the
+    oracle SQL runs unchanged against it."""
+    pairs = _count_jaccard_pairs(con, sql)
+    find = _min_label_components(pairs)
+    # cc covered exactly the nodes appearing in some edge — mirror that
+    ids = {i for ab in pairs for i in ab}
+    con.execute("CREATE OR REPLACE TEMP TABLE cc_py(id BIGINT, comp BIGINT)")
+    con.executemany("INSERT INTO cc_py VALUES (?, ?)",
+                    [(i, find(i)) for i in sorted(ids)])
+    rest = sql[sql.index("\nreps AS (") + 1:]
+    rest = (rest.replace("LEFT JOIN cc ON", "LEFT JOIN cc_py ON")
+                .replace("cc.id", "cc_py.id").replace("cc.comp", "cc_py.comp"))
+    head = sql[:sql.index("\np AS (") + 1]
+    out = con.execute(head + rest)
+    return [d[0] for d in out.description], out.fetchall()
+
+
+def oracle_rows(con, sql):
+    """cols, rows for one oracle query — the recursive-CTE connected-
+    components shapes (standalone q27, embedded q31) take the exact
+    union-find replacements; everything else runs as-is."""
+    if "reach(id, comp) AS (" in sql:
+        if sql.rstrip().endswith(
+                "LEFT JOIN cc ON documents.doc_id = cc.id\nORDER BY doc_id"):
+            return connected_components_rows(con, sql)
+        if "reps AS (" in sql:
+            return cleaned_corpus_rows(con, sql)
+    orc = con.execute(sql)
+    return [d[0] for d in orc.description], orc.fetchall()
 
 
 def main():
@@ -125,16 +169,7 @@ def main():
             n_fail += 1
             continue
         try:
-            # only the STANDALONE connected-components query (q27) takes the
-            # union-find path — q31 embeds the same recursive CTE as an
-            # inner stage and must run its own SQL unchanged
-            if ("reach(id, comp) AS (" in sql and sql.rstrip().endswith(
-                    "LEFT JOIN cc ON documents.doc_id = cc.id\nORDER BY doc_id")):
-                o_cols, o_rows = connected_components_rows(con, sql)
-            else:
-                orc = con.execute(sql)
-                o_cols = [d[0] for d in orc.description]
-                o_rows = orc.fetchall()
+            o_cols, o_rows = oracle_rows(con, sql)
             src = con.execute(
                 "SELECT * FROM read_parquet(?)", [parts])
             s_cols = [d[0] for d in src.description]
