@@ -126,7 +126,8 @@ object SparkEntry {
           count(col("l_partkey")).as("n_shipped_30d"),
           coalesce(sum(col("l_quantity").cast("long")), lit(0L)).as("qty_shipped_30d")
         )
-        .orderBy(col("o_orderkey"))
+        // Orders-sized output: the groupBy's hash exchange is the only
+        // shuffle; no trailing range-partition sort of the full result.
     }),
 
     // ── Multi-join aggregate with broadcastable dimensions.
@@ -319,7 +320,10 @@ object SparkEntry {
             / lit(1e4)).as("running_value"),
           lag(col("event_id"), 1).over(w).as("prev_event_id"),
           row_number().over(w).cast("long").as("event_seq"))
-        .orderBy(col("user_id"), col("event_seq"))
+        // No trailing global sort: the window's user_id hash shuffle is the
+        // only exchange; per-user order is the event_seq column. A second
+        // range-partition pass over the full event table to order a
+        // corpus-sized result buys nothing at scale.
     }),
 
     // ── Semi/anti joins: customer order-activity per nation.
@@ -408,7 +412,8 @@ object SparkEntry {
           col("user_id"),
           col("session_window.start").cast("timestamp_ntz").as("session_start"),
           col("n_events"))
-        .orderBy(col("user_id"), col("session_start"))
+        // Sessions-sized output (∝ events): session ordering is the
+        // (user_id, session_start) columns; no trailing global sort.
     }),
 
     // ── IVF approximate ANN — second scale path, as an explicit
@@ -640,7 +645,11 @@ object SparkEntry {
     // per document — the standard pretraining/RAG chunker. Pure map +
     // explode (≈2× row blowup at this window/stride), no shuffle; chunk
     // text is reassembled from the token slice so downstream operators
-    // (dedup, quality) can run per-chunk.
+    // (dedup, quality) can run per-chunk. Deliberately NO global sort:
+    // chunk order is carried by (doc_id, chunk_idx) and explode leaves a
+    // document's chunks adjacent in their scan partition, so a range-
+    // partitioning sort of the 2×-exploded corpus would be the single
+    // largest shuffle in the query for zero semantic gain at 100 TB.
     "q40_chunk_windows" -> ((s, dir) => {
       val win = 16; val stride = 8
       t(s, dir, "documents")
@@ -656,7 +665,6 @@ object SparkEntry {
             .cast("long").as("n_tokens"),
           concat_ws(" ", slice(col("toks"), col("i") * stride + 1, lit(win)))
             .as("chunk"))
-        .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
     // ── Frequency-based boilerplate removal (CCNet-style): drop EVERY copy
@@ -1091,8 +1099,7 @@ object SparkEntry {
         |  ON l_orderkey = o_orderkey
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
-        |GROUP BY o_orderkey
-        |ORDER BY o_orderkey""".stripMargin,
+        |GROUP BY o_orderkey""".stripMargin,
 
     "q6_revenue_by_nation" ->
       """SELECT r_name, n_name,
@@ -1242,8 +1249,7 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) / 1e4 AS running_value,
         |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_seq
-        |FROM events
-        |ORDER BY user_id, event_seq""".stripMargin,
+        |FROM events""".stripMargin,
 
     "q26_semi_anti" ->
       """WITH active AS (
@@ -1315,8 +1321,7 @@ object SparkEntry {
         |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
         |  COUNT(*) AS n_events
         |FROM sessions
-        |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin,
+        |GROUP BY user_id, session_id""".stripMargin,
 
     "q17_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -1735,7 +1740,7 @@ object SparkEntry {
         |  CAST(i*8 AS BIGINT) AS start_tok,
         |  CAST(least(16, len(toks) - i*8) AS BIGINT) AS n_tokens,
         |  list_aggregate(toks[(i*8+1):(i*8+16)], 'string_agg', ' ') AS chunk
-        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+        |FROM u""".stripMargin,
 
     "q41_boilerplate" ->
       """WITH d AS (
