@@ -11,8 +11,12 @@ import graft.operators.{AsOfJoin, Clusters, Decontaminate, Dedup, Pack, Similari
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every query aggregates doubles via exact integer scaling (see
-  * [[graft.core.Tables]]) so results hash-match the DuckDB oracle bit-for-bit,
-  * and carries an ORDER BY so row order is deterministic on both sides.
+  * [[graft.core.Tables]]) so results hash-match the DuckDB oracle bit-for-bit.
+  * Model-sized outputs carry an ORDER BY for readable determinism;
+  * corpus-sized outputs deliberately do NOT (round 12): the correctness gate
+  * compares row-sorted, and a trailing global sort of a data-sized result is
+  * a full range-partition shuffle that buys nothing at 100 TB (guide §2.4 —
+  * "an orderBy used only to make output deterministic").
   */
 object SparkEntry {
 
@@ -172,7 +176,8 @@ object SparkEntry {
           min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("n_copies")
         )
-        .orderBy(col("content_hash"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── AS-OF join: each purchase event gets the user's latest prior 'view'.
@@ -205,7 +210,8 @@ object SparkEntry {
           (tenK(col("value")) / lit(1e4)).as("value"),
           col("last_view_event_id")
         )
-        .orderBy(col("event_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Near-dup detection: MinHash+LSH candidates + exact Jaccard verify.
@@ -213,7 +219,8 @@ object SparkEntry {
     // miss probability negligible at threshold 0.8 (see operators.Dedup).
     "q9_ngram_neardup" -> ((s, dir) => {
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)
-        .orderBy(col("id_a"), col("id_b"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Similarity search: brute-force cosine top-5 for probe vectors.
@@ -235,7 +242,8 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           Text.langIdFromTokens(col("__toks")).as("lang_pred"))
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Document quality scoring (length/punctuation/stopword ratios).
@@ -249,7 +257,8 @@ object SparkEntry {
           Text.punctCount(col("text")).as("n_punct"),
           Text.stopwordCount(col("__toks")).as("n_stopwords"),
           Text.qualityScoreFrom(col("__toks"), col("text")).as("quality_score"))
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Token counting: whitespace + BPE-ish subword proxy.
@@ -263,21 +272,28 @@ object SparkEntry {
           Text.wsTokenCount(col("text")).as("n_ws_tokens"),
           Text.tokenCount(col("text")).as("n_word_tokens"),
           Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Content fingerprint (bag-of-words md5) + duplicate grouping.
     "q14_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        // explicit-width spread: the single-row-group scan is one task;
+        // without it the per-document kernel work runs serially
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── SimHash: 60-bit md5-derived signature, oracle-checked bit for bit
     // (the hash family is md5 hex→int so DuckDB computes it identically).
     "q15_simhash" -> ((s, dir) => {
       Dedup.simhashDf(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── LSH-bucketed approximate ANN (scale path). Oracle-exact: the
@@ -297,6 +313,10 @@ object SparkEntry {
     // parse the payload twice).
     "q24_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("props"))
+        // explicit-width spread: the single-row-group scan is one task;
+        // without it the per-document kernel work runs serially
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
         .select(col("event_type"), from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL(
             "k BIGINT, missing STRING")).as("__j"))
@@ -392,14 +412,25 @@ object SparkEntry {
     // ── Sliding (HOP) window over the event stream — superset of the
     // reference's TUMBLE-only surface.
     "q19_sliding_window" -> ((s, dir) => {
+      // Two-level HOP aggregation (round 12; guide §2.3 "aggregate before
+      // you shuffle"): the naive form explodes 7 window copies of EVERY
+      // event row before aggregating. The slide (1 day) aligns to day
+      // boundaries, so all events of one calendar day belong to the same 7
+      // windows — aggregate per (day, type) first (map-side combinable;
+      // corpus-sized input collapses to days×types) and explode the 7
+      // window starts over the DAY aggregates only. Counts and integer
+      // sums are associative, so the result is bit-identical.
       t(s, dir, "events")
-        .groupBy(
-          window(col("ts"), "7 days", "1 day").getField("start")
-            .cast("timestamp_ntz").as("window_start"),
+        .groupBy(date_trunc("day", col("ts")).as("__day"), col("event_type"))
+        .agg(count(lit(1)).as("__n"), sum(tenK(col("value"))).as("__sv"))
+        .select(col("event_type"), col("__n"), col("__sv"),
+          explode(sequence(col("__day") - expr("INTERVAL 6 DAYS"),
+            col("__day"), expr("INTERVAL 1 DAY"))).as("__ws"))
+        .groupBy(col("__ws").cast("timestamp_ntz").as("window_start"),
           col("event_type"))
         .agg(
-          count(lit(1)).as("n_events"),
-          (sum(tenK(col("value"))) / lit(1e4)).as("sum_value"))
+          sum(col("__n")).as("n_events"),
+          (sum(col("__sv")) / lit(1e4)).as("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
     }),
 
@@ -434,14 +465,16 @@ object SparkEntry {
     // ── Embedding near-dup pairs above a cosine threshold.
     "q17_embedding_neardup" -> ((s, dir) => {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
-        .orderBy(col("id_a"), col("id_b"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Duplicate clustering: connected components over the q9 near-dup
     // pairs, every document labeled with its cluster representative.
     "q27_dup_clusters" -> ((s, dir) => {
       Clusters.dupClusters(t(s, dir, "documents"), "doc_id", "text", 0.8)
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Deterministic stratified sampling: md5-hash gate per document with
@@ -455,7 +488,8 @@ object SparkEntry {
       t(s, dir, "documents")
         .where(gate < when(col("lang") === "en", lit(20L)).otherwise(lit(60L)))
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Corpus n-gram statistics: top-50 token trigrams by occurrence.
@@ -465,7 +499,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(Text.tokens(col("text")).as("__toks"))
         .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(Text.shingles(col("__toks"), 3)).as("ngram"))
+        .select(explode(Text.shinglesK(col("__toks"), 3)).as("ngram"))
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
@@ -478,7 +512,8 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
       Pack.tokenBatches(docs, "doc_id", "n_tokens", budget = 8192L)
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── End-to-end corpus cleaning, the operators composed as one
@@ -491,11 +526,13 @@ object SparkEntry {
       // Tokenize ONCE; the persisted token frame feeds the fingerprint,
       // near-dup (via dupClustersFromTokens), and quality stages — round-3
       // VERDICT flagged the duplicate tokenize passes as q31's main cost.
-      val docs = t(s, dir, "documents")
+      // Materialized eagerly (round 12): the exact-dedup join references it
+      // on both sides in one job, so a lazy cache had the tokenize+
+      // fingerprint pipeline racing to fill itself twice.
+      val docs = graft.core.Frames.materialize(t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
-        .withColumn("__fp", Text.fingerprintFromTokens(col("__toks")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .withColumn("__fp", Text.fingerprintFromTokens(col("__toks"))))
       val keeper = docs.groupBy(col("__fp"))
         .agg(min(col("doc_id")).as("doc_id"))
       val exact = docs.join(keeper, Seq("__fp", "doc_id"))
@@ -509,7 +546,8 @@ object SparkEntry {
           Text.langIdFromTokens(col("__toks")).as("lang_pred"),
           Text.qualityScoreFrom(col("__toks"), col("text")).as("quality_score"))
         .where(col("quality_score") >= 0.4)
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Benchmark decontamination: corpus docs sharing token 4-grams with
@@ -521,7 +559,8 @@ object SparkEntry {
           docs.where(col("doc_id") % 20 =!= 0),
           docs.where(col("doc_id") % 20 === 0),
           "doc_id", "text", n = 4)
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Gopher-style within-doc repetition metrics over token 2-grams:
@@ -533,7 +572,8 @@ object SparkEntry {
             .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
           "doc_id", "text", n = 2)
         .where(col("dup_gram_frac") >= 0.1)
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── PII inventory + redaction (emails, phones, IPv4) — pure codegen'd
@@ -550,7 +590,12 @@ object SparkEntry {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           lit(" host 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")
         ).as("text"))
-      Text.piiDf(planted, "doc_id", "text").orderBy(col("doc_id"))
+        // explicit-width spread: the single-row-group scan is one task;
+        // without it the per-document kernel work runs serially
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Text.piiDf(planted, "doc_id", "text")
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Per-domain link stats (source-mix / link-spam audit): extract-all →
@@ -578,7 +623,8 @@ object SparkEntry {
       graft.operators.Dedup.paragraphDedupDf(
           t(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
         .where(col("n_kept") < col("n_total"))
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Distinguishing terms per document: tf-idf-style ranking made
@@ -586,7 +632,8 @@ object SparkEntry {
     // the oracle is deterministic. Two hash aggs + a term join + top-k.
     "q38_top_terms" -> ((s, dir) => {
       Text.topTermsDf(t(s, dir, "documents"), "doc_id", "text", k = 3)
-        .orderBy(col("doc_id"), col("term_rank"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Embedding preprocessing: L2 norms + symmetric int8 quantization
@@ -597,7 +644,8 @@ object SparkEntry {
       graft.functions.Embeddings.quantStatsDf(
           t(s, dir, "embeddings"), "vec_id", "embedding")
         .where(col("quant_err") > 0)
-        .orderBy(col("vec_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Deterministic corpus shuffle: seeded global training order without
@@ -638,7 +686,8 @@ object SparkEntry {
         .join(broadcast(bases), "b")
         .select(col("doc_id"), col("shuffle_key"),
           (col("base") + col("lr")).as("position"))
-        .orderBy(col("position"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Context-window chunking: overlapping 16-token windows at stride 8
@@ -675,7 +724,8 @@ object SparkEntry {
       graft.operators.Dedup.boilerplateRemoveDf(
           t(s, dir, "documents"), "doc_id", "text", chunkTokens = 8, minFreq = 3L)
         .where(col("n_kept") < col("n_total"))
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Weighted source-mixture sampling: keep the LARGEST corpus whose
@@ -691,12 +741,19 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val w = when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
         lit(3L)).otherwise(lit(1L))
+      // Round 12: rate table via two chained windows over the model-sized
+      // source frame instead of the old base×agg crossJoin cascade — the
+      // old plan referenced `base` four ways and re-ran the full-corpus
+      // source-count scan per reference. One corpus scan builds `base`;
+      // sumw/out_total are unpartitioned aggregates over |sources| rows
+      // (constant non-foldable partition key, the q44 trick, so the
+      // single-partition window warning stays meaningful elsewhere).
       val base = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
         .withColumn("w", w)
-      val counts = base.crossJoin(broadcast(base.agg(sum(col("w")).as("sumw"))))
-      val outTotal = counts.agg(
-        min(expr("cnt * sumw DIV w")).as("out_total"))
-      val rates = counts.crossJoin(broadcast(outTotal))
+      val wspec = Window.partitionBy(substring(col("source"), 0, 0))
+      val rates = base
+        .withColumn("sumw", sum(col("w")).over(wspec))
+        .withColumn("out_total", min(expr("cnt * sumw DIV w")).over(wspec))
         .select(col("source"),
           least(lit(10000L), expr("out_total * w * 10000 DIV (sumw * cnt)"))
             .as("rate_bp"))
@@ -707,7 +764,8 @@ object SparkEntry {
       docs.join(broadcast(rates), "source")
         .where(gate < col("rate_bp"))
         .select(col("doc_id"), col("source"), col("rate_bp"))
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── SimHash near-dup pairs (Manku et al. WWW'07 split scheme): all
@@ -717,7 +775,8 @@ object SparkEntry {
     "q43_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashNearDupDf(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3, bands = 4)
-        .orderBy(col("id_a"), col("id_b"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Tokenizer vocabulary coverage: top-200 tokens by frequency with
@@ -727,7 +786,13 @@ object SparkEntry {
     // running-sum windows see only the 200 survivors (bounded at any
     // corpus scale), never a data-sized single-partition sort.
     "q44_vocab_coverage" -> ((s, dir) => {
+      // NOT eagerly cached (round 12, measured): the top-200 TakeOrdered and
+      // the corpus-total aggregate each run the tokenize+explode+count
+      // pipeline, but the duplicates overlap on idle cores and the eager
+      // cache cost +0.3 s wall at sf0.1. The spread keeps tokenize parallel.
       val counts = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(explode(Text.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       val tot = counts.agg(sum(col("cnt")).as("__tot"))
@@ -759,7 +824,8 @@ object SparkEntry {
     "q45_semantic_dedup" -> ((s, dir) => {
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, stride = 23)
-        .orderBy(col("vec_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Six-table star join (TPC-H Q5 shape): local-supplier revenue by
@@ -797,12 +863,18 @@ object SparkEntry {
       // Shingle + DISTINCT once; the persisted frame feeds the size
       // aggregate and both sides of the self-join (3 consumers — without
       // the persist the tokenize+explode+DISTINCT shuffle runs 3×).
-      val sh = t(s, dir, "documents")
+      // Materialized eagerly (round 12): lazily cached, the self-join's two
+      // map stages raced to fill the cache and the shingle pipeline still
+      // ran twice (duplicate map stages in the §1 profile).
+      val sh = graft.core.Frames.materialize(t(s, dir, "documents")
         .select(col("source"), Text.tokens(col("text")).as("toks"))
         .where(size(col("toks")) > 0)
-        .select(col("source"), explode(Text.shingles(col("toks"), 3)).as("sh"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // compiled kernel + per-doc set: the global DISTINCT only ever sees
+        // each (source, shingle) once per doc, and per-doc dedup happens in
+        // the kernel instead of the shuffle
+        .select(col("source"),
+          explode(Dedup.shingleSortedSet(col("toks"), 3)).as("sh"))
+        .distinct())
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
       sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
@@ -826,13 +898,18 @@ object SparkEntry {
     "q48_idf_table" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      docs.select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("token"))
+      docs.select(col("doc_id"), col("text"))
+        // explicit-width spread: the single-row-group scan is one task;
+        // without it the per-document kernel work runs serially
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
         .where(col("df") >= 5)
         .crossJoin(broadcast(nDocs))
         .select(col("token"), col("df"), col("n_docs"),
           expr("df * 10000 DIV n_docs").as("df_bp"))
-        .orderBy(col("token"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Length-weighted sampling: keep probability proportional to doc
@@ -851,7 +928,8 @@ object SparkEntry {
         .withColumn("rate_bp", expr("n_chars * 10000 DIV max_chars"))
         .where(gate < col("rate_bp"))
         .select(col("doc_id"), col("n_chars"), col("rate_bp"))
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Quality-filter funnel: survivor counts through the staged cleaning
@@ -860,6 +938,10 @@ object SparkEntry {
     // conditional sums, a 5-row stack; integer thresholds only.
     "q50_quality_funnel" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        // explicit-width spread: the single-row-group scan is one task;
+        // without it the per-document kernel work runs serially
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("lang"), col("n_chars"), Text.tokens(col("text")).as("toks"))
         .select(col("lang"), col("n_chars"),
           size(col("toks")).cast("long").as("n_tok"),
@@ -923,6 +1005,11 @@ object SparkEntry {
     // quality signal that decides re-crawl priorities. Two hash aggregates
     // over md5(text) (never the text itself on the wire twice).
     "q53_dup_rate_by_source" -> ((s, dir) => {
+      // Deliberately NOT cached (round 12, measured): the two consumers
+      // (duplicate-hash aggregate, join probe) each md5-scan the corpus,
+      // but the duplicated map stages overlap on idle cores and the eager
+      // cache cost wall time (+0.6 s at sf0.1); the md5 pass is light
+      // enough that the exchange+cache machinery dominates it.
       val h = t(s, dir, "documents").select(col("source"), md5(col("text")).as("h"))
       val dupHashes = h.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
         .where(col("cnt") > 1).select(col("h"))
@@ -947,12 +1034,19 @@ object SparkEntry {
       // joined frames are doc-cardinality, so the final join never touches
       // the gram-sized frame again (the naive gram-keyed join back was 2×
       // slower at sf0.1).
-      val g = t(s, dir, "documents")
+      // materialized eagerly: perDoc and novel are two aggregates over this
+      // frame joined in ONE job — lazily cached, both map stages re-ran the
+      // tokenize+shingle explode before the cache existed
+      val g = graft.core.Frames.materialize(t(s, dir, "documents")
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .where(size(col("toks")) > 0)
+        // explicit-width spread: the single-row-group scan is one task;
+        // without it the per-document kernel work runs serially
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
-          explode(array_distinct(Text.shingles(col("toks"), 5))).as("g"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // compiled kernel: same distinct 5-gram set per doc as
+          // array_distinct(Text.shingles(...)), one compiled pass
+          explode(Dedup.shingleSortedSet(col("toks"), 5)).as("g")))
       val perDoc = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
       val novel = g.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
         .groupBy(col("first_doc").as("doc_id"))
@@ -961,7 +1055,8 @@ object SparkEntry {
         .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
         .select(col("doc_id"), col("n_grams"), col("n_novel"),
           expr("n_novel * 10000 DIV n_grams").as("novelty_bp"))
-        .orderBy(col("doc_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Quality-ranked canonical selection: within each exact-duplicate
@@ -979,7 +1074,8 @@ object SparkEntry {
         .withColumn("keep_id", first(col("doc_id")).over(w))
         .where(col("doc_id") =!= col("keep_id"))
         .select(col("doc_id").as("drop_id"), col("keep_id"), col("source"))
-        .orderBy(col("drop_id"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Composed near-dup pipeline: LSH-banded candidate generation (the
@@ -991,7 +1087,8 @@ object SparkEntry {
     "q56_neardup_verified" -> ((s, dir) => {
       Similarity.nearDupPairsLSH(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.45, dim = 64, nBits = 16, bandBits = 4)
-        .orderBy(col("id_a"), col("id_b"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Repeated-window detection (exact-substring dedup signal, the Lee
@@ -1020,7 +1117,8 @@ object SparkEntry {
           count(lit(1)).as("n_occ"),
           min(col("doc_id")).as("first_doc"))
         .where(col("n_occ") > 1)
-        .orderBy(col("n_occ").desc, col("window_hash"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Corpus-scaled LSH geometry (round 12): the q56 pipeline with the
@@ -1033,7 +1131,8 @@ object SparkEntry {
     "q58_neardup_auto" -> ((s, dir) => {
       Similarity.nearDupPairsLSHAuto(t(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.45, dim = 64, targetBucketRows = 2048)
-        .orderBy(col("id_a"), col("id_b"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     }),
 
     // ── Blocked simhash near-dup (round 12): q43 through the Manku
@@ -1046,7 +1145,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Dedup.simhashNearDupBlocked(docs, "doc_id", "text", maxHamming = 3,
           blocks = Dedup.autoSimhashBlocks(docs.count()))
-        .orderBy(col("id_a"), col("id_b"))
+        // corpus-sized output: no trailing global sort (order is carried
+        // by the output columns; the correctness gate compares row-sorted)
     })
   )
 
@@ -1129,8 +1229,7 @@ object SparkEntry {
           |  MIN(doc_id) AS keep_id,
           |  COUNT(*) AS n_copies
           |FROM corpus
-          |GROUP BY 1
-          |ORDER BY 1""".stripMargin),
+          |GROUP BY 1""".stripMargin),
 
     "q5_asof_join" ->
       """SELECT p.event_id,
@@ -1139,8 +1238,7 @@ object SparkEntry {
         |  b.event_id AS last_view_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
-        |  ON p.user_id = b.user_id AND p.ts >= b.ts
-        |ORDER BY p.event_id""".stripMargin,
+        |  ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
 
     "q9_ngram_neardup" ->
       """WITH d AS (
@@ -1158,8 +1256,7 @@ object SparkEntry {
         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-        |ORDER BY 1, 2""".stripMargin,
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
 
     "q10_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1196,8 +1293,7 @@ object SparkEntry {
         |       WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
         |       WHEN s_es > s_en THEN 'es'
         |       ELSE 'en' END AS lang_pred
-        |FROM s
-        |ORDER BY doc_id""".stripMargin,
+        |FROM s""".stripMargin,
 
     "q12_quality" ->
       """WITH d AS (
@@ -1216,23 +1312,20 @@ object SparkEntry {
         |    + coalesce(n_stopwords / nullif(n_tokens, 0), 0.0) * 0.25
         |    + (1.0 - least(1.0, coalesce(n_punct / nullif(n_chars, 0), 0.0) * 5.0)) * 0.25
         |    AS quality_score
-        |FROM c
-        |ORDER BY doc_id""".stripMargin,
+        |FROM c""".stripMargin,
 
     "q13_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS BIGINT) AS n_word_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
 
     "q14_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))), ' ')) AS fingerprint
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
 
     "q24_json_extract" ->
       """SELECT event_type,
@@ -1330,8 +1423,7 @@ object SparkEntry {
         |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v)
-        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45
-        |ORDER BY 1, 2""".stripMargin,
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45""".stripMargin,
 
     "q15_simhash" -> {
       // 60 per-bit conditional sums over the md5-derived shingle hashes —
@@ -1358,7 +1450,7 @@ object SparkEntry {
          |  FROM s),
          |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
-         |FROM b ORDER BY doc_id""".stripMargin
+         |FROM b""".stripMargin
     },
 
     "q16_lsh_topk" -> {
@@ -1472,14 +1564,12 @@ object SparkEntry {
         |cc AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
         |SELECT documents.doc_id,
         |  CAST(coalesce(cc.comp, documents.doc_id) AS BIGINT) AS cluster_id
-        |FROM documents LEFT JOIN cc ON documents.doc_id = cc.id
-        |ORDER BY doc_id""".stripMargin,
+        |FROM documents LEFT JOIN cc ON documents.doc_id = cc.id""".stripMargin,
 
     "q28_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
-        |      < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
-        |ORDER BY doc_id""".stripMargin,
+        |      < CASE WHEN lang = 'en' THEN 20 ELSE 60 END""".stripMargin,
 
     "q29_ngram_freq" ->
       """WITH d AS (
@@ -1504,7 +1594,7 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192
         |    AS BIGINT) AS batch_id
-        |FROM tok ORDER BY doc_id""".stripMargin,
+        |FROM tok""".stripMargin,
 
     // The cleaning pipeline is the composition of the q14 fingerprint, q9
     // near-dup pairs, q27 connected components, q11 langid, and q12
@@ -1566,8 +1656,7 @@ object SparkEntry {
         |      AS quality_score
         |  FROM scored)
         |SELECT doc_id, lang_pred, quality_score FROM out
-        |WHERE quality_score >= 0.4
-        |ORDER BY doc_id""".stripMargin,
+        |WHERE quality_score >= 0.4""".stripMargin,
 
     "q32_decontaminate" ->
       """WITH d AS (
@@ -1584,8 +1673,7 @@ object SparkEntry {
         |co AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0)
         |SELECT co.doc_id, count(*) AS n_overlap
         |FROM co JOIN ev USING (g)
-        |GROUP BY co.doc_id
-        |ORDER BY co.doc_id""".stripMargin,
+        |GROUP BY co.doc_id""".stripMargin,
 
     "q33_repetition" ->
       """WITH d AS (
@@ -1608,8 +1696,7 @@ object SparkEntry {
         |    CAST(max(n) AS DOUBLE) / sum(n) AS top_gram_frac
         |  FROM cnt GROUP BY doc_id)
         |SELECT doc_id, n_grams, dup_gram_frac, top_gram_frac FROM m
-        |WHERE dup_gram_frac >= 0.1
-        |ORDER BY doc_id""".stripMargin,
+        |WHERE dup_gram_frac >= 0.1""".stripMargin,
 
     "q34_pii_redact" ->
       """WITH p AS (
@@ -1627,7 +1714,7 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+\d{1,3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |FROM p""".stripMargin,
 
     "q35_domain_stats" ->
       """WITH p AS (
@@ -1663,8 +1750,7 @@ object SparkEntry {
         |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS term_rank
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, term_rank FROM r
-        |WHERE term_rank <= 3
-        |ORDER BY doc_id, term_rank""".stripMargin,
+        |WHERE term_rank <= 3""".stripMargin,
 
     "q37_paragraph_dedup" ->
       """WITH d AS (
@@ -1690,7 +1776,7 @@ object SparkEntry {
         |    coalesce(string_agg(chunk, ' ' ORDER BY idx)
         |      FILTER (WHERE rn = 1), '') AS cleaned_text
         |  FROM r GROUP BY doc_id)
-        |SELECT * FROM o WHERE n_kept < n_total ORDER BY doc_id""".stripMargin,
+        |SELECT * FROM o WHERE n_kept < n_total""".stripMargin,
 
     "q36_embed_quant" ->
       """WITH e AS (
@@ -1716,7 +1802,7 @@ object SparkEntry {
         |        list_transform(v, x -> x - floor(x * scale + 0.5) / scale))
         |    END AS quant_err
         |  FROM s)
-        |SELECT * FROM o WHERE quant_err > 0 ORDER BY vec_id""".stripMargin,
+        |SELECT * FROM o WHERE quant_err > 0""".stripMargin,
 
     "q39_corpus_shuffle" ->
       """SELECT doc_id,
@@ -1724,7 +1810,7 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY md5('shuf:42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |    AS BIGINT) AS position
-        |FROM documents ORDER BY position""".stripMargin,
+        |FROM documents""".stripMargin,
 
     "q40_chunk_windows" ->
       """WITH d AS (
@@ -1764,7 +1850,7 @@ object SparkEntry {
         |    coalesce(string_agg(chunk, ' ' ORDER BY idx)
         |      FILTER (WHERE freq < 3), '') AS cleaned_text
         |  FROM c JOIN f USING (chunk) GROUP BY doc_id)
-        |SELECT * FROM o WHERE n_kept < n_total ORDER BY doc_id""".stripMargin,
+        |SELECT * FROM o WHERE n_kept < n_total""".stripMargin,
 
     "q42_source_mixture" ->
       """WITH base AS (
@@ -1782,8 +1868,7 @@ object SparkEntry {
         |  FROM counts, o)
         |SELECT doc_id, source, CAST(rate_bp AS BIGINT) AS rate_bp
         |FROM documents JOIN r USING (source)
-        |WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < rate_bp
-        |ORDER BY doc_id""".stripMargin,
+        |WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < rate_bp""".stripMargin,
 
     "q43_simhash_neardup" -> {
       // The q15 simhash replay, then the brute-force O(n²) Hamming scan the
@@ -1813,8 +1898,7 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
          |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
          |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
-         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
-         |ORDER BY 1, 2""".stripMargin
+         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3""".stripMargin
     },
 
     "q44_vocab_coverage" ->
@@ -1851,8 +1935,7 @@ object SparkEntry {
         |  WHERE list_inner_product(a.v, b.v)
         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4)
         |SELECT asg.vec_id, asg.cell_id, (d.vec_id IS NULL) AS kept
-        |FROM asg LEFT JOIN drp d ON asg.vec_id = d.vec_id
-        |ORDER BY asg.vec_id""".stripMargin,
+        |FROM asg LEFT JOIN drp d ON asg.vec_id = d.vec_id""".stripMargin,
 
     "q46_star_join" ->
       """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
@@ -1899,16 +1982,14 @@ object SparkEntry {
         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
         |SELECT token, df, n_docs, CAST(df * 10000 // n_docs AS BIGINT) AS df_bp
         |FROM c CROSS JOIN n
-        |WHERE df >= 5
-        |ORDER BY token""".stripMargin,
+        |WHERE df >= 5""".stripMargin,
 
     "q49_weighted_sample" ->
       """WITH m AS (SELECT MAX(n_chars) AS max_chars FROM documents)
         |SELECT doc_id, n_chars, CAST(n_chars * 10000 // max_chars AS BIGINT) AS rate_bp
         |FROM documents CROSS JOIN m
         |WHERE CAST(concat('0x', substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
-        |      < n_chars * 10000 // max_chars
-        |ORDER BY doc_id""".stripMargin,
+        |      < n_chars * 10000 // max_chars""".stripMargin,
 
     "q50_quality_funnel" ->
       """WITH d AS (
@@ -2000,8 +2081,7 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN u.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
         |  CAST(SUM(CASE WHEN u.doc_id = f.first_doc THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
         |FROM u JOIN f ON u.g = f.g
-        |GROUP BY u.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |GROUP BY u.doc_id""".stripMargin,
 
     "q55_canonical_keep" ->
       (dupSwarmCte + ",\n" +
@@ -2011,8 +2091,7 @@ object SparkEntry {
           |          PARTITION BY h ORDER BY n_chars DESC, doc_id ASC) AS keep_id
           |      FROM h)
           |SELECT doc_id AS drop_id, keep_id, source
-          |FROM k WHERE doc_id <> keep_id
-          |ORDER BY drop_id""".stripMargin),
+          |FROM k WHERE doc_id <> keep_id""".stripMargin),
 
     "q56_neardup_verified" -> {
       // Replicates nearDupPairsLSH(nBits=16, bandBits=4) exactly: the q16
@@ -2049,8 +2128,7 @@ object SparkEntry {
          |    / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb))) AS cosine
          |FROM cand
          |WHERE list_inner_product(va, vb)
-         |    / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb))) >= 0.45
-         |ORDER BY 1, 2""".stripMargin
+         |    / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb))) >= 0.45""".stripMargin
     },
 
     "q57_repeated_windows" ->
@@ -2070,7 +2148,6 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_occ,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
-        |FROM w GROUP BY window_hash HAVING count(*) > 1
-        |ORDER BY n_occ DESC, window_hash""".stripMargin
+        |FROM w GROUP BY window_hash HAVING count(*) > 1""".stripMargin
   )
 }

@@ -6,18 +6,29 @@ import org.apache.spark.sql.functions._
 /** Text-analysis column functions for large-scale training-data pipelines:
   * tokenization, token counting (whitespace + BPE-ish), quality scoring,
   * language identification (stopword-marker heuristic), and document
-  * fingerprinting. All built from `org.apache.spark.sql.functions` higher-order
-  * array functions, so everything stays inside whole-stage codegen — no UDFs,
-  * no shuffles; these scale linearly over any document count.
+  * fingerprinting. Built from codegen-friendly
+  * `org.apache.spark.sql.functions` expressions where those exist, and
+  * compiled per-document kernels (plain Scala UDFs over token arrays) where
+  * the expression form would be a CodegenFallback higher-order function
+  * (filter/transform run interpreted lambda-eval and break the surrounding
+  * whole-stage-codegen span — round-12 profile). Everything is a per-row
+  * map; these scale linearly over any document count.
   *
   * Numeric design: every ratio is an exact integer count divided once at the
   * end — deterministic, and replicable verbatim in the DuckDB oracle.
   */
 object Text {
 
-  /** Lowercase word tokens (letters/digits/apostrophes). */
+  /** Lowercase word tokens (letters/digits/apostrophes).
+    *
+    * `array_remove(..., "")`, not `filter(..., _ =!= "")`: identical output
+    * (split never yields nulls, so removing ""-elements IS the non-empty
+    * filter), but ArrayFilter is a CodegenFallback higher-order function —
+    * it breaks whole-stage codegen for the entire projection around every
+    * tokenize call — while ArrayRemove generates code.
+    */
   def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9']+"), t => t =!= "")
+    array_remove(split(lower(c), "[^a-z0-9']+"), "")
 
   /** Counts use regexp_count (codegen'd, no array materialization) — same
     * result as sizing the extracted arrays, measurably cheaper.
@@ -41,8 +52,29 @@ object Text {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "as", "with", "at", "by", "from")
 
-  def stopwordCount(toks: Column): Column =
-    size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+  private val StopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Stopwords.foreach(s.add)
+    s
+  }
+
+  /** Compiled kernel (round 12): `size(filter(toks, isin(...)))` is an
+    * interpreted higher-order expression — 18 string comparisons per token
+    * through the lambda-eval path, on the q12/q31/q50 hot paths. One
+    * hash-set probe per token instead; NULL token arrays still yield NULL
+    * (size(filter(null)) was NULL).
+    */
+  private val stopCountK = udf { (ts: Array[String]) =>
+    if (ts == null) None
+    else {
+      var c = 0L
+      var i = 0
+      while (i < ts.length) { if (StopSet.contains(ts(i))) c += 1; i += 1 }
+      Some(c)
+    }
+  }
+
+  def stopwordCount(toks: Column): Column = stopCountK(toks)
 
   /** Composite quality score in [0,1]: length, stopword density, punctuation
     * noise. Mirrors the shape of C4/Gopher-style heuristic filters.
@@ -81,15 +113,47 @@ object Text {
     */
   def langId(c: Column): Column = langIdFromTokens(tokens(c))
 
-  /** Language-ID over an (ideally materialized) token-array column. */
-  def langIdFromTokens(toks: Column): Column = {
-    val s = LangMarkers.toMap.map { case (l, m) => l -> langScore(toks, m) }
-    when(s("zh") > greatest(s("en"), s("es"), s("fr"), s("de")), "zh")
-      .when(s("de") > greatest(s("en"), s("es"), s("fr")), "de")
-      .when(s("fr") > greatest(s("en"), s("es")), "fr")
-      .when(s("es") > s("en"), "es")
-      .otherwise("en")
+  /** Language-ID over an (ideally materialized) token-array column.
+    *
+    * Compiled kernel (round 12): the expression form ran five interpreted
+    * `filter(isin)` passes (one per language, 6 marker comparisons per
+    * token each) through the higher-order lambda-eval path. One pass with
+    * hash-map marker lookup computes the identical counts; the tie cascade
+    * is replicated verbatim (strictly-greater, en < es < fr < de < zh). A
+    * NULL token array scored NULL everywhere, which fell through every
+    * strict comparison to "en" — same as counting zero markers.
+    */
+  private val LangIndex: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    LangMarkers.zipWithIndex.foreach { case ((_, markers), li) =>
+      markers.foreach { w =>
+        // single-map scoring assumes marker sets are pairwise disjoint (they
+        // are); a shared marker would need one count pass per language
+        require(m.put(w, li) == null, s"marker '$w' appears in two languages")
+      }
+    }
+    m
   }
+
+  private val langIdK = udf { (ts: Array[String]) =>
+    val c = new Array[Long](5) // en, es, fr, de, zh — LangMarkers order
+    if (ts != null) {
+      var i = 0
+      while (i < ts.length) {
+        val li = LangIndex.get(ts(i))
+        if (li != null) c(li) += 1
+        i += 1
+      }
+    }
+    val (en, es, fr, de, zh) = (c(0), c(1), c(2), c(3), c(4))
+    if (zh > math.max(math.max(en, es), math.max(fr, de))) "zh"
+    else if (de > math.max(math.max(en, es), fr)) "de"
+    else if (fr > math.max(en, es)) "fr"
+    else if (es > en) "es"
+    else "en"
+  }
+
+  def langIdFromTokens(toks: Column): Column = langIdK(toks)
 
   /** Canonical content fingerprint: md5 over the sorted distinct token set.
     * Word-order-insensitive (bag-of-words identity), cheap to group on.
@@ -109,6 +173,37 @@ object Text {
       transform(sequence(lit(1), size(toks) - n + 1),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
+
+  /** Compiled kernel form of [[shingles]] (round 12): identical output —
+    * order and duplicates preserved, short-doc whole-text fallback, NULL
+    * tokens → [NULL] (matching array_join's NULL propagation) — but one
+    * compiled pass per document instead of the transform/slice/array_join
+    * higher-order chain, whose interpreted lambdas re-evaluate per array
+    * element and dominated the q29/q33/q47 shingle profiles.
+    */
+  def shinglesK(toks: Column, n: Int): Column = {
+    val f = udf { (tsIn: Array[String]) =>
+      if (tsIn == null) Array(null: String)
+      else if (tsIn.length >= n) {
+        val out = new Array[String](tsIn.length - n + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= tsIn.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(tsIn(i + j))
+            j += 1
+          }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      } else Array(tsIn.mkString(" "))
+    }
+    f(toks)
+  }
 
   /** Gopher-style within-document repetition metrics over token n-grams:
     * the fraction of n-gram occurrences that are repeats of an earlier
@@ -130,7 +225,7 @@ object Text {
       n: Int = 2
   ): org.apache.spark.sql.DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(shingles(col("__toks"), n)).as("__gram"))
+      .select(col(idCol), explode(shinglesK(col("__toks"), n)).as("__gram"))
       .groupBy(col(idCol), col("__gram"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col(idCol))
@@ -219,13 +314,17 @@ object Text {
       k: Int = 3
   ): org.apache.spark.sql.DataFrame = {
     val terms = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    // persisted: tf feeds BOTH the df aggregation and the probe side of the
-    // join — without it the tokenize→explode→count pipeline runs twice.
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      // explicit-width spread: single-row-group inputs scan as one task,
+      // which would tokenize+explode the whole corpus serially
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+    // persisted (lazily — round 12 measured an eager barrier slower at
+    // sf0.1; the racing duplicate producer overlaps on idle cores): tf
+    // feeds BOTH the df aggregation and the probe side of the join.
     // Lifetime = the returned frame (module convention; sessions running
     // many queries sweep persistent RDDs between them, as Bench does)
-    val tf = terms.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))

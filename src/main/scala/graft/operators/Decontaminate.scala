@@ -37,16 +37,22 @@ object Decontaminate {
     // Zero-token docs are skipped on both sides: they have no n-grams, and
     // their whole-text "" shingle would diverge from the DuckDB oracle
     // (empty-list aggregate is NULL there and never joins).
+    // Dedup.shingleSortedSet = compiled per-doc distinct-shingle kernel:
+    // same shingle SET per document as array_distinct(Text.shingles(...)),
+    // one compiled pass instead of the interpreted higher-order chain;
+    // per-row order differs (sorted) but both sides only consume the set.
     val evalGrams = eval
       .select(Text.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
-      .select(explode(Text.shingles(col("__toks"), n)).as("__ngram"))
+      .select(explode(Dedup.shingleSortedSet(col("__toks"), n)).as("__ngram"))
       .distinct()
     corpus
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
-      .select(col(idCol), Text.shingles(col("__toks"), n).as("__sh"))
-      .select(col(idCol), explode(array_distinct(col("__sh"))).as("__ngram"))
+      // explicit-width spread: single-row-group inputs scan as one task,
+      // which would run the shingle kernel over the whole corpus serially
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(Dedup.shingleSortedSet(col("__toks"), n)).as("__ngram"))
       .join(broadcast(evalGrams), "__ngram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))

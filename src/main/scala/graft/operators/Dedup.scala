@@ -145,12 +145,16 @@ object Dedup {
     // byte-based coalescing cannot collapse a CPU-bound stage to one task —
     // document bytes are small, per-row compute is not), then the compiled
     // shingle/minhash kernels run from attribute references only.
-    // Persisted: this frame is referenced four times downstream (both sides
-    // of the bucket self-join and both sides of the verify join); without
-    // materialization the tokenize→shingle→minhash pipeline would re-run
-    // per reference.
+    // Persisted, LAZILY (round 12, measured): the frame is referenced four
+    // times downstream (both sides of the bucket self-join and of the
+    // verify join) and the self-join's two map stages do race to fill the
+    // cache, running the minhash kernel twice — but the duplicate stages
+    // overlap on otherwise-idle cores, and an eager materialize() barrier
+    // measured +0.2 s wall at sf0.1 (serial count job + cache write on the
+    // critical path). On a saturated cluster the trade reverses; the knob
+    // is one count() call.
     val width = df.sparkSession.sparkContext.defaultParallelism
-    val docs = df
+    val docs = (df
       .select(col(idCol).as("__id"), col(toksCol).as("__toks"))
       // Zero-token documents carry no content to compare — and their
       // whole-text "" shingle would diverge from the DuckDB oracle, whose
@@ -159,7 +163,7 @@ object Dedup {
       .where(size(col("__toks")) > 0)
       .repartition(width, col("__id"))
       .select(col("__id"), shingleSortedSet(col("__toks"), shingleLen).as("__sh"))
-      .withColumn("__bands", minhashBands(col("__sh"), bands, rowsPerBand))
+      .withColumn("__bands", minhashBands(col("__sh"), bands, rowsPerBand)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bucketsAll = docs
@@ -200,6 +204,40 @@ object Dedup {
       .withColumn("jaccard", jaccardSortedF(col("__sh_a"), col("__sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Compiled chunk kernel (round 12): consecutive non-overlapping
+    * `chunkTokens`-token units joined by spaces — identical output to
+    * `transform(sequence(0, (size-1)/chunkTokens), i => array_join(slice(
+    * toks, i*chunkTokens+1, chunkTokens), " "))` (the paragraph-dedup /
+    * boilerplate chunker), but one compiled pass per document instead of
+    * the CodegenFallback higher-order chain whose interpreted lambdas
+    * re-evaluate per unit.
+    */
+  def chunkUnits(toks: Column, chunkTokens: Int): Column = {
+    val f = udf { (ts: Array[String]) =>
+      if (ts == null) null
+      else {
+        val nChunks = if (ts.length == 0) 1 else (ts.length - 1) / chunkTokens + 1
+        val out = new Array[String](nChunks)
+        val sb = new java.lang.StringBuilder
+        var ci = 0
+        while (ci < nChunks) {
+          sb.setLength(0)
+          var j = ci * chunkTokens
+          val end = math.min(j + chunkTokens, ts.length)
+          while (j < end) {
+            if (j > ci * chunkTokens) sb.append(' ')
+            sb.append(ts(j))
+            j += 1
+          }
+          out(ci) = sb.toString
+          ci += 1
+        }
+        out
+      }
+    }
+    f(toks)
   }
 
   /** Exact Jaccard of two sorted distinct string arrays (compiled merge). */
@@ -341,7 +379,12 @@ object Dedup {
     require(maxHamming < bands,
       "banded candidate generation is exact only when maxHamming < bands")
     val bandBits = SimhashBits / bands
-    val sigDocs = simhashDf(df, idCol, textCol)
+    // persisted + eagerly materialized: the signature frame feeds FIVE
+    // consumers (the distinct, both sides of the same-signature self-join,
+    // and both doc-expansion joins in nearDupAssemble) — without the cache
+    // the tokenize→shingle→md5 kernel, the dominant cost of the whole
+    // query, re-runs per consumer (measured 5× at sf0.1)
+    val sigDocs = graft.core.Frames.materialize(simhashDf(df, idCol, textCol))
 
     val sigs = sigDocs.select(col("simhash")).distinct()
     val banded = sigs.select(col("simhash"),
@@ -453,7 +496,8 @@ object Dedup {
     val keep = blocks - maxHamming
     val mask = (1L << w) - 1
     val combos = (0 until blocks).combinations(keep).toArray
-    val sigDocs = simhashDf(df, idCol, textCol)
+    // same five-consumer signature reuse as simhashNearDupDf
+    val sigDocs = graft.core.Frames.materialize(simhashDf(df, idCol, textCol))
     val sigs = sigDocs.select(col("simhash")).distinct()
     val keyed = sigs.select(col("simhash"),
       explode(array(combos.zipWithIndex.map { case (combo, ci) =>
@@ -498,16 +542,21 @@ object Dedup {
       chunkTokens: Int = 8
   ): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    // persisted: units feeds BOTH the arg-min aggregation and the join
-    // probe — without it the tokenize→chunk explode (interpreted
-    // higher-order lambdas, the expensive stage) runs twice
+    // persisted + eagerly materialized: units feeds BOTH the arg-min
+    // aggregation and the join probe — lazily persisted, the two consuming
+    // map stages of the first job race to fill the cache and the tokenize→
+    // chunk explode (the expensive stage) runs twice
+    val width = df.sparkSession.sparkContext.defaultParallelism
     val units = df
       .select(col(idCol), toks.as("__toks"))
       .where(size(col("__toks")) > 0)
+      // explicit-width spread: single-row-group inputs scan as ONE task,
+      // which would run the tokenize+chunk kernel — and write the cache —
+      // serially. Persisted lazily: the racing duplicate producer overlaps
+      // on idle cores; an eager barrier measured slower at sf0.1.
+      .repartition(width, col(idCol))
       .select(col(idCol),
-        posexplode(transform(
-          sequence(lit(0), ((size(col("__toks")) - 1) / chunkTokens).cast("int")),
-          i => array_join(slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        posexplode(chunkUnits(col("__toks"), chunkTokens))
           .as(Seq("idx", "chunk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = units
@@ -553,15 +602,20 @@ object Dedup {
       minFreq: Long = 3L
   ): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    // persisted for the same reason as paragraphDedupDf: the tokenize→chunk
-    // explode feeds both the frequency aggregate and the join probe
+    // persisted + eagerly materialized for the same reason as
+    // paragraphDedupDf: the tokenize→chunk explode feeds both the frequency
+    // aggregate and the join probe
+    val width = df.sparkSession.sparkContext.defaultParallelism
     val units = df
       .select(col(idCol), toks.as("__toks"))
       .where(size(col("__toks")) > 0)
+      // explicit-width spread: single-row-group inputs scan as ONE task,
+      // which would run the tokenize+chunk kernel — and write the cache —
+      // serially. Persisted lazily: the racing duplicate producer overlaps
+      // on idle cores; an eager barrier measured slower at sf0.1.
+      .repartition(width, col(idCol))
       .select(col(idCol),
-        posexplode(transform(
-          sequence(lit(0), ((size(col("__toks")) - 1) / chunkTokens).cast("int")),
-          i => array_join(slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        posexplode(chunkUnits(col("__toks"), chunkTokens))
           .as(Seq("idx", "chunk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freqs = units

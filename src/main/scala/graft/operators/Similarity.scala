@@ -393,6 +393,11 @@ object Similarity {
   ): DataFrame = {
     val index = ivfBuildSampled(corpus, idCol, vecCol, stride)
     val asg = index.assignments // (neighbor_id, __cv, __cn, __cell)
+    // materialize the (already persisted) assignments eagerly: they feed
+    // BOTH sides of the intra-cell pair join plus the final projection —
+    // lazily cached, the join's two map stages each re-run the centroid
+    // argmax assignment over the full corpus before the cache exists
+    asg.count()
     val a = asg.select(col("__cell"), col("neighbor_id").as("id_a"),
       col("__cv").as("__va"), col("__cn").as("__na"))
     val b = asg.select(col("__cell"), col("neighbor_id").as("id_b"),
