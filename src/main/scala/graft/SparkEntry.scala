@@ -238,10 +238,10 @@ object SparkEntry {
       // Explicit width: AQE's byte-based coalescing must not collapse a
       // CPU-bound stage over small document bytes to one task.
       t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
-          Text.langIdFromTokens(col("__toks")).as("lang_pred"))
+          Text.langIdFromTokens(Text.tokens(col("text"))).as("lang_pred"))
         // corpus-sized output: no trailing global sort (order is carried
         // by the output columns; the correctness gate compares row-sorted)
     }),
@@ -249,8 +249,9 @@ object SparkEntry {
     // ── Document quality scoring (length/punctuation/stopword ratios).
     "q12_quality" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
         .select(
           col("doc_id"),
           size(col("__toks")).cast("long").as("n_tokens"),
@@ -497,9 +498,9 @@ object SparkEntry {
     // sort of the full n-gram table.
     "q29_ngram_freq" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(Text.tokens(col("text")).as("__toks"))
+        .select(col("text"))
         .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(Text.shinglesK(col("__toks"), 3)).as("ngram"))
+        .select(explode(Text.shinglesK(Text.tokens(col("text")), 3)).as("ngram"))
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
@@ -867,6 +868,10 @@ object SparkEntry {
       // map stages raced to fill the cache and the shingle pipeline still
       // ran twice (duplicate map stages in the §1 profile).
       val sh = graft.core.Frames.materialize(t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        // spread the raw text: the §1 profile showed a 1.0 s SERIAL stage
+        // (tokenize+shingle+partial-DISTINCT in the single scan task)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("source"), Text.tokens(col("text")).as("toks"))
         .where(size(col("toks")) > 0)
         // compiled kernel + per-doc set: the global DISTINCT only ever sees
@@ -1038,11 +1043,13 @@ object SparkEntry {
       // frame joined in ONE job — lazily cached, both map stages re-ran the
       // tokenize+shingle explode before the cache existed
       val g = graft.core.Frames.materialize(t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        // explicit-width spread of the raw text (BEFORE tokenize): the
+        // single-row-group scan is one task; without it the tokenize and
+        // shingle kernels run serially
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .where(size(col("toks")) > 0)
-        // explicit-width spread: the single-row-group scan is one task;
-        // without it the per-document kernel work runs serially
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           // compiled kernel: same distinct 5-gram set per doc as
           // array_distinct(Text.shingles(...)), one compiled pass
@@ -1102,6 +1109,11 @@ object SparkEntry {
     "q57_repeated_windows" -> ((s, dir) => {
       val win = 30; val stride = 15
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        // spread the raw text BEFORE tokenizing (round 12: spreading the
+        // token arrays after a serial tokenize measured as pure overhead;
+        // spreading the text moves the regex off the single scan task)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= win)
         .select(col("doc_id"),

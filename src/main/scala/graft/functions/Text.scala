@@ -314,11 +314,11 @@ object Text {
       k: Int = 3
   ): org.apache.spark.sql.DataFrame = {
     val terms = df
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      // explicit-width spread: single-row-group inputs scan as one task,
-      // which would tokenize+explode the whole corpus serially
+      .select(col(idCol), col(textCol))
+      // explicit-width spread of the raw text: single-row-group inputs scan
+      // as one task, which would tokenize+explode the whole corpus serially
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol), explode(col("__toks")).as("term"))
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     // persisted (lazily — round 12 measured an eager barrier slower at
     // sf0.1; the racing duplicate producer overlaps on idle cores): tf
     // feeds BOTH the df aggregation and the probe side of the join.

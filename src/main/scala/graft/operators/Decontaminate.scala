@@ -47,11 +47,13 @@ object Decontaminate {
       .select(explode(Dedup.shingleSortedSet(col("__toks"), n)).as("__ngram"))
       .distinct()
     corpus
+      .select(col(idCol), col(textCol))
+      // explicit-width spread of the raw text: single-row-group inputs scan
+      // as one task, which would tokenize + run the shingle kernel over the
+      // whole corpus serially
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
-      // explicit-width spread: single-row-group inputs scan as one task,
-      // which would run the shingle kernel over the whole corpus serially
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), explode(Dedup.shingleSortedSet(col("__toks"), n)).as("__ngram"))
       .join(broadcast(evalGrams), "__ngram")
       .groupBy(col(idCol))

@@ -122,7 +122,12 @@ object Dedup {
       maxBucketSize: Int = 10000
   ): DataFrame =
     nearDupPairsFromTokens(
-      df.select(col(idCol), Text.tokens(col(textCol)).as("__toks")),
+      // spread the raw text BEFORE tokenizing: single-row-group inputs scan
+      // as one task, and tokenize-before-exchange ran the regex serially
+      // (0.37 s of the q9 wall at sf0.1, §1 profile)
+      df.select(col(idCol), col(textCol))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+        .select(col(idCol), Text.tokens(col(textCol)).as("__toks")),
       idCol, "__toks", threshold, shingleLen, bands, rowsPerBand, maxBucketSize)
 
   /** [[nearDupPairs]] over an already-tokenized frame — lets a pipeline
@@ -139,12 +144,11 @@ object Dedup {
       rowsPerBand: Int = 3,
       maxBucketSize: Int = 10000
   ): DataFrame = {
-    // Staged evaluation, deliberately: tokens materialize once (one split
-    // per doc), then an explicit-width shuffle repartition spreads
-    // single-file inputs across all cores (explicit numPartitions so AQE's
-    // byte-based coalescing cannot collapse a CPU-bound stage to one task —
-    // document bytes are small, per-row compute is not), then the compiled
-    // shingle/minhash kernels run from attribute references only.
+    // Both callers arrive spread across the session width already — the
+    // text wrapper above repartitions raw text before tokenizing, and q31
+    // feeds its cached 32-partition token frame — so no repartition here
+    // (the round-12 profile showed the old one re-shuffling the cached
+    // frame on the same key for nothing).
     // Persisted, LAZILY (round 12, measured): the frame is referenced four
     // times downstream (both sides of the bucket self-join and of the
     // verify join) and the self-join's two map stages do race to fill the
@@ -153,7 +157,6 @@ object Dedup {
     // measured +0.2 s wall at sf0.1 (serial count job + cache write on the
     // critical path). On a saturated cluster the trade reverses; the knob
     // is one count() call.
-    val width = df.sparkSession.sparkContext.defaultParallelism
     val docs = (df
       .select(col(idCol).as("__id"), col(toksCol).as("__toks"))
       // Zero-token documents carry no content to compare — and their
@@ -161,7 +164,6 @@ object Dedup {
       // empty-list aggregate is NULL and never joins. Exact dedup is the
       // right operator for them.
       .where(size(col("__toks")) > 0)
-      .repartition(width, col("__id"))
       .select(col("__id"), shingleSortedSet(col("__toks"), shingleLen).as("__sh"))
       .withColumn("__bands", minhashBands(col("__sh"), bands, rowsPerBand)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -333,10 +335,13 @@ object Dedup {
       sig
     }
     val width = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    // spread raw text BEFORE tokenizing (single-row-group scans are one
+    // task; tokenize-before-exchange ran the regex serially)
+    df.select(col(idCol), col(textCol))
+      .repartition(width, col(idCol))
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       // zero-token docs: no content to hash; oracle's empty-list md5 is NULL
       .where(size(col("__toks")) > 0)
-      .repartition(width, col(idCol))
       .select(col(idCol), kernel(col("__toks")).as("simhash"))
   }
 
@@ -547,14 +552,15 @@ object Dedup {
     // map stages of the first job race to fill the cache and the tokenize→
     // chunk explode (the expensive stage) runs twice
     val width = df.sparkSession.sparkContext.defaultParallelism
+    // explicit-width spread of the RAW TEXT: single-row-group inputs scan
+    // as one task, and tokenize-before-exchange would run the regex — and
+    // write the cache — serially. Persisted lazily: the racing duplicate
+    // producer overlaps on idle cores; an eager barrier measured slower.
     val units = df
+      .select(col(idCol), col(textCol))
+      .repartition(width, col(idCol))
       .select(col(idCol), toks.as("__toks"))
       .where(size(col("__toks")) > 0)
-      // explicit-width spread: single-row-group inputs scan as ONE task,
-      // which would run the tokenize+chunk kernel — and write the cache —
-      // serially. Persisted lazily: the racing duplicate producer overlaps
-      // on idle cores; an eager barrier measured slower at sf0.1.
-      .repartition(width, col(idCol))
       .select(col(idCol),
         posexplode(chunkUnits(col("__toks"), chunkTokens))
           .as(Seq("idx", "chunk")))
@@ -606,14 +612,15 @@ object Dedup {
     // paragraphDedupDf: the tokenize→chunk explode feeds both the frequency
     // aggregate and the join probe
     val width = df.sparkSession.sparkContext.defaultParallelism
+    // explicit-width spread of the RAW TEXT: single-row-group inputs scan
+    // as one task, and tokenize-before-exchange would run the regex — and
+    // write the cache — serially. Persisted lazily: the racing duplicate
+    // producer overlaps on idle cores; an eager barrier measured slower.
     val units = df
+      .select(col(idCol), col(textCol))
+      .repartition(width, col(idCol))
       .select(col(idCol), toks.as("__toks"))
       .where(size(col("__toks")) > 0)
-      // explicit-width spread: single-row-group inputs scan as ONE task,
-      // which would run the tokenize+chunk kernel — and write the cache —
-      // serially. Persisted lazily: the racing duplicate producer overlaps
-      // on idle cores; an eager barrier measured slower at sf0.1.
-      .repartition(width, col(idCol))
       .select(col(idCol),
         posexplode(chunkUnits(col("__toks"), chunkTokens))
           .as(Seq("idx", "chunk")))

@@ -139,7 +139,10 @@ def oracle_rows(con, sql):
     components shapes (standalone q27, embedded q31) take the exact
     union-find replacements; everything else runs as-is."""
     if "reach(id, comp) AS (" in sql:
-        if sql.rstrip().endswith(
+        # q27's trailing ORDER BY was dropped in round 12 (row-sorted
+        # compare makes it dead weight) — match either ending
+        if sql.rstrip().endswith("LEFT JOIN cc ON documents.doc_id = cc.id") \
+                or sql.rstrip().endswith(
                 "LEFT JOIN cc ON documents.doc_id = cc.id\nORDER BY doc_id"):
             return connected_components_rows(con, sql)
         if "reps AS (" in sql:
