@@ -47,6 +47,30 @@ object SparkEntry {
     docs.select("doc_id", "text", "n_chars", "source").unionByName(copies)
   }
 
+  /** q47 pair expander: the sorted (a < b) source pairs of one shingle's
+    * source set, plus one (source, NULL) singleton marker per member — so a
+    * single count aggregate yields both pair-intersection counts and
+    * per-source distinct-shingle sizes. Compiled kernel; |set| is bounded
+    * by |sources| (model-sized), so the expansion is ≤ |sources|²/2 rows
+    * per shingle and never corpus-quadratic.
+    */
+  private val sourcePairMarks = udf { (srcsIn: Seq[String]) =>
+    val a = srcsIn.toArray.sorted
+    val out = Array.newBuilder[(String, String)]
+    out.sizeHint(a.length * (a.length + 1) / 2)
+    var i = 0
+    while (i < a.length) {
+      out += ((a(i), null))
+      var j = i + 1
+      while (j < a.length) {
+        out += ((a(i), a(j)))
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** DuckDB spelling of [[withDupSwarms]] as a WITH-clause body producing a
     * `corpus` relation — prepended to q8/q55's oracle SQL. */
   private val dupSwarmCte: String =
@@ -854,37 +878,39 @@ object SparkEntry {
     }),
 
     // ── Source-pair corpus overlap: 3-gram-shingle Jaccard between every
-    // source pair, in exact basis points. The corpus-sized work is one
-    // DISTINCT (source, shingle) projection; the self-join key is the
-    // shingle, whose per-key fan-out is bounded by |sources| (each source
-    // contributes a shingle at most once after DISTINCT) — so the join
-    // never quadratic-blows even on corpus-universal shingles. Output is
-    // |sources|² rows — model-sized at any corpus scale.
+    // source pair, in exact basis points. The corpus-sized work is ONE
+    // aggregation pass (round 12 tranche 2): shingle → per-shingle source
+    // SET (collect_set dedups map-side, so the shuffle carries distinct
+    // (shingle, partial-set) rows — the same volume the old DISTINCT
+    // shuffled) → explode each set into its sorted source pairs plus one
+    // singleton marker per member → one model-sized count aggregate that
+    // yields BOTH the pair-intersection counts and the per-source distinct-
+    // shingle sizes. Replaces the old shape (DISTINCT + cached frame +
+    // shingle-keyed self-join + two aggregates): 6 corpus-sized exchanges
+    // → 3, no corpus-sized cache, no self-join. Per-shingle fan-out stays
+    // bounded by |sources| (the set), so nothing is ever quadratic.
     "q47_source_jaccard" -> ((s, dir) => {
-      // Shingle + DISTINCT once; the persisted frame feeds the size
-      // aggregate and both sides of the self-join (3 consumers — without
-      // the persist the tokenize+explode+DISTINCT shuffle runs 3×).
-      // Materialized eagerly (round 12): lazily cached, the self-join's two
-      // map stages raced to fill the cache and the shingle pipeline still
-      // ran twice (duplicate map stages in the §1 profile).
-      val sh = graft.core.Frames.materialize(t(s, dir, "documents")
+      val counts = graft.core.Frames.materialize(t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
         // spread the raw text: the §1 profile showed a 1.0 s SERIAL stage
-        // (tokenize+shingle+partial-DISTINCT in the single scan task)
+        // (tokenize+shingle+partial-agg in the single scan task)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("source"), Text.tokens(col("text")).as("toks"))
         .where(size(col("toks")) > 0)
-        // compiled kernel + per-doc set: the global DISTINCT only ever sees
-        // each (source, shingle) once per doc, and per-doc dedup happens in
-        // the kernel instead of the shuffle
+        // compiled kernel + per-doc set: the per-shingle aggregate only
+        // ever sees each (source, shingle) once per doc
         .select(col("source"),
           explode(Dedup.shingleSortedSet(col("toks"), 3)).as("sh"))
-        .distinct())
-      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
-      sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-        .agg(count(lit(1)).as("n_common"))
+        .groupBy(col("sh")).agg(collect_set(col("source")).as("__srcs"))
+        .select(explode(sourcePairMarks(col("__srcs"))).as("__p"))
+        .groupBy(col("__p._1").as("src_a"), col("__p._2").as("src_b"))
+        .agg(count(lit(1)).as("n_common")))
+      // `counts` is model-sized (≤ |sources|² + |sources| rows) — the eager
+      // materialize costs one tiny job and lets sizes + pairs read it
+      // without re-running the corpus pass.
+      val sizes = counts.where(col("src_b").isNull)
+        .select(col("src_a").as("source"), col("n_common").as("sz"))
+      counts.where(col("src_b").isNotNull)
         .join(broadcast(sizes.withColumnRenamed("source", "src_a")
           .withColumnRenamed("sz", "sz_a")), "src_a")
         .join(broadcast(sizes.withColumnRenamed("source", "src_b")
@@ -1034,15 +1060,15 @@ object SparkEntry {
     // combinable) → re-join keyed on the gram → per-doc aggregate. All
     // integer arithmetic; output is basis points.
     "q54_ngram_novelty" -> ((s, dir) => {
-      // Persisted once (two consumers); n_novel(doc) = |{grams whose min
-      // doc is doc}| comes from re-grouping the PER-GRAM aggregate — both
-      // joined frames are doc-cardinality, so the final join never touches
-      // the gram-sized frame again (the naive gram-keyed join back was 2×
-      // slower at sf0.1).
-      // materialized eagerly: perDoc and novel are two aggregates over this
-      // frame joined in ONE job — lazily cached, both map stages re-ran the
-      // tokenize+shingle explode before the cache existed
-      val g = graft.core.Frames.materialize(t(s, dir, "documents")
+      // Round 12 tranche 2: cache the per-doc DISTINCT shingle ARRAY (one
+      // row per doc), not the exploded gram table. n_grams is then just
+      // size(array) — a pure map — so the old per-doc count aggregate over
+      // the full gram table (a second corpus-sized scan + hash agg)
+      // disappears; only the novelty side explodes. n_novel(doc) = |{grams
+      // whose min doc is doc}| comes from re-grouping the PER-GRAM
+      // aggregate — both joined frames are doc-cardinality, so the final
+      // join never touches the gram-sized frame again.
+      val docsSh = graft.core.Frames.materialize(t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         // explicit-width spread of the raw text (BEFORE tokenize): the
         // single-row-group scan is one task; without it the tokenize and
@@ -1053,9 +1079,12 @@ object SparkEntry {
         .select(col("doc_id"),
           // compiled kernel: same distinct 5-gram set per doc as
           // array_distinct(Text.shingles(...)), one compiled pass
-          explode(Dedup.shingleSortedSet(col("toks"), 5)).as("g")))
-      val perDoc = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-      val novel = g.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+          Dedup.shingleSortedSet(col("toks"), 5).as("__shs")))
+      val perDoc = docsSh.select(col("doc_id"),
+        size(col("__shs")).cast("long").as("n_grams"))
+      val novel = docsSh
+        .select(col("doc_id"), explode(col("__shs")).as("g"))
+        .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
         .groupBy(col("first_doc").as("doc_id"))
         .agg(count(lit(1)).as("n_novel"))
       perDoc.join(novel, Seq("doc_id"), "left")
