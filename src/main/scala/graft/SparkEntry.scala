@@ -140,6 +140,9 @@ object SparkEntry {
     // Reference surface: LEFT JOIN ... ON key AND t BETWEEN t2 AND t2 + INTERVAL
     // (README.md:20-35, EngineJoinStreamToStreamTest).
     "q4_interval_join" -> ((s, dir) => {
+      // Probe-side spread on o_orderkey tried and REVERTED (round 12 A/B:
+      // 1.35 → 1.39 — the broadcast-build time, not the serial probe,
+      // dominates this query, so the exchange was pure overhead).
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       o.join(
@@ -160,7 +163,14 @@ object SparkEntry {
 
     // ── Multi-join aggregate with broadcastable dimensions.
     "q6_revenue_by_nation" -> ((s, dir) => {
+      // Fact-side spread on the JOIN key (round 12): the single-row-group
+      // lineitem scan is one task, so with every dimension broadcast the
+      // probe + partial aggregate ran serially. l_orderkey is the key this
+      // join shuffles on at any scale where orders stops broadcasting, so
+      // the exchange is the scale plan's own, not a local-only trick.
       val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
@@ -389,7 +399,11 @@ object SparkEntry {
 
     // ── ROLLUP subtotals (grouping-sets surface; absent in the reference).
     "q21_rollup_revenue" -> ((s, dir) => {
+      // fact-side spread on the join key — see q6; the rollup's ×3 expand
+      // ran serially in the single scan task otherwise
       val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
@@ -815,12 +829,19 @@ object SparkEntry {
       // the corpus-total aggregate each run the tokenize+explode+count
       // pipeline, but the duplicates overlap on idle cores and the eager
       // cache cost +0.3 s wall at sf0.1. The spread keeps tokenize parallel.
-      val counts = t(s, dir, "documents")
+      val docs = t(s, dir, "documents")
+      val counts = docs
         .select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(explode(Text.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val tot = counts.agg(sum(col("cnt")).as("__tot"))
+      // Corpus token total from a separate cheap map pass (round 12
+      // tranche 2): Σ_token cnt ≡ Σ_doc |tokens(doc)|, so the scalar no
+      // longer re-runs the explode+count pipeline (whose duplicate racing
+      // producer was this query's second corpus pass — an eager cache had
+      // measured +0.3 s; this removes the second consumer instead).
+      val tot = docs.select(size(Text.tokens(col("text"))).cast("long").as("__n"))
+        .agg(sum(col("__n")).as("__tot"))
       // constant partition column: the 200-survivor frame is model-sized
       // by construction, and a non-empty partition spec keeps WindowExec's
       // single-partition warning out of the bench tail (so the warning
@@ -860,6 +881,10 @@ object SparkEntry {
     // At 100 TB this is the canonical star shape: one fact-sized shuffle per
     // non-broadcastable edge, dims resolved map-side.
     "q46_star_join" -> ((s, dir) => {
+      // Fact-side spread tried and REVERTED (round 12 A/B: ctrl 1.10 /
+      // 1.17, spread 1.16 — flat within noise; all five dims broadcast
+      // here like q6, but the five broadcast builds dominate this query's
+      // wall, so parallelizing the probe side bought nothing).
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation"); val r = t(s, dir, "region")
@@ -1153,9 +1178,17 @@ object SparkEntry {
           md5(concat_ws(" ",
             slice(col("toks"), col("i") * stride + 1, lit(win))))
             .as("window_hash"))
+        // Two-level aggregation instead of countDistinct (round 12
+        // tranche 2): a mixed distinct/non-distinct aggregate plans an
+        // Expand that doubles every shuffled row; grouping by (hash, doc)
+        // first then rolling up to the hash computes identical values —
+        // n_docs = COUNT(DISTINCT doc_id), n_occ = Σ per-doc counts — with
+        // the window table shuffled once at 1×.
+        .groupBy(col("window_hash"), col("doc_id"))
+        .agg(count(lit(1)).as("__c"))
         .groupBy(col("window_hash"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_occ"),
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__c")).as("n_occ"),
           min(col("doc_id")).as("first_doc"))
         .where(col("n_occ") > 1)
         // corpus-sized output: no trailing global sort (order is carried

@@ -211,10 +211,14 @@ object Text {
     * n-gram — the two standard filters for boilerplate / degenerate text.
     *
     * Exact integer counts divided once at the end (oracle-replicable).
-    * Scale shape: explode → count per (doc, gram) with map-side partial
-    * aggregation, then per-doc rollup; both aggregations are plain hash
-    * aggregates, nothing driver-side. `shingles` emits one whole-text
-    * shingle for short docs, so every doc has ≥1 gram — no zero division.
+    * Round 12 tranche 2: the metrics are PER-DOCUMENT functions of the
+    * token array, so one compiled kernel computes them in a single map
+    * pass — the previous explode → (doc, gram) hash aggregate → per-doc
+    * rollup shuffled the full gram table twice for a result each document
+    * can produce alone. Gram semantics are [[shinglesK]]'s verbatim: short
+    * docs collapse to one whole-text gram, NULL token arrays to one NULL
+    * gram, so every doc has ≥1 gram — no zero division. Division shape
+    * unchanged (long counts → one double divide).
     *
     * @return (idCol, n_grams, dup_gram_frac, top_gram_frac)
     */
@@ -223,17 +227,43 @@ object Text {
       idCol: String,
       textCol: String,
       n: Int = 2
-  ): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(shinglesK(col("__toks"), n)).as("__gram"))
-      .groupBy(col(idCol), col("__gram"))
-      .agg(count(lit(1)).as("__n"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(col("__n")).as("n_grams"),
-        ((sum(col("__n")) - count(lit(1))).cast("double") / sum(col("__n")))
-          .as("dup_gram_frac"),
-        (max(col("__n")).cast("double") / sum(col("__n"))).as("top_gram_frac"))
+  ): org.apache.spark.sql.DataFrame = {
+    val kernel = udf { (ts: Array[String]) =>
+      val counts = new java.util.HashMap[String, Long]()
+      if (ts == null) counts.put(null, 1L) // shinglesK(null) = [NULL]
+      else if (ts.length >= n) {
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= ts.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(ts(i + j))
+            j += 1
+          }
+          val k = sb.toString
+          counts.put(k, counts.getOrDefault(k, 0L) + 1L)
+          i += 1
+        }
+      } else counts.put(ts.mkString(" "), 1L) // whole-text fallback
+      var total = 0L
+      var mx = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        total += c
+        if (c > mx) mx = c
+      }
+      val m = counts.size.toLong
+      (total, (total - m).toDouble / total, mx.toDouble / total)
+    }
+    df.select(col(idCol), kernel(tokens(col(textCol))).as("__m"))
+      .select(col(idCol),
+        col("__m._1").as("n_grams"),
+        col("__m._2").as("dup_gram_frac"),
+        col("__m._3").as("top_gram_frac"))
+  }
 
   /** PII patterns. Constraint: must compile and match identically under
     * Java regex (Spark codegen) and RE2 (the DuckDB oracle) — so no

@@ -195,6 +195,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m(2L) == ((1L, 0.0, 1.0)))
   }
 
+  test("repetition kernel ≡ explode/aggregate formulation on random docs") {
+    // Pins the round-12 per-document kernel against the original
+    // explode → (doc, gram) count → per-doc rollup shape it replaced,
+    // including short/empty/punctuation-only documents.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "cat", "dog", "run", "the", "x1", "??", "")
+    val docs = ((0 until 200).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((200L, ""), (201L, "..!"), (202L, "one"), (203L, "a a a a a")))
+      .toDF("doc_id", "text")
+    val kernel = Text.repetitionDf(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val legacy = docs
+      .select(col("doc_id"), explode(Text.shinglesK(Text.tokens(col("text")), 2)).as("__gram"))
+      .groupBy(col("doc_id"), col("__gram"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("__n")).as("n_grams"),
+        ((sum(col("__n")) - count(lit(1))).cast("double") / sum(col("__n")))
+          .as("dup_gram_frac"),
+        (max(col("__n")).cast("double") / sum(col("__n"))).as("top_gram_frac"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(kernel.keySet == legacy.keySet)
+    kernel.foreach { case (id, v) => assert(v == legacy(id), s"doc $id") }
+  }
+
   test("PII redaction: counts and rewrites emails, phones, IPv4s") {
     import spark.implicits._
     val docs = Seq(
