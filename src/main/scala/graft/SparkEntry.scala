@@ -702,23 +702,19 @@ object SparkEntry {
         md5(concat(lit("shuf:42:"), col("doc_id").cast("string"))).as("shuffle_key"))
       val withB = d.withColumn("b",
         conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long"))
-      // Bucket bases two-phase (Pack.scala pattern): 256-bucket groups get
-      // local running sums under a PARTITIONED window, and the ≤256 group
-      // totals are a tiny bounded driver collect whose prefix sums
-      // broadcast back — no unpartitioned window anywhere, so the bench
-      // tail stays free of single-partition warnings and a future
-      // unbounded window is signal, not noise.
-      val counts = withB.groupBy("b").agg(count(lit(1)).as("c"))
-        .withColumn("g", (col("b") / 256).cast("int"))
-      val local = counts.withColumn("lbase",
-        sum(col("c")).over(Window.partitionBy("g").orderBy("b")) - col("c"))
+      // Bucket bases from ONE bounded collect (round 12 tranche 2): the
+      // bucket-count frame is ≤65536 rows BY CONSTRUCTION (the 4-hex-digit
+      // key space), i.e. ~1 MB of longs independent of corpus size — the
+      // same bounded-model-collect class as the IVF centroid build. The
+      // previous two-phase form (256-bucket group window + ≤256-row group
+      // collect + an extra broadcast join) kept the collect smaller but
+      // cost four more stages and a join; at 100 TB both are driver-trivial
+      // and the row work is identical, so the flatter plan wins outright.
       var acc = 0L
-      val gBase = counts.groupBy("g").agg(sum(col("c")).as("gc"))
-        .orderBy("g").collect() // ≤256 rows by construction
-        .map { r => val p = (r.getAs[Int]("g"), acc); acc += r.getAs[Long]("gc"); p }
-      val bases = local
-        .join(broadcast(gBase.toSeq.toDF("g", "gbase")), "g")
-        .select(col("b"), (col("gbase") + col("lbase")).as("base"))
+      val bases = withB.groupBy("b").agg(count(lit(1)).as("c"))
+        .orderBy("b").collect() // ≤65536 rows by construction
+        .map { r => val p = (r.getAs[Long]("b"), acc); acc += r.getAs[Long]("c"); p }
+        .toSeq.toDF("b", "base")
       withB
         .withColumn("lr", row_number().over(
           Window.partitionBy("b").orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))

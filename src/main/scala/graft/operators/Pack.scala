@@ -44,10 +44,18 @@ object Pack {
     // token count weighs 0 (pass A's InternalRow.getLong would silently
     // read 0 while pass B's Row.getLong would throw); a NULL id has no
     // position in the global order and is excluded.
-    val sorted = df
+    // Materialize the (id, n_tokens) projection BEFORE the range exchange
+    // (round 12): RangePartitioning samples its child to pick bounds, so a
+    // lazily-computed input runs the caller's whole producer pipeline
+    // (tokenize, at 8+ s of executor time in q30's profile) twice — once
+    // for the sample, once for the real exchange. The cached projection is
+    // two longs per row, so the barrier costs far less than the second
+    // producer pass at any scale.
+    val keyed = graft.core.Frames.materialize(df
       .select(col(idCol).cast("long").as("__id"),
         coalesce(col(nTokensCol).cast("long"), lit(0L)).as("n_tokens"))
-      .where(col("__id").isNotNull)
+      .where(col("__id").isNotNull))
+    val sorted = keyed
       .repartitionByRange(parts, col("__id"))
       .sortWithinPartitions("__id")
       .persist(StorageLevel.MEMORY_AND_DISK)
