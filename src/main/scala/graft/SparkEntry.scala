@@ -140,13 +140,18 @@ object SparkEntry {
     // Reference surface: LEFT JOIN ... ON key AND t BETWEEN t2 AND t2 + INTERVAL
     // (README.md:20-35, EngineJoinStreamToStreamTest).
     "q4_interval_join" -> ((s, dir) => {
-      // Probe-side spread on o_orderkey tried and REVERTED (round 12 A/B:
-      // 1.35 → 1.39 — the broadcast-build time, not the serial probe,
-      // dominates this query, so the exchange was pure overhead).
+      // Join strategy picked deliberately (round 12, guide §3.1): the
+      // planner broadcast the FULL lineitem side (estimated under the
+      // 10 MB threshold), so the dominant cost was building a 600k-row
+      // hash relation — and at any real scale a fact-table broadcast is
+      // impossible anyway. The merge hint plans the sort-merge join the
+      // scale plan uses; A/B at sf0.1: 1.35 → 0.99. (Probe-side spread
+      // alone was tried first and REVERTED: 1.35 → 1.39 — the broadcast
+      // build, not the serial probe, was the cost.)
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       o.join(
-          l,
+          l.hint("merge"),
           col("l_orderkey") === col("o_orderkey") &&
             col("l_shipdate") >= col("o_orderdate") &&
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"),
