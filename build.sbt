@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Drain in-flight async Spark work and stop the shared test session
+// gracefully when the ScalaTest run ends — otherwise the context dies in
+// Spark's JVM shutdown hook while async SQLExecution threads may still be
+// delivering task results (RejectedExecutionException in TaskResultGetter;
+// turned the round-12 driver test run red). See graft.SparkDrainReporter.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-C", "graft.SparkDrainReporter")
 // Pass forked-run output through verbatim (no [info]/[error] prefixes) so
 // the bench's single JSON stdout line stays machine-parseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -841,7 +841,13 @@ object SparkEntry {
       // longer re-runs the explode+count pipeline (whose duplicate racing
       // producer was this query's second corpus pass — an eager cache had
       // measured +0.3 s; this removes the second consumer instead).
-      val tot = docs.select(size(Text.tokens(col("text"))).cast("long").as("__n"))
+      // NULL-text rows dropped first: equivalence with the explode form
+      // must not depend on session config — with legacy sizeOfNull,
+      // size(tokens(NULL)) is -1 and each NULL-text document would
+      // silently subtract 1 from the total (the explode form simply emits
+      // no rows for NULL). With the filter, size never sees NULL.
+      val tot = docs.where(col("text").isNotNull)
+        .select(size(Text.tokens(col("text"))).cast("long").as("__n"))
         .agg(sum(col("__n")).as("__tot"))
       // constant partition column: the 200-survivor frame is model-sized
       // by construction, and a non-empty partition spec keeps WindowExec's

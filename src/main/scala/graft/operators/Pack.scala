@@ -71,6 +71,14 @@ object Pack {
       }
       .collect()
       .toMap
+    // Pass A just filled `sorted`'s cache (the range exchange read `keyed`
+    // through it) — `keyed` is dead weight from here on; drop it so library
+    // callers outside Bench (which sweeps persistent RDDs between queries)
+    // don't leak it for the session lifetime. `sorted` itself must stay
+    // cached: the returned DataFrame is derived from it lazily, so its
+    // lifecycle belongs to the caller (Bench's sweep, or an explicit
+    // unpersist once the result is consumed).
+    keyed.unpersist(blocking = false)
     val nParts = totals.keys.foldLeft(-1)(math.max) + 1
     val offsets = new Array[Long](math.max(nParts, 1))
     var acc = 0L
