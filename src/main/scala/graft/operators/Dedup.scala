@@ -149,14 +149,14 @@ object Dedup {
     // feeds its cached 32-partition token frame — so no repartition here
     // (the round-12 profile showed the old one re-shuffling the cached
     // frame on the same key for nothing).
-    // Persisted, LAZILY (round 12, measured): the frame is referenced four
-    // times downstream (both sides of the bucket self-join and of the
-    // verify join) and the self-join's two map stages do race to fill the
-    // cache, running the minhash kernel twice — but the duplicate stages
-    // overlap on otherwise-idle cores, and an eager materialize() barrier
-    // measured +0.2 s wall at sf0.1 (serial count job + cache write on the
-    // critical path). On a saturated cluster the trade reverses; the knob
-    // is one count() call.
+    // Persisted lazily, but since round 13 the first action (the eager
+    // candidates materialize below) references it exactly ONCE, so the
+    // tokenize→shingle→minhash producer runs once and the verify joins
+    // read cache hits — the round-12 profiles showed the old count-window
+    // + bucket self-join racing 2–3 duplicate producer stages (~10 s
+    // executor time each at sf0.1) because a lazily persisted frame with
+    // several consumers in one job is computed per consumer until some
+    // task finishes writing each cached partition.
     val docs = (df
       .select(col(idCol).as("__id"), col(toksCol).as("__toks"))
       // Zero-token documents carry no content to compare — and their
@@ -168,32 +168,34 @@ object Dedup {
       .withColumn("__bands", minhashBands(col("__sh"), bands, rowsPerBand)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bucketsAll = docs
+    // Bucket-collision candidates via per-bucket id-list aggregation + pair
+    // expansion (round 13) — replaces the count-over-window hot-bucket cap
+    // and the bucket self-join. Same pair set: ids within a (band, bucket)
+    // group are distinct (a doc lands in one bucket per band), the double
+    // explode with id_a < id_b emits exactly the old join's per-bucket
+    // pairs, and size(__ids) IS the old count-over-window, so the cap
+    // filters identically (a bucket of k docs yields k² candidate pairs;
+    // buckets above `maxBucketSize` are dropped — the standard
+    // MinHash-at-scale trade: a doc colliding with thousands of others
+    // still collides with its true near-dups in other, smaller bands).
+    // Plan shape: ONE corpus-sized exchange on (band, bucket) where the
+    // window+join paid two map passes over `docs`, and the per-group array
+    // is O(bucket size) ≤ maxBucketSize — the quadratic pair volume streams
+    // through the Generate, exactly as it streamed through the old join.
+    // Eagerly materialized: the pair frame is output-sized (tiny next to
+    // the corpus), and the count barrier is what guarantees the producer
+    // pipeline runs once. Persisted for the verify join below; swept by
+    // Bench's per-query unpersist like every other intra-query cache.
+    val candidates = graft.core.Frames.materialize(docs
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__band", "__bucket")))
-
-    // Hot-bucket cap: a bucket of k docs yields k² candidate pairs, and at
-    // corpus scale boilerplate shingles produce pathological buckets that
-    // turn the join quadratic. Buckets above `maxBucketSize` are dropped —
-    // the standard MinHash-at-scale trade (a doc colliding with thousands
-    // of others still collides with its true near-dups in OTHER, smaller
-    // bands with overwhelming probability). The size window partitions on
-    // the same keys as the join, so the exchange is shared. Default 10k is
-    // inert below corpus sizes where the quadratic term matters.
-    val buckets = bucketsAll
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__band"), col("__bucket"))))
-      .where(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-
-    // Bucket-collision candidates (one shuffle on (band, bucket)); dedup pairs.
-    val candidates = buckets.alias("x")
-      .join(buckets.alias("y"),
-        col("x.__band") === col("y.__band") &&
-          col("x.__bucket") === col("y.__bucket") &&
-          col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-      .distinct()
+      .groupBy(col("__band"), col("__bucket"))
+      .agg(collect_list(col("__id")).as("__ids"))
+      .where(size(col("__ids")).between(2, maxBucketSize))
+      .select(col("__ids"), explode(col("__ids")).as("id_a"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct())
 
     // Exact verify with a compiled merge-intersect over the sorted distinct
     // shingle sets (interpreted array_intersect was the dominant cost at
@@ -398,15 +400,34 @@ object Dedup {
           .bitwiseAND(lit((1L << bandBits) - 1))
           .bitwiseOR(lit(bi.toLong << 32)) // tag with band index
       }: _*)).as("__bk"))
-    val candSigs = banded.alias("x")
-      .join(banded.alias("y"),
-        col("x.__bk") === col("y.__bk") && col("x.simhash") < col("y.simhash"))
-      .select(col("x.simhash").as("__sa"), col("y.simhash").as("__sb"))
-      .where(hamming64(col("__sa"), col("__sb")) <= maxHamming)
-      .distinct() // signature pairs may collide in several bands
+    val candSigs = bucketPairs(banded, maxHamming)
 
     nearDupAssemble(sigDocs, candSigs, idCol)
   }
+
+  /** Qualifying distinct-signature pairs from a (simhash, __bk) bucket
+    * frame — per-bucket signature-list aggregation + double-explode pair
+    * expansion (round 13), replacing the bucket self-join. Same pair set:
+    * signatures within a bucket are distinct, `__sa < __sb` emits exactly
+    * the old join's per-bucket pairs, the Hamming filter and the distinct
+    * (pairs may collide in several buckets) are unchanged. One exchange on
+    * `__bk` where the self-join computed its (identical, unreused) bucket
+    * subtree once per side; the per-group array is O(bucket occupancy) —
+    * tiny under the blocked scheme's corpus-scaled key space, and bounded
+    * by the band key space in the 4-band scheme — while the quadratic pair
+    * volume streams through the Generate exactly as it streamed through
+    * the join. */
+  private def bucketPairs(banded: DataFrame, maxHamming: Int): DataFrame =
+    banded
+      .groupBy(col("__bk"))
+      .agg(collect_list(col("simhash")).as("__sigs"))
+      .where(size(col("__sigs")) >= 2)
+      .select(col("__sigs"), explode(col("__sigs")).as("__sa"))
+      .select(col("__sa"), explode(col("__sigs")).as("__sb"))
+      .where(col("__sa") < col("__sb") &&
+        hamming64(col("__sa"), col("__sb")) <= maxHamming)
+      .select(col("__sa"), col("__sb"))
+      .distinct()
 
   /** Expand qualifying DISTINCT-signature pairs back to document pairs and
     * add the same-signature (hamming 0) doc pairs — the shared tail of the
@@ -514,12 +535,7 @@ object Dedup {
               pos * w))
         }
       }: _*)).as("__bk"))
-    val candSigs = keyed.alias("x")
-      .join(keyed.alias("y"),
-        col("x.__bk") === col("y.__bk") && col("x.simhash") < col("y.simhash"))
-      .select(col("x.simhash").as("__sa"), col("y.simhash").as("__sb"))
-      .where(hamming64(col("__sa"), col("__sb")) <= maxHamming)
-      .distinct() // signature pairs may collide in several tables
+    val candSigs = bucketPairs(keyed, maxHamming)
     nearDupAssemble(sigDocs, candSigs, idCol)
   }
 
