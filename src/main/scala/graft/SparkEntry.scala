@@ -577,18 +577,35 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
         .withColumn("__fp", Text.fingerprintFromTokens(col("__toks"))))
-      val keeper = docs.groupBy(col("__fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
+      // keeper materialized too (round 13): it is referenced by `exact` in
+      // BOTH the candidates job and the output job, and each reference
+      // re-aggregated it from the docs cache — whose row-serialized token
+      // arrays make every full cache scan cost seconds of executor time.
+      // The keeper cache is |distinct fingerprints| rows of (hash, id).
+      val keeper = graft.core.Frames.materialize(docs.groupBy(col("__fp"))
+        .agg(min(col("doc_id")).as("doc_id")))
       val exact = docs.join(keeper, Seq("__fp", "doc_id"))
-      val reps = Clusters
-        .dupClustersFromTokens(
-          exact.select(col("doc_id"), col("__toks")), "doc_id", "__toks", 0.8)
-        .where(col("doc_id") === col("cluster_id"))
-        .select(col("doc_id"))
-      exact.join(reps, Seq("doc_id"))
+      // Anti-join against the NON-representatives (round 13): the generic
+      // (doc_id, cluster_id) mapping join re-ran the whole keeper/exact
+      // subtree on the reps side of the output job and planned a
+      // sort-merge join. Only cluster members with a smaller-id neighbor
+      // are dropped — a cluster-member-sized set (tiny: it is near-dup
+      // OUTPUT) that broadcast-anti-joins with no second exact subtree.
+      // Identical rows: old form kept ids with coalesce(comp, id) == id,
+      // i.e. dropped exactly {id in cc | comp != id}.
+      val nonReps = Clusters.connectedComponents(
+          Dedup.nearDupPairsFromTokens(
+            exact.select(col("doc_id"), col("__toks")), "doc_id", "__toks", 0.8),
+          "id_a", "id_b")
+        .where(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      exact.join(nonReps, Seq("doc_id"), "left_anti")
         .select(col("doc_id"),
           Text.langIdFromTokens(col("__toks")).as("lang_pred"),
-          Text.qualityScoreFrom(col("__toks"), col("text")).as("quality_score"))
+          // the Once variant: a deterministic score is substituted into the
+          // pushed-down filter and the whole expression (stopword kernel +
+          // regexp over full text) evaluates twice per row (guide §4.4)
+          Text.qualityScoreFromOnce(col("__toks"), col("text")).as("quality_score"))
         .where(col("quality_score") >= 0.4)
         // corpus-sized output: no trailing global sort (order is carried
         // by the output columns; the correctness gate compares row-sorted)

@@ -76,15 +76,35 @@ object Text {
 
   def stopwordCount(toks: Column): Column = stopCountK(toks)
 
+  /** [[stopCountK]] marked non-deterministic — identical values, but the
+    * optimizer may not duplicate or reorder expressions containing it. Used
+    * by [[qualityScoreFromOnce]] for query shapes that FILTER on the score:
+    * a deterministic filter on a projected column is substituted through
+    * the projection (and through joins below it), so the whole quality
+    * expression — the stopword kernel plus a regexp_extract_all over the
+    * full text — re-evaluates once in the pushed filter and again in the
+    * projection (guide §4.4; seen verbatim in q31's executed plan).
+    */
+  private val stopCountNdK = stopCountK.asNondeterministic()
+
   /** Composite quality score in [0,1]: length, stopword density, punctuation
     * noise. Mirrors the shape of C4/Gopher-style heuristic filters.
     */
   def qualityScore(c: Column): Column = qualityScoreFrom(tokens(c), c)
 
   /** Quality score over an (ideally materialized) token column + raw text. */
-  def qualityScoreFrom(toks: Column, c: Column): Column = {
+  def qualityScoreFrom(toks: Column, c: Column): Column =
+    qualityScoreImpl(toks, c, stopCountK(toks))
+
+  /** [[qualityScoreFrom]] guaranteed to evaluate ONCE when filtered on —
+    * same values (the non-deterministic marker is an optimizer fence, the
+    * kernel is pure); prefer in pipelines that filter on the score. */
+  def qualityScoreFromOnce(toks: Column, c: Column): Column =
+    qualityScoreImpl(toks, c, stopCountNdK(toks))
+
+  private def qualityScoreImpl(toks: Column, c: Column, stops: Column): Column = {
     val nTok = size(toks).cast("double")
-    val stopRatio = stopwordCount(toks) / nullifZero(size(toks).cast("long"))
+    val stopRatio = stops / nullifZero(size(toks).cast("long"))
     val punctRatio = punctCount(c) / nullifZero(length(c).cast("long"))
     least(lit(1.0), nTok / 200.0) * 0.5 +
       coalesce(stopRatio, lit(0.0)) * 0.25 +

@@ -52,7 +52,13 @@ object StageProfile {
         if (!collecting) return
         val si = e.stageInfo
         val r = stages.getOrElseUpdate(si.stageId, new Rec)
-        r.name = si.name
+        // AQE stages all report `withThreadLocalCaptured` as their call
+        // site; the first graft frame in the long-form details pins the
+        // stage to the operator that submitted its execution.
+        val graftFrame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("StageProfile"))
+          .map(_.trim.stripPrefix("at ").takeWhile(_ != ')') + ")")
+        r.name = graftFrame.getOrElse(si.name)
         r.submitted = si.submissionTime.getOrElse(0L)
         r.completed = si.completionTime.getOrElse(0L)
         r.tasks = si.numTasks
