@@ -944,12 +944,13 @@ object SparkEntry {
         // spread the raw text: the §1 profile showed a 1.0 s SERIAL stage
         // (tokenize+shingle+partial-agg in the single scan task)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("source"), Text.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) > 0)
-        // compiled kernel + per-doc set: the per-shingle aggregate only
-        // ever sees each (source, shingle) once per doc
+        // fused tokenize+shingle kernel (round 13): one compiled pass per
+        // doc, NULL ≡ the old zero-token filter; the per-shingle aggregate
+        // only ever sees each (source, shingle) once per doc
         .select(col("source"),
-          explode(Dedup.shingleSortedSet(col("toks"), 3)).as("sh"))
+          Dedup.shingleSetFromLowered(lower(col("text")), 3).as("__shs"))
+        .where(col("__shs").isNotNull)
+        .select(col("source"), explode(col("__shs")).as("sh"))
         .groupBy(col("sh")).agg(collect_set(col("source")).as("__srcs"))
         .select(explode(sourcePairMarks(col("__srcs"))).as("__p"))
         .groupBy(col("__p._1").as("src_a"), col("__p._2").as("src_b"))
@@ -1123,12 +1124,12 @@ object SparkEntry {
         // single-row-group scan is one task; without it the tokenize and
         // shingle kernels run serially
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) > 0)
+        // fused tokenize+shingle kernel (round 13): same distinct 5-gram
+        // set per doc as shingleSortedSet(tokens(text), 5) in one compiled
+        // pass; NULL ≡ the old zero-token filter
         .select(col("doc_id"),
-          // compiled kernel: same distinct 5-gram set per doc as
-          // array_distinct(Text.shingles(...)), one compiled pass
-          Dedup.shingleSortedSet(col("toks"), 5).as("__shs")))
+          Dedup.shingleSetFromLowered(lower(col("text")), 5).as("__shs"))
+        .where(col("__shs").isNotNull))
       val perDoc = docsSh.select(col("doc_id"),
         size(col("__shs")).cast("long").as("n_grams"))
       val novel = docsSh

@@ -30,6 +30,39 @@ object Text {
   def tokens(c: Column): Column =
     array_remove(split(lower(c), "[^a-z0-9']+"), "")
 
+  /** Plain-Java tokenizer over ALREADY-LOWERCASED text, for fused kernels
+    * (round 13): the maximal runs of `[a-z0-9']` — exactly what
+    * `array_remove(split(lowered, "[^a-z0-9']+"), "")` yields, because
+    * splitting on runs of non-class characters and dropping empty segments
+    * IS "collect the maximal class-character runs". The character class is
+    * pure ASCII, so per-char comparison and the regex agree on every
+    * input (any non-ASCII unit, surrogates included, is a separator under
+    * both). Lowercasing stays a Spark `lower()` expression upstream so
+    * case-mapping semantics are Spark's, not ours. A linear scan with no
+    * regex engine and no intermediate Spark array — the chain
+    * tokens→kernel paid a regex split plus an ArrayData→Array[String]
+    * conversion per document on every shingle/minhash path.
+    */
+  private[graft] def tokenizeLowered(s: String): Array[String] = {
+    val len = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[String](
+      math.min(len / 5 + 1, 64))
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\'') {
+        val start = i
+        i += 1
+        while (i < len && {
+          val d = s.charAt(i)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9') || d == '\''
+        }) i += 1
+        out += s.substring(start, i)
+      } else i += 1
+    }
+    out.toArray
+  }
+
   /** Counts use regexp_count (codegen'd, no array materialization) — same
     * result as sizing the extracted arrays, measurably cheaper.
     */
@@ -143,13 +176,20 @@ object Text {
     * NULL token array scored NULL everywhere, which fell through every
     * strict comparison to "en" — same as counting zero markers.
     */
-  private val LangIndex: java.util.HashMap[String, Int] = {
-    val m = new java.util.HashMap[String, Int]()
+  // java.lang.Integer values, NOT Int: with a HashMap[String, Int], Scala
+  // auto-unboxes get()'s result — unboxToInt(null) is 0, so every
+  // non-marker token silently counted as language 0 ("en") and the
+  // null-guard below was constant-true (the round-12 kernel shipped with
+  // exactly this bug; the oracle-checked corpus classifies all-en at the
+  // small SFs, which masked it). Integer keeps the miss observable.
+  private val LangIndex: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
     LangMarkers.zipWithIndex.foreach { case ((_, markers), li) =>
       markers.foreach { w =>
         // single-map scoring assumes marker sets are pairwise disjoint (they
         // are); a shared marker would need one count pass per language
-        require(m.put(w, li) == null, s"marker '$w' appears in two languages")
+        require(m.put(w, Integer.valueOf(li)) == null,
+          s"marker '$w' appears in two languages")
       }
     }
     m
@@ -161,7 +201,7 @@ object Text {
       var i = 0
       while (i < ts.length) {
         val li = LangIndex.get(ts(i))
-        if (li != null) c(li) += 1
+        if (li ne null) c(li.intValue) += 1
         i += 1
       }
     }

@@ -42,19 +42,20 @@ object Decontaminate {
     // one compiled pass instead of the interpreted higher-order chain;
     // per-row order differs (sorted) but both sides only consume the set.
     val evalGrams = eval
-      .select(Text.tokens(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) > 0)
-      .select(explode(Dedup.shingleSortedSet(col("__toks"), n)).as("__ngram"))
+      .select(Dedup.shingleSetFromLowered(lower(col(textCol)), n).as("__shs"))
+      .where(col("__shs").isNotNull)
+      .select(explode(col("__shs")).as("__ngram"))
       .distinct()
     corpus
       .select(col(idCol), col(textCol))
       // explicit-width spread of the raw text: single-row-group inputs scan
-      // as one task, which would tokenize + run the shingle kernel over the
-      // whole corpus serially
+      // as one task, which would run the fused tokenize+shingle kernel over
+      // the whole corpus serially
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) > 0)
-      .select(col(idCol), explode(Dedup.shingleSortedSet(col("__toks"), n)).as("__ngram"))
+      .select(col(idCol),
+        Dedup.shingleSetFromLowered(lower(col(textCol)), n).as("__shs"))
+      .where(col("__shs").isNotNull)
+      .select(col(idCol), explode(col("__shs")).as("__ngram"))
       .join(broadcast(evalGrams), "__ngram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))

@@ -79,27 +79,51 @@ object Dedup {
   def shingleSortedSet(toks: Column, n: Int): Column = {
     val f = udf { (tsIn: Array[String]) =>
       val ts = if (tsIn == null) Array.empty[String] else tsIn // null text ≅ no tokens
-      val out =
-        if (ts.length >= n) {
-          val set = new java.util.TreeSet[String]()
-          var i = 0
-          val sb = new java.lang.StringBuilder
-          while (i <= ts.length - n) {
-            sb.setLength(0)
-            var j = 0
-            while (j < n) {
-              if (j > 0) sb.append(' ')
-              sb.append(ts(i + j))
-              j += 1
-            }
-            set.add(sb.toString)
-            i += 1
-          }
-          set.toArray(new Array[String](set.size))
-        } else Array(ts.mkString(" "))
-      out
+      shingleSortedSetJ(ts, n)
     }
     f(toks)
+  }
+
+  private def shingleSortedSetJ(ts: Array[String], n: Int): Array[String] =
+    if (ts.length >= n) {
+      val set = new java.util.TreeSet[String]()
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i <= ts.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ts(i + j))
+          j += 1
+        }
+        set.add(sb.toString)
+        i += 1
+      }
+      set.toArray(new Array[String](set.size))
+    } else Array(ts.mkString(" "))
+
+  /** Fused tokenize + distinct-shingle kernel over ALREADY-LOWERCASED text
+    * (round 13): one string crosses the UDF boundary and one compiled pass
+    * tokenizes (Text.tokenizeLowered — provably the regex tokenizer's
+    * output) and shingles — the split chain paid a regex pass, a Spark
+    * array materialization, and an ArrayData→Array[String] conversion per
+    * document. Returns NULL for NULL text and for zero-token documents —
+    * the callers' `where(size(tokens) > 0)` gate becomes `isNotNull` (a
+    * zero-token doc has no content to compare; its whole-text "" shingle
+    * would diverge from the DuckDB oracle, whose empty-list aggregate is
+    * NULL and never joins). Non-empty outputs are identical to
+    * `shingleSortedSet(tokens(text), n)`.
+    */
+  def shingleSetFromLowered(lowered: Column, n: Int): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val ts = graft.functions.Text.tokenizeLowered(s)
+        if (ts.length == 0) null else shingleSortedSetJ(ts, n)
+      }
+    }
+    f(lowered)
   }
 
   /** Near-duplicate pairs by token-n-gram Jaccard ≥ `threshold`.
@@ -121,14 +145,18 @@ object Dedup {
       rowsPerBand: Int = 3,
       maxBucketSize: Int = 10000
   ): DataFrame =
-    nearDupPairsFromTokens(
+    nearDupPairsFromShingles(
       // spread the raw text BEFORE tokenizing: single-row-group inputs scan
       // as one task, and tokenize-before-exchange ran the regex serially
-      // (0.37 s of the q9 wall at sf0.1, §1 profile)
+      // (0.37 s of the q9 wall at sf0.1, §1 profile). Fused kernel (round
+      // 13): tokenize+shingle in one compiled pass over the lowered text —
+      // NULL output ≡ the old zero-token filter.
       df.select(col(idCol), col(textCol))
         .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-        .select(col(idCol), Text.tokens(col(textCol)).as("__toks")),
-      idCol, "__toks", threshold, shingleLen, bands, rowsPerBand, maxBucketSize)
+        .select(col(idCol),
+          shingleSetFromLowered(lower(col(textCol)), shingleLen).as("__sh"))
+        .where(col("__sh").isNotNull),
+      idCol, "__sh", threshold, bands, rowsPerBand, maxBucketSize)
 
   /** [[nearDupPairs]] over an already-tokenized frame — lets a pipeline
     * (q31) tokenize once and share the token frame across its fingerprint,
@@ -143,12 +171,35 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 3,
       maxBucketSize: Int = 10000
+  ): DataFrame =
+    nearDupPairsFromShingles(
+      df.select(col(idCol), col(toksCol))
+        // Zero-token documents carry no content to compare — and their
+        // whole-text "" shingle would diverge from the DuckDB oracle, whose
+        // empty-list aggregate is NULL and never joins. Exact dedup is the
+        // right operator for them.
+        .where(size(col(toksCol)) > 0)
+        .select(col(idCol), shingleSortedSet(col(toksCol), shingleLen).as("__sh")),
+      idCol, "__sh", threshold, bands, rowsPerBand, maxBucketSize)
+
+  /** Shared tail of the text and token entry points: MinHash+LSH candidate
+    * generation over per-doc sorted distinct shingle sets, then exact
+    * Jaccard verification on the candidates.
+    */
+  private def nearDupPairsFromShingles(
+      df: DataFrame,
+      idCol: String,
+      shCol: String,
+      threshold: Double,
+      bands: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int
   ): DataFrame = {
-    // Both callers arrive spread across the session width already — the
-    // text wrapper above repartitions raw text before tokenizing, and q31
-    // feeds its cached 32-partition token frame — so no repartition here
-    // (the round-12 profile showed the old one re-shuffling the cached
-    // frame on the same key for nothing).
+    // Callers arrive spread across the session width already — the text
+    // wrapper repartitions raw text before the kernel, and q31 feeds its
+    // cached 32-partition token frame — so no repartition here (the
+    // round-12 profile showed the old one re-shuffling the cached frame on
+    // the same key for nothing).
     // Persisted lazily, but since round 13 the first action (the eager
     // candidates materialize below) references it exactly ONCE, so the
     // tokenize→shingle→minhash producer runs once and the verify joins
@@ -158,13 +209,7 @@ object Dedup {
     // several consumers in one job is computed per consumer until some
     // task finishes writing each cached partition.
     val docs = (df
-      .select(col(idCol).as("__id"), col(toksCol).as("__toks"))
-      // Zero-token documents carry no content to compare — and their
-      // whole-text "" shingle would diverge from the DuckDB oracle, whose
-      // empty-list aggregate is NULL and never joins. Exact dedup is the
-      // right operator for them.
-      .where(size(col("__toks")) > 0)
-      .select(col("__id"), shingleSortedSet(col("__toks"), shingleLen).as("__sh"))
+      .select(col(idCol).as("__id"), col(shCol).as("__sh"))
       .withColumn("__bands", minhashBands(col("__sh"), bands, rowsPerBand)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -293,58 +338,69 @@ object Dedup {
       shingleLen: Int = 3
   ): DataFrame = {
     val n = shingleLen
-    val kernel = udf { (tsIn: Array[String]) =>
-      val ts = if (tsIn == null) Array.empty[String] else tsIn // null text ≅ no tokens
-      val set = new java.util.HashSet[String]()
-      if (ts.length >= n) {
-        var i = 0
-        val sb = new java.lang.StringBuilder
-        while (i <= ts.length - n) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(ts(i + j))
-            j += 1
+    // Fused kernel (round 13): tokenize (Text.tokenizeLowered over the
+    // Spark-lowered text — provably the regex tokenizer's output) +
+    // distinct shingles + md5 sign sums in ONE compiled pass; one string
+    // crosses the UDF boundary instead of the token array the old
+    // tokens→kernel chain materialized and converted per document. None
+    // for NULL text / zero tokens ≡ the old `where(size(tokens) > 0)`
+    // gate (no content to hash; the oracle's empty-list md5 is NULL).
+    val kernel = udf { (s: String) =>
+      if (s == null) None
+      else {
+        val ts = graft.functions.Text.tokenizeLowered(s)
+        if (ts.length == 0) None
+        else {
+          val set = new java.util.HashSet[String]()
+          if (ts.length >= n) {
+            var i = 0
+            val sb = new java.lang.StringBuilder
+            while (i <= ts.length - n) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(ts(i + j))
+                j += 1
+              }
+              set.add(sb.toString)
+              i += 1
+            }
+          } else set.add(ts.mkString(" "))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val sums = new Array[Int](SimhashBits)
+          val it = set.iterator()
+          while (it.hasNext) {
+            val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 15 hex chars as a 60-bit int == unsigned big-endian of
+            // the first 8 bytes >>> 4 (drops the 16th nibble)
+            var v = 0L
+            var k = 0
+            while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+            val h = v >>> 4
+            var b = 0
+            while (b < SimhashBits) {
+              if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+              b += 1
+            }
           }
-          set.add(sb.toString)
-          i += 1
-        }
-      } else set.add(ts.mkString(" "))
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val sums = new Array[Int](SimhashBits)
-      val it = set.iterator()
-      while (it.hasNext) {
-        val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // first 15 hex chars as a 60-bit int == unsigned big-endian of the
-        // first 8 bytes >>> 4 (drops the 16th nibble)
-        var v = 0L
-        var k = 0
-        while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
-        val h = v >>> 4
-        var b = 0
-        while (b < SimhashBits) {
-          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-          b += 1
+          var sig = 0L
+          var b = 0
+          while (b < SimhashBits) {
+            if (sums(b) > 0) sig |= (1L << b)
+            b += 1
+          }
+          Some(sig)
         }
       }
-      var sig = 0L
-      var b = 0
-      while (b < SimhashBits) {
-        if (sums(b) > 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
     }
     val width = df.sparkSession.sparkContext.defaultParallelism
-    // spread raw text BEFORE tokenizing (single-row-group scans are one
-    // task; tokenize-before-exchange ran the regex serially)
+    // spread raw text BEFORE the kernel (single-row-group scans are one
+    // task; per-doc work before the exchange ran serially)
     df.select(col(idCol), col(textCol))
       .repartition(width, col(idCol))
-      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
-      // zero-token docs: no content to hash; oracle's empty-list md5 is NULL
-      .where(size(col("__toks")) > 0)
-      .select(col(idCol), kernel(col("__toks")).as("simhash"))
+      .select(col(idCol), kernel(lower(col(textCol))).as("simhash"))
+      .where(col("simhash").isNotNull)
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -459,4 +459,76 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(out.exists(!_._2._2)) // threshold chosen so drops actually occur
   }
+
+  test("fused lowered-text shingle kernel ≡ tokens→shingleSortedSet chain") {
+    // Pins the round-13 fused kernel (linear-scan tokenizer over lower())
+    // against the original regex-split chain it replaced, across random
+    // docs with unicode separators, apostrophes, digits, and short/empty/
+    // null documents. NULL from the fused kernel must coincide exactly
+    // with the old `where(size(tokens) > 0)` gate.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pieces = Vector("cat", "dog's", "x1", "42", "ÉTÉ", "straße", "中文",
+      "😀", "?!", "--", "'", "a'b", "THE", "MiXeD", "Σισ", "")
+    val docs = ((0 until 300).map { i =>
+      val len = rnd.nextInt(12)
+      val sep = if (rnd.nextBoolean()) " " else Vector(",", "、", "\n", "\t")(rnd.nextInt(4))
+      (i.toLong, (0 until len).map(_ => pieces(rnd.nextInt(pieces.size))).mkString(sep))
+    } ++ Seq((300L, null.asInstanceOf[String]), (301L, ""), (302L, "!!!"),
+      (303L, "one two"), (304L, "''" + "'")))
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 3, 5)) {
+      val fused = docs
+        .select(col("doc_id"), Dedup.shingleSetFromLowered(lower(col("text")), n).as("s"))
+        .where(col("s").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+      val chain = docs
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .where(size(col("t")) > 0)
+        .select(col("doc_id"), Dedup.shingleSortedSet(col("t"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+      assert(fused.keySet == chain.keySet, s"doc coverage for n=$n")
+      fused.foreach { case (id, v) => assert(v == chain(id), s"doc $id, n=$n") }
+    }
+  }
+
+  test("language id counts ONLY marker words (non-markers are not 'en' votes)") {
+    // Regression for the round-12 kernel: HashMap[String, Int].get unboxes
+    // a missing key's null to 0, so every non-marker token counted toward
+    // language 0 ("en") and es/fr/de/zh could never win. Pins the kernel
+    // against the original expression form (five filter(isin) passes with
+    // the strictly-greater tie cascade) on docs where the correct argmax
+    // is each non-en language, plus tie and NULL cases.
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Seq("el", "los", "de", "que", "filler", "words", "here")),   // es
+      (1L, Seq("le", "les", "et", "des", "une", "junk", "junk")),       // fr
+      (2L, Seq("der", "die", "und", "das", "ein", "mit", "noise")),     // de
+      (3L, Seq("的", "是", "了", "x", "y")),                 // zh
+      (4L, Seq("the", "and", "of", "to", "plain", "english")),          // en
+      (5L, Seq("el", "the", "filler")),               // 1:1 tie → en (strict >)
+      (6L, Seq("nothing", "matches", "at", "all")),   // "at" is no marker → en
+      (7L, null.asInstanceOf[Seq[String]]),           // NULL tokens → en
+      (8L, Seq.empty[String])                          // zero tokens → en
+    ).toDF("doc_id", "toks")
+    val kernel = docs.select(col("doc_id"),
+        Text.langIdFromTokens(col("toks")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kernel == Map(0L -> "es", 1L -> "fr", 2L -> "de", 3L -> "zh",
+      4L -> "en", 5L -> "en", 6L -> "en", 7L -> "en", 8L -> "en"))
+    // and the original expression form agrees everywhere (the kernel's
+    // contract: argmax of marker counts, strictly-greater tie cascade)
+    def score(lang: String) =
+      Text.langScore(col("toks"), Text.LangMarkers.find(_._1 == lang).get._2).as(lang)
+    val legacy = docs.select(col("doc_id"),
+        score("en"), score("es"), score("fr"), score("de"), score("zh"))
+      .select(col("doc_id"),
+        when(col("zh") > greatest(col("en"), col("es"), col("fr"), col("de")), "zh")
+          .when(col("de") > greatest(col("en"), col("es"), col("fr")), "de")
+          .when(col("fr") > greatest(col("en"), col("es")), "fr")
+          .when(col("es") > col("en"), "es")
+          .otherwise("en").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(legacy == kernel)
+  }
 }
