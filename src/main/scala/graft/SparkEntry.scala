@@ -280,7 +280,8 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
-          Text.langIdFromTokens(Text.tokens(col("text"))).as("lang_pred"))
+          // fused kernel (round 13): tokenize + marker counting in one pass
+          Text.langIdFromLowered(lower(col("text"))).as("lang_pred"))
         // corpus-sized output: no trailing global sort (order is carried
         // by the output columns; the correctness gate compares row-sorted)
     }),
@@ -290,7 +291,10 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
+        // fused tokenizer (round 13): regex-free; the array is consumed
+        // by three downstream expressions, so it stays materialized
+        .select(col("doc_id"), col("text"),
+          Text.tokensFromLowered(lower(col("text"))).as("__toks"))
         .select(
           col("doc_id"),
           size(col("__toks")).cast("long").as("n_tokens"),
@@ -543,7 +547,8 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("text"))
         .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(Text.shinglesK(Text.tokens(col("text")), 3)).as("ngram"))
+        // fused kernel (round 13): tokenize + shingle in one pass
+        .select(explode(Text.shinglesFromLowered(lower(col("text")), 3)).as("ngram"))
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
@@ -554,7 +559,9 @@ object SparkEntry {
     "q30_token_batches" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        // fused count kernel (round 13): counts token runs with no regex
+        // and no array; NULL text → NULL count (Pack weighs NULL as 0)
+        .select(col("doc_id"), Text.tokenCountFromLowered(lower(col("text"))).as("n_tokens"))
       Pack.tokenBatches(docs, "doc_id", "n_tokens", budget = 8192L)
         // corpus-sized output: no trailing global sort (order is carried
         // by the output columns; the correctness gate compares row-sorted)
@@ -575,8 +582,11 @@ object SparkEntry {
       // fingerprint pipeline racing to fill itself twice.
       val docs = graft.core.Frames.materialize(t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
-        .withColumn("__fp", Text.fingerprintFromTokens(col("__toks"))))
+        // fused kernel (round 13): tokens + fingerprint in one pass
+        .select(col("doc_id"), col("text"),
+          Text.tokensAndFingerprintFromLowered(lower(col("text"))).as("__tf"))
+        .select(col("doc_id"), col("text"),
+          col("__tf._1").as("__toks"), col("__tf._2").as("__fp")))
       // keeper materialized too (round 13): it is referenced by `exact` in
       // BOTH the candidates job and the output job, and each reference
       // re-aggregated it from the docs cache — whose row-serialized token
@@ -759,7 +769,9 @@ object SparkEntry {
     "q40_chunk_windows" -> ((s, dir) => {
       val win = 16; val stride = 8
       t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        // fused tokenizer (round 13): regex-free; the array itself feeds
+        // the slice windows so it stays materialized
+        .select(col("doc_id"), Text.tokensFromLowered(lower(col("text"))).as("toks"))
         .where(size(col("toks")) > 0)
         .select(col("doc_id"), col("toks"),
           explode(sequence(lit(0),
@@ -851,7 +863,8 @@ object SparkEntry {
       val counts = docs
         .select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(explode(Text.tokens(col("text"))).as("token"))
+        // fused tokenizer (round 13): regex-free
+        .select(explode(Text.tokensFromLowered(lower(col("text")))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       // Corpus token total from a separate cheap map pass (round 12
       // tranche 2): Σ_token cnt ≡ Σ_doc |tokens(doc)|, so the scalar no
@@ -864,7 +877,9 @@ object SparkEntry {
       // silently subtract 1 from the total (the explode form simply emits
       // no rows for NULL). With the filter, size never sees NULL.
       val tot = docs.where(col("text").isNotNull)
-        .select(size(Text.tokens(col("text"))).cast("long").as("__n"))
+        // fused count kernel (round 13): no regex, no array; NULL-safe by
+        // the filter regardless of session config
+        .select(Text.tokenCountFromLowered(lower(col("text"))).as("__n"))
         .agg(sum(col("__n")).as("__tot"))
       // constant partition column: the 200-survivor frame is model-sized
       // by construction, and a non-empty partition spec keeps WindowExec's
@@ -983,7 +998,10 @@ object SparkEntry {
         // explicit-width spread: the single-row-group scan is one task;
         // without it the per-document kernel work runs serially
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("token"))
+        // fused distinct-token kernel (round 13): tokenize + first-
+        // occurrence dedup in one pass, ≡ array_distinct(tokens(text))
+        .select(col("doc_id"),
+          explode(Text.distinctTokensFromLowered(lower(col("text")))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
         .where(col("df") >= 5)
         .crossJoin(broadcast(nDocs))
@@ -1023,7 +1041,10 @@ object SparkEntry {
         // explicit-width spread: the single-row-group scan is one task;
         // without it the per-document kernel work runs serially
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("lang"), col("n_chars"), Text.tokens(col("text")).as("toks"))
+        // fused tokenizer (round 13): regex-free; three consumers share
+        // the materialized array
+        .select(col("lang"), col("n_chars"),
+          Text.tokensFromLowered(lower(col("text"))).as("toks"))
         .select(col("lang"), col("n_chars"),
           size(col("toks")).cast("long").as("n_tok"),
           Text.stopwordCount(col("toks")).as("n_stop"),
@@ -1193,7 +1214,8 @@ object SparkEntry {
         // token arrays after a serial tokenize measured as pure overhead;
         // spreading the text moves the regex off the single scan task)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        // fused tokenizer (round 13): regex-free
+        .select(col("doc_id"), Text.tokensFromLowered(lower(col("text"))).as("toks"))
         .where(size(col("toks")) >= win)
         .select(col("doc_id"),
           explode(sequence(lit(0),

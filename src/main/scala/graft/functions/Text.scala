@@ -63,6 +63,59 @@ object Text {
     out.toArray
   }
 
+  /** Fused drop-in for [[tokens]] over pre-lowercased text (round 13):
+    * the linear-scan tokenizer in one UDF — no regex engine. The output
+    * array still crosses the UDF boundary, so prefer the fully-fused
+    * shingle/simhash/langid kernels where the consumer allows; this form
+    * serves consumers that need the token ARRAY itself (explodes, slice
+    * windows, multi-use caches). NULL text → NULL, like split's.
+    */
+  def tokensFromLowered(lowered: Column): Column = tokensFromLoweredK(lowered)
+
+  private val tokensFromLoweredK = udf { (s: String) =>
+    if (s == null) null else tokenizeLowered(s)
+  }
+
+  /** ≡ `array_distinct(tokens(c))`: distinct tokens in first-occurrence
+    * order, one fused pass. NULL text → NULL. */
+  def distinctTokensFromLowered(lowered: Column): Column =
+    distinctTokensFromLoweredK(lowered)
+
+  private val distinctTokensFromLoweredK = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val ts = tokenizeLowered(s)
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i < ts.length) { set.add(ts(i)); i += 1 }
+      if (set.size == ts.length) ts else set.toArray(new Array[String](set.size))
+    }
+  }
+
+  /** ≡ `size(tokens(c)).cast("long")` under ANSI semantics (NULL text →
+    * NULL count), fused and regex-free — and config-robust where
+    * legacy sizeOfNull would have yielded -1. */
+  def tokenCountFromLowered(lowered: Column): Column = tokenCountFromLoweredK(lowered)
+
+  private val tokenCountFromLoweredK = udf { (s: String) =>
+    if (s == null) None
+    else {
+      // count maximal [a-z0-9'] runs without materializing substrings
+      var n = 0L
+      var i = 0
+      val len = s.length
+      var in = false
+      while (i < len) {
+        val c = s.charAt(i)
+        val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\''
+        if (isTok && !in) { n += 1; in = true }
+        else if (!isTok) in = false
+        i += 1
+      }
+      Some(n)
+    }
+  }
+
   /** Counts use regexp_count (codegen'd, no array materialization) — same
     * result as sizing the extracted arrays, measurably cheaper.
     */
@@ -215,6 +268,32 @@ object Text {
 
   def langIdFromTokens(toks: Column): Column = langIdK(toks)
 
+  /** Fused [[langId]] over pre-lowercased text (round 13): tokenize +
+    * marker counting in one pass, nothing but the winning label crosses
+    * the UDF boundary. NULL text counts zero markers → "en", exactly like
+    * the token form's NULL array.
+    */
+  def langIdFromLowered(lowered: Column): Column = langIdFromLoweredK(lowered)
+
+  private val langIdFromLoweredK = udf { (s: String) =>
+    val c = new Array[Long](5) // en, es, fr, de, zh — LangMarkers order
+    if (s != null) {
+      val ts = tokenizeLowered(s)
+      var i = 0
+      while (i < ts.length) {
+        val li = LangIndex.get(ts(i))
+        if (li ne null) c(li.intValue) += 1
+        i += 1
+      }
+    }
+    val (en, es, fr, de, zh) = (c(0), c(1), c(2), c(3), c(4))
+    if (zh > math.max(math.max(en, es), math.max(fr, de))) "zh"
+    else if (de > math.max(math.max(en, es), fr)) "de"
+    else if (fr > math.max(en, es)) "fr"
+    else if (es > en) "es"
+    else "en"
+  }
+
   /** Canonical content fingerprint: md5 over the sorted distinct token set.
     * Word-order-insensitive (bag-of-words identity), cheap to group on.
     */
@@ -224,6 +303,44 @@ object Text {
     * tokenize once and share the frame across stages (q31). */
   def fingerprintFromTokens(toks: Column): Column =
     md5(array_join(array_sort(array_distinct(toks)), " "))
+
+  /** Fused tokenize + fingerprint over pre-lowercased text (round 13):
+    * one pass yields struct(_1 = token array, _2 = fingerprint) —
+    * replaces the tokens → array_distinct → array_sort → array_join → md5
+    * chain. Identical values: tokens are ASCII-only by construction, so
+    * TreeSet (UTF-16) order equals array_sort's UTF8-binary order; md5 hex
+    * is lowercase like Spark's; NULL text → NULL struct, whose fields read
+    * back as the NULL token array and NULL fingerprint the chain produced.
+    * Zero tokens → md5("") exactly like the chain's empty-array join.
+    */
+  def tokensAndFingerprintFromLowered(lowered: Column): Column = tokFpK(lowered)
+
+  private val tokFpK = udf { (s: String) =>
+    if (s == null) None
+    else {
+      val ts = tokenizeLowered(s)
+      val set = new java.util.TreeSet[String]()
+      var i = 0
+      while (i < ts.length) { set.add(ts(i)); i += 1 }
+      val sb = new java.lang.StringBuilder
+      val it = set.iterator()
+      while (it.hasNext) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(it.next())
+      }
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      val digits = "0123456789abcdef"
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = digits((d(k) >> 4) & 0xf)
+        hex(2 * k + 1) = digits(d(k) & 0xf)
+        k += 1
+      }
+      Some((ts, new String(hex)))
+    }
+  }
 
   /** Token n-gram shingles as strings; documents shorter than n tokens
     * collapse to a single whole-text shingle.
@@ -265,6 +382,38 @@ object Text {
     f(toks)
   }
 
+  /** Fused [[shinglesK]] over pre-lowercased text (round 13): tokenize +
+    * order/duplicate-preserving shingling in one pass. Identical output to
+    * `shinglesK(tokens(c), n)` including NULL text → [NULL] and the
+    * zero/short-token whole-text fallback ([""], [single token], …).
+    */
+  def shinglesFromLowered(lowered: Column, n: Int): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) Array(null: String) // tokens(NULL) = NULL → [NULL]
+      else {
+        val ts = tokenizeLowered(s)
+        if (ts.length >= n) {
+          val out = new Array[String](ts.length - n + 1)
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i <= ts.length - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(ts(i + j))
+              j += 1
+            }
+            out(i) = sb.toString
+            i += 1
+          }
+          out
+        } else Array(ts.mkString(" "))
+      }
+    }
+    f(lowered)
+  }
+
   /** Gopher-style within-document repetition metrics over token n-grams:
     * the fraction of n-gram occurrences that are repeats of an earlier
     * occurrence, and the fraction claimed by the single most frequent
@@ -288,7 +437,10 @@ object Text {
       textCol: String,
       n: Int = 2
   ): org.apache.spark.sql.DataFrame = {
-    val kernel = udf { (ts: Array[String]) =>
+    // fused (round 13): tokenize inside the kernel — one string in, three
+    // numbers out; NULL text takes the old NULL-token-array branch
+    val kernel = udf { (s: String) =>
+      val ts = if (s == null) null else tokenizeLowered(s)
       val counts = new java.util.HashMap[String, Long]()
       if (ts == null) counts.put(null, 1L) // shinglesK(null) = [NULL]
       else if (ts.length >= n) {
@@ -318,7 +470,7 @@ object Text {
       val m = counts.size.toLong
       (total, (total - m).toDouble / total, mx.toDouble / total)
     }
-    df.select(col(idCol), kernel(tokens(col(textCol))).as("__m"))
+    df.select(col(idCol), kernel(lower(col(textCol))).as("__m"))
       .select(col(idCol),
         col("__m._1").as("n_grams"),
         col("__m._2").as("dup_gram_frac"),
@@ -408,7 +560,7 @@ object Text {
       // explicit-width spread of the raw text: single-row-group inputs scan
       // as one task, which would tokenize+explode the whole corpus serially
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol), explode(tokensFromLowered(lower(col(textCol)))).as("term"))
     // persisted (lazily — round 12 measured an eager barrier slower at
     // sf0.1; the racing duplicate producer overlaps on idle cores): tf
     // feeds BOTH the df aggregation and the probe side of the join.
@@ -445,9 +597,11 @@ object Text {
       n: Int = 3,
       window: Int = 4
   ): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    df.select(col(idCol), col(textCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol), shingles(col("__toks"), n).as("__sh"))
+      // fused order/duplicate-preserving shingle kernel (round 13): the
+      // tokens → higher-order shingles chain in one compiled pass
+      .select(col(idCol), shinglesFromLowered(lower(col(textCol)), n).as("__sh"))
       .select(col(idCol),
         transform(col("__sh"), s => xxhash64(s)).as("__h"))
       .select(col(idCol),

@@ -265,28 +265,46 @@ object Dedup {
     */
   def chunkUnits(toks: Column, chunkTokens: Int): Column = {
     val f = udf { (ts: Array[String]) =>
-      if (ts == null) null
-      else {
-        val nChunks = if (ts.length == 0) 1 else (ts.length - 1) / chunkTokens + 1
-        val out = new Array[String](nChunks)
-        val sb = new java.lang.StringBuilder
-        var ci = 0
-        while (ci < nChunks) {
-          sb.setLength(0)
-          var j = ci * chunkTokens
-          val end = math.min(j + chunkTokens, ts.length)
-          while (j < end) {
-            if (j > ci * chunkTokens) sb.append(' ')
-            sb.append(ts(j))
-            j += 1
-          }
-          out(ci) = sb.toString
-          ci += 1
-        }
-        out
-      }
+      if (ts == null) null else chunkUnitsJ(ts, chunkTokens)
     }
     f(toks)
+  }
+
+  private def chunkUnitsJ(ts: Array[String], chunkTokens: Int): Array[String] = {
+    val nChunks = if (ts.length == 0) 1 else (ts.length - 1) / chunkTokens + 1
+    val out = new Array[String](nChunks)
+    val sb = new java.lang.StringBuilder
+    var ci = 0
+    while (ci < nChunks) {
+      sb.setLength(0)
+      var j = ci * chunkTokens
+      val end = math.min(j + chunkTokens, ts.length)
+      while (j < end) {
+        if (j > ci * chunkTokens) sb.append(' ')
+        sb.append(ts(j))
+        j += 1
+      }
+      out(ci) = sb.toString
+      ci += 1
+    }
+    out
+  }
+
+  /** Fused tokenize + chunk kernel over pre-lowercased text (round 13):
+    * one compiled pass replaces the tokens→chunkUnits chain. NULL for
+    * NULL text and zero-token documents — the callers' `where(size(tokens)
+    * > 0)` gate becomes `isNotNull`; non-empty outputs are identical to
+    * `chunkUnits(tokens(text), chunkTokens)`.
+    */
+  def chunksFromLowered(lowered: Column, chunkTokens: Int): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val ts = graft.functions.Text.tokenizeLowered(s)
+        if (ts.length == 0) null else chunkUnitsJ(ts, chunkTokens)
+      }
+    }
+    f(lowered)
   }
 
   /** Exact Jaccard of two sorted distinct string arrays (compiled merge). */
@@ -618,24 +636,20 @@ object Dedup {
       textCol: String,
       chunkTokens: Int = 8
   ): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    // persisted + eagerly materialized: units feeds BOTH the arg-min
-    // aggregation and the join probe — lazily persisted, the two consuming
-    // map stages of the first job race to fill the cache and the tokenize→
-    // chunk explode (the expensive stage) runs twice
     val width = df.sparkSession.sparkContext.defaultParallelism
     // explicit-width spread of the RAW TEXT: single-row-group inputs scan
-    // as one task, and tokenize-before-exchange would run the regex — and
-    // write the cache — serially. Persisted lazily: the racing duplicate
-    // producer overlaps on idle cores; an eager barrier measured slower.
+    // as one task, and kernel-before-exchange would run it — and write the
+    // cache — serially. Persisted lazily: the racing duplicate producer
+    // overlaps on idle cores; an eager barrier measured slower. Fused
+    // tokenize+chunk kernel (round 13); NULL ≡ the old zero-token filter.
     val units = df
       .select(col(idCol), col(textCol))
       .repartition(width, col(idCol))
-      .select(col(idCol), toks.as("__toks"))
-      .where(size(col("__toks")) > 0)
       .select(col(idCol),
-        posexplode(chunkUnits(col("__toks"), chunkTokens))
-          .as(Seq("idx", "chunk")))
+        chunksFromLowered(lower(col(textCol)), chunkTokens).as("__chunks"))
+      .where(col("__chunks").isNotNull)
+      .select(col(idCol),
+        posexplode(col("__chunks")).as(Seq("idx", "chunk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = units
       .groupBy(col("chunk"))
@@ -679,23 +693,20 @@ object Dedup {
       chunkTokens: Int = 8,
       minFreq: Long = 3L
   ): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    // persisted + eagerly materialized for the same reason as
-    // paragraphDedupDf: the tokenize→chunk explode feeds both the frequency
-    // aggregate and the join probe
     val width = df.sparkSession.sparkContext.defaultParallelism
     // explicit-width spread of the RAW TEXT: single-row-group inputs scan
-    // as one task, and tokenize-before-exchange would run the regex — and
-    // write the cache — serially. Persisted lazily: the racing duplicate
-    // producer overlaps on idle cores; an eager barrier measured slower.
+    // as one task, and kernel-before-exchange would run it — and write the
+    // cache — serially. Persisted lazily: the racing duplicate producer
+    // overlaps on idle cores; an eager barrier measured slower. Fused
+    // tokenize+chunk kernel (round 13); NULL ≡ the old zero-token filter.
     val units = df
       .select(col(idCol), col(textCol))
       .repartition(width, col(idCol))
-      .select(col(idCol), toks.as("__toks"))
-      .where(size(col("__toks")) > 0)
       .select(col(idCol),
-        posexplode(chunkUnits(col("__toks"), chunkTokens))
-          .as(Seq("idx", "chunk")))
+        chunksFromLowered(lower(col(textCol)), chunkTokens).as("__chunks"))
+      .where(col("__chunks").isNotNull)
+      .select(col(idCol),
+        posexplode(col("__chunks")).as(Seq("idx", "chunk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freqs = units
       .groupBy(col("chunk"))
